@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * The `events` table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+  * Spark's parquet reader rejects outright; we read it via the legacy
+  * `nanosAsLong` conf and convert to a microsecond TimestampType column
+  * (truncation — identical to how DuckDB's epoch_* functions truncate ns).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. Idempotent wrt session confs. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        // ts: ns-since-epoch Long -> TimestampType (µs, truncated)
+        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
