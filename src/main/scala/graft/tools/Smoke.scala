@@ -32,6 +32,27 @@ object Smoke {
 
     Tables.registerAll(spark, sfDir)
     spark.sql("select count(*) c from lineitem").show()
+
+    if (args.contains("ops")) opsDemo(spark, sfDir)
     spark.stop()
+  }
+
+  /** Drives the core operators over real testdata (verification surface). */
+  def opsDemo(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import graft.operators.{AsOfJoin, Replacing}
+    val ev = Tables.load(spark, sfDir, "events")
+    val errs = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("signup_ts"), $"event_id".as("signup_event"))
+    val bc = AsOfJoin.broadcast(errs, signups, Seq("user_id"), "ts", "signup_ts")
+    val mg = AsOfJoin.merge(errs, signups, Seq("user_id"), "ts", "signup_ts")
+    println(s"asof: errs=${errs.count()} bc=${bc.count()} mg=${mg.count()}")
+    val b = bc.select($"event_id", $"signup_event").as[(Long, Option[Long])].collect().toMap
+    val m = mg.select($"event_id", $"signup_event").as[(Long, Option[Long])].collect().toMap
+    println(s"asof variants agree: ${b == m} (nonNull=${b.values.count(_.isDefined)})")
+    val latest = Replacing.latestByKey(ev, Seq("user_id"), "ts")
+    println(s"replacing: latest=${latest.count()} distinctUsers=${ev.select("user_id").distinct().count()}")
   }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // facts: (key, event_ts, fact_payload); versions: (key, effective_from, attr)
+  private lazy val facts = {
+    import spark.implicits._
+    Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1), // before any version -> null
+      ("a", ts("2024-01-01 10:00:00"), 2), // exactly at v1 -> v1 (>= semantics)
+      ("a", ts("2024-01-01 15:00:00"), 3), // between v1 and v2 -> v1
+      ("a", ts("2024-01-02 00:00:00"), 4), // exactly at v2 -> v2
+      ("a", ts("2024-01-03 00:00:00"), 5), // after v2 -> v2
+      ("b", ts("2024-01-01 12:00:00"), 6), // other key -> b's v1
+      ("c", ts("2024-01-01 12:00:00"), 7)  // key with no versions -> null
+    ).toDF("k", "event_ts", "f")
+  }
+  private lazy val versions = {
+    import spark.implicits._
+    Seq(
+      ("a", ts("2024-01-01 10:00:00"), "a-v1"),
+      ("a", ts("2024-01-02 00:00:00"), "a-v2"),
+      ("b", ts("2024-01-01 00:00:00"), "b-v1")
+    ).toDF("k", "effective_from", "attr")
+  }
+
+  private val expected = Seq(
+    (1, null), (2, "a-v1"), (3, "a-v1"), (4, "a-v2"), (5, "a-v2"),
+    (6, "b-v1"), (7, null))
+
+  test("broadcast variant resolves >= asof semantics") {
+    val out = AsOfJoin.broadcast(facts, versions, Seq("k"), "event_ts", "effective_from")
+      .orderBy("f").collect().map(r => (r.getInt(2), r.getAs[String]("attr")))
+    assert(out.toSeq == expected)
+    assert(out.length == facts.count()) // every left row exactly once
+  }
+
+  test("merge variant agrees with broadcast variant") {
+    val out = AsOfJoin.merge(facts, versions, Seq("k"), "event_ts", "effective_from")
+      .orderBy("f").collect().map(r => (r.getAs[Int]("f"), r.getAs[String]("attr")))
+    assert(out.toSeq == expected)
+  }
+
+  test("merge carries whole version structs (no attribute mixing across versions)") {
+    import spark.implicits._
+    // v2 has a null attr2: a fact after v2 must see (x2, null), never (x2, y1)
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:00"), "x1", "y1"),
+      ("a", ts("2024-01-02 00:00:00"), "x2", null.asInstanceOf[String])
+    ).toDF("k", "effective_from", "attr1", "attr2")
+    val left = Seq(("a", ts("2024-01-03 00:00:00"), 1)).toDF("k", "event_ts", "f")
+    val row = AsOfJoin.merge(left, right, Seq("k"), "event_ts", "effective_from")
+      .collect().head
+    assert(row.getAs[String]("attr1") == "x2")
+    assert(row.getAs[String]("attr2") == null)
+  }
+}
