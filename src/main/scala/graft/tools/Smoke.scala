@@ -34,7 +34,28 @@ object Smoke {
     spark.sql("select count(*) c from lineitem").show()
 
     if (args.contains("ops")) opsDemo(spark, sfDir)
+    if (args.contains("ingest")) ingestDemo(spark)
     spark.stop()
+  }
+
+  /** Drives the bronze ingest projections over the reference fixtures. */
+  def ingestDemo(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val payloads = Seq("data-suricata-1.json", "data-wazuh-2.json", "data-zeek-3.json")
+      .map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/root/reference/scripts/$f")), "UTF-8")
+        if (txt.contains("\"partitionID\"")) {
+          Seq(txt).toDF("raw")
+            .select(get_json_object(col("raw"), "$.value.payload"))
+            .collect().head.getString(0)
+        } else txt
+      }
+    val routed = graft.ingest.Bronze.route(payloads.toDF("raw"))
+    routed.foreach { case (src, df) =>
+      println(s"== $src (${df.count()} rows)")
+      df.drop("raw_data").show(2, 60, vertical = true)
+    }
   }
 
   /** Drives the core operators over real testdata (verification surface). */
