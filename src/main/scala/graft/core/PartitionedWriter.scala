@@ -40,11 +40,13 @@ object PartitionedWriter {
   }
 
   /** Append rows whose `keys` are not already present in the target's
-    * partitions overlapping [the rows' own dates]. Returns appended rows. */
+    * partitions overlapping [the rows' own dates]. Returns rows appended.
+    * An all-duplicates (or empty) input writes nothing — parquet dirs
+    * never end up file-less/schema-less. */
   def appendIfAbsent(df: DataFrame, path: String, tsCol: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): Long = {
     val spark = df.sparkSession
-    val dated = withDate(df, tsCol).cache()
+    val dated = withDate(df, tsCol)
     val fresh =
       if (exists(spark, path)) {
         // restrict the existing-side scan to the touched dates (partition
@@ -55,8 +57,12 @@ object PartitionedWriter {
           .select(keys.map(col).toIndexedSeq: _*)
         dated.join(existing, keys, "left_anti")
       } else dated
-    fresh.write.mode(SaveMode.Append).partitionBy(DateCol).parquet(path)
-    fresh
+    fresh.cache()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode(SaveMode.Append).partitionBy(DateCol).parquet(path)
+    fresh.unpersist()
+    n
   }
 
   /** Full overwrite of only the partitions present in df (MERGE-style

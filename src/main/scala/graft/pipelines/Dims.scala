@@ -1,0 +1,266 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Keys
+import graft.operators.AsOfJoin
+
+/** The 10 dimension builds (7 insert-if-absent + 3 SCD2) re-expressed as
+  * DataFrame transforms (/root/reference/airflow/dags/sql/dim_*.sql).
+  *
+  * Every simple dim follows one shape (SURVEY.md §2 H): window-scan the
+  * bronze sources → conform/union → DISTINCT natural keys → surrogate
+  * hash → anti-join against the existing dim → append. SCD2 dims follow
+  * close-then-open over the same windowed changes.
+  *
+  * Spark notes: the anti-join's existing side is a dim (small) —
+  * broadcast; the distinct is a partial-aggregating shuffle on already
+  * tiny projections. Nothing here re-shuffles fact-sized data.
+  */
+object Dims {
+
+  private def nz(c: Column): Column = nullif(c, lit(""))
+  private def stamp(df: DataFrame): DataFrame =
+    df.withColumn("updated_at", current_timestamp())
+
+  /** C1 core: new = candidates anti-join existing by `key`. */
+  private def ifAbsent(candidates: DataFrame, existing: DataFrame, key: String): DataFrame =
+    candidates.join(broadcast(existing.select(key)), Seq(key), "left_anti")
+
+  // ---- dim_date (dim_date.sql) --------------------------------------
+
+  def dimDate(windows: Seq[DataFrame], existing: DataFrame, tz: String): DataFrame = {
+    val dates = windows.map(_.select(
+      to_date(Keys.localTs(col("event_ts"), tz)).as("date")))
+      .reduce(_ unionByName _)
+    val cand = dates.distinct().select(
+      Keys.dateKey(col("date")).as("date_key"),
+      col("date"),
+      year(col("date")).as("year"),
+      quarter(col("date")).as("quarter"),
+      month(col("date")).as("month"),
+      dayofmonth(col("date")).as("day"),
+      weekofyear(col("date")).as("week_of_year"), // ISO week (toISOWeek)
+      weekday(col("date")).plus(1).as("day_of_week")) // ISO Mon=1 (toDayOfWeek)
+    stamp(ifAbsent(cand, existing, "date_key"))
+  }
+
+  // ---- dim_time (dim_time.sql) --------------------------------------
+
+  def dimTime(windows: Seq[DataFrame], existing: DataFrame, tz: String): DataFrame = {
+    val ts = windows.map(_.select(
+      Keys.localTs(col("event_ts"), tz).as("lts"))).reduce(_ unionByName _)
+    val cand = ts.select(
+      Keys.timeKey(col("lts")).as("time_key"),
+      hour(col("lts")).as("hour"),
+      minute(col("lts")).as("minute"),
+      second(col("lts")).as("second")).distinct()
+    stamp(ifAbsent(cand, existing, "time_key"))
+  }
+
+  // ---- dim_event (dim_event.sql; wazuh + zeek) ----------------------
+
+  def dimEvent(wazuh: DataFrame, zeek: DataFrame, existing: DataFrame): DataFrame = {
+    val cols = Seq("event_dataset", "event_kind", "event_module", "event_provider")
+    val u = wazuh.select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(zeek.select(cols.map(col).toIndexedSeq: _*))
+    val cand = u.distinct().select(
+      Keys.surrogateKey(cols.map(col).toIndexedSeq: _*).as("event_key") +:
+        cols.map(col): _*)
+    stamp(ifAbsent(cand, existing, "event_key"))
+  }
+
+  // ---- dim_sensor (dim_sensor.sql; suricata + zeek-with-literal) ----
+
+  def dimSensor(suricata: DataFrame, zeek: DataFrame, existing: DataFrame): DataFrame = {
+    val u = suricata.select(col("sensor_type"), col("sensor_name"))
+      .unionByName(zeek.select(lit("zeek").as("sensor_type"), col("sensor_name")))
+      .filter(nz(col("sensor_name")).isNotNull || nz(col("sensor_type")).isNotNull)
+    val cand = u.distinct().select(
+      Keys.surrogateKey(col("sensor_type"), col("sensor_name")).as("sensor_key"),
+      col("sensor_type"), col("sensor_name"))
+    stamp(ifAbsent(cand, existing, "sensor_key"))
+  }
+
+  // ---- dim_protocol (dim_protocol.sql; suricata + zeek) -------------
+
+  def dimProtocol(suricata: DataFrame, zeek: DataFrame, existing: DataFrame): DataFrame = {
+    val u = suricata.select(col("protocol"))
+      .unionByName(zeek.select(col("protocol")))
+      .filter(nz(col("protocol")).isNotNull)
+    val cand = u.distinct().select(
+      Keys.surrogateKey(col("protocol")).as("protocol_key"), col("protocol"))
+    stamp(ifAbsent(cand, existing, "protocol_key"))
+  }
+
+  // ---- dim_signature (dim_signature.sql; suricata only) -------------
+
+  def dimSignature(suricata: DataFrame, existing: DataFrame): DataFrame = {
+    val cand = suricata
+      .filter(col("signature_id").isNotNull || nz(col("signature")).isNotNull)
+      .select("signature_id", "signature", "category", "alert_action")
+      .distinct()
+      .select(
+        Keys.surrogateKey(col("signature_id"), col("signature"),
+          col("category"), col("alert_action")).as("signature_key"),
+        col("signature_id"), col("signature"), col("category"), col("alert_action"))
+    stamp(ifAbsent(cand, existing, "signature_key"))
+  }
+
+  // ---- dim_tag (dim_tag.sql; all three, arrayJoin) ------------------
+
+  def dimTag(windows: Seq[DataFrame], existing: DataFrame): DataFrame = {
+    val tags = windows.map(_.select(explode(col("tags")).as("tag_value")))
+      .reduce(_ unionByName _)
+      .filter(col("tag_value") =!= "")
+    val cand = tags.distinct().select(
+      Keys.surrogateKey(col("tag_value")).as("tag_key"), col("tag_value"))
+    stamp(ifAbsent(cand, existing, "tag_key"))
+  }
+
+  // ---- SCD2 (dim_agent_scd2.sql / dim_host_scd2.sql / dim_rule_scd2.sql)
+
+  /** One SCD2 dimension: natural key column, versioned attribute columns,
+    * and how to derive both from a bronze row. */
+  case class Scd2Spec(
+      surrogate: String,                       // agent_key
+      naturalKey: String,                      // agent_name
+      attrs: Seq[String],                      // versioned attrs (agent_ip | rule_*)
+      bronzeKey: Column,                       // natural key over bronze row
+      bronzeAttrs: Seq[Column])                // aligned with attrs
+
+  val agentSpec: Scd2Spec = Scd2Spec(
+    "agent_key", "agent_name", Seq("agent_ip"),
+    coalesce(nullif(col("agent_name"), lit("")), col("agent_ip")),
+    Seq(col("agent_ip")))
+
+  val hostSpec: Scd2Spec = Scd2Spec(
+    "host_key", "host_name", Seq("host_ip"),
+    coalesce(nullif(col("host_name"), lit("")), col("host_ip")),
+    Seq(col("host_ip")))
+
+  val ruleSpec: Scd2Spec = Scd2Spec(
+    "rule_key", "rule_id", Seq("rule_level", "rule_name", "rule_ruleset"),
+    nullif(col("rule_id"), lit("")),
+    Seq(col("rule_level"), col("rule_name"), col("rule_ruleset")))
+
+  /** SCD2 application as a deterministic per-key version-chain rebuild;
+    * returns the FULL rewritten dim.
+    *
+    * The reference's close-then-open statements
+    * (dim_agent_scd2.sql:1-57) emit at most one version per key per
+    * window (GROUP BY natural key over changed rows) and oscillate when
+    * a window holds several attribute values: each re-run closes the
+    * current version and opens one keyed on a different "earliest
+    * changed" row. We keep the *intended* semantics — close old version
+    * at the first changed event_ts, open a new one carrying that event's
+    * attributes, `cityHash64(key, change_ts)` surrogate — but derive the
+    * whole chain per natural key instead: existing versions and windowed
+    * events merge, sort by ts, collapse consecutive equal attribute
+    * tuples (null-safe struct compare), and re-derive
+    * effective_from/effective_to/is_current. Re-running any window is a
+    * no-op (SURVEY.md §5 idempotency property), intra-window changes all
+    * become versions, and surrogate keys of surviving versions are
+    * stable.
+    *
+    * Scale: only keys touched by the window are rebuilt; the work is one
+    * shuffle of (touched versions + windowed candidate rows) by natural
+    * key — dim-sized, never fact-sized. */
+  def scd2Apply(dim: DataFrame, bronzeWin: DataFrame,
+      spec: Scd2Spec): DataFrame = {
+    val k = spec.naturalKey
+    // change_ts stays an instant: ClickHouse toTimeZone() only re-renders
+    // (same epoch), so effective_from/to compare directly against fact
+    // event_ts; only calendar keys use the wall-clock shift (§1.4)
+    val b = bronzeWin.select(
+      spec.bronzeKey.as(k) +:
+        col("event_ts").as("__ts") +:
+        spec.bronzeAttrs.zip(spec.attrs).map { case (c, n) => c.as(n) }: _*)
+      .filter(col(k).isNotNull)
+
+    val dimCols = dim.columns
+    val touched = b.select(col(k)).distinct()
+    val untouched = dim.join(broadcast(touched), Seq(k), "left_anti")
+
+    // events for the chain = touched existing versions (as pseudo-events
+    // at their effective_from) ∪ windowed candidate rows
+    val existingEvents = dim.join(broadcast(touched), Seq(k), "left_semi")
+      .select(col(k) +: col("effective_from").as("__ts") +: spec.attrs.map(col): _*)
+    val events = existingEvents.unionByName(b)
+
+    // same (key, ts) duplicates collapse deterministically (min struct)
+    val pack = struct(spec.attrs.map(col).toIndexedSeq: _*)
+    val dedup = events.groupBy(col(k), col("__ts"))
+      .agg(min(pack).as("__pack"))
+
+    // consecutive-dedupe on the attribute tuple (null-safe struct compare)
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(k)).orderBy(col("__ts"))
+    val chain = dedup
+      .withColumn("__prev", lag(col("__pack"), 1).over(byKey))
+      .filter(col("__prev").isNull || !(col("__pack") <=> col("__prev")))
+
+    val versions = chain
+      .withColumn("__next_ts", lead(col("__ts"), 1).over(byKey))
+      .select(
+        Keys.surrogateKey(col(k), col("__ts").cast("string")).as(spec.surrogate) +:
+          col(k) +:
+          spec.attrs.map(a => col("__pack")(a).as(a)) :+
+          col("__ts").as("effective_from") :+
+          col("__next_ts").as("effective_to") :+
+          when(col("__next_ts").isNull, lit(1)).otherwise(lit(0)).as("is_current"): _*)
+
+    untouched.unionByName(versions.select(dimCols.map(col).toIndexedSeq: _*))
+  }
+
+  /** Resolve facts to SCD2 versions as-of event time (C3): broadcast
+    * asof join on the natural key with `event_ts >= effective_from`. */
+  def asofResolve(facts: DataFrame, dim: DataFrame, spec: Scd2Spec,
+      factKey: Column, tsCol: String): DataFrame = {
+    val versions = dim.select(
+      col(spec.naturalKey).as("__asof_key"),
+      col("effective_from"),
+      col(spec.surrogate))
+    AsOfJoin.broadcast(
+      facts.withColumn("__asof_key", factKey),
+      versions, Seq("__asof_key"), tsCol, "effective_from")
+      .drop("__asof_key", "effective_from")
+  }
+
+  /** Gold dim schemas (empty-table bootstrap; 03_gold_tables.sql). */
+  object schemas {
+    import org.apache.spark.sql.types._
+    private def s(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+
+    val dimDate = s("date_key" -> IntegerType, "date" -> DateType,
+      "year" -> IntegerType, "quarter" -> IntegerType, "month" -> IntegerType,
+      "day" -> IntegerType, "week_of_year" -> IntegerType,
+      "day_of_week" -> IntegerType, "updated_at" -> TimestampType)
+    val dimTime = s("time_key" -> IntegerType, "hour" -> IntegerType,
+      "minute" -> IntegerType, "second" -> IntegerType, "updated_at" -> TimestampType)
+    val dimEvent = s("event_key" -> LongType, "event_dataset" -> StringType,
+      "event_kind" -> StringType, "event_module" -> StringType,
+      "event_provider" -> StringType, "updated_at" -> TimestampType)
+    val dimSensor = s("sensor_key" -> LongType, "sensor_type" -> StringType,
+      "sensor_name" -> StringType, "updated_at" -> TimestampType)
+    val dimProtocol = s("protocol_key" -> LongType, "protocol" -> StringType,
+      "updated_at" -> TimestampType)
+    val dimSignature = s("signature_key" -> LongType, "signature_id" -> IntegerType,
+      "signature" -> StringType, "category" -> StringType,
+      "alert_action" -> StringType, "updated_at" -> TimestampType)
+    val dimTag = s("tag_key" -> LongType, "tag_value" -> StringType,
+      "updated_at" -> TimestampType)
+    val dimAgent = s("agent_key" -> LongType, "agent_name" -> StringType,
+      "agent_ip" -> StringType, "effective_from" -> TimestampType,
+      "effective_to" -> TimestampType, "is_current" -> IntegerType)
+    val dimHost = s("host_key" -> LongType, "host_name" -> StringType,
+      "host_ip" -> StringType, "effective_from" -> TimestampType,
+      "effective_to" -> TimestampType, "is_current" -> IntegerType)
+    val dimRule = s("rule_key" -> LongType, "rule_id" -> StringType,
+      "rule_level" -> IntegerType, "rule_name" -> StringType,
+      "rule_ruleset" -> StringType, "effective_from" -> TimestampType,
+      "effective_to" -> TimestampType, "is_current" -> IntegerType)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipelines
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.PartitionedWriter
+import graft.ingest.Bronze
+
+/** Warehouse handle for the medallion layout: bronze + gold tables as
+  * date-partitioned (facts/bronze) or flat (dims) parquet directories.
+  *
+  * Mirrors the reference's table universe
+  * (/root/reference/clickhouse/init/01_bronze_tables.sql,
+  * 03_gold_tables.sql) with Spark-native storage. Dim tables are small
+  * by construction (SURVEY.md §4 "small-dim joins"), so they are stored
+  * unpartitioned and rewritten wholesale by SCD2 updates via an
+  * atomic-enough temp-write-and-swap; facts/bridges/bronze are
+  * `event_date=`-partitioned append-only tables.
+  */
+class GoldContext(
+    val spark: SparkSession,
+    val root: String,
+    val tz: String = "Asia/Jakarta") {
+
+  def path(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = PartitionedWriter.exists(spark, path(table))
+
+  /** Bronze table for a source; empty frame with the projection's schema
+    * if nothing was ingested yet. */
+  def bronze(source: String): DataFrame =
+    if (exists(s"bronze_$source")) spark.read.parquet(path(s"bronze_$source"))
+    else {
+      val emptyRaw = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(Bronze.Raw,
+            org.apache.spark.sql.types.StringType))))
+      Bronze.route(emptyRaw)(source)
+    }
+
+  /** Bronze rows in [start, end) — the universal incremental window scan
+    * (B1). The event_date predicate is derived from the window bounds so
+    * partition pruning never depends on inferring it from event_ts. */
+  def bronzeWindow(source: String, w: TimeWindow): DataFrame = {
+    val df = bronze(source)
+    val pruned =
+      if (df.columns.contains(PartitionedWriter.DateCol))
+        df.filter(col(PartitionedWriter.DateCol)
+          .between(to_date(lit(w.start)), to_date(lit(w.end))))
+      else df
+    pruned.filter(col("event_ts") >= lit(w.start) && col("event_ts") < lit(w.end))
+  }
+
+  /** Gold table; empty frame with `schema` if absent. */
+  def gold(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (exists(table)) spark.read.parquet(path(table))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Append new dim rows (C1 insert-if-absent output). */
+  def appendDim(table: String, rows: DataFrame): Long = {
+    val n = rows.count()
+    if (n > 0) rows.write.mode(SaveMode.Append).parquet(path(table))
+    n
+  }
+
+  /** Full rewrite of a (small) dim table: write temp, swap directories.
+    * The SCD2 "ALTER TABLE UPDATE" close-step
+    * (dim_agent_scd2.sql:1-25) becomes a rewrite because parquet has no
+    * in-place mutation; the swap keeps readers from seeing a half table. */
+  def rewriteDim(table: String, df: DataFrame): Long = {
+    val target = new org.apache.hadoop.fs.Path(path(table))
+    val tmp = new org.apache.hadoop.fs.Path(path(table) + "__tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single file: dims are broadcast-sized; also guarantees an empty dim
+    // still writes one (schema-bearing) parquet file
+    df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    n
+  }
+
+  /** Idempotent fact/bridge append: anti-join on `keys` within the
+    * touched partitions (C2), then append. Returns rows appended. */
+  def appendFact(table: String, rows: DataFrame, tsCol: String,
+      keys: Seq[String]): Long =
+    PartitionedWriter.appendIfAbsent(rows, path(table), tsCol, keys)
+
+  def count(table: String): Long =
+    if (exists(table)) spark.read.parquet(path(table)).count() else 0L
+}
+
+/** Half-open incremental window [start, end) (gold_pipeline.py:27-49). */
+case class TimeWindow(start: Timestamp, end: Timestamp)
+
+object TimeWindow {
+  def of(start: String, end: String): TimeWindow =
+    TimeWindow(parse(start), parse(end))
+
+  /** Accepts `yyyy-MM-dd[ HH:mm:ss[.fff]]` or ISO `yyyy-MM-ddTHH:mm:ss`. */
+  def parse(s: String): Timestamp = {
+    val t = s.replace('T', ' ')
+    Timestamp.valueOf(if (t.contains(' ')) t else t + " 00:00:00")
+  }
+
+  /** Default window: [now - minutes, now) — the reference's 10-minute
+    * overlapping window (10_metadata.sql:53). */
+  def lastMinutes(minutes: Int): TimeWindow = {
+    val now = System.currentTimeMillis()
+    TimeWindow(new Timestamp(now - minutes * 60000L), new Timestamp(now))
+  }
+}
