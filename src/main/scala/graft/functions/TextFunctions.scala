@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * builtin column expressions (codegen'd; no UDFs), so they mirror 1:1
+  * into ANSI SQL for oracle checks and stay cheap at 100 TB.
+  */
+object TextFunctions {
+
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs + digits + punctuation marks
+    * each count as one token (a cheap deterministic stand-in for a real
+    * BPE vocab; ~whitespace*1.3 on English text). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  // ---- language ID ---------------------------------------------------
+
+  /** Tiny per-language stopword signals (top function words). */
+  private val stops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "que", "por", "para", "con"))
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stops(lang))))
+
+  /** Heuristic language ID over {en,de,fr,es,zh,unknown}: CJK character
+    * presence wins for zh; otherwise the language with the most stopword
+    * hits (ties break en>de>fr>es); no hits → 'unknown'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val en = stopHits(toks, "en"); val de = stopHits(toks, "de")
+    val fr = stopHits(toks, "fr"); val es = stopHits(toks, "es")
+    val best = greatest(en, de, fr, es)
+    when(cjk > 0, lit("zh"))
+      .when(best === 0, lit("unknown"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  // ---- quality scoring -----------------------------------------------
+
+  /** Deterministic [0,1] quality score: length saturation, low
+    * punctuation density, stopword presence, sane mean word length.
+    * The exact formula matters less than being cheap, monotone in the
+    * obvious signals, and reproducible across engines. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val stopRatio = stopHits(toks, "en").cast("double") / greatest(nTok, lit(1.0))
+    val meanWord = (nChar - nTok + lit(1.0)) / greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 4, lit(1.0))
+    val stopScore = least(stopRatio * 5, lit(1.0))
+    val wordScore = lit(1.0) -
+      least(abs(meanWord - lit(5.0)) / lit(5.0), lit(1.0))
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 6)
+  }
+
+  // ---- fingerprinting ------------------------------------------------
+
+  /** Whole-document content fingerprint (normalized token stream hash). */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Winnowing-lite rolling fingerprint: min hash over character
+    * k-grams — stable under small appends, cheap candidate key for
+    * near-dup grouping. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column = {
+    val norm = lower(regexp_replace(text, lit("\\s+"), lit(" ")))
+    array_min(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(k)))))
+  }
+}

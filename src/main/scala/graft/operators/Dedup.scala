@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, designed for the
+  * 100 TB shape: per-row signature computation is pure codegen'd column
+  * work (no UDFs in the hot path), candidate generation shuffles only
+  * (band, doc_id) pairs instead of document text, and verification
+  * touches only bucket-collision pairs.
+  *
+  * Four tiers:
+  *  - [[exact]] — whole-content hash dedupe (one shuffle of hashes).
+  *  - [[minhashLsh]] — shingle → MinHash signature → banded LSH buckets →
+  *    exact-Jaccard verify on candidates (the standard web-dedupe stack).
+  *  - [[simhashPairs]] — 64-bit SimHash + 4×16-bit block candidates →
+  *    Hamming-distance verify (catches all pairs with distance ≤ 3).
+  *  - [[ngramJaccardPairs]] — exact n-gram Jaccard on candidate pairs.
+  */
+object Dedup {
+
+  // ---- tokenization / shingling (shared, all builtin) ----------------
+
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles; documents shorter than n collapse to one
+    * whole-document shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  // ---- exact dedupe --------------------------------------------------
+
+  /** Keep one row per exact text (first by `tieBreak` asc). The group-by
+    * is on a 64-bit hash, not the text itself: the shuffle carries
+    * (hash, id) instead of document bodies; survivors join back by id. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** k-permutation MinHash signature as array<long> (k seeded xxhash64
+    * passes over the shingle set). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH band hashes: nBands groups of rowsPerBand signature slots. */
+  def bandHashes(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map(b =>
+      xxhash64(lit(b), concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string"))))): _*)
+
+  /** Candidate pairs (idA < idB) that share ≥1 LSH band, with their
+    * exact shingle-set Jaccard similarity.
+    *
+    * Scale shape: shingles EXPLODE to (id, shingle) rows and the k
+    * signature slots are k `min` aggregates — partial aggregation
+    * combines map-side, nothing materializes a per-row k×|shingles|
+    * expression tree (the naive array-of-transforms formulation blows
+    * up codegen and recomputes the signature per band). The pair join
+    * shuffles only (band, id); shingle sets rejoin by id at the end. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
+    val rows = k / nBands
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
+    val sig = exploded.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until nBands).map(b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(i => col(s"__m$i"))): _*).as(s"__band$b"))
+    val banded = sig
+      .select(col("__id"), array(bandCols: _*).as("__bands"))
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b")))).as("jaccard"))
+  }
+
+  /** Near-dup dedupe: drop every doc that matches a lower-id doc with
+    * Jaccard ≥ threshold. */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 64,
+      nBands: Int = 16): DataFrame = {
+    val losers = minhashCandidates(df, textCol, idCol, shingleN, k, nBands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over word unigrams (two seeded 32-bit murmurs form
+    * the 64 bits; plain JVM hashing, one pass per row). */
+  private val simhash64 = udf((toks: Seq[String]) => {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  })
+
+  def simhash(text: Column): Column = simhash64(tokens(text))
+
+  /** Candidate pairs with Hamming distance ≤ maxDistance. Blocking on
+    * the 4 16-bit blocks guarantees completeness for maxDistance ≤ 3
+    * (pigeonhole: one block must match exactly). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+    val blocked = sigs.select(col("__id"), col("__sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__b", "__bv")))
+    blocked.as("l")
+      .join(blocked.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__bv") === col("r.__bv") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ---- exact n-gram Jaccard ------------------------------------------
+
+  /** Exact word-n-gram Jaccard for all pairs within a blocking key
+    * (e.g. a source or LSH bucket) — the verification-grade similarity.
+    * Without blocking this is O(n²); always pass a real blocking column
+    * at scale. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int = 2): DataFrame = {
+    val prepped = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    prepped.as("l")
+      .join(prepped.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        (size(array_intersect(col("l.__sh"), col("r.__sh"))).cast("double") /
+          size(array_union(col("l.__sh"), col("r.__sh")))).as("jaccard"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set, stream the corpus once, per-query top-k. The dot
+  *    product is pure builtin column algebra (zip_with + aggregate) —
+  *    whole-stage-codegen, no UDF.
+  *  - [[ivfTopK]] — IVF-style ANN: corpus pre-assigned to nlist
+  *    centroid cells; a query scores only its nprobe nearest cells.
+  *    At 100 TB the assignment is a one-off batch job and each query
+  *    touches nprobe/nlist of the data.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ over two float arrays (builtin, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query row.
+    * Output: (query_id, id, cosine, rank). Queries must be small enough
+    * to broadcast (they are, by construction of a top-k serving path). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroid seeding: every strideth corpus vector (by
+    * id order) is a centroid — reproducible without an RNG and "spread"
+    * as well as a random sample for synthetic/shuffled data. A k-means
+    * refinement can replace this without changing the query path. */
+  def seedCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col(vecCol).as("__centroid"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (one broadcast
+    * pass; cosine metric). */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    corpus.join(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__centroid", "__sim", "__rn")
+  }
+
+  /** ANN top-k: score only vectors in the query's nprobe nearest cells.
+    * `cells` is the output of [[assignCells]] (corpus + centroid_id). */
+  def ivfTopK(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    // query -> its nprobe closest cells
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+      .join(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("__qv"), col("centroid_id"))
+    val scored = cells.select(col(idCol), col(vecCol).as("__cv"), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bit signature (cosine-preserving) packed into
+    * a long; deterministic seeded planes. Bucket-join docs sharing a
+    * signature prefix for cheap candidate generation. */
+  def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L): Column => Column = {
+    require(bits <= 63)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val sigUdf = udf((v: Seq[Float]) => {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        val p = planes(b)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { s += p(i) * v(i); i += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    })
+    (vec: Column) => sigUdf(vec)
+  }
+}

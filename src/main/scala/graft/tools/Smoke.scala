@@ -35,7 +35,32 @@ object Smoke {
 
     if (args.contains("ops")) opsDemo(spark, sfDir)
     if (args.contains("ingest")) ingestDemo(spark)
+    if (args.contains("llm")) llmDemo(spark, sfDir)
     spark.stop()
+  }
+
+  /** Drives dedup / similarity / text ops over the driver testdata. */
+  def llmDemo(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    println(s"docs=${docs.count()} exactDedup=${Dedup.exact(docs, "text", "doc_id").count()}")
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+    println(s"minhash candidate pairs=${cand.count()} (>=0.8: ${cand.filter(col("jaccard") >= 0.8).count()})")
+    println(s"simhash pairs<=3: ${Dedup.simhashPairs(docs, "text", "doc_id").count()}")
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(emb, queries, 5).show(15, false)
+    val centroids = Similarity.seedCentroids(emb, 16)
+    val cells = Similarity.assignCells(emb, centroids)
+    println("ivf top5:")
+    Similarity.ivfTopK(cells, centroids, queries, 5, nprobe = 4).show(15, false)
+    docs.select(
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.tokenCount(col("text")).as("toks"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"), avg("toks").as("avg_toks"),
+        avg("q").as("avg_q")).show(false)
   }
 
   /** Drives the bronze ingest projections over the reference fixtures. */

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 0
+      (3L, "completely different content about databases and distributed query engines"),
+      (4L, "der hund und die katze sind nicht mit der maus zu hause und das ist gut"),
+      (5L, "le chat est dans la maison et les enfants sont pour le jardin dans une heure"),
+      (6L, "数据库 引擎 分布式 查询"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedupe keeps first occurrence") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(!ids.contains(1L)) // dup of 0 dropped
+    assert(ids.contains(0L) && ids.contains(2L))
+    assert(out.count() == 7)
+  }
+
+  test("minhash LSH finds the near-dup pair and dedupes it") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", shingleN = 2)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.exists(p => p == ((0L, 2L)) || p == ((1L, 2L)))) // near-dup
+    val kept = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L) && ids.contains(0L))
+    assert(ids.contains(3L) && ids.contains(4L))
+  }
+
+  test("simhash pairs: identical texts at distance 0, near-dups close") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngram jaccard within blocking key") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val out = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk", n = 2)
+      .filter(col("id_a") === 0 && col("id_b") === 1).collect()
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("brute-force cosine top-k is exact and self-ranked first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(vecs, queries, 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) == 0L) // self first (cos=1)
+    assert(top(1).getLong(1) == 1L) // nearest neighbor
+    assert(top.length == 2)
+  }
+
+  test("IVF ANN recalls the exact top-1 on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    // 3 well-separated clusters in 8d
+    val base = Seq(Array.fill(8)(0f), Array.fill(8)(0f), Array.fill(8)(0f))
+      .zipWithIndex.map { case (a, i) => a.updated(i, 10f) }
+    val vecs = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      (i, base(c).map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.seedCentroids(vecs, 3)
+    val cells = Similarity.assignCells(vecs, centroids)
+    val queries = vecs.filter($"vec_id" === 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(cells, centroids, queries, 5, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann == exact) // same cluster -> full recall with nprobe=1
+  }
+
+  test("language ID: stopword + CJK heuristics") {
+    val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+    assert(out(5L) == "fr")
+    assert(out(6L) == "zh")
+    assert(out(7L) == "unknown")
+  }
+
+  test("token counts, quality score bounds, fingerprints") {
+    val r = docs.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.subwordCount(col("text")).as("sw"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.contentFingerprint(col("text")).as("fp"),
+      TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+      .collect()
+    assert(r(0).getInt(0) == 14)
+    assert(r(7).getInt(0) == 0) // empty text
+    assert(r.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
+    assert(r(0).getLong(3) == r(1).getLong(3)) // same text, same fingerprint
+    assert(r(0).getLong(3) != r(2).getLong(3))
+  }
+
+  test("multimodal: media struct, batch features, frame explode") {
+    import spark.implicits._
+    val bin = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      (2L, Array[Byte]()), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "data")
+    val media = Multimodal.attachMedia(bin, "data", "image/jpeg")
+    val actual = media.schema("media").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(actual.fields.map(f => (f.name, f.dataType)).toSeq
+      == Multimodal.mediaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractImageFeatures(media)
+    val byId = feats.select(col("id"), col("features.n_bytes"), col("features.mean_luma"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(byId(1L)._1 == 8 && byId(1L)._2 > 0)
+    assert(byId(3L)._1 == 0)
+    // deterministic: same input, same features
+    val again = Multimodal.extractImageFeatures(media)
+      .select(col("id"), col("features.mean_luma"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.view.mapValues(_._2).toMap == again)
+    val frames = Multimodal.explodeFrames(media, everyN = 4, "id")
+    assert(frames.filter(col("id") === 1).count() == 4)
+    assert(frames.filter(col("id") === 3).count() == 0)
+  }
+}
