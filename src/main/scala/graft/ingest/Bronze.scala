@@ -34,22 +34,22 @@ object Bronze {
 
   private def firstOf(paths: String*): Column = coalesce(paths.map(j): _*)
 
-  private def jInt(path: String): Column = j(path).cast("int")
+  private def jInt(path: String): Column = j(path).try_cast("int")
   private def jLongOf(paths: String*): Column =
-    coalesce(paths.map(p => j(p).cast("long")): _*)
+    coalesce(paths.map(p => j(p).try_cast("long")): _*)
   private def jDoubleOf(paths: String*): Column =
-    coalesce(paths.map(p => j(p).cast("double")): _*)
+    coalesce(paths.map(p => j(p).try_cast("double")): _*)
 
   /** parseDateTime64BestEffortOrNull over the formats observed in the
     * fixtures: ISO-8601 with 'T'/space, optional fractional seconds and
     * zone. Spark's permissive timestamp cast covers all of them. */
-  private def bestEffortTs(c: Column): Column = c.cast("timestamp")
+  private def bestEffortTs(c: Column): Column = c.try_cast("timestamp")
   private def jTs(paths: String*): Column =
     coalesce(paths.map(p => bestEffortTs(j(p))): _*)
 
   /** fromUnixTimestamp64Milli(toInt64OrNull(x)). */
   private def jEpochMs(path: String): Column =
-    timestamp_millis(j(path).cast("long"))
+    timestamp_millis(j(path).try_cast("long"))
 
   private def jStrArray(path: String): Column =
     from_json(get_json_object(col(Raw), "$." + path),

@@ -1,0 +1,710 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Keys, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Replacing, Similarity}
+import graft.pipelines.Dims
+
+/** The declared operator-coverage suite: one query per SURVEY.md §2
+  * operator (plus the LLM-data operators), each over the driver's
+  * testdata tables, each with a DuckDB-equivalent oracle where the
+  * semantics are ANSI-expressible (hash-based ops are rows-only).
+  *
+  * Conventions (driver compare = sorted-by-name columns, hashed values):
+  *  - aliases match exactly between Spark plan and oracle SQL;
+  *  - every query ends in a total-order ORDER BY on both sides;
+  *  - timestamps leave as epoch seconds (bigint) or formatted strings;
+  *  - doubles are rounded on both sides to absorb FP association order.
+  */
+object Suite {
+
+  case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
+  val all: Seq[Q] = Seq(
+
+    // ================= B. filters / predicates ======================
+
+    Q("b1_window_filter",
+      (s, d) => t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("b2_null_guards",
+      (s, d) => t(s, d, "orders")
+        .filter(nullif(trim(col("o_orderpriority")), lit("")).isNotNull &&
+          col("o_totalprice").isNotNull)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE nullif(trim(o_orderpriority), '') IS NOT NULL
+             |  AND o_totalprice IS NOT NULL
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("b3_nullsafe_eq",
+      (s, d) => t(s, d, "customer")
+        .withColumn("a", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("b", nullif(col("c_mktsegment"), lit("AUTOMOBILE")))
+        .groupBy("c_nationkey")
+        .agg(sum(when(col("a") <=> col("b"), 1).otherwise(0)).cast("long").as("n_same"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  CAST(sum(CASE WHEN nullif(c_mktsegment,'BUILDING')
+             |      IS NOT DISTINCT FROM nullif(c_mktsegment,'AUTOMOBILE')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+             |  count(*) AS n
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("b4_json_fallback",
+      (s, d) => t(s, d, "events")
+        .withColumn("k", coalesce(
+          get_json_object(col("props"), "$.missing"),
+          get_json_object(col("props"), "$.k")).cast("int"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(coalesce(
+             |    json_extract_string(props, '$.missing'),
+             |    json_extract_string(props, '$.k')) AS INT) % 10 AS k_mod,
+             |  count(*) AS n
+             |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
+
+    // ================= C. joins =====================================
+
+    Q("c1_anti_insert",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |  AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("c2_fact_dedupe_anti",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate"), "left_anti")
+          .select("o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("c3_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("signup_ts"),
+            col("event_id").as("signup_event"))
+        AsOfJoin.merge(errs, signups, Seq("user_id"), "ts", "signup_ts")
+          .select(col("event_id"), col("signup_event"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, s.event_id AS signup_event
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    Q("c4_hashkey_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        // dim with surrogate hash key + fact lookup by recomputed hash
+        val dim = p.select(Keys.surrogateKey(col("p_brand")).as("brand_key"),
+          col("p_brand")).distinct()
+        l.join(p.select("p_partkey", "p_brand"), col("l_partkey") === col("p_partkey"))
+          .withColumn("brand_key", Keys.surrogateKey(col("p_brand")))
+          .drop("p_brand")
+          .join(broadcast(dim), Seq("brand_key"))
+          .groupBy("p_brand")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"), count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("c6_semi_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o.filter(col("o_totalprice") > 30000)
+            .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 30000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("c7_scalar_subquery",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val firsts = o.groupBy(col("o_custkey").as("c_custkey"))
+          .agg(to_date(min("o_orderdate")).as("first_order"))
+        c.join(firsts, Seq("c_custkey"), "left")
+          .select("c_custkey", "first_order").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT CAST(min(o_orderdate) AS DATE) FROM orders
+             |   WHERE o_custkey = c_custkey) AS first_order
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("c8_explode_tags",
+      (s, d) => t(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(20),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+             |WHERE word <> '' GROUP BY word
+             |ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    Q("c9_merge_upsert",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val target = ev.filter(col("ts") < lit("2024-01-10"))
+          .select("event_id", "event_type", "value")
+        val src = ev.filter(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-15"))
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100).as("value"))
+        // MERGE emulation: full outer on key, source wins
+        target.as("t").join(src.as("s"), Seq("event_id"), "full_outer")
+          .select(col("event_id"),
+            coalesce(col("s.event_type"), col("t.event_type")).as("event_type"),
+            round(coalesce(col("s.value"), col("t.value")), 2).as("value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH t AS (SELECT event_id, event_type, value FROM events
+             |           WHERE ts < '2024-01-10'),
+             |     s AS (SELECT event_id, event_type, value + 100 AS value
+             |           FROM events
+             |           WHERE ts >= '2024-01-05' AND ts < '2024-01-15')
+             |SELECT coalesce(s.event_id, t.event_id) AS event_id,
+             |  coalesce(s.event_type, t.event_type) AS event_type,
+             |  round(coalesce(s.value, t.value), 2) AS value
+             |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+             |ORDER BY event_id""".stripMargin)),
+
+    // ================= D. aggregation ===============================
+
+    Q("d1_distinct_dim",
+      (s, d) => t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    Q("d2_group_min",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(to_date(min("o_orderdate")).as("first_order"),
+          to_date(max("o_orderdate")).as("last_order"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS first_order,
+             |  CAST(max(o_orderdate) AS DATE) AS last_order
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q("d3_argmin",
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), col("ts")).as("first_type"),
+          epochS(min(col("ts"))).as("first_ts"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, arg_min(event_type, ts) AS first_type,
+             |  floor(epoch(min(ts)))::BIGINT AS first_ts
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("d4_latest_per_key",
+      (s, d) => Replacing.latestByKey(
+          t(s, d, "events").select("user_id", "ts", "event_type", "value"),
+          Seq("user_id"), "ts")
+        .select(col("user_id"), epochS(col("ts")).as("ts_s"),
+          col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, floor(epoch(max(ts)))::BIGINT AS ts_s,
+             |  arg_max(event_type, ts) AS event_type,
+             |  round(arg_max(value, ts), 2) AS value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("d5_counts",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("d6_table_counts",
+      (s, d) => {
+        val counts = Seq("customer", "orders", "lineitem", "events")
+          .map(n => t(s, d, n).select(lit(n).as("tbl"), lit(1).as("one")))
+          .reduce(_ unionByName _)
+          .groupBy("tbl").agg(count(lit(1)).as("n"))
+        counts.orderBy("tbl")
+      },
+      Some("""SELECT 'customer' AS tbl, count(*) AS n FROM customer
+             |UNION ALL SELECT 'orders', count(*) FROM orders
+             |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+             |UNION ALL SELECT 'events', count(*) FROM events
+             |ORDER BY tbl""".stripMargin)),
+
+    Q("d7_time_bucket",
+      (s, d) => t(s, d, "events")
+        .groupBy((floor(epochS(col("ts")) / 3600) * 3600).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket"),
+      Some("""SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ================= E. windows / sorts / set ops =================
+
+    Q("e1_share_of_total",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        daily.withColumn("pct",
+            round(col("n") / sum("n").over(Window.partitionBy("day")) * 100, 6))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             |  count(*) AS n FROM events GROUP BY day, event_type)
+             |SELECT day, event_type, n,
+             |  round(n / sum(n) OVER (PARTITION BY day) * 100, 6) AS pct
+             |FROM daily ORDER BY day, event_type""".stripMargin)),
+
+    Q("e2_row_number",
+      (s, d) => t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rn") <= 100)
+        .select(col("rn"), col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+        .orderBy("rn"),
+      Some("""SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+             |  o_orderkey, CAST(o_orderdate AS DATE) AS od
+             |FROM orders QUALIFY rn <= 100 ORDER BY rn""".stripMargin)),
+
+    Q("e3_topk",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("p_brand")).limit(10),
+      Some("""SELECT p_brand, count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""".stripMargin)),
+
+    Q("e4_union_conform",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val a = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_type"))
+        val b = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_type"))
+        val c = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_type"))
+        a.unionByName(b).unionByName(c)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n FROM (
+             |  SELECT user_id, event_type FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, event_type FROM events WHERE event_type = 'view'
+             |  UNION ALL
+             |  SELECT user_id, event_type FROM events WHERE event_type = 'purchase')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("e5_union_distinct",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ev.filter(col("event_type") === "click").select("user_id")
+          .union(ev.filter(col("event_type") === "signup").select("user_id"))
+          .distinct().orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             |UNION
+             |SELECT user_id FROM events WHERE event_type = 'signup'
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("e6_generate_series",
+      (s, d) => {
+        val dim = s.range(86400).toDF("sec")
+          .select((col("sec") / 3600).cast("int").as("hour"),
+            ((col("sec") % 3600) / 60).cast("int").as("minute"),
+            (col("sec") % 60).cast("int").as("second"))
+          .withColumn("time_key",
+            (col("hour") * 10000 + col("minute") * 100 + col("second")).cast("int"))
+        dim.agg(count(lit(1)).as("n"),
+          sum(col("time_key")).cast("long").as("sum_key"),
+          min(col("time_key")).as("min_key"),
+          max(col("time_key")).as("max_key"))
+      },
+      Some("""WITH dim AS (SELECT (s // 3600)::INT AS hour,
+             |    ((s % 3600) // 60)::INT AS minute, (s % 60)::INT AS second,
+             |    ((s // 3600) * 10000 + ((s % 3600) // 60) * 100 + (s % 60))::INT
+             |      AS time_key
+             |  FROM (SELECT unnest(range(86400)) AS s))
+             |SELECT count(*) AS n, CAST(sum(time_key) AS BIGINT) AS sum_key,
+             |  min(time_key) AS min_key, max(time_key) AS max_key FROM dim""".stripMargin)),
+
+    // ================= F. scalar functions ==========================
+
+    Q("f2_date_parts",
+      (s, d) => t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("od")).distinct()
+        .select(col("od"), year(col("od")).as("y"), quarter(col("od")).as("q"),
+          month(col("od")).as("m"), dayofmonth(col("od")).as("dom"),
+          weekofyear(col("od")).as("iso_week"),
+          (weekday(col("od")) + 1).as("iso_dow"))
+        .orderBy("od"),
+      Some("""SELECT od, year(od)::INT AS y, quarter(od)::INT AS q,
+             |  month(od)::INT AS m, day(od)::INT AS dom,
+             |  weekofyear(od)::INT AS iso_week, isodow(od)::INT AS iso_dow
+             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders)
+             |ORDER BY od""".stripMargin)),
+
+    Q("f3_try_cast",
+      (s, d) => t(s, d, "events")
+        .withColumn("raw", when(col("event_id") % 7 === 0, lit("x"))
+          .otherwise(get_json_object(col("props"), "$.k")))
+        .withColumn("k", try_cast_int(col("raw")))
+        .agg(count(col("k")).as("n_parsed"),
+          sum(when(col("k").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          sum(col("k")).cast("long").as("sum_k")),
+      Some("""WITH x AS (SELECT TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'x'
+             |    ELSE json_extract_string(props, '$.k') END AS INT) AS k
+             |  FROM events)
+             |SELECT count(k) AS n_parsed,
+             |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(sum(k) AS BIGINT) AS sum_k FROM x""".stripMargin)),
+
+    Q("f4_calendar_keys",
+      (s, d) => t(s, d, "events")
+        .select(Keys.dateKey(col("ts")).as("date_key"),
+          Keys.timeKey(col("ts")).as("time_key"))
+        .groupBy("date_key")
+        .agg(count(lit(1)).as("n"), max("time_key").as("max_time_key"))
+        .orderBy("date_key"),
+      Some("""SELECT strftime(ts, '%Y%m%d')::INT AS date_key, count(*) AS n,
+             |  max(hour(ts) * 10000 + minute(ts) * 100 + second(ts))::INT
+             |    AS max_time_key
+             |FROM events GROUP BY date_key ORDER BY date_key""".stripMargin)),
+
+    Q("f5_datediff_seconds",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((epochS(col("l_shipdate")) - epochS(col("o_orderdate")))
+          .as("lag_s"))
+        .agg(count(lit(1)).as("n"), sum(col("lag_s")).cast("long").as("sum_lag"),
+          min(col("lag_s")).as("min_lag"), max(col("lag_s")).as("max_lag")),
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(floor(epoch(l_shipdate))::BIGINT - floor(epoch(o_orderdate))::BIGINT)
+             |    AS BIGINT) AS sum_lag,
+             |  min(floor(epoch(l_shipdate))::BIGINT - floor(epoch(o_orderdate))::BIGINT) AS min_lag,
+             |  max(floor(epoch(l_shipdate))::BIGINT - floor(epoch(o_orderdate))::BIGINT) AS max_lag
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)),
+
+    Q("f6_ip_normalize",
+      (s, d) => t(s, d, "customer")
+        .withColumn("ip", concat(lit("10."),
+          (col("c_custkey") % 250).cast("string"), lit("."),
+          (col("c_nationkey") % 250).cast("string"), lit(".1")))
+        .select(col("c_custkey"),
+          graft.functions.IpNorm.normalizeIp(col("ip")).as("ip_norm"))
+        .orderBy("c_custkey").limit(500),
+      None), // IP canonicalization has no DuckDB builtin — rows-only
+
+    Q("f7_hash_join_consistency",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val dim = p.select(Keys.surrogateKey(col("p_partkey")).as("pk"), col("p_partkey"))
+        l.withColumn("pk", Keys.surrogateKey(col("l_partkey")))
+          .join(broadcast(dim), Seq("pk"))
+          .agg(count(lit(1)).as("matched"))
+      },
+      Some("""SELECT count(*) AS matched
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // ================= H. composite pipelines over events ===========
+
+    Q("h1_scd2_chain",
+      (s, d) => {
+        val bronze = t(s, d, "events")
+          .select(col("user_id"), col("ts").as("event_ts"), col("event_type"))
+        val spec = Dims.Scd2Spec("ver_key", "user_id", Seq("event_type"),
+          col("user_id"), Seq(col("event_type")))
+        val emptyDim = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ver_key",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("effective_from",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("effective_to",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("is_current",
+              org.apache.spark.sql.types.IntegerType))))
+        Dims.scd2Apply(emptyDim, bronze, spec)
+          .select(col("user_id"), epochS(col("effective_from")).as("from_s"),
+            col("event_type"), col("is_current"))
+          .orderBy("user_id", "from_s")
+      },
+      Some("""WITH ordered AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |chain AS (SELECT user_id, ts, event_type FROM ordered
+             |  WHERE prev IS NULL OR event_type <> prev)
+             |SELECT user_id, floor(epoch(ts))::BIGINT AS from_s, event_type,
+             |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    THEN 1 ELSE 0 END AS is_current
+             |FROM chain ORDER BY user_id, from_s""".stripMargin)),
+
+    Q("h2_star_enrich",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dimType = ev.select(col("event_type")).distinct()
+          .withColumn("type_key", Keys.surrogateKey(col("event_type")))
+        ev.withColumn("type_key", Keys.surrogateKey(col("event_type")))
+          .drop("event_type")
+          .join(broadcast(dimType), Seq("type_key"))
+          .groupBy(Keys.dateKey(col("ts")).as("date_key"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("date_key", "event_type")
+      },
+      Some("""SELECT strftime(ts, '%Y%m%d')::INT AS date_key, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY date_key, event_type
+             |ORDER BY date_key, event_type""".stripMargin)),
+
+    Q("h3_acceptance_5min",
+      (s, d) => t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-29"))
+        .groupBy((floor(epochS(col("ts")) / 300) * 300).cast("long").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS bucket, event_type,
+             |  count(*) AS n
+             |FROM events WHERE ts >= '2024-01-29'
+             |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin)),
+
+    Q("h4_acceptance_topk",
+      (s, d) => t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("day"), col("event_type")).limit(20),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+             |FROM events GROUP BY day, event_type
+             |ORDER BY n DESC, day, event_type LIMIT 20""".stripMargin)),
+
+    // ================= L. LLM-data operators ========================
+
+    Q("l1_dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withDupes = docs.select("doc_id", "text").unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Dedup.exact(withDupes, "text", "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id < 50)
+             |SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("l4_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), "text", "doc_id", "source", n = 2)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, source, list_distinct(
+             |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1]) END) AS grams FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             |    len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+             |    len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("l5_cosine_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+             |  FROM embeddings WHERE vec_id < 3),
+             |scored AS (SELECT q.query_id, c.vec_id,
+             |    list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+             |    AS cos FROM embeddings c CROSS JOIN q),
+             |ranked AS (SELECT query_id, vec_id, round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+             |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("l7_langid",
+      (s, d) => t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred"),
+      Some("""WITH toks AS (SELECT list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS tk, text FROM documents),
+             |scores AS (SELECT
+             |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+             |  len(list_filter(tk, x -> list_contains(
+             |    ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+             |  len(list_filter(tk, x -> list_contains(
+             |    ['der','die','das','und','ist','nicht','ein','mit','zu','von'], x))) AS de,
+             |  len(list_filter(tk, x -> list_contains(
+             |    ['le','la','les','et','est','une','que','pour','dans','des'], x))) AS fr,
+             |  len(list_filter(tk, x -> list_contains(
+             |    ['el','la','los','las','es','una','que','por','para','con'], x))) AS es
+             |  FROM toks),
+             |pred AS (SELECT CASE WHEN cjk > 0 THEN 'zh'
+             |  WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+             |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+             |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+             |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             |  ELSE 'es' END AS lang_pred FROM scores)
+             |SELECT lang_pred, count(*) AS n FROM pred
+             |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
+
+    Q("l9_token_counts",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(TextFunctions.tokenCount(col("text"))).cast("long").as("n_tokens"),
+          sum(TextFunctions.subwordCount(col("text"))).cast("long").as("n_subwords"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),
+             |    '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_subwords,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("l2_minhash_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minhashCandidates(docs, "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      None), // LSH banding not ANSI-expressible; validated vs exact in tests
+
+    Q("l3_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("l6_ivf_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = Similarity.seedCentroids(emb, 16)
+        val cells = Similarity.assignCells(emb, centroids)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfTopK(cells, centroids, queries, 5, nprobe = 4)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("l10_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.contentFingerprint(col("text")).as("fp"),
+          TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("m1_media_bytes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("data", encode(col("text"), "UTF-8"))
+        val media = Multimodal.attachMedia(docs, "data", "text/plain")
+        Multimodal.extractImageFeatures(media)
+          .groupBy("source")
+          .agg(sum(col("features.n_bytes")).cast("long").as("sum_bytes"),
+            count(lit(1)).as("n"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(sum(octet_length(ENCODE(text))) AS BIGINT)
+             |  AS sum_bytes, count(*) AS n
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+
+  private def try_cast_int(c: Column): Column = c.try_cast("int")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}
