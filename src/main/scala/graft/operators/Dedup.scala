@@ -75,8 +75,20 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
     val rows = k / nBands
-    val sh = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    // repartition by id: parallelizes the CPU-heavy shingle/signature
+    // stage even when the source is a single parquet split, and the
+    // groupBy(__id) below reuses the partitioning (no extra shuffle)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // cache() is load-bearing twice over: (a) the shingle arrays feed
+    // three plan branches (signature, and both sides of the verify
+    // join) — uncached, Catalyst re-inlines the full shingle expression
+    // into each, and InferFiltersFromGenerate even pushes a copy into
+    // the single-split scan; (b) it materializes AFTER the repartition,
+    // so every downstream stage runs at full parallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+      .cache()
     val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
     val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
@@ -84,21 +96,26 @@ object Dedup {
     val bandCols = (0 until nBands).map(b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
         .map(i => col(s"__m$i"))): _*).as(s"__band$b"))
+    // both sides of the band self-join read this — materialize once
     val banded = sig
       .select(col("__id"), array(bandCols: _*).as("__bands"))
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .cache()
     val pairs = banded.as("l")
       .join(banded.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+    // |A ∪ B| = |A| + |B| − |A ∩ B| (arrays are distinct): one hash-set
+    // build per pair instead of two
     pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__sh_a"), col("__sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b")))).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
   }
 
   /** Near-dup dedupe: drop every doc that matches a lower-id doc with
@@ -143,6 +160,7 @@ object Dedup {
       maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
     val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+      .cache() // both self-join sides
     val blocked = sigs.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -165,13 +183,24 @@ object Dedup {
     * at scale. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int = 2): DataFrame = {
-    val prepped = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    // grams hash to 64-bit longs before the pairwise intersect: set
+    // membership compares 8-byte values instead of strings (~an order
+    // of magnitude on the O(pairs × grams) hot loop); Jaccard over
+    // hashed grams equals Jaccard over grams absent 64-bit collisions
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // cached: both self-join sides read the gram arrays (see
+    // minhashCandidates for why uncached branches explode plan cost)
+    val prepped = df.repartition(par, col(idCol))
+      .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        array_distinct(transform(shingles(col(textCol), n), g => xxhash64(g)))
+          .as("__sh"))
+      .cache()
     prepped.as("l")
       .join(prepped.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+      .withColumn("__i", size(array_intersect(col("l.__sh"), col("r.__sh"))))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        (size(array_intersect(col("l.__sh"), col("r.__sh"))).cast("double") /
-          size(array_union(col("l.__sh"), col("r.__sh")))).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("l.__sh")) + size(col("r.__sh")) - col("__i"))).as("jaccard"))
   }
 }

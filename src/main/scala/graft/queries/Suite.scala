@@ -73,6 +73,7 @@ object Suite {
 
     Q("b4_json_fallback",
       (s, d) => t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("k", coalesce(
           get_json_object(col("props"), "$.missing"),
           get_json_object(col("props"), "$.k")).cast("int"))
@@ -402,6 +403,7 @@ object Suite {
 
     Q("f3_try_cast",
       (s, d) => t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("raw", when(col("event_id") % 7 === 0, lit("x"))
           .otherwise(get_json_object(col("props"), "$.k")))
         .withColumn("k", try_cast_int(col("raw")))
@@ -571,10 +573,12 @@ object Suite {
              |      i -> toks[i] || ' ' || toks[i + 1]) END) AS grams FROM t)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-             |    len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+             |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+             |    6) AS jaccard
              |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-             |    len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+             |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             |    >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("l5_cosine_topk",
@@ -678,6 +682,7 @@ object Suite {
 
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           TextFunctions.contentFingerprint(col("text")).as("fp"),
           TextFunctions.rollingFingerprint(col("text")).as("rfp"))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.PartitionedWriter
+import graft.ingest.Bronze
+
+/** Continuous bronze ingest — the Structured Streaming re-expression of
+  * the reference's Kafka-engine + 3-MV fan-out
+  * (/root/reference/clickhouse/init/02_kafka_ingest.sql.tmpl):
+  * one source stream of raw JSON strings, one `foreachBatch` that routes
+  * each micro-batch through the same [[Bronze]] projections used in
+  * batch mode, appending to the three date-partitioned bronze tables.
+  *
+  * Delivery: source offsets live in the checkpoint, writes are
+  * append-only, and all downstream gold builds dedupe on
+  * (event_id, event_ts) — at-least-once ingest + idempotent consumers =
+  * effectively-once in gold, exactly the reference's contract
+  * (SURVEY.md §2 G4).
+  */
+object BronzeStream {
+
+  /** Kafka source with the reference's topology (topic `malcolm-logs`,
+    * one value column; requires the spark-sql-kafka connector on the
+    * cluster classpath). `kafka_skip_broken_messages` ≈ permissive parse
+    * + the router's non-empty-hash filter. */
+  def kafkaSource(spark: SparkSession, brokers: String,
+      topic: String = "malcolm-logs", groupId: String = "graft-bronze"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("kafka.group.id", groupId)
+      .option("failOnDataLoss", "false")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS raw")
+
+  /** File-drop source (one JSON event per line) — same downstream code
+    * path; used by tests and local replays. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text")
+      .option("maxFilesPerTrigger", "16")
+      .load(dir)
+      .select(col("value").as("raw"))
+
+  /** Start the route-and-append stream. Each micro-batch fans out to
+    * the three bronze tables (single pass per projection; writes are
+    * partitioned by event_date and sorted for scan locality). */
+  def start(raw: DataFrame, warehouseDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try Bronze.route(cached).foreach { case (src, df) =>
+          if (!df.isEmpty)
+            PartitionedWriter.append(df, s"$warehouseDir/bronze_$src",
+              "event_ts", Seq("event_ts", "event_id"))
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+}
