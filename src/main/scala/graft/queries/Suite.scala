@@ -218,6 +218,66 @@ object Suite {
              |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
              |ORDER BY event_id""".stripMargin)),
 
+    Q("a7_sql_surface",
+      (s, d) => {
+        // the spark.sql(...) entry point over registered views — the
+        // seam where the reference's SQL-over-HTTP execution (A7) and
+        // BI read surface (A8) attach
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n.n_name, count(*) AS n_customers,
+                 |  round(sum(c.c_acctbal), 2) AS total_acctbal
+                 |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("c5_current_dim_join",
+      (s, d) => {
+        // current-row natural-key resolution (legacy-PG C5 semantics):
+        // facts join the is_current version of the SCD2 dim
+        val ev = t(s, d, "events")
+        val bronze = ev.select(col("user_id"), col("ts").as("event_ts"),
+          col("event_type"))
+        val spec = Dims.Scd2Spec("ver_key", "user_id", Seq("event_type"),
+          col("user_id"), Seq(col("event_type")))
+        val emptyDim = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ver_key",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("effective_from",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("effective_to",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("is_current",
+              org.apache.spark.sql.types.IntegerType))))
+        val current = Dims.scd2Apply(emptyDim, bronze, spec)
+          .filter(col("is_current") === 1)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .join(current, Seq("user_id"), "left")
+          .orderBy("user_id")
+      },
+      Some("""WITH ordered AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |chain AS (SELECT user_id, ts, event_type,
+             |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+             |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
+             |current AS (SELECT user_id, event_type AS current_type
+             |  FROM chain WHERE next_ts IS NULL)
+             |SELECT e.user_id, count(*) AS n_events, any_value(c.current_type)
+             |  AS current_type
+             |FROM events e LEFT JOIN current c ON e.user_id = c.user_id
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
     // ================= D. aggregation ===============================
 
     Q("d1_distinct_dim",
