@@ -22,8 +22,11 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        // ts: ns-since-epoch Long -> TimestampType (µs, truncated)
-        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+        // ts: ns-since-epoch Long -> TimestampType (µs, truncated).
+        // `div` keeps the arithmetic in integers: a double division here
+        // loses precision (ns epochs ≈ 1.7e18 exceed double's 2^53 exact
+        // range) and can shift values by ±1 µs.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -33,6 +33,11 @@ object Smoke {
     Tables.registerAll(spark, sfDir)
     spark.sql("select count(*) c from lineitem").show()
 
+    if (args.contains("entry")) {
+      val df = graft.SparkEntry.entry(spark)
+      println(s"entry rows = ${df.count()}")
+      df.show(5, false)
+    }
     if (args.contains("ops")) opsDemo(spark, sfDir)
     if (args.contains("ingest")) ingestDemo(spark)
     if (args.contains("llm")) llmDemo(spark, sfDir)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture is enforced, not
+  * hoped for: filters reach the parquet scan, dim joins broadcast, scans
+  * prune columns. (SURVEY.md §4.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("window filter pushes down to the parquet scan") {
+    val df = core.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01"))
+      .select("l_orderkey")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+    // column pruning: only the two referenced columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"))
+  }
+
+  test("fact->dim hash-key joins broadcast (no fact shuffle)") {
+    val q = queries.Suite.queries("c4_hashkey_join")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("asof broadcast variant broadcasts the version side") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("v"))
+    val plan = planOf(operators.AsOfJoin.broadcast(errs, signups,
+      Seq("user_id"), "ts", "vts"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen covers the aggregation path") {
+    val q = queries.Suite.queries("b1_window_filter")(spark, sf)
+    q.collect() // AQE finalizes per-stage plans (incl. codegen) on execution
+    assert(planOf(q).contains("*(")) // WSCG stages print as *(n)
+  }
+
+  test("gold window scan prunes bronze date partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    import spark.implicits._
+    val days = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      ("e2", java.sql.Timestamp.valueOf("2026-01-02 10:00:00")),
+      ("e3", java.sql.Timestamp.valueOf("2026-01-03 10:00:00"))
+    ).toDF("event_id", "event_ts")
+    core.PartitionedWriter.append(days, dir, "event_ts")
+    val ctx = new pipelines.GoldContext(spark, java.nio.file.Files
+      .createTempDirectory("graft_wh").toString)
+    // read through the same pruning predicate bronzeWindow uses
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date").between(
+        to_date(lit("2026-01-02")), to_date(lit("2026-01-02"))))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // only one of the three event_date partitions survives pruning
+    assert(scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).map(_.files.size).sum == 1)
+  }
+}
