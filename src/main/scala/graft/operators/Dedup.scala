@@ -175,6 +175,27 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ---- embedding-cosine near-dup -------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold: candidates
+    * from random-hyperplane LSH buckets (cosine-preserving; identical
+    * vectors always share a bucket), verified with exact cosine. At
+    * scale only bucket collisions are scored — a thresholded
+    * all-pairs-free pipeline. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 16, seed: Long = 42L): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(dim, bits, seed)
+    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__sig", sig(col("__v")))
+      .cache()
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.__sig") === col("r.__sig") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        Similarity.cosine(col("l.__v"), col("r.__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ---- exact n-gram Jaccard ------------------------------------------
 
   /** Exact word-n-gram Jaccard for all pairs within a blocking key
@@ -182,7 +203,7 @@ object Dedup {
     * Without blocking this is O(n²); always pass a real blocking column
     * at scale. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int = 2): DataFrame = {
+      blockCol: String, n: Int = 2, saltBuckets: Int = 8): DataFrame = {
     // grams hash to 64-bit longs before the pairwise intersect: set
     // membership compares 8-byte values instead of strings (~an order
     // of magnitude on the O(pairs × grams) hot loop); Jaccard over
@@ -195,9 +216,17 @@ object Dedup {
         array_distinct(transform(shingles(col(textCol), n), g => xxhash64(g)))
           .as("__sh"))
       .cache()
-    prepped.as("l")
-      .join(prepped.as("r"),
-        col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+    // salting: pair (a,b) is produced exactly once — on the salt owned
+    // by a's id — but the join key becomes (block, salt), multiplying
+    // parallelism by saltBuckets beyond the number of blocks
+    val lhs = prepped
+      .withColumn("__salt", pmod(xxhash64(col("__id")), lit(saltBuckets)))
+    val rhs = prepped.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    lhs.as("l")
+      .join(rhs.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.__salt") === col("r.__salt") &&
+          col("l.__id") < col("r.__id"))
       .withColumn("__i", size(array_intersect(col("l.__sh"), col("r.__sh"))))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         (col("__i").cast("double") /

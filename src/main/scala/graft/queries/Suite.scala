@@ -696,6 +696,54 @@ object Suite {
              |SELECT lang_pred, count(*) AS n FROM pred
              |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
+    Q("l8_quality_score",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::DOUBLE AS n_tok,
+             |  length(text)::DOUBLE AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> list_contains(['the','a','of','and','to','in','is','that',
+             |      'it','for'], t)))::DOUBLE AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, round(
+             |  least(n_tok / 64.0, 1.0) * 0.3 +
+             |  (1.0 - least(punct / greatest(n_char, 1.0) * 4, 1.0)) * 0.3 +
+             |  least(stop_hits / greatest(n_tok, 1.0) * 5, 1.0) * 0.2 +
+             |  (1.0 - least(abs((n_char - n_tok + 1.0) / greatest(n_tok, 1.0)
+             |    - 5.0) / 5.0, 1.0)) * 0.2, 6) AS q
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    Q("l11_embedding_neardup",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // inject exact duplicates of the first 20 vectors
+        val corpus = emb.select("vec_id", "embedding").unionByName(
+          emb.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+            dim = 64, threshold = 0.999)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
+             |  WHERE vec_id < 20),
+             |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+             |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+             |  AS cos FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+             |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin)),
+
     Q("l9_token_counts",
       (s, d) => t(s, d, "documents")
         .groupBy("lang")
@@ -719,7 +767,23 @@ object Suite {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      None), // LSH banding not ANSI-expressible; validated vs exact in tests
+      // oracle = exhaustive exact jaccard: also certifies LSH recall
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+             |    AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("l3_simhash_pairs",
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
