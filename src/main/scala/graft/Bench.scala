@@ -29,6 +29,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
       .map { case (name, fn) =>
+      // operators cache intermediates (LSH tables etc.); drop them so
+      // query N+1 isn't taxed by query N's blocks
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
