@@ -21,6 +21,7 @@ object GraftSession {
       shufflePartitions: Int = 32,
       timeZone: String = "UTC"): SparkSession.Builder = {
     val b = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", timeZone)

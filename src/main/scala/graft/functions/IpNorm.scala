@@ -3,7 +3,6 @@ package graft.functions
 import java.net.{Inet4Address, Inet6Address, InetAddress}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** IP normalization — the Spark stand-in for ClickHouse `toIPv6OrNull` /
   * `IPv6` columns (/root/reference/clickhouse/init/01_bronze_tables.sql:8-9,
@@ -74,8 +73,10 @@ object IpNorm {
     }
   }
 
-  private val normalizeUdf = udf(normalize _)
-
-  /** Column form: `normalizeIp($"src_ip")`. */
-  def normalizeIp(c: Column): Column = normalizeUdf(c)
+  /** Column form: `normalizeIp($"src_ip")` — backed by the native
+    * codegen'd [[NormalizeIp]] expression (keeps the ingest projection
+    * inside whole-stage codegen; the old UDF forced a Tungsten exit). */
+  def normalizeIp(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NormalizeIp(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for IP canonicalization — the codegen'd
+  * replacement for the [[IpNorm]] UDF in the ingest hot path (A3 runs it
+  * 4–6× per zeek/suricata row). A UDF forces serialization out of
+  * Tungsten rows and breaks whole-stage codegen; this expression stays
+  * inside the generated code as a static call.
+  *
+  * Semantics identical to [[IpNorm.normalize]] (ClickHouse
+  * `toIPv6OrNull` + RFC-5952 rendering): IPv4 and v4-mapped v6 →
+  * `::ffff:a.b.c.d`, other v6 → canonical compressed form, junk → null.
+  */
+case class NormalizeIp(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  
+  override def nullable: Boolean = true
+  override def prettyName: String = "normalize_ip"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeIp.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.NormalizeIp.eval($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeIp =
+    copy(child = newChild)
+}
+
+object NormalizeIp {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def eval(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val out = IpNorm.normalize(s.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+}

@@ -30,6 +30,17 @@ class CoreSpec extends SparkSpec {
     assert(out.toSeq == Seq("::ffff:1.2.3.4", "ff02::1:3", null))
   }
 
+  test("normalize_ip: native expression stays in codegen and registers in SQL") {
+    import spark.implicits._
+    val df = Seq("1.2.3.4").toDF("ip").select(IpNorm.normalizeIp(col("ip")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan) // native expression, not a ScalaUDF
+    // registered via GraftExtensions (GraftSession attaches them)
+    val viaSql = sql("SELECT normalize_ip('ff02:0:0:0:0:0:1:3') AS ip").collect()
+    assert(viaSql.head.getString(0) == "ff02::1:3")
+    assert(sql("SELECT normalize_ip('junk') AS ip").collect().head.isNullAt(0))
+  }
+
   test("Replacing.latestByKey keeps max-version row per key, deterministic ties") {
     import spark.implicits._
     val df = Seq(
