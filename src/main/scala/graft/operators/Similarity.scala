@@ -61,6 +61,30 @@ object Similarity {
         col(vecCol).as("__centroid"))
   }
 
+  /** Lloyd k-means refinement of the seeded centroids, fully
+    * DataFrame-native: each iteration is one assign pass (broadcast) +
+    * one element-wise mean (posexplode → per-(cell, position) avg →
+    * re-assembled array). Iterations are bounded and each is a single
+    * shuffle of (cell, position, component) triples — linear in corpus
+    * size, cluster-friendly. */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var c = centroids
+    for (_ <- 0 until iters) {
+      val cells = assignCells(corpus, c, idCol, vecCol)
+      c = cells
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy(col("centroid_id"), col("__p"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), s => s.getField("__m").cast("float"))
+            .as("__centroid"))
+    }
+    c
+  }
+
   /** Assign each corpus vector to its nearest centroid (one broadcast
     * pass; cosine metric). */
   def assignCells(corpus: DataFrame, centroids: DataFrame,

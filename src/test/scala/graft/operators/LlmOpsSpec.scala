@@ -91,6 +91,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(ann == exact) // same cluster -> full recall with nprobe=1
   }
 
+  test("k-means refinement converges to cluster means and keeps recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2)
+    val base = Seq(Array.fill(8)(0f), Array.fill(8)(0f), Array.fill(8)(0f))
+      .zipWithIndex.map { case (a, i) => a.updated(i, 10f) }
+    val vecs = (0L until 90L).map { i =>
+      (i, base((i % 3).toInt).map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    // bad seed: first 3 vectors (all cluster 0/1/2 though; stride seeds)
+    val seeded = Similarity.seedCentroids(vecs, 3)
+    val refined = Similarity.kmeansRefine(vecs, seeded, iters = 3)
+    assert(refined.count() <= 3)
+    // refined centroids sit near the true cluster means: each base axis
+    // dominates exactly one centroid
+    val cents = refined.collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("__centroid"))
+    val axes = cents.map(c => c.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes.size == cents.length)
+    // recall with refined cells matches brute force
+    val cells = Similarity.assignCells(vecs, refined)
+    val queries = vecs.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(cells, refined, queries, 5, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann == exact)
+  }
+
   test("language ID: stopword + CJK heuristics") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
