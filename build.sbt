@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output passes through unprefixed: graft.Bench's contract is
+// ONE raw JSON line on stdout, which sbt's default [info] logger breaks.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
