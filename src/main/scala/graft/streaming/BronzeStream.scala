@@ -44,6 +44,16 @@ object BronzeStream {
       .load(dir)
       .select(col("value").as("raw"))
 
+  /** Streaming-native dedupe (the G3 alternative path): event-time
+    * watermark bounds the state store, dropDuplicates on the reference's
+    * dedupe key suppresses redelivered events inside the lateness
+    * window. Downstream anti-joins still make the batch path idempotent
+    * for data later than the watermark. */
+  def withStreamingDedupe(typed: DataFrame,
+      lateness: String = "5 minutes"): DataFrame =
+    typed.withWatermark("event_ts", lateness)
+      .dropDuplicates("event_id", "event_ts")
+
   /** Start the route-and-append stream. Each micro-batch fans out to
     * the three bronze tables (single pass per projection; writes are
     * partitioned by event_date and sorted for scan locality). */

@@ -44,4 +44,30 @@ class BronzeStreamSpec extends SparkSpec {
     // checkpoint prevented re-reading batch1
     assert(spark.read.parquet(s"$base/wh/bronze_suricata").count() == 1)
   }
+
+  test("streaming dedupe drops redelivered events inside the watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    def wazuh(h: String, ts: String) =
+      s"""{"event":{"hash":"$h","provider":"wazuh"},"@timestamp":"$ts","agent":{"name":"a1","ip":"10.0.0.1"},"rule":{"id":"1","level":2,"name":"r"},"tags":[],"message":"m"}"""
+    // same (event_id, event_ts) delivered twice in one stream + one distinct
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      Seq(wazuh("d1", "2026-01-08T01:00:00.000Z"),
+        wazuh("d1", "2026-01-08T01:00:00.000Z"),
+        wazuh("d2", "2026-01-08T01:00:30.000Z")).mkString("\n"))
+    val raw = BronzeStream.fileSource(spark, in)
+    val typed = graft.ingest.Bronze.wazuh(raw)
+    val deduped = BronzeStream.withStreamingDedupe(typed)
+    val q = deduped.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out")
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 2)
+    assert(out.select("event_id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("d1", "d2"))
+  }
 }
