@@ -118,14 +118,51 @@ object Dedup {
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
   }
 
-  /** Near-dup dedupe: drop every doc that matches a lower-id doc with
-    * Jaccard ≥ threshold. */
+  /** Connected components over a similarity pair list (id_a, id_b):
+    * iterative min-label propagation — each round every node adopts the
+    * smallest label in its neighborhood (including its own), until
+    * fixpoint. Rounds are O(diameter) ≤ maxIter, each a single
+    * shuffle-by-node; near-dup clusters have tiny diameters, so this
+    * converges in 2–4 rounds at any corpus size.
+    * Returns (id, component) where component = min id in the cluster. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("__n"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__n"), col("component")))
+            .as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedupe: one survivor (min id) per connected component of
+    * the ≥-threshold similarity graph — chains a~b~c collapse to one
+    * document even when (a,c) itself fell below threshold. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 64,
       nBands: Int = 16): DataFrame = {
-    val losers = minhashCandidates(df, textCol, idCol, shingleN, k, nBands)
+    val pairs = minhashCandidates(df, textCol, idCol, shingleN, k, nBands)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val losers = components(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 

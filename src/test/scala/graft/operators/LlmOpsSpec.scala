@@ -40,6 +40,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids.contains(3L) && ids.contains(4L))
   }
 
+  test("connected components merge similarity chains transitively") {
+    import spark.implicits._
+    // chain 1-2-3 (no direct 1-3 edge), pair 7-9, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(7L) == 7L && comp(9L) == 7L)
+  }
+
   test("simhash pairs: identical texts at distance 0, near-dups close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
