@@ -813,6 +813,19 @@ object Suite {
         .orderBy("doc_id"),
       None),
 
+    Q("m2_frame_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("data", encode(col("text"), "UTF-8"))
+        val media = Multimodal.attachMedia(docs, "data", "video/fake")
+        Multimodal.explodeFrames(media, everyN = 4, "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame_bytes"))).cast("long").as("frame_bytes"))
+          .orderBy("doc_id")
+      },
+      None), // byte-slicing stub semantics aren't ANSI-expressible
+
     Q("m1_media_bytes",
       (s, d) => {
         val docs = t(s, d, "documents")

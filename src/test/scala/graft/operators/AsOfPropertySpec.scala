@@ -55,6 +55,27 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("Replacing.latestByKey == naive per-key max over random data") {
+    forSamples(eventsGen) { evs =>
+      if (evs.nonEmpty) {
+        import spark.implicits._
+        val df = evs.zipWithIndex
+          .map { case ((k, s), i) => (k, ts(s), s"p$i") }
+          .toDF("k", "updated_at", "payload")
+        val got = Replacing.latestByKey(df, Seq("k"), "updated_at")
+          .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+          .toSet
+        // naive: max (version, payload) tuple per key — the documented
+        // deterministic tie-break
+        val expected = evs.zipWithIndex
+          .map { case ((k, sec), i) => (k, ts(sec), s"p$i") }
+          .groupBy(_._1).values
+          .map(_.maxBy(r => (r._2.getTime, r._3))).toSet
+        assert(got == expected)
+      }
+    }
+  }
+
   test("SCD2 chain: no overlap, one current per key, idempotent") {
     forSamples(eventsGen) { evs =>
       if (evs.nonEmpty) {
