@@ -22,7 +22,13 @@ object RunPipelines {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     val ctx = new GoldContext(spark, args(0))
 
-    if (args.length > 1 && args(1) == "ingest") {
+    if (args.length > 1 && args(1) == "acceptance") {
+      // the reference's Superset/example queries over the gold views
+      graft.queries.GoldViews.runAcceptance(ctx).foreach { case (name, df) =>
+        println(s"== $name")
+        df.show(10, false)
+      }
+    } else if (args.length > 1 && args(1) == "ingest") {
       val raw = spark.read.text(args.drop(2).toIndexedSeq: _*).toDF("raw")
       Bronze.route(raw).foreach { case (src, df) =>
         if (df.count() > 0) {
