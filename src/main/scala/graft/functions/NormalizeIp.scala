@@ -25,12 +25,16 @@ case class NormalizeIp(child: Expression)
   override def prettyName: String = "normalize_ip"
 
   override protected def nullSafeEval(input: Any): Any =
-    NormalizeIp.eval(input.asInstanceOf[UTF8String])
+    NormalizeIp.normalizeUtf8(input.asInstanceOf[UTF8String])
 
+  // NB the static helper must NOT be named `eval`: the class inherits
+  // eval(InternalRow) from Expression, which suppresses the companion's
+  // static forwarder — Janino then can't resolve the call and the whole
+  // projection silently falls back to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.NormalizeIp.eval($c);
+         |${ev.value} = graft.functions.NormalizeIp.normalizeUtf8($c);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -41,7 +45,7 @@ case class NormalizeIp(child: Expression)
 
 object NormalizeIp {
   /** Static entry point shared by interpreted eval and generated code. */
-  def eval(s: UTF8String): UTF8String = {
+  def normalizeUtf8(s: UTF8String): UTF8String = {
     if (s == null) return null
     val out = IpNorm.normalize(s.toString)
     if (out == null) null else UTF8String.fromString(out)

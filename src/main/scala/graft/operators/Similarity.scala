@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ over two float arrays (builtin, codegen'd). */
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Σ aᵢbᵢ over two float arrays — native fused-loop expression
+    * ([[graft.functions.VecDot]]): the builtin
+    * `aggregate(zip_with(a,b,_*_),0d,_+_)` formulation is codegen'd
+    * but allocates the element-wise product array per row, which
+    * dominates at ANN scale (corpus × probes evaluations). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x.cast("double"))
+    column(graft.functions.VecDot(expression(a), expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity in ONE array pass (dot, ‖a‖², ‖b‖² fused —
+    * [[graft.functions.VecCosine]]); null when either norm is 0. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    column(graft.functions.VecCosine(expression(a), expression(b)))
 
   /** Exact top-k by cosine for each query row.
     * Output: (query_id, id, cosine, rank). Queries must be small enough

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generated Java for every native expression must actually COMPILE.
+  * Spark wraps UnsafeProjection in CodeGeneratorWithInterpretedFallback:
+  * a Janino compile error is swallowed as a WARN and the projection runs
+  * interpreted — tests pass, performance silently dies (this bit
+  * normalize_ip: its static helper was named `eval`, which clashes with
+  * the inherited Expression.eval and suppresses the static forwarder).
+  * GenerateUnsafeProjection.generate throws on compile failure, so these
+  * are real assertions, no Spark session needed.
+  */
+class CodegenCompileSpec extends AnyFunSuite {
+
+  test("normalize_ip generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(NormalizeIp(BoundReference(0, StringType, nullable = true))))
+    val out = proj(InternalRow(UTF8String.fromString("192.168.0.1")))
+    assert(out.getUTF8String(0).toString == "::ffff:192.168.0.1")
+    assert(proj(InternalRow(UTF8String.fromString("junk"))).isNullAt(0))
+  }
+
+  test("vec_dot / vec_cosine generated code compiles and evaluates") {
+    val arrT = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, arrT, nullable = true)
+    val b = BoundReference(1, arrT, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(VecDot(a, b), VecCosine(a, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f)))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 32.0) < 1e-9)
+    assert(math.abs(out.getDouble(1) - 0.9746318) < 1e-6)
+    // zero vector -> null cosine, dot 0
+    val zrow = InternalRow(
+      ArrayData.toArrayData(Array(0.0f, 0.0f, 0.0f)),
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f)))
+    val zout = proj(zrow)
+    assert(zout.getDouble(0) == 0.0)
+    assert(zout.isNullAt(1))
+  }
+}
