@@ -25,10 +25,45 @@ object Prof {
       }
     })
 
+    // in-JVM stack sampler: counts executor-thread frames while the
+    // query runs (external jstack attach is unreliable under sbt fork)
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    // getAllStackTraces forces a global safepoint every tick, which
+    // inflates executorRunTime ~10x — keep it opt-in so stage timings
+    // stay honest when not hunting hot frames.
+    val sampleOn = sys.env.get("GRAFT_PROF_SAMPLE").contains("1")
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling && sampleOn) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+            if (t.getName.startsWith("Executor task launch")) {
+              frames.take(12).foreach { f =>
+                frameCounts.merge(f.getClassName + "." + f.getMethodName,
+                  1, (a, b) => a + b)
+              }
+            }
+          }
+        }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     def run(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"== $label rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // noop sink, not count(): count lets Catalyst prune every computed
+      // column, which silently profiles an empty projection
+      sampling = true
+      df.write.format("noop").mode("overwrite").save()
+      sampling = false
+      println(f"== $label wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      import scala.jdk.CollectionConverters._
+      frameCounts.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (k, v) =>
+        println(f"[hot] $v%6d  $k")
+      }
     }
 
     val docs = Tables.load(spark, sfDir, "documents")
@@ -54,6 +89,43 @@ object Prof {
           Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2))
       case "l2plan" =>
         Dedup.minhashCandidates(docs, "text", "doc_id").explain("formatted")
+      case "l10" =>
+        import org.apache.spark.sql.functions._
+        run("fingerprints") {
+          docs.repartition(spark.sparkContext.defaultParallelism)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"),
+              graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+        }
+      case "l10c" =>
+        import org.apache.spark.sql.functions._
+        run("content only") {
+          docs.repartition(spark.sparkContext.defaultParallelism)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+        }
+      case "l10r" =>
+        import org.apache.spark.sql.functions._
+        run("rolling only") {
+          docs.repartition(spark.sparkContext.defaultParallelism)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+        }
+      case "l4" =>
+        import org.apache.spark.sql.functions._
+        run("ngram jaccard") {
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)
+            .filter(col("jaccard") >= 0.3)
+        }
+      case "l4plan" =>
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)
+          .filter(col("jaccard") >= 0.3).explain("formatted")
+      case "l7" =>
+        import org.apache.spark.sql.functions._
+        run("langid") {
+          docs.select(graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+            .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        }
       case _ => sys.error(s"unknown: $what")
     }
     spark.stop()
