@@ -85,8 +85,10 @@ object Prof {
         run("minhashCandidates")(
           Dedup.minhashCandidates(docs, "text", "doc_id"))
       case "l4" =>
+        import org.apache.spark.sql.functions._
         run("ngramJaccard")(
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2))
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)
+            .filter(col("jaccard") >= 0.3))
       case "l2plan" =>
         Dedup.minhashCandidates(docs, "text", "doc_id").explain("formatted")
       case "l10" =>
@@ -111,13 +113,8 @@ object Prof {
             .select(col("doc_id"),
               graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rfp"))
         }
-      case "l4" =>
-        import org.apache.spark.sql.functions._
-        run("ngram jaccard") {
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)
-            .filter(col("jaccard") >= 0.3)
-        }
       case "l4plan" =>
+        import org.apache.spark.sql.functions._
         Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)
           .filter(col("jaccard") >= 0.3).explain("formatted")
       case "l7" =>
