@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling, per-group quotas, sequence-length binning, and batch
+  * sessionization. All shapes are chosen for the 100 TB posture:
+  * sampling is a pure map-side filter (no shuffle, no RNG state),
+  * quota capping pre-reduces skewed groups behind a salt before the
+  * authoritative per-group sort, and sessionization is one shuffle by
+  * key. The streaming twin of [[sessionize]] lives in
+  * [[graft.streaming.Sessionize]].
+  */
+object Curation {
+
+  /** Deterministic, id-stable sample: keep a row iff the seeded 64-bit
+    * hash of `key` lands in the first `fraction` of the hash space.
+    * Unlike `df.sample` this is reproducible across runs, partitionings
+    * and cluster sizes, and the same key always makes the same cut —
+    * the property training pipelines need so re-runs and incremental
+    * builds select the same corpus slice. Pure codegen'd filter;
+    * pushes down past column pruning like any other predicate. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      seed: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val buckets = 1000000L
+    df.filter(pmod(xxhash64(lit(seed), key), lit(buckets)) <
+      lit((fraction * buckets).toLong))
+  }
+
+  /** Disjoint deterministic split (train/val/test): returns one DataFrame
+    * per weight, partitioning the key-hash space proportionally. Every
+    * row lands in exactly one split, stable under re-runs. */
+  def hashSplit(df: DataFrame, key: Column, weights: Seq[Double],
+      seed: Long = 0L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    val buckets = 1000000L
+    val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * buckets).toLong)
+    val h = pmod(xxhash64(lit(seed), key), lit(buckets))
+    cuts.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(h >= lit(lo) && h < lit(hi))
+    }.toSeq
+  }
+
+  /** Keep at most `k` rows per group (lowest `orderCol` first) — the
+    * per-domain quota cap of web-corpus curation.
+    *
+    * Scale shape: a single `row_number` window over a skewed group (one
+    * domain = 40% of the corpus) cannot be split by AQE, so the cap runs
+    * in two phases: phase 1 ranks within (group, salt) — `salts`-way
+    * parallel even for one giant group — and keeps ≤ k rows per salt;
+    * phase 2 ranks the ≤ k×salts survivors per group. The global top-k
+    * by `orderCol` is a subset of the union of per-salt top-k, so the
+    * result is exact; the heavy shuffle is the salted balanced one. */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      k: Int, salts: Int = 8): DataFrame = {
+    val gcols = groupCols.map(col)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(orderCol)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(gcols :+ col("__salt"): _*).orderBy(col(orderCol))
+    val pre = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__salt")
+    val w2 = Window.partitionBy(gcols: _*).orderBy(col(orderCol))
+    pre.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Token-length bucket index for sequence-length binning (packing
+    * batches of similar length): bucket i ⇔ tokenCount < boundaries(i),
+    * else boundaries.size. Boundaries must be ascending. */
+  def lengthBucket(text: Column, boundaries: Seq[Int]): Column = {
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    val n = graft.functions.TextFunctions.tokenCount(text)
+    boundaries.zipWithIndex.foldRight(lit(boundaries.size): Column) {
+      case ((b, i), acc) => when(n < b, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Batch sessionization (gaps-and-islands): assigns a per-key
+    * `session_seq` (1-based) that increments whenever the gap to the
+    * previous event exceeds `gapSeconds`. Gap arithmetic is on
+    * whole-second epochs (ClickHouse `dateDiff` truncation semantics,
+    * SURVEY.md §2 F). One shuffle by key; both windows share the same
+    * sort order so Catalyst plans a single Window node. */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val s = unix_timestamp(col(tsCol))
+    df.withColumn("__new",
+        when(lag(s, 1).over(w).isNull || s - lag(s, 1).over(w) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Replacing, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Replacing, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -812,6 +812,57 @@ object Suite {
           TextFunctions.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id"),
       None),
+
+    Q("l12_quota_per_group",
+      (s, d) => Curation.quotaPerGroup(
+          t(s, d, "documents"), Seq("source"), "doc_id", k = 20)
+        .select("source", "doc_id").orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin)),
+
+    Q("l13_length_buckets",
+      (s, d) => t(s, d, "documents")
+        .select(Curation.lengthBucket(col("text"), Seq(16, 64, 256)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""WITH x AS (SELECT len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0)) AS n_tok FROM documents)
+             |SELECT CASE WHEN n_tok < 16 THEN 0 WHEN n_tok < 64 THEN 1
+             |  WHEN n_tok < 256 THEN 2 ELSE 3 END AS bucket, count(*) AS n
+             |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("l14_hash_sample",
+      (s, d) => Curation.hashSample(
+          t(s, d, "documents"), col("doc_id"), fraction = 0.3, seed = 7)
+        .select("doc_id").orderBy("doc_id"),
+      None), // xxhash64 cut has no DuckDB twin — determinism in CurationSpec
+
+    Q("l15_sessionize",
+      (s, d) => Curation.sessionize(
+          t(s, d, "events"), Seq("user_id"), "ts", gapSeconds = 3600)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(epochS(min(col("ts"))).as("start_s"),
+          epochS(max(col("ts"))).as("end_s"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_seq"),
+      Some("""WITH o AS (SELECT user_id, ts, floor(epoch(ts))::BIGINT AS s,
+             |    lag(floor(epoch(ts))::BIGINT)
+             |      OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |m AS (SELECT user_id, ts, s,
+             |    CASE WHEN prev IS NULL OR s - prev > 3600 THEN 1 ELSE 0 END
+             |      AS new_s FROM o),
+             |g AS (SELECT user_id, s, CAST(sum(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS session_seq FROM m)
+             |SELECT user_id, session_seq, min(s) AS start_s, max(s) AS end_s,
+             |  count(*) AS n_events
+             |FROM g GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin)),
 
     Q("m2_frame_sample",
       (s, d) => {

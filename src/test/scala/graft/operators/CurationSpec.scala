@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 1000L).map(i =>
+    (i, s"doc number $i with some text", s"src${i % 5}"))
+    .toDF("doc_id", "text", "source")
+
+  test("hashSample is deterministic, id-stable and ~fraction-sized") {
+    val a = Curation.hashSample(docs, col("doc_id"), 0.3, seed = 7)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Curation.hashSample(docs.repartition(7), col("doc_id"), 0.3, seed = 7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b)) // partitioning-independent
+    assert(a.length > 200 && a.length < 400) // ~300 of 1000
+    // a smaller fraction with the same seed is a subset (stable cut)
+    val c = Curation.hashSample(docs, col("doc_id"), 0.1, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.subsetOf(a.toSet))
+  }
+
+  test("hashSplit partitions every row into exactly one split") {
+    val splits = Curation.hashSplit(docs, col("doc_id"), Seq(8, 1, 1), seed = 3)
+    val sizes = splits.map(_.count())
+    assert(sizes.sum == 1000)
+    val ids = splits.flatMap(_.select("doc_id").as[Long].collect())
+    assert(ids.distinct.length == 1000) // disjoint
+    assert(sizes.head > 700) // ~80%
+  }
+
+  test("quotaPerGroup caps each group at k with the lowest order values") {
+    val out = Curation.quotaPerGroup(docs, Seq("source"), "doc_id", k = 10,
+      salts = 4)
+    val byGroup = out.groupBy("source").agg(count(lit(1)).as("n"),
+      max("doc_id").as("mx")).collect()
+    assert(byGroup.forall(_.getLong(1) == 10))
+    // lowest doc_ids win: src1 holds 1,6,...,46 -> max 46
+    val src1Max = byGroup.find(_.getString(0) == "src1").get.getLong(2)
+    assert(src1Max == 46L)
+  }
+
+  test("lengthBucket bins by token count against the declared boundaries") {
+    val df = Seq(
+      (1L, "short"),                         // 1 token  -> bucket 0
+      (2L, Seq.fill(20)("w").mkString(" ")), // 20       -> bucket 1
+      (3L, Seq.fill(100)("w").mkString(" ")),// 100      -> bucket 2
+      (4L, Seq.fill(300)("w").mkString(" ")) // 300      -> bucket 3
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      Curation.lengthBucket(col("text"), Seq(16, 64, 256)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("sessionize splits on gaps > threshold and is contiguous per key") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
+      (1L, "2024-01-01 02:00:00"), // 90 min gap -> new session
+      (2L, "2024-01-01 05:00:00")
+    ).toDF("user_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Curation.sessionize(ev, Seq("user_id"), "ts", 3600)
+      .groupBy("user_id", "session_seq").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessions (flatMapGroupsWithState) match batch sessionize") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+
+    // phase 1: real events (3 sessions across 2 users, gap = 1h)
+    val phase1 = Seq(
+      "1,2024-01-01T00:00:00.000Z", "1,2024-01-01T00:20:00.000Z",
+      "1,2024-01-01T03:00:00.000Z",
+      "2,2024-01-01T01:00:00.000Z", "2,2024-01-01T01:30:00.000Z")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/a.csv"), phase1.mkString("\n"))
+
+    def runStream(): Unit = {
+      val raw = spark.readStream.format("text").load(in)
+        .select(split(col("value"), ",").as("f"))
+        .select(col("f").getItem(0).cast("long").as("key"),
+          to_timestamp(col("f").getItem(1)).as("ts"))
+        .as[graft.streaming.Sessionize.Event]
+      val q = graft.streaming.Sessionize.sessions(raw, gapSeconds = 3600,
+          watermarkDelay = "1 minute")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .outputMode("append")
+        .start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+
+    // phase 2: far-future sentinel advances the watermark past every
+    // phase-1 session end + gap, forcing the event-time timeouts to fire
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b.csv"),
+      "99,2024-02-01T00:00:00.000Z")
+    runStream()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("key", "start_s", "end_s", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(_._1 != 99L)
+
+    val batch = Curation.sessionize(
+        Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"),
+          (1L, "2024-01-01 03:00:00"), (2L, "2024-01-01 01:00:00"),
+          (2L, "2024-01-01 01:30:00"))
+          .toDF("user_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))),
+        Seq("user_id"), "ts", 3600)
+      .groupBy("user_id", "session_seq")
+      .agg(unix_timestamp(min("ts")).as("start_s"),
+        unix_timestamp(max("ts")).as("end_s"), count(lit(1)).as("n"))
+      .select("user_id", "start_s", "end_s", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
