@@ -84,6 +84,44 @@ object TextFunctions {
     round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 6)
   }
 
+  // ---- repetition signals (Gopher-style quality rules) ----------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct|/|tokens|. High values flag boilerplate/spam — the
+    * classic "duplicate line fraction" family of web-corpus filters. */
+  def dupTokenFraction(text: Column): Column = letBind(tokens(text)) { toks =>
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 6))
+  }
+
+  /** Same signal over word n-grams (default bigrams): catches repeated
+    * phrases that unigram dedupe misses. */
+  def dupNgramFraction(text: Column, n: Int = 2): Column =
+    letBind(tokens(text)) { toks =>
+      letBind(when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))) { grams =>
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+          greatest(size(grams), lit(1)).cast("double"), 6)
+      }
+    }
+
+  // ---- PII redaction ---------------------------------------------------
+
+  /** Redact common PII shapes (emails, IPv4 literals, long digit runs)
+    * with typed placeholders. Pure regexp_replace chain — codegen'd,
+    * order-sensitive (emails first: they contain dots and digits). The
+    * regexes are RE2-compatible so the same patterns run in the DuckDB
+    * oracle. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"), lit("<IP>"))
+    regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<PHONE>"))
+  }
+
   // ---- fingerprinting ------------------------------------------------
 
   /** Whole-document content fingerprint (normalized token stream hash). */

@@ -864,6 +864,65 @@ object Suite {
              |FROM g GROUP BY user_id, session_seq
              |ORDER BY user_id, session_seq""".stripMargin)),
 
+    Q("l16_repetition",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupTokenFraction(col("text")).as("dup_tok"),
+          TextFunctions.dupNgramFraction(col("text"), 2).as("dup_bigram"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |g AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1]) END AS grams FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN len(toks) = 0 THEN 0.0
+             |    ELSE round(1.0 - len(list_distinct(toks))::DOUBLE /
+             |      len(toks), 6) END AS dup_tok,
+             |  round(1.0 - len(list_distinct(grams))::DOUBLE /
+             |    greatest(len(grams), 1), 6) AS dup_bigram
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    Q("l17_pii_redact",
+      (s, d) => t(s, d, "documents")
+        // synthesize PII shapes so the redaction paths all fire
+        .withColumn("dirty", concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 or 5551234567.")))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id"),
+      Some("""WITH dirty AS (SELECT doc_id, substr(text, 1, 40) ||
+             |    ' contact user' || doc_id || '@example.com at 10.0.' ||
+             |    (doc_id % 256) || '.7 or 5551234567.' AS dirty
+             |  FROM documents)
+             |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dirty,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             |  '\b\d{9,}\b', '<PHONE>', 'g') AS clean
+             |FROM dirty ORDER BY doc_id""".stripMargin)),
+
+    Q("l18_corpus_profile",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_tok"), 4).as("mean_tok"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tok"),
+          round(expr("percentile(n_tok, 0.95)"), 4).as("p95_tok"))
+        .orderBy("lang"),
+      Some("""WITH x AS (SELECT lang, len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::DOUBLE AS n_tok FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  round(avg(n_tok), 4) AS mean_tok,
+             |  round(quantile_cont(n_tok, 0.5), 4) AS p50_tok,
+             |  round(quantile_cont(n_tok, 0.95), 4) AS p95_tok
+             |FROM x GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

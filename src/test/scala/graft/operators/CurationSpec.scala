@@ -68,6 +68,29 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("repetition fractions and PII redaction behave on edge cases") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      (1L, "a a a a"),                    // 4 tokens, 1 distinct -> 0.75
+      (2L, "all words differ here"),      // 0.0
+      (3L, ""),                           // empty -> 0.0 (guarded /0)
+      (4L, "x") // single token: one whole-doc bigram -> 0.0
+    ).toDF("id", "text")
+    val got = df.select(col("id"), dupTokenFraction(col("text")).as("d"),
+      dupNgramFraction(col("text"), 2).as("g"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 0.75)        // 4 tokens, 1 distinct
+    assert(got(1L)._2 == 0.666667)    // 3 bigrams "a a", 1 distinct
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.0)
+    assert(got(3L)._1 == 0.0)
+    assert(got(4L)._2 == 0.0)
+
+    val red = Seq("mail bob@x.io, ip 192.168.1.1, acct 123456789, year 2024")
+      .toDF("t").select(redactPii(col("t"))).as[String].head()
+    assert(red == "mail <EMAIL>, ip <IP>, acct <PHONE>, year 2024")
+  }
+
   test("streaming sessions (flatMapGroupsWithState) match batch sessionize") {
     val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
     val in = s"$base/in"
