@@ -83,8 +83,8 @@ object Curation {
     * `session_seq` (1-based) that increments whenever the gap to the
     * previous event exceeds `gapSeconds`. Gap arithmetic is on
     * whole-second epochs (ClickHouse `dateDiff` truncation semantics,
-    * SURVEY.md §2 F). One shuffle by key; both windows share the same
-    * sort order so Catalyst plans a single Window node. */
+    * SURVEY.md §2 F). The lag → running-sum dependency chains two Window
+    * nodes, but they share clustering: one shuffle by key, one sort. */
   def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))

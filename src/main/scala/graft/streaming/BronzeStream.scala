@@ -54,6 +54,23 @@ object BronzeStream {
     typed.withWatermark("event_ts", lateness)
       .dropDuplicates("event_id", "event_ts")
 
+  /** Streaming gold rollup: tumbling event-time windows with
+    * watermark-bounded state — the pure-streaming alternative to the
+    * reference's 5-minute-cron batch gold build (SURVEY.md §2 G2). In
+    * append mode a window emits exactly once, when the watermark passes
+    * its end: the same effectively-once contract the batch path gets
+    * from anti-join dedupe, with late events inside `lateness` folded
+    * in before emission instead of via window-overlap re-runs (G3). */
+  def windowedRollup(typed: DataFrame, keyCols: Seq[String],
+      tsCol: String = "event_ts", windowLen: String = "5 minutes",
+      lateness: String = "5 minutes"): DataFrame =
+    typed.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((keyCols.map(col) :+
+        col("window.start").as("window_start") :+
+        col("n_events")): _*)
+
   /** Start the route-and-append stream. Each micro-batch fans out to
     * the three bronze tables (single pass per projection; writes are
     * partitioned by event_date and sorted for scan locality). */

@@ -46,6 +46,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf(q).contains("*(")) // WSCG stages print as *(n)
   }
 
+  test("sessionize shuffles and sorts once (windows share the clustering)") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val df = operators.Curation.sessionize(ev, Seq("user_id"), "ts", 3600)
+    // lag -> running-sum is a data dependency (two Window nodes) but the
+    // second reuses the first's partitioning+sort: exactly one of each
+    val plan = planOf(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+    assert("\\+- Sort ".r.findAllIn(plan).size == 1)
+    assert("Window ".r.findAllIn(plan).size == 2)
+  }
+
+  test("hashSample filter evaluates scan-side with pruned columns") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.hashSample(docs, col("doc_id"), 0.25, 1L)
+      .select("doc_id")
+    val plan = planOf(df)
+    // no shuffle at all: a sample is a map-side filter
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString

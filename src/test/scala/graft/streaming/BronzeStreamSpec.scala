@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 class BronzeStreamSpec extends SparkSpec {
@@ -43,6 +44,52 @@ class BronzeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/wh/bronze_wazuh").count() == 3)
     // checkpoint prevented re-reading batch1
     assert(spark.read.parquet(s"$base/wh/bronze_suricata").count() == 1)
+  }
+
+  test("windowed rollup emits each closed window once with late data folded in") {
+    val base = java.nio.file.Files.createTempDirectory("graft_roll").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    def wazuh(h: String, ts: String) =
+      s"""{"event":{"hash":"$h","provider":"wazuh"},"@timestamp":"$ts","agent":{"name":"a1","ip":"10.0.0.1"},"rule":{"id":"1","level":2,"name":"r"},"tags":[],"message":"m"}"""
+
+    def run(): Unit = {
+      val typed = graft.ingest.Bronze.wazuh(BronzeStream.fileSource(spark, in))
+      val q = BronzeStream.windowedRollup(typed, Seq("agent_name"),
+          lateness = "1 minute")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .outputMode("append")
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: 3 events in window [01:00,01:05); watermark settles at
+    // 01:03 (max 01:04 - 1 min lateness) so the window stays OPEN.
+    // run 2: an out-of-order event at 01:03:30 (behind max event time
+    // but ahead of the watermark -> folded into the open window), one
+    // event in [01:05,01:10), and a far-future sentinel whose watermark
+    // closes everything.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      Seq(wazuh("e1", "2026-01-08T01:00:10.000Z"),
+        wazuh("e2", "2026-01-08T01:01:00.000Z"),
+        wazuh("e3", "2026-01-08T01:04:00.000Z")).mkString("\n"))
+    run()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b.jsonl"),
+      Seq(wazuh("late", "2026-01-08T01:03:30.000Z"),
+        wazuh("e5", "2026-01-08T01:06:00.000Z"),
+        wazuh("sentinel", "2026-01-08T09:00:00.000Z")).mkString("\n"))
+    run()
+
+    val out = spark.read.parquet(s"$base/out")
+      .filter(col("window_start") < to_timestamp(lit("2026-01-08 02:00:00")))
+      .select(col("window_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(
+      ("2026-01-08 01:00:00", 4L), // e1-e3 + the late event, emitted once
+      ("2026-01-08 01:05:00", 1L)))
   }
 
   test("streaming dedupe drops redelivered events inside the watermark") {
