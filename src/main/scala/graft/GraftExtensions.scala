@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NormalizeIp, VecCosine, VecDot}
+import graft.functions.{NormalizeIp, SortedIntersectSize, VecCosine, VecDot}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions so they are usable from SQL text as well as the Column
@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("normalize_ip", classOf[NormalizeIp], NormalizeIp(_))
     binary("vec_dot", classOf[VecDot], VecDot(_, _))
     binary("vec_cosine", classOf[VecCosine], VecCosine(_, _))
+    binary("sorted_intersect_size", classOf[SortedIntersectSize],
+      SortedIntersectSize(_, _))
   }
 }

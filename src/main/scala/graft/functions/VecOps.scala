@@ -85,6 +85,75 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| for two ASCENDING-sorted long arrays via a two-pointer
+  * merge — the verification hot loop of the similarity joins. The
+  * builtin `size(array_intersect(a, b))` builds a hash set per
+  * invocation; at candidate-pair scale (each document participates in
+  * many pairs) the per-pair allocation dominates. The merge is
+  * allocation-free and branch-predictable. Inputs MUST be sorted
+  * (produce them with `array_sort`); duplicates are counted once per
+  * distinct value, matching set semantics on distinct inputs. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_intersect_size"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1; i += 1; j += 1
+        // skip duplicates so multiset inputs still count distinct values
+        while (i < nx && x.getLong(i) == xv) i += 1
+        while (j < ny && y.getLong(j) == yv) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $c++; $i++; $j++;
+         |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity Σaᵢbᵢ / (‖a‖·‖b‖) in one fused pass; null when
   * either norm is zero (matching SQL divide-by-zero semantics). */
 case class VecCosine(left: Expression, right: Expression)

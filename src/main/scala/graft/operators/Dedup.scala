@@ -25,14 +25,41 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** Evaluate `value` once, reference it many times (higher-order fns
+    * run without common-subexpression elimination — an unbound `tokens`
+    * inside a per-gram lambda re-runs the regex split per element,
+    * O(|tokens|²) splits per row; see TextFunctions.letBind). */
+  private def letBind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Word n-gram shingles; documents shorter than n collapse to one
     * whole-document shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column = letBind(tokens(text)) { toks =>
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct 64-bit-hashed word n-grams in a single tokens pass,
+    * SORTED ascending. Each gram hashes its n tokens directly — no
+    * per-gram string concat or slice allocation. Jaccard over hashed
+    * grams equals Jaccard over the grams themselves absent 64-bit
+    * collisions; all similarity operators below consume this form, and
+    * the sort lets verification intersect via the allocation-free
+    * two-pointer merge ([[graft.functions.SortedIntersectSize]]). */
+  def hashedShingles(text: Column, n: Int): Column =
+    letBind(tokens(text)) { toks =>
+      array_sort(array_distinct(
+        when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))))
+    }
+
+  /** |A∩B| of two sorted long arrays (native merge expression). */
+  private def intersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.SortedIntersectSize(expression(a), expression(b)))
   }
 
   // ---- exact dedupe --------------------------------------------------
@@ -87,7 +114,7 @@ object Dedup {
     // so every downstream stage runs at full parallelism
     val sh = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+        hashedShingles(col(textCol), shingleN).as("__sh"))
       .cache()
     val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
     val minAggs = (0 until k).map(i =>
@@ -112,7 +139,7 @@ object Dedup {
     pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__i", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
@@ -164,6 +191,83 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Exact thresholded similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection", WWW'08): two sets with Jaccard ≥ t
+    * must share at least one token among their first
+    * |s| − ⌈t·|s|⌉ + 1 tokens under a global ordering. Ordering tokens
+    * rarest-first makes prefix collisions scarce, so the candidate set
+    * stays near the true pair count.
+    *
+    * Scale shape vs [[ngramJaccardPairs]]: no blocking column needed and
+    * no O(block²) — candidates come from an inverted index over prefix
+    * grams only (explode → equi-join on gram), the frequency ordering
+    * keeps hot grams out of prefixes (anti-skew by construction), and
+    * gram arrays rejoin by id for the exact verify. All shuffles carry
+    * (gram, id) or (id, grams-of-one-doc); nothing is quadratic in a
+    * partition.
+    *
+    * Fit: prefix filtering assumes a Zipfian vocabulary (real text) —
+    * every document then owns some rare grams and prefixes rarely
+    * collide. On tiny-vocabulary corpora every gram is hot and the
+    * candidate set degenerates toward all-pairs even with the length +
+    * positional filters; there, [[minhashCandidates]] (LSH banding) is
+    * the right tool, trading exactness for collision-free band keys.
+    * Higher thresholds sharpen both filters (prefix length shrinks as
+    * (1−t)·|s|, required overlap α grows), so exact joins at t ≥ 0.7
+    * stay cheap even on adversarial vocabularies. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val prepped = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        hashedShingles(col(textCol), shingleN).as("__sh"))
+      .cache()
+    val gramDf = prepped.select(explode(col("__sh")).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    // per-doc grams ordered rarest-first under the global (df, gram) order
+    val sorted = prepped.select(col("__id"), explode(col("__sh")).as("__g"))
+      .join(gramDf, "__g")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__dg"))
+      .select(col("__id"),
+        transform(col("__dg"), s => s.getField("__g")).as("__sorted"))
+    // prefixes carry (set size, position) for the PPJoin length +
+    // positional filters: with a small vocabulary (high-df grams) the
+    // raw prefix-collision set degenerates toward all-pairs; these two
+    // predicates prune it back at join time, before the distinct.
+    val prefixes = sorted.select(col("__id"),
+      size(col("__sorted")).as("__n"),
+      posexplode(slice(col("__sorted"), lit(1),
+        (size(col("__sorted")) -
+          ceil(lit(threshold) * size(col("__sorted"))).cast("int") + 1)))
+        .as(Seq("__pos", "__p")))
+    // required overlap for jaccard ≥ t: α = ⌈t/(1+t)·(|A|+|B|)⌉; the
+    // first shared token (rarest) bounds |A∩B| by the shorter suffix
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("l.__n") + col("r.__n")))
+    val pairs = prefixes.as("l")
+      .join(prefixes.as("r"),
+        col("l.__p") === col("r.__p") && col("l.__id") < col("r.__id") &&
+          // length filter: t ≤ jaccard ≤ min/max sizes
+          least(col("l.__n"), col("r.__n")) >=
+            ceil(lit(threshold) * greatest(col("l.__n"), col("r.__n"))) &&
+          // positional filter (pos is 0-based: suffix incl. this token)
+          least(col("l.__n") - col("l.__pos"), col("r.__n") - col("r.__pos"))
+            >= alpha)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    pairs
+      .join(prepped.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(prepped.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -250,8 +354,7 @@ object Dedup {
     // minhashCandidates for why uncached branches explode plan cost)
     val prepped = df.repartition(par, col(idCol))
       .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-        array_distinct(transform(shingles(col(textCol), n), g => xxhash64(g)))
-          .as("__sh"))
+        hashedShingles(col(textCol), n).as("__sh"))
       .cache()
     // salting: pair (a,b) is produced exactly once — on the salt owned
     // by a's id — but the join key becomes (block, salt), multiplying
@@ -264,7 +367,7 @@ object Dedup {
       .join(rhs.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__salt") === col("r.__salt") &&
           col("l.__id") < col("r.__id"))
-      .withColumn("__i", size(array_intersect(col("l.__sh"), col("r.__sh"))))
+      .withColumn("__i", intersectSize(col("l.__sh"), col("r.__sh")))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         (col("__i").cast("double") /
           (size(col("l.__sh")) + size(col("r.__sh")) - col("__i"))).as("jaccard"))

@@ -923,6 +923,29 @@ object Suite {
              |  round(quantile_cont(n_tok, 0.95), 4) AS p95_tok
              |FROM x GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("l19_prefix_simjoin",
+      (s, d) => Dedup.prefixJaccardPairs(
+          t(s, d, "documents"), "text", "doc_id", threshold = 0.8, shingleN = 2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      // exhaustive all-pairs oracle — PASSing also certifies the prefix
+      // filter is complete (no candidate lost), not just precise
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(
+             |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1]) END) AS g FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+             |    AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

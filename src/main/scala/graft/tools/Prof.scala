@@ -113,6 +113,50 @@ object Prof {
             .select(col("doc_id"),
               graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rfp"))
         }
+      case "l19" =>
+        run("prefixJaccard")(
+          Dedup.prefixJaccardPairs(docs, "text", "doc_id", 0.3, 2))
+      case "l19stages" =>
+        import org.apache.spark.sql.functions._
+        val th = sys.env.getOrElse("GRAFT_T", "0.8").toDouble
+        val par = spark.sparkContext.defaultParallelism
+        val t0 = System.nanoTime()
+        val prepped = docs.repartition(par, col("doc_id"))
+          .select(col("doc_id").as("__id"),
+            array_distinct(transform(Dedup.shingles(col("text"), 2),
+              g => xxhash64(g))).as("__sh")).cache()
+        println(s"docs=${prepped.count()} t=${(System.nanoTime()-t0)/1e9}")
+        val gramDf = prepped.select(explode(col("__sh")).as("__g"))
+          .groupBy("__g").agg(count(lit(1)).as("__df"))
+        println(s"grams=${gramDf.count()} t=${(System.nanoTime()-t0)/1e9}")
+        println(gramDf.agg(max("__df"), avg("__df")).collect().mkString)
+        val sorted = prepped.select(col("__id"), explode(col("__sh")).as("__g"))
+          .join(gramDf, "__g").groupBy("__id")
+          .agg(array_sort(collect_list(struct(col("__df"), col("__g")))).as("__dg"))
+          .select(col("__id"),
+            transform(col("__dg"), s => s.getField("__g")).as("__sorted")).cache()
+        println(s"sorted=${sorted.count()} t=${(System.nanoTime()-t0)/1e9}")
+        val prefixes = sorted.select(col("__id"),
+          size(col("__sorted")).as("__n"),
+          posexplode(slice(col("__sorted"), lit(1),
+            (size(col("__sorted")) - ceil(lit(th) * size(col("__sorted"))).cast("int") + 1)))
+            .as(Seq("__pos", "__p"))).cache()
+        println(s"prefixRows=${prefixes.count()} t=${(System.nanoTime()-t0)/1e9}")
+        val alpha = ceil(lit(th / (1 + th)) * (col("l.__n") + col("r.__n")))
+        val pairs = prefixes.as("l").join(prefixes.as("r"),
+            col("l.__p") === col("r.__p") && col("l.__id") < col("r.__id") &&
+              least(col("l.__n"), col("r.__n")) >=
+                ceil(lit(th) * greatest(col("l.__n"), col("r.__n"))) &&
+              least(col("l.__n") - col("l.__pos"), col("r.__n") - col("r.__pos")) >= alpha)
+          .select(col("l.__id").as("id_a"), col("r.__id").as("id_b")).distinct().cache()
+        println(s"candidates=${pairs.count()} t=${(System.nanoTime()-t0)/1e9}")
+        val verified = pairs
+          .join(prepped.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+          .join(prepped.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+          .withColumn("__i", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+          .filter(col("__i").cast("double") /
+            (size(col("__sh_a")) + size(col("__sh_b")) - col("__i")) >= th)
+        println(s"final=${verified.count()} t=${(System.nanoTime()-t0)/1e9}")
       case "l4plan" =>
         import org.apache.spark.sql.functions._
         Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2)

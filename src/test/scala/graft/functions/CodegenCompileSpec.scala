@@ -27,6 +27,17 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(proj(InternalRow(UTF8String.fromString("junk"))).isNullAt(0))
   }
 
+  test("sorted_intersect_size generated code compiles and evaluates") {
+    val arrT = ArrayType(LongType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(SortedIntersectSize(
+      BoundReference(0, arrT, nullable = true),
+      BoundReference(1, arrT, nullable = true))))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1L, 3L, 5L, 7L)),
+      ArrayData.toArrayData(Array(2L, 3L, 5L, 9L))))
+    assert(out.getInt(0) == 2)
+  }
+
   test("vec_dot / vec_cosine generated code compiles and evaluates") {
     val arrT = ArrayType(FloatType, containsNull = false)
     val a = BoundReference(0, arrT, nullable = true)

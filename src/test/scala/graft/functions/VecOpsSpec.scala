@@ -43,6 +43,28 @@ class VecOpsSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("sorted_intersect_size matches size(array_intersect) on sorted input") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L)),   // overlap {3,5}
+      (Seq(1L, 2L), Seq(3L, 4L)),                    // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),                // empty side
+      (Seq(1L, 1L, 2L, 2L), Seq(1L, 2L, 2L, 3L)),    // dup values count once
+      (Seq(-5L, 0L, 5L), Seq(-5L, 0L, 5L))           // identical
+    ).toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        SortedIntersectSize(
+          org.apache.spark.sql.GraftColumnBridge.expression($"a"),
+          org.apache.spark.sql.GraftColumnBridge.expression($"b"))).as("m"),
+      size(array_intersect($"a", $"b")).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // registered for SQL text too
+    df.createOrReplaceTempView("sis_spec")
+    val viaSql = sql("SELECT sorted_intersect_size(a, b) FROM sis_spec")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaSql == Seq(2, 0, 0, 2, 3))
+  }
+
   test("vec_dot / vec_cosine are registered for SQL text") {
     Seq((floats(1, 2), floats(3, 4))).toDF("a", "b")
       .createOrReplaceTempView("vec_ops_spec")

@@ -63,6 +63,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("prefix-filtered similarity join matches blocked all-pairs exactly") {
+    val t = 0.4
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", t, shingleN = 2)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: exhaustive pairs within one block, same threshold
+    val want = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", n = 2)
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.contains((0L, 1L, 1.0))) // the exact dup survives end-to-end
+  }
+
   test("brute-force cosine top-k is exact and self-ranked first") {
     import spark.implicits._
     val vecs = Seq(
