@@ -136,10 +136,10 @@ object TextFunctions {
     * word-shaped text). */
   def rollingFingerprint(text: Column, n: Int = 3): Column =
     letBind(tokens(text)) { toks =>
-      val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      array_min(transform(grams, g => xxhash64(g)))
+      // hash each window's tokens directly — no per-window slice array
+      // or concat string (same shape as Dedup.hashedShingles)
+      array_min(when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*))))
     }
 }
