@@ -79,6 +79,26 @@ object Curation {
     }
   }
 
+  /** Greedy contiguous sequence packing: assign documents (ordered by
+    * `orderCol` within each group) to fixed-token-budget training bins —
+    * a new pack starts when the exclusive running token total crosses a
+    * budget multiple, so packs fill to ≥ budget only on the document
+    * that overflows them (the standard contiguous-fill approximation;
+    * optimal packing is sequential and not worth a distributed exact
+    * pass). One window shuffle per group set; at scale, group by a
+    * corpus shard so packs never span shards. */
+  def packSequences(df: DataFrame, tokensCol: String, orderCol: String,
+      budget: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0)
+    val w0 = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val w = w0.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_id",
+        floor((sum(col(tokensCol)).over(w) - col(tokensCol)) /
+          budget).cast("long"))
+  }
+
   /** Batch sessionization (gaps-and-islands): assigns a per-key
     * `session_seq` (1-based) that increments whenever the gap to the
     * previous event exceeds `gapSeconds`. Gap arithmetic is on

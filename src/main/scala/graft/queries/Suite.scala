@@ -946,6 +946,30 @@ object Suite {
              |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("l20_pack_sequences",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tok"))
+        Curation.packSequences(toks, "n_tok", "doc_id", budget = 512,
+            groupCols = Seq("source"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("pack_tokens"))
+          .orderBy("source", "pack_id")
+      },
+      Some("""WITH x AS (SELECT doc_id, source, len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0)) AS n_tok FROM documents),
+             |p AS (SELECT source, n_tok,
+             |    CAST(floor((sum(n_tok) OVER (PARTITION BY source
+             |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+             |      / 512.0) AS BIGINT) AS pack_id FROM x)
+             |SELECT source, pack_id, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+             |FROM p GROUP BY source, pack_id
+             |ORDER BY source, pack_id""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

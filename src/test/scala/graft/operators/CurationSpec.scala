@@ -68,6 +68,19 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("packSequences fills contiguous budget bins, overflow doc closes pack") {
+    val df = Seq(
+      (1L, 300), (2L, 300), // doc2 overflows pack 0 (starts at cum 300 < 512)
+      (3L, 300),            // cum-excl 600 >= 512 -> pack 1
+      (4L, 600),            // cum-excl 900 -> pack 1 (overflows it)
+      (5L, 10)              // cum-excl 1500 -> pack 2
+    ).toDF("doc_id", "n_tok")
+    val got = Curation.packSequences(df, "n_tok", "doc_id", budget = 512)
+      .select("doc_id", "pack_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("repetition fractions and PII redaction behave on edge cases") {
     import graft.functions.TextFunctions._
     val df = Seq(
