@@ -970,6 +970,36 @@ object Suite {
              |FROM p GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    Q("l21_components",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+        Dedup.components(pairs)
+          .select(col("id"), col("component"))
+          .orderBy("id")
+      },
+      // recursive-CTE transitive closure over the exhaustive ≥0.8 pair
+      // set (l2 certifies the LSH candidates equal this set)
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT src AS id, src AS r FROM edges
+             |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+             |    ON e.dst = re.id)
+             |SELECT id, min(r) AS component FROM reach
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")
