@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ASOF LEFT JOIN — for each left row, attach the right row with the
-  * greatest `rightTs <= leftTs` among rows sharing the join key.
+/** ASOF LEFT JOIN — for each left row, attach the nearest right row by
+  * time among rows sharing the join key: the greatest `rightTs <=
+  * leftTs` (direction "backward", the default) or the smallest
+  * `rightTs >= leftTs` ("forward"). An optional tolerance (seconds)
+  * nulls the match when the nearest version is further away than that.
   *
   * This is the SCD2 as-of resolution the reference performs with
   * ClickHouse `ASOF LEFT JOIN` (three of them per fact build,
@@ -13,37 +16,51 @@ import org.apache.spark.sql.functions._
   * `event_ts >= effective_from`). Spark has no native asof join, so two
   * compositions are provided; both preserve every left row exactly once.
   *
-  *  - [[AsOfJoin.broadcast]] — equi-join + per-left-row max: right side is
-  *    broadcast; correct choice when the right side is a dimension
-  *    (SCD2 dims here are ≪ memory). Cost: |L ⋈ R| intermediate rows per
-  *    key — fine for version-chains, wrong for big-big.
+  *  - [[AsOfJoin.broadcast]] — equi-join + per-left-row extremum: right
+  *    side is broadcast; correct choice when the right side is a
+  *    dimension (SCD2 dims here are ≪ memory). Cost: |L ⋈ R|
+  *    intermediate rows per key — fine for version-chains, wrong for
+  *    big-big.
   *  - [[AsOfJoin.merge]] — union + ordered window carry-forward: ONE
   *    shuffle by key, no row explosion; the 100 TB path when both sides
   *    are large (e.g. asof-joining two fact streams).
   *
-  * Tie semantics: `>=` — a right row effective exactly at leftTs matches
-  * (reference uses `>=`; property-tested in AsOfJoinSpec).
+  * Tie semantics: equality matches in both directions (reference uses
+  * `>=`; property-tested in AsOfJoinSpec).
   */
 object AsOfJoin {
 
-  /** Right-side-small variant. `rightCols` = payload columns to attach
-    * (defaults to all non-key, non-ts right columns). */
+  private def checkDirection(d: String): Unit =
+    require(d == "backward" || d == "forward",
+      s"direction must be backward|forward, got $d")
+
+  /** Right-side-small variant. Attaches all non-key right columns. */
   def broadcast(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String,
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    checkDirection(direction)
     val rowId = "__asof_row_id"
     val l = left.withColumn(rowId, monotonically_increasing_id())
     val payload = right.columns.filterNot(keys.contains).toSeq
-    // row_number over (left row) picking the greatest matching rightTs
+    val timeCond =
+      if (direction == "backward") l(leftTs) >= right(rightTs)
+      else l(leftTs) <= right(rightTs)
+    val tolCond = toleranceSeconds.map { tol =>
+      abs(unix_timestamp(l(leftTs)) - unix_timestamp(right(rightTs))) <= tol
+    }.getOrElse(lit(true))
     val joined = l.join(
       org.apache.spark.sql.functions.broadcast(right),
-      keys.map(k => l(k) <=> right(k)).reduce(_ && _) &&
-        (l(leftTs) >= right(rightTs)),
+      keys.map(k => l(k) <=> right(k)).reduce(_ && _) && timeCond && tolCond,
       "left")
-    val w = Window.partitionBy(col(rowId)).orderBy(right(rightTs).desc_nulls_last)
+    val order =
+      if (direction == "backward") right(rightTs).desc_nulls_last
+      else right(rightTs).asc_nulls_last
+    val w = Window.partitionBy(col(rowId)).orderBy(order)
     val picked = joined
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
@@ -54,17 +71,21 @@ object AsOfJoin {
   }
 
   /** Big-big variant: single shuffle, no row explosion.
-    * Union left+right tagged rows, sort within key by (ts, side) with the
-    * right side first on ties (so `>=` holds), carry the latest right
-    * payload forward with last_value(ignoreNulls) over a struct (struct
-    * packing keeps one version's attributes together even when some
-    * attribute is genuinely null). */
+    * Union left+right tagged rows, sort within key by (ts, side) with
+    * the right side winning ties (so equality matches), carry the
+    * nearest right payload through with last_value(ignoreNulls) over a
+    * struct (struct packing keeps one version's attributes together
+    * even when some attribute is genuinely null). "forward" is the same
+    * carry over the reversed sort. */
   def merge(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String,
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    checkDirection(direction)
     val payload = right.columns.filterNot(c => keys.contains(c)).toSeq
       .filterNot(_ == rightTs)
     val ts = "__asof_ts"
@@ -84,12 +105,19 @@ object AsOfJoin {
         lit(null).cast(rightTagged.schema(pack).dataType).as(pack)) ++
         left.columns.filterNot(keys.contains).map(col): _*)
 
+    val order =
+      if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(order, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightTagged.unionByName(leftTagged)
+    val carried0 = rightTagged.unionByName(leftTagged)
       .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
+    val carried = toleranceSeconds.fold(carried0) { tol =>
+      carried0.withColumn(pack,
+        when(abs(unix_timestamp(col(ts)) -
+          unix_timestamp(col(pack)(rightTs))) <= tol, col(pack)))
+    }
 
     val cols = left.columns.map {
       case c if keys.contains(c) => col(c)

@@ -46,6 +46,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("forward direction picks the next version; both variants agree") {
+    val expectedFwd = Seq(
+      (1, "a-v1"), // before any version -> next is v1
+      (2, "a-v1"), // exactly at v1 -> v1 (ties match forward too)
+      (3, "a-v2"), // between -> next version
+      (4, "a-v2"), (5, null), // after last version -> null
+      (6, null),   // b's only version is earlier
+      (7, null))
+    val bc = AsOfJoin.broadcast(facts, versions, Seq("k"), "event_ts",
+        "effective_from", direction = "forward")
+      .orderBy("f").collect().map(r => (r.getInt(2), r.getAs[String]("attr")))
+    val mg = AsOfJoin.merge(facts, versions, Seq("k"), "event_ts",
+        "effective_from", direction = "forward")
+      .orderBy("f").collect().map(r => (r.getAs[Int]("f"), r.getAs[String]("attr")))
+    assert(bc.toSeq == expectedFwd)
+    assert(mg.toSeq == expectedFwd)
+  }
+
+  test("tolerance nulls matches farther than the bound") {
+    // fact 5 is 24h after a-v2; with a 1h tolerance it must lose its match
+    val tol = Some(3600L)
+    val expectedTol = Seq(
+      (1, null), (2, "a-v1"), (3, null), (4, "a-v2"), (5, null),
+      (6, null), (7, null)) // fact 3 is 5h past v1; fact 6 is 12h past b-v1
+    val bc = AsOfJoin.broadcast(facts, versions, Seq("k"), "event_ts",
+        "effective_from", toleranceSeconds = tol)
+      .orderBy("f").collect().map(r => (r.getInt(2), r.getAs[String]("attr")))
+    val mg = AsOfJoin.merge(facts, versions, Seq("k"), "event_ts",
+        "effective_from", toleranceSeconds = tol)
+      .orderBy("f").collect().map(r => (r.getAs[Int]("f"), r.getAs[String]("attr")))
+    assert(bc.toSeq == expectedTol)
+    assert(mg.toSeq == expectedTol)
+  }
+
   test("merge carries whole version structs (no attribute mixing across versions)") {
     import spark.implicits._
     // v2 has a null attr2: a fact after v2 must see (x2, null), never (x2, y1)
