@@ -511,7 +511,12 @@ object Suite {
         .select(col("c_custkey"),
           graft.functions.IpNorm.normalizeIp(col("ip")).as("ip_norm"))
         .orderBy("c_custkey").limit(500),
-      None), // IP canonicalization has no DuckDB builtin — rows-only
+      // synthesized IPs are all IPv4: canonical form is the v4-mapped
+      // literal, expressible as plain string math (v6 compression paths
+      // are covered by CoreSpec)
+      Some("""SELECT c_custkey, '::ffff:10.' || (c_custkey % 250) || '.' ||
+             |  (c_nationkey % 250) || '.1' AS ip_norm
+             |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)),
 
     Q("f7_hash_join_consistency",
       (s, d) => {

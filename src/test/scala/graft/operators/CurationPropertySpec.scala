@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests for the curation operators: the invariants that make
+  * them safe to run incrementally at corpus scale — exhaustive/disjoint
+  * splits, quota exactness under salting, packing bounds.
+  */
+class CurationPropertySpec extends SparkSpec {
+
+  /** Raw-ScalaCheck sampling (the scalatest bridge isn't in the offline
+    * cache): run the body over n deterministic samples. */
+  private def forSamples[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (0 until n).foreach { i =>
+      gen.apply(params, org.scalacheck.rng.Seed(7L + i)).foreach(body)
+    }
+  }
+
+  import spark.implicits._
+
+  test("hashSplit is an exact partition for arbitrary weights") {
+    val weightsGen = Gen.listOfN(Gen.choose(2, 5).sample.get,
+      Gen.choose(1, 10).map(_.toDouble))
+    forSamples(Gen.zip(weightsGen, Gen.choose(1L, 99999L))) {
+      case (ws, seed) if ws.nonEmpty =>
+        val ids = (1L to 500L).toDF("id")
+        val splits = Curation.hashSplit(ids, col("id"), ws, seed)
+        val collected = splits.map(_.as[Long].collect().toSet)
+        assert(collected.map(_.size).sum == 500) // exhaustive
+        collected.combinations(2).foreach { case Seq(a, b) =>
+          assert(a.intersect(b).isEmpty) // pairwise disjoint
+        }
+      case _ => ()
+    }
+  }
+
+  test("quotaPerGroup == naive global rank for arbitrary data and salt counts") {
+    val rowsGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 100000L)))
+    forSamples(Gen.zip(rowsGen, Gen.choose(1, 16), Gen.choose(1, 7))) {
+      case (rows, salts, k) =>
+        val distinctRows = rows.distinct // orderCol must be unique per use
+        val df = distinctRows.map { case (g, o) => (s"g$g", o) }
+          .toDF("grp", "ord").distinct()
+        val got = Curation.quotaPerGroup(df, Seq("grp"), "ord", k, salts)
+          .as[(String, Long)].collect().toSet
+        val want = df.as[(String, Long)].collect()
+          .groupBy(_._1).values.flatMap(_.sortBy(_._2).take(k)).toSet
+        assert(got == want)
+    }
+  }
+
+  test("packSequences: every pack except a group's last starts under budget") {
+    val tokGen = Gen.listOfN(60, Gen.choose(1, 900))
+    forSamples(Gen.zip(tokGen, Gen.choose(100, 1000))) { case (toks, budget) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tok")
+      val packed = Curation.packSequences(df, "n_tok", "doc_id", budget)
+        .groupBy("pack_id")
+        .agg(sum("n_tok").cast("long").as("tot"), max("n_tok").as("mx"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // first pack starts at 0 (ids may skip when one doc spans several
+      // budget units — bins are indexed by budget offset, not ordinal)
+      assert(packed.head._1 == 0L)
+      // each pack's total minus its last-added overflow doc is < budget:
+      // equivalently total < budget + its largest doc
+      packed.foreach { case (_, tot, mx) => assert(tot < budget + mx) }
+      // no tokens lost
+      assert(packed.map(_._2).sum == toks.map(_.toLong).sum)
+    }
+  }
+}
