@@ -1016,7 +1016,16 @@ object Suite {
             sum(length(col("frame_bytes"))).cast("long").as("frame_bytes"))
           .orderBy("doc_id")
       },
-      None), // byte-slicing stub semantics aren't ANSI-expressible
+      // the frame stub slices bytes into max(1, n/4)-sized chunks and
+      // takes 4 — pure integer math on the UTF-8 byte length, so the
+      // whole mapPartitions plumbing is oracle-checkable
+      Some("""WITH x AS (SELECT doc_id, octet_length(encode(text)) AS n
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN n < 4 THEN n ELSE 4 END AS n_frames,
+             |  CAST(CASE WHEN n < 4 THEN n ELSE 4 * (n // 4) END AS BIGINT)
+             |    AS frame_bytes
+             |FROM x WHERE n > 0 ORDER BY doc_id""".stripMargin)),
 
     Q("m1_media_bytes",
       (s, d) => {
