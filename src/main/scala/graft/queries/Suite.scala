@@ -984,7 +984,9 @@ object Suite {
           .orderBy("id")
       },
       // recursive-CTE transitive closure over the exhaustive ≥0.8 pair
-      // set (l2 certifies the LSH candidates equal this set)
+      // set (l2 certifies the LSH candidates equal this set). edges is
+      // MATERIALIZED: otherwise DuckDB inlines the all-pairs join into
+      // every recursion round
       Some("""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
              |    string_split_regex(lower(trim(text)), '\s+'),
              |    x -> len(x) > 0) AS toks FROM documents),
@@ -993,11 +995,11 @@ object Suite {
              |    ELSE list_transform(range(1, len(toks) - 1),
              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
              |    AS g FROM t),
-             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
              |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
              |  UNION SELECT id_b, id_a FROM pairs),
              |reach AS (SELECT src AS id, src AS r FROM edges
              |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
