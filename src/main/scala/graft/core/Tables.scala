@@ -31,7 +31,18 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view (for spark.sql use). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view (for spark.sql use). Footer
+    * reads are driver-side and independent — run them concurrently
+    * (10 sequential schema inferences cost ~2 s; parallel, ~the max of
+    * one). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = all.map(n => Future {
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    })
+    Await.result(Future.sequence(fs), 5.minutes)
+    ()
+  }
 }

@@ -32,6 +32,21 @@ object Suite {
 
   private def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** Empty SCD2 dim with the (ver_key, user_id, event_type) shape used
+    * by the c5/h1 chain-rebuild queries. */
+  private def emptyScd2Dim(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("ver_key", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("effective_from", TimestampType),
+        StructField("effective_to", TimestampType),
+        StructField("is_current", IntegerType))))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ================= B. filters / predicates ======================
@@ -243,21 +258,7 @@ object Suite {
           col("event_type"))
         val spec = Dims.Scd2Spec("ver_key", "user_id", Seq("event_type"),
           col("user_id"), Seq(col("event_type")))
-        val emptyDim = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("ver_key",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("effective_from",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("effective_to",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("is_current",
-              org.apache.spark.sql.types.IntegerType))))
+        val emptyDim = emptyScd2Dim(s)
         val current = Dims.scd2Apply(emptyDim, bronze, spec)
           .filter(col("is_current") === 1)
           .select(col("user_id"), col("event_type").as("current_type"))
@@ -538,21 +539,7 @@ object Suite {
           .select(col("user_id"), col("ts").as("event_ts"), col("event_type"))
         val spec = Dims.Scd2Spec("ver_key", "user_id", Seq("event_type"),
           col("user_id"), Seq(col("event_type")))
-        val emptyDim = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("ver_key",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("effective_from",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("effective_to",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("is_current",
-              org.apache.spark.sql.types.IntegerType))))
+        val emptyDim = emptyScd2Dim(s)
         Dims.scd2Apply(emptyDim, bronze, spec)
           .select(col("user_id"), epochS(col("effective_from")).as("from_s"),
             col("event_type"), col("is_current"))
