@@ -145,6 +145,64 @@ object Dedup {
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
   }
 
+  /** Persistable LSH signature index: one row per document carrying its
+    * hashed gram set and band keys — `(id, __sh, __bands)`. Write it as
+    * a parquet table partitioned however the corpus is partitioned; a
+    * 100 TB continuous-dedupe pipeline computes this once per arriving
+    * slice and never re-tokenizes history. */
+  def buildIndex(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
+    val rows = k / nBands
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        hashedShingles(col(textCol), shingleN).as("__sh"))
+    val exploded = sh.select(col("__id"), col("__sh"),
+      explode(col("__sh")).as("__s"))
+    val aggs = first(col("__sh")).as("__sh") +: (0 until k).map(i =>
+      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
+    val sig = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until nBands).map(b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(i => col(s"__m$i"))): _*))
+    sig.select(col("__id"), col("__sh"), array(bandCols: _*).as("__bands"))
+  }
+
+  /** Incremental near-dup candidates: pairs involving at least one NEW
+    * document, verified with exact Jaccard — without re-banding or
+    * re-pairing the existing corpus against itself. `newIndex` and
+    * `oldIndex` are [[buildIndex]] outputs (old typically read back from
+    * its parquet home). Each new×old pair appears once; new×new pairs
+    * are ordered id_a < id_b. The band join probes old+new with only the
+    * new side exploded on the left — shuffle is O(|new| + collisions),
+    * not O(|corpus|²). */
+  def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame): DataFrame = {
+    // band join carries only (band, hash, id) — gram arrays rejoin by id
+    val newB = newIndex.select(col("__id"),
+        posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .withColumn("__new", lit(true))
+    val allB = oldIndex.select(col("__id"),
+        posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .withColumn("__new", lit(false))
+      .unionByName(newB)
+    val pairs = newB.as("l")
+      .join(allB.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
+          // old partner: always (one orientation exists); new partner:
+          // order ids so the pair is produced once
+          (!col("r.__new") || col("l.__id") < col("r.__id")))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))
+    pairs
+      .join(grams.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(grams.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
+  }
+
   /** Connected components over a similarity pair list (id_a, id_b):
     * iterative min-label propagation — each round every node adopts the
     * smallest label in its neighborhood (including its own), until

@@ -63,6 +63,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("incremental index dedupe == batch pairs involving new docs") {
+    import spark.implicits._
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 0/1
+      (11L, "an entirely novel document unlike anything else in the corpus"),
+      (12L, "an entirely novel document unlike anything else in the corpus too") // near-dup of 11
+    ).toDF("doc_id", "text")
+    val oldIdx = Dedup.buildIndex(docs, "text", "doc_id")
+    val newIdx = Dedup.buildIndex(newDocs, "text", "doc_id")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+    val inc = pairSet(Dedup.incrementalCandidates(newIdx, oldIdx))
+    val full = pairSet(Dedup.minhashCandidates(
+      docs.unionByName(newDocs), "text", "doc_id"))
+    val touchingNew = full.filter { case (a, b) => a >= 10L || b >= 10L }
+    assert(inc == touchingNew)
+    assert(inc.contains((0L, 10L)) && inc.contains((11L, 12L)))
+  }
+
   test("prefix-filtered similarity join matches blocked all-pairs exactly") {
     val t = 0.4
     val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", t, shingleN = 2)
