@@ -92,6 +92,46 @@ class BronzeStreamSpec extends SparkSpec {
       ("2026-01-08 01:05:00", 1L)))
   }
 
+  test("continuous near-dup detection finds cross-batch duplicates incrementally") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    import spark.implicits._
+
+    def run(): Unit = {
+      val docs = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+          col("f").getItem(1).as("text"))
+      val q = DedupStream.start(docs, "text", "doc_id",
+        s"$base/index", s"$base/pairs", s"$base/ckpt", threshold = 0.5,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.txt"),
+      Seq("1|the quick brown fox jumps over the lazy dog near the river",
+        "2|completely different content about distributed query engines")
+        .mkString("\n"))
+    run()
+    // second batch: near-dup of doc 1 + a self-contained dup pair
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b.txt"),
+      Seq("3|the quick brown fox jumps over the lazy dog near the creek",
+        "4|some fresh unique text body here",
+        "5|some fresh unique text body here")
+        .mkString("\n"))
+    run()
+
+    val pairs = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 1L)) || pairs.contains((1L, 3L))) // cross-batch
+    assert(pairs.contains((4L, 5L))) // within-batch
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L))) // non-dups silent
+    // index accumulated every batch exactly once
+    assert(spark.read.parquet(s"$base/index").count() == 5)
+  }
+
   test("streaming dedupe drops redelivered events inside the watermark") {
     val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
     val in = s"$base/in"
