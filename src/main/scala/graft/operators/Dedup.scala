@@ -77,21 +77,11 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** k-permutation MinHash signature as array<long> (k seeded xxhash64
-    * passes over the shingle set). */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
-
-  /** LSH band hashes: nBands groups of rowsPerBand signature slots. */
-  def bandHashes(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map(b =>
-      xxhash64(lit(b), concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-          _.cast("string"))))): _*)
-
   /** Candidate pairs (idA < idB) that share ≥1 LSH band, with their
-    * exact shingle-set Jaccard similarity.
+    * exact shingle-set Jaccard similarity: [[buildIndex]] + an all-pairs
+    * band self-join — the batch case of the same machinery
+    * [[incrementalCandidates]] uses per-slice (one code path, so
+    * incremental ≡ batch is structural, not coincidental).
     *
     * Scale shape: shingles EXPLODE to (id, shingle) rows and the k
     * signature slots are k `min` aggregates — partial aggregation
@@ -101,31 +91,12 @@ object Dedup {
     * shuffles only (band, id); shingle sets rejoin by id at the end. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
-    val rows = k / nBands
-    // repartition by id: parallelizes the CPU-heavy shingle/signature
-    // stage even when the source is a single parquet split, and the
-    // groupBy(__id) below reuses the partitioning (no extra shuffle)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // cache() is load-bearing twice over: (a) the shingle arrays feed
-    // three plan branches (signature, and both sides of the verify
-    // join) — uncached, Catalyst re-inlines the full shingle expression
-    // into each, and InferFiltersFromGenerate even pushes a copy into
-    // the single-split scan; (b) it materializes AFTER the repartition,
-    // so every downstream stage runs at full parallelism
-    val sh = df.repartition(par, col(idCol))
-      .select(col(idCol).as("__id"),
-        hashedShingles(col(textCol), shingleN).as("__sh"))
-      .cache()
-    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-    val minAggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
-    val sig = exploded.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until nBands).map(b =>
-      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
-        .map(i => col(s"__m$i"))): _*).as(s"__band$b"))
+    // cache() is load-bearing: the index feeds three plan branches (the
+    // band join and both sides of the verify join) — uncached, Catalyst
+    // re-inlines the whole shingle/signature expression tree into each
+    val idx = buildIndex(df, textCol, idCol, shingleN, k, nBands).cache()
     // both sides of the band self-join read this — materialize once
-    val banded = sig
-      .select(col("__id"), array(bandCols: _*).as("__bands"))
+    val banded = idx
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
       .cache()
     val pairs = banded.as("l")
@@ -134,11 +105,9 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    // |A ∪ B| = |A| + |B| − |A ∩ B| (arrays are distinct): one hash-set
-    // build per pair instead of two
     pairs
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .join(idx.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(idx.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
@@ -216,6 +185,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
+    var cachedRound: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -223,15 +193,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("__n"))
+      // change flag computed in the same pass — one cached job per
+      // round plus a cheap agg, instead of a second labels join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__n"), col("component")))
-            .as("component"))
+            .as("__next"),
+          (col("__n") < col("component")).as("__chg"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.agg(coalesce(
+        sum(when(col("__chg"), 1).otherwise(0)), lit(0L))).first().getLong(0)
+      cachedRound.foreach(_.unpersist())
+      cachedRound = Some(next)
+      labels = next.select(col("id"), col("__next").as("component"))
       i += 1
     }
     labels
