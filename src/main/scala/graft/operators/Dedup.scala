@@ -302,6 +302,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: for every (corpus doc, benchmark item)
+    * pair sharing n-grams, the containment score
+    * |grams(bench) ∩ grams(doc)| / |grams(bench)| — the asymmetric
+    * overlap that flags a benchmark item leaked into training data even
+    * when the doc is much longer (Jaccard would dilute it).
+    *
+    * Scale shape: benchmarks are small by nature → their gram index
+    * broadcasts; the corpus explodes to (gram, doc) once and counts
+    * matches map-side per (doc, bench). No document pair materializes
+    * and nothing shuffles but the per-pair hit counts. */
+  def containmentPairs(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val corpusGrams = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(hashedShingles(col(textCol), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(col(idCol).as("bench_id"),
+        hashedShingles(col(textCol), n).as("__bg"))
+      .select(col("bench_id"), size(col("__bg")).as("__bn"),
+        explode(col("__bg")).as("__g"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col("doc_id"), col("bench_id"), col("__bn"))
+      .agg(count(lit(1)).as("__hits"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("__hits").cast("double") / col("__bn")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams (two seeded 32-bit murmurs form

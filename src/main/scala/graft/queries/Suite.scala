@@ -994,6 +994,42 @@ object Suite {
              |SELECT id, min(r) AS component FROM reach
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    Q("l22_contamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // stand-in benchmark: prefixes of the first 20 docs — leaked
+        // items by construction, plus whatever else overlaps
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+        Dedup.containmentPairs(docs, bench, "text", "doc_id",
+            n = 3, minContainment = 0.5)
+          .select(col("doc_id"), col("bench_id"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |cg AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM tok),
+             |btok AS (SELECT doc_id AS bench_id, list_filter(
+             |    string_split_regex(lower(trim(substr(text, 1, 150))), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents WHERE doc_id < 20),
+             |bg AS (SELECT bench_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM btok)
+             |SELECT c.doc_id, b.bench_id,
+             |  round(len(list_intersect(b.g, c.g))::DOUBLE / len(b.g), 6)
+             |    AS containment
+             |FROM cg c CROSS JOIN bg b
+             |WHERE len(list_intersect(b.g, c.g))::DOUBLE / len(b.g) >= 0.5
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

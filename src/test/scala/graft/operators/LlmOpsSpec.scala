@@ -63,6 +63,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("containment flags a leaked benchmark item inside a longer doc") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // inside doc 0
+      (101L, "nothing like any corpus document at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, bench, "text", "doc_id",
+        n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0/1/2 all contain the benchmark sentence verbatim
+    assert(out.count { case (_, b, c) => b == 100L && c == 1.0 } >= 3)
+    assert(!out.exists(_._2 == 101L))
+  }
+
   test("incremental index dedupe == batch pairs involving new docs") {
     import spark.implicits._
     val newDocs = Seq(
