@@ -68,6 +68,22 @@ object Curation {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Weighted source mixing: keep each group at the given sampling rate
+    * (missing groups keep everything). The per-group cut is the same
+    * deterministic keyed hash as [[hashSample]], so a mix is stable
+    * under re-runs and incremental appends — re-weighting a 100 TB
+    * corpus is a metadata change plus one filter pass, no shuffle. */
+  def mixSources(df: DataFrame, groupCol: String, key: Column,
+      rates: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0))
+    val buckets = 1000000L
+    val h = pmod(xxhash64(lit(seed), key), lit(buckets))
+    val cut = rates.foldLeft(lit(buckets): Column) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit((r * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(h < cut)
+  }
+
   /** Token-length bucket index for sequence-length binning (packing
     * batches of similar length): bucket i ⇔ tokenCount < boundaries(i),
     * else boundaries.size. Boundaries must be ascending. */

@@ -32,6 +32,22 @@ class CurationSpec extends SparkSpec {
     assert(sizes.head > 700) // ~80%
   }
 
+  test("mixSources downweights named groups, keeps others, subsets hashSample") {
+    val out = Curation.mixSources(docs, "source", col("doc_id"),
+      Map("src0" -> 0.2, "src1" -> 0.0), seed = 7)
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src1"))                  // rate 0 -> dropped
+    assert(bySrc("src0") > 10 && bySrc("src0") < 70) // ~20% of 200
+    assert(bySrc("src2") == 200L)                    // unlisted -> kept
+    // same seed+key => the kept src0 rows are the hashSample(0.2) rows
+    val sampled = Curation.hashSample(docs.filter(col("source") === "src0"),
+      col("doc_id"), 0.2, seed = 7).select("doc_id").as[Long].collect().toSet
+    val mixed = out.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed == sampled)
+  }
+
   test("quotaPerGroup caps each group at k with the lowest order values") {
     val out = Curation.quotaPerGroup(docs, Seq("source"), "doc_id", k = 10,
       salts = 4)
