@@ -180,9 +180,11 @@ object Dedup {
     * converges in 2–4 rounds at any corpus size.
     * Returns (id, component) where component = min id in the cluster. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // no distinct: duplicate edges cannot change a min aggregate, and
+    // dropping the dedupe saves a full shuffle of the edge list
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .cache()
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
     var cachedRound: Option[DataFrame] = None
