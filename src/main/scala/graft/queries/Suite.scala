@@ -1030,6 +1030,34 @@ object Suite {
              |WHERE len(list_intersect(b.g, c.g))::DOUBLE / len(b.g) >= 0.5
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    Q("l23_char_entropy",
+      (s, d) => {
+        // Shannon entropy of the character distribution — low entropy
+        // flags repeated-char spam, high flags random gibberish. Exact
+        // distributed shape: explode to (doc, char) and aggregate; the
+        // shuffle carries counts, not text.
+        val docs = t(s, d, "documents")
+        val chars = docs.select(col("doc_id"),
+          explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+        val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val tot = freq.groupBy("doc_id").agg(sum("c").as("n"))
+        freq.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(-sum((col("c") / col("n")) *
+            log2(col("c") / col("n"))), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH chars AS (SELECT doc_id, unnest(string_split(text, ''))
+             |    AS ch FROM documents),
+             |freq AS (SELECT doc_id, ch, count(*) AS c FROM chars
+             |  WHERE ch <> '' GROUP BY doc_id, ch),
+             |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+             |SELECT f.doc_id, round(-sum((c / n) * log2(c / n)), 6)
+             |  AS entropy
+             |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")
