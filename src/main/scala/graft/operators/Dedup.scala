@@ -78,10 +78,11 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------
 
   /** Candidate pairs (idA < idB) that share ≥1 LSH band, with their
-    * exact shingle-set Jaccard similarity: [[buildIndex]] + an all-pairs
-    * band self-join — the batch case of the same machinery
-    * [[incrementalCandidates]] uses per-slice (one code path, so
-    * incremental ≡ batch is structural, not coincidental).
+    * exact shingle-set Jaccard similarity. Signatures are identical to
+    * [[buildIndex]]'s (same seeded hashing — asserted by the
+    * incremental ≡ batch spec), but the batch hot path keeps its own
+    * lean pipeline: one cached (id, grams) projection and a pure
+    * codegen HashAggregate for the k min slots.
     *
     * Scale shape: shingles EXPLODE to (id, shingle) rows and the k
     * signature slots are k `min` aggregates — partial aggregation
@@ -91,12 +92,31 @@ object Dedup {
     * shuffles only (band, id); shingle sets rejoin by id at the end. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
-    // cache() is load-bearing: the index feeds three plan branches (the
-    // band join and both sides of the verify join) — uncached, Catalyst
-    // re-inlines the whole shingle/signature expression tree into each
-    val idx = buildIndex(df, textCol, idCol, shingleN, k, nBands).cache()
+    val rows = k / nBands
+    // repartition by id: parallelizes the CPU-heavy shingle/signature
+    // stage even when the source is a single parquet split, and the
+    // groupBy(__id) below reuses the partitioning (no extra shuffle)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // cache() is load-bearing twice over: (a) the shingle arrays feed
+    // three plan branches (signature, and both sides of the verify
+    // join) — uncached, Catalyst re-inlines the full shingle expression
+    // into each, and InferFiltersFromGenerate even pushes a copy into
+    // the single-split scan; (b) it materializes AFTER the repartition,
+    // so every downstream stage runs at full parallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        hashedShingles(col(textCol), shingleN).as("__sh"))
+      .cache()
+    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
+    val sig = exploded.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until nBands).map(b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(i => col(s"__m$i"))): _*).as(s"__band$b"))
     // both sides of the band self-join read this — materialize once
-    val banded = idx
+    val banded = sig
+      .select(col("__id"), array(bandCols: _*).as("__bands"))
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
       .cache()
     val pairs = banded.as("l")
@@ -105,9 +125,10 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+    // arrays are distinct: |A ∪ B| = |A| + |B| − |A ∩ B|
     pairs
-      .join(idx.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(idx.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
@@ -126,15 +147,23 @@ object Dedup {
     val sh = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         hashedShingles(col(textCol), shingleN).as("__sh"))
-    val exploded = sh.select(col("__id"), col("__sh"),
-      explode(col("__sh")).as("__s"))
-    val aggs = first(col("__sh")).as("__sh") +: (0 until k).map(i =>
+    // exploded rows carry ONLY (id, gram), and the signature groupBy is
+    // pure min aggregates — fully codegen'd HashAggregate with map-side
+    // combine. Carrying the gram array through the explode replicates
+    // it per gram (O(|grams|²) shuffle bytes per doc); folding it back
+    // with collect_list demotes the whole aggregate to the non-codegen
+    // object path (both measured ~3× on the LSH pipeline). Instead the
+    // gram arrays rejoin by id: both sides share the repartition-by-id
+    // clustering, so the join adds no shuffle, only a second (cheap)
+    // shingle evaluation when the plan isn't cached.
+    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
-    val sig = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    val sig = exploded.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until nBands).map(b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
         .map(i => col(s"__m$i"))): _*))
-    sig.select(col("__id"), col("__sh"), array(bandCols: _*).as("__bands"))
+    sh.join(sig.select(col("__id"), array(bandCols: _*).as("__bands")), "__id")
   }
 
   /** Incremental near-dup candidates: pairs involving at least one NEW
