@@ -56,15 +56,24 @@ object Similarity {
   /** Deterministic centroid seeding: every strideth corpus vector (by
     * id order) is a centroid — reproducible without an RNG and "spread"
     * as well as a random sample for synthetic/shuffled data. A k-means
-    * refinement can replace this without changing the query path. */
+    * refinement can replace this without changing the query path.
+    *
+    * Fully deterministic end-to-end (ordered take + dense row_number
+    * ids, not partition-dependent monotonically_increasing_id): the
+    * same corpus always yields the same index, so results are
+    * reproducible across runs/cluster layouts and oracle-checkable.
+    * The single-partition window is fine — it only ever sees ≤ nlist
+    * rows (centroid sets are small by construction). */
   def seedCentroids(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
     corpus
       .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
       .limit(nlist)
-      .select(monotonically_increasing_id().as("centroid_id"),
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("centroid_id"),
         col(vecCol).as("__centroid"))
   }
 
