@@ -90,8 +90,21 @@ object Dedup {
     * expression tree (the naive array-of-transforms formulation blows
     * up codegen and recomputes the signature per band). The pair join
     * shuffles only (band, id); shingle sets rejoin by id at the end. */
+  /** Hot-band hardening shared by the batch and incremental pair
+    * generators: a band bucket larger than `maxBandBucket` would make
+    * the self-join O(bucket²) inside one task — the classic LSH-dedupe
+    * failure on a mega-duplicate cluster (identical docs share ALL
+    * bands, so every one of their buckets is hot). Over-cap buckets
+    * switch from all-pairs to STAR edges (bucket-min ↔ member): O(bucket)
+    * pairs that keep the cluster connected for [[components]]/
+    * [[minhashLsh]], at the cost of pair-completeness *within* the hot
+    * bucket (two docs similar to each other but not to the bucket min
+    * lose their direct edge — for dedupe semantics the component is
+    * what matters). Hot buckets are rare by construction, so the hot
+    * list broadcasts and the cold path's plan is unchanged. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
+      shingleN: Int = 3, k: Int = 64, nBands: Int = 16,
+      maxBandBucket: Int = 1024): DataFrame = {
     val rows = k / nBands
     // repartition by id: parallelizes the CPU-heavy shingle/signature
     // stage even when the source is a single parquet split, and the
@@ -119,12 +132,26 @@ object Dedup {
       .select(col("__id"), array(bandCols: _*).as("__bands"))
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
       .cache()
-    val pairs = banded.as("l")
-      .join(banded.as("r"),
+    // bucket census: count + min id per (band, hash) — a cheap codegen
+    // aggregate with map-side combine over rows that are already (id,
+    // band, hash). The hot set is tiny (it takes a >maxBandBucket
+    // duplicate cluster to create one entry), so both uses broadcast.
+    val hot = banded.groupBy(col("__b"), col("__bh"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+      .filter(col("__n") > maxBandBucket)
+      .select(col("__b"), col("__bh"), col("__min"))
+    val cold = banded.join(broadcast(hot.select(col("__b"), col("__bh"))),
+      Seq("__b", "__bh"), "left_anti")
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
+    // star edges: __min ≤ every member id, so id_a < id_b holds
+    val starPairs = banded.join(broadcast(hot), Seq("__b", "__bh"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    val pairs = coldPairs.unionByName(starPairs).distinct()
     // arrays are distinct: |A ∪ B| = |A| + |B| − |A ∩ B|
     pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
@@ -170,11 +197,11 @@ object Dedup {
     * document, verified with exact Jaccard — without re-banding or
     * re-pairing the existing corpus against itself. `newIndex` and
     * `oldIndex` are [[buildIndex]] outputs (old typically read back from
-    * its parquet home). Each new×old pair appears once; new×new pairs
-    * are ordered id_a < id_b. The band join probes old+new with only the
-    * new side exploded on the left — shuffle is O(|new| + collisions),
-    * not O(|corpus|²). */
-  def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame): DataFrame = {
+    * its parquet home). Every pair appears once, ordered id_a < id_b.
+    * The band join probes old+new with only the new side exploded on
+    * the left — shuffle is O(|new| + collisions), not O(|corpus|²). */
+  def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame,
+      maxBandBucket: Int = 1024): DataFrame = {
     // band join carries only (band, hash, id) — gram arrays rejoin by id
     val newB = newIndex.select(col("__id"),
         posexplode(col("__bands")).as(Seq("__b", "__bh")))
@@ -183,15 +210,41 @@ object Dedup {
         posexplode(col("__bands")).as(Seq("__b", "__bh")))
       .withColumn("__new", lit(false))
       .unionByName(newB)
-    val pairs = newB.as("l")
-      .join(allB.as("r"),
+    // (no cache here: this runs per micro-batch from DedupStream, where
+    // cached plans would accumulate; the re-read is a cheap posexplode)
+    // hot buckets switch to star edges, same scheme as
+    // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
+    // contract: emit (min, m) only when m or the bucket min is new —
+    // old↔old edges were produced by the batches that introduced them.
+    val hot = allB.groupBy(col("__b"), col("__bh"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
+        min_by(col("__new"), col("__id")).as("__minNew"))
+      .filter(col("__n") > maxBandBucket)
+      .select(col("__b"), col("__bh"), col("__min"), col("__minNew"))
+    val hotKeys = hot.select(col("__b"), col("__bh"))
+    val coldNew = newB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+    val coldAll = allB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+    val coldPairs = coldNew.as("l")
+      .join(coldAll.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
+          // a re-delivered id sits in BOTH indexes: never pair it with
+          // itself (the old-partner branch would otherwise emit (X, X))
+          col("l.__id") =!= col("r.__id") &&
           // old partner: always (one orientation exists); new partner:
           // order ids so the pair is produced once
           (!col("r.__new") || col("l.__id") < col("r.__id")))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
+      // normalize to id_a < id_b so the union with star pairs (already
+      // min-first) dedupes orientations in one distinct
+      .select(least(col("l.__id"), col("r.__id")).as("id_a"),
+        greatest(col("l.__id"), col("r.__id")).as("id_b"))
+    val starPairs = allB.join(broadcast(hot), Seq("__b", "__bh"))
+      .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    val pairs = coldPairs.unionByName(starPairs).distinct()
+    // a re-delivered id would otherwise join twice per side and
+    // multiply verify rows — one gram row per id
     val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))
+      .dropDuplicates("__id")
     pairs
       .join(grams.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(grams.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -367,26 +420,12 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams (two seeded 32-bit murmurs form
-    * the 64 bits; plain JVM hashing, one pass per row). */
-  private val simhash64 = udf((toks: Seq[String]) => {
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-    out
-  })
-
-  def simhash(text: Column): Column = simhash64(tokens(text))
+    * the 64 bits; native codegen expression — [[graft.functions.SimHash64]] —
+    * so the signature stage stays inside whole-stage codegen). */
+  def simhash(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.SimHash64(expression(tokens(text))))
+  }
 
   /** Candidate pairs with Hamming distance ≤ maxDistance. Blocking on
     * the 4 16-bit blocks guarantees completeness for maxDistance ≤ 3

@@ -139,26 +139,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bit signature (cosine-preserving) packed into
-    * a long; deterministic seeded planes. Bucket-join docs sharing a
+    * a long; deterministic seeded planes (native codegen expression —
+    * [[graft.functions.HyperplaneSig]]). Bucket-join docs sharing a
     * signature prefix for cheap candidate generation. */
   def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 42L): Column => Column = {
     require(bits <= 63)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val sigUdf = udf((v: Seq[Float]) => {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        val p = planes(b)
-        var i = 0
-        val n = math.min(dim, v.length)
-        while (i < n) { s += p(i) * v(i); i += 1 }
-        if (s >= 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    })
-    (vec: Column) => sigUdf(vec)
+    (vec: Column) =>
+      column(graft.functions.HyperplaneSig(expression(vec), dim, bits, seed))
   }
 }

@@ -38,6 +38,50 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(out.getInt(0) == 2)
   }
 
+  test("simhash64 generated code compiles and matches the scalar kernel") {
+    val arrT = ArrayType(StringType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(SimHash64(BoundReference(0, arrT, nullable = true))))
+    val toks = Array("the", "quick", "brown", "fox")
+    val out = proj(InternalRow(ArrayData.toArrayData(
+      toks.map(UTF8String.fromString))))
+    // byte-identical to the historical UDF formulation
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      (0 until 64).foreach(i =>
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1)
+    }
+    var expect = 0L
+    (0 until 64).foreach(i => if (acc(i) > 0) expect |= (1L << i))
+    assert(out.getLong(0) == expect)
+    // empty token array -> all acc 0 -> signature 0
+    assert(proj(InternalRow(ArrayData.toArrayData(
+      Array.empty[UTF8String]))).getLong(0) == 0L)
+  }
+
+  test("hyperplane_sig generated code compiles and matches the scalar kernel") {
+    val arrT = ArrayType(FloatType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(HyperplaneSig(BoundReference(0, arrT, nullable = true),
+        dim = 4, bits = 16, seed = 42L)))
+    val v = Array(0.5f, -1.25f, 2.0f, 0.75f)
+    val out = proj(InternalRow(ArrayData.toArrayData(v)))
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(16, 4)(rnd.nextGaussian())
+    var expect = 0L
+    (0 until 16).foreach { b =>
+      val s = (0 until 4).map(i => planes(b)(i) * v(i)).sum
+      if (s >= 0) expect |= (1L << b)
+    }
+    assert(out.getLong(0) == expect)
+    // identical vectors share a signature regardless of scale (cosine-preserving)
+    val out2 = proj(InternalRow(ArrayData.toArrayData(v.map(_ * 3.0f))))
+    assert(out2.getLong(0) == out.getLong(0))
+  }
+
   test("vec_dot / vec_cosine generated code compiles and evaluates") {
     val arrT = ArrayType(FloatType, containsNull = false)
     val a = BoundReference(0, arrT, nullable = true)

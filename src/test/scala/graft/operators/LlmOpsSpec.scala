@@ -101,6 +101,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(inc.contains((0L, 10L)) && inc.contains((11L, 12L)))
   }
 
+  test("hot LSH bands cap to star edges; mega-duplicate cluster still dedupes") {
+    import spark.implicits._
+    // pathological corpus: one 60-doc exact-duplicate cluster (every
+    // band bucket is hot) + distinct docs + a small near-dup pair that
+    // must keep its direct (all-pairs) edge on the cold path
+    val mega = (0L until 60L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val rest = Seq(
+      (100L, "an entirely novel document unlike anything else in the corpus"),
+      (101L, "an entirely novel document unlike anything else in the corpus too"),
+      (102L, "completely different content about databases and query engines"))
+    val corpus = (mega ++ rest).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(corpus, "text", "doc_id",
+        maxBandBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val megaPairs = pairs.filter { case (a, b, _) => a < 60L && b < 60L }
+    // star, not all-pairs: 59 edges from doc 0, not C(60,2) = 1770
+    assert(megaPairs.length == 59)
+    assert(megaPairs.forall { case (a, b, j) => a == 0L && b > 0L && j == 1.0 })
+    // cold path unaffected: the small near-dup pair keeps its edge
+    assert(pairs.exists { case (a, b, j) => a == 100L && b == 101L && j >= 0.5 })
+    // end-to-end: one survivor from the cluster, near-dup collapsed
+    val kept = Dedup.minhashLsh(corpus, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L, 102L))
+    // uncapped (default 1024) behavior is unchanged on the same corpus
+    val full = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .filter(col("jaccard") >= 0.999).count()
+    assert(full == 1770L)
+  }
+
+  test("incremental hot buckets honor the ≥1-new-doc contract") {
+    import spark.implicits._
+    val dupText = "the quick brown fox jumps over the lazy dog near the river bank"
+    val oldDocs = (0L until 30L).map(i => (i, dupText)).toDF("doc_id", "text")
+    val newDocs = ((30L until 60L).map(i => (i, dupText)) ++
+      Seq((200L, "an entirely novel document unlike anything else here")))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalCandidates(
+        Dedup.buildIndex(newDocs, "text", "doc_id"),
+        Dedup.buildIndex(oldDocs, "text", "doc_id"),
+        maxBandBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star edges: bucket min (old doc 0) links every NEW member; no
+    // old↔old re-emission, nothing quadratic
+    assert(inc.toSet == (30L until 60L).map(i => (0L, i)).toSet)
+    // re-delivered id (in both indexes) never pairs with itself
+    val redelivered = Dedup.incrementalCandidates(
+      Dedup.buildIndex(newDocs, "text", "doc_id"),
+      Dedup.buildIndex(newDocs, "text", "doc_id"))
+    assert(redelivered.filter(col("id_a") === col("id_b")).count() == 0)
+  }
+
   test("prefix-filtered similarity join matches blocked all-pairs exactly") {
     val t = 0.4
     val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", t, shingleN = 2)
