@@ -76,7 +76,17 @@ object AsOfJoin {
     * nearest right payload through with last_value(ignoreNulls) over a
     * struct (struct packing keeps one version's attributes together
     * even when some attribute is genuinely null). "forward" is the same
-    * carry over the reversed sort. */
+    * carry over the reversed sort.
+    *
+    * `nullKeysMatch = false` short-circuits null join keys around the
+    * window: every left row whose key tuple contains a null would land
+    * in ONE window partition (nulls group together) — at 100 TB that
+    * single task absorbs all unkeyed facts, and when the right side has
+    * no null-keyed rows (dims by construction) those facts can only
+    * resolve to null anyway. The bypass filters them out before the
+    * shuffle and unions them back with a null payload; null-keyed right
+    * rows are dropped (nothing left can match them). The default keeps
+    * the null-safe (`<=>`-style) matching semantics. */
   def merge(
       left: DataFrame,
       right: DataFrame,
@@ -84,21 +94,29 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       direction: String = "backward",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      nullKeysMatch: Boolean = true): DataFrame = {
     checkDirection(direction)
     val payload = right.columns.filterNot(c => keys.contains(c)).toSeq
       .filterNot(_ == rightTs)
+    val (leftIn, leftBypass, rightIn) =
+      if (nullKeysMatch) (left, None, right)
+      else {
+        val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+        (left.filter(!anyNull), Some(left.filter(anyNull)),
+          right.filter(keys.map(col(_).isNotNull).reduce(_ && _)))
+      }
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right (sorts first on tie), 1 = left
     val pack = "__asof_pack"
 
-    val rightTagged = right.select(
+    val rightTagged = rightIn.select(
       (keys.map(col) :+
         col(rightTs).as(ts) :+
         lit(0).as(side) :+
         struct((col(rightTs).as(rightTs) +: payload.map(col)).toIndexedSeq: _*).as(pack)) ++
         left.columns.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val leftTagged = left.select(
+    val leftTagged = leftIn.select(
       (keys.map(col) :+
         col(leftTs).cast(right.schema(rightTs).dataType).as(ts) :+
         lit(1).as(side) :+
@@ -125,6 +143,16 @@ object AsOfJoin {
       case c => col(c)
     }.toSeq ++ payload.map(c => col(pack)(c).as(c)) :+
       col(pack)(rightTs).as(rightTs)
-    carried.select(cols.toIndexedSeq: _*)
+    val resolved = carried.select(cols.toIndexedSeq: _*)
+    leftBypass.fold(resolved) { nulls =>
+      val nullCols = left.columns.map {
+        case c if c == leftTs =>
+          col(c).cast(right.schema(rightTs).dataType).as(c)
+        case c => col(c)
+      }.toSeq ++ payload.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast(right.schema(rightTs).dataType).as(rightTs)
+      resolved.unionByName(nulls.select(nullCols.toIndexedSeq: _*))
+    }
   }
 }

@@ -228,9 +228,14 @@ object Dims {
       col(spec.naturalKey).as("__asof_key"),
       col("effective_from"),
       col(spec.surrogate))
+    // nullKeysMatch=false: dims never carry null natural keys, so facts
+    // whose key expression coalesces to null can only resolve to null —
+    // they bypass the window shuffle instead of all landing in the one
+    // null partition (the classic unkeyed-fact skew at scale)
     AsOfJoin.merge(
       facts.withColumn("__asof_key", factKey),
-      versions, Seq("__asof_key"), tsCol, "effective_from")
+      versions, Seq("__asof_key"), tsCol, "effective_from",
+      nullKeysMatch = false)
       .drop("__asof_key", "effective_from")
   }
 

@@ -67,20 +67,57 @@ class GoldContext(
     n
   }
 
-  /** Full rewrite of a (small) dim table: write temp, swap directories.
-    * The SCD2 "ALTER TABLE UPDATE" close-step
+  /** Full rewrite of a dim table: write temp, compact to size-based
+    * file count, two-step swap. The SCD2 "ALTER TABLE UPDATE" close-step
     * (dim_agent_scd2.sql:1-25) becomes a rewrite because parquet has no
-    * in-place mutation; the swap keeps readers from seeing a half table. */
+    * in-place mutation.
+    *
+    * Swap order matters for concurrent readers: rename live → `.bak`,
+    * rename tmp → live, delete `.bak`. The table is missing only
+    * between two metadata-speed renames — never for the duration of a
+    * recursive delete (the old delete-then-rename gap). A crash between
+    * the renames leaves `.bak`, which the next rewrite restores before
+    * proceeding, so the table always reappears.
+    *
+    * File count is sized from actual bytes (targeting 128 MB files),
+    * not hardcoded to 1: dims here are broadcast-sized today, but a dim
+    * that grows keeps scan parallelism instead of bottlenecking on one
+    * file. Compaction reads the temp parquet back — one cheap IO pass —
+    * rather than re-evaluating the (SCD2 chain) plan for a count. */
   def rewriteDim(table: String, df: DataFrame): Long = {
-    val target = new org.apache.hadoop.fs.Path(path(table))
-    val tmp = new org.apache.hadoop.fs.Path(path(table) + "__tmp")
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path(table))
+    val raw = new Path(path(table) + "__tmpraw")
+    val tmp = new Path(path(table) + "__tmp")
+    val bak = new Path(path(table) + "__bak")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // single file: dims are broadcast-sized; also guarantees an empty dim
-    // still writes one (schema-bearing) parquet file
-    df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // recover a crash that happened between the two renames below
+    if (!fs.exists(target) && fs.exists(bak)) fs.rename(bak, target)
+    if (fs.exists(bak)) fs.delete(bak, true)
+
+    df.write.mode(SaveMode.Overwrite).parquet(raw.toString)
+    val hasData = fs.listStatus(raw)
+      .exists(s => s.getLen > 0 && s.getPath.getName.endsWith(".parquet"))
+    if (hasData) {
+      val bytes = fs.getContentSummary(raw).getLength
+      val targetFileBytes = 128L << 20
+      val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      spark.read.parquet(raw.toString).repartition(files)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    } else {
+      // empty result: still write one schema-bearing parquet file so the
+      // table stays readable
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    fs.delete(raw, true)
     val n = spark.read.parquet(tmp.toString).count()
-    if (fs.exists(target)) fs.delete(target, true)
+
+    val hadTable = fs.exists(target)
+    if (hadTable) fs.rename(target, bak)
     fs.rename(tmp, target)
+    if (hadTable) fs.delete(bak, true)
     n
   }
 

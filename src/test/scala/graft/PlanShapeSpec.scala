@@ -40,6 +40,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("asof merge null bypass splits around the window shuffle") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val errs = ev.select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("v"))
+    val plan = planOf(operators.AsOfJoin.merge(errs, signups,
+      Seq("user_id"), "ts", "vts", nullKeysMatch = false))
+    // null-keyed facts union back around the window; the shuffled
+    // branch only ever sees non-null keys (no mega null partition)
+    assert(plan.contains("Union"))
+    assert(plan.toLowerCase.contains("isnotnull(user_id"))
+  }
+
   test("whole-stage codegen covers the aggregation path") {
     val q = queries.Suite.queries("b1_window_filter")(spark, sf)
     q.collect() // AQE finalizes per-stage plans (incl. codegen) on execution

@@ -80,6 +80,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(mg.toSeq == expectedTol)
   }
 
+  test("null keys: default matches null-key versions; bypass resolves to null") {
+    import spark.implicits._
+    val factsN = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 12:00:00"), 1),
+      ("a", ts("2024-01-01 12:00:00"), 2)
+    ).toDF("k", "event_ts", "f")
+    val versionsN = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 00:00:00"), "null-v1"),
+      ("a", ts("2024-01-01 00:00:00"), "a-v1")
+    ).toDF("k", "effective_from", "attr")
+    // default: null-safe matching (nulls group together in the window)
+    val matched = AsOfJoin.merge(factsN, versionsN, Seq("k"),
+        "event_ts", "effective_from")
+      .orderBy("f").collect().map(_.getAs[String]("attr"))
+    assert(matched.toSeq == Seq("null-v1", "a-v1"))
+    // bypass: the null-keyed fact routes around the window, keeps its
+    // row, resolves to null; keyed facts are untouched
+    val bypassed = AsOfJoin.merge(factsN, versionsN, Seq("k"),
+        "event_ts", "effective_from", nullKeysMatch = false)
+      .orderBy("f").collect()
+    assert(bypassed.length == 2)
+    assert(bypassed.map(_.getAs[String]("attr")).toSeq == Seq(null, "a-v1"))
+    assert(bypassed(0).getAs[java.sql.Timestamp]("event_ts") != null)
+  }
+
   test("merge carries whole version structs (no attribute mixing across versions)") {
     import spark.implicits._
     // v2 has a null attr2: a fact after v2 must see (x2, null), never (x2, y1)

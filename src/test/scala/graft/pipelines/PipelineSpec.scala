@@ -73,6 +73,37 @@ class PipelineRunSpec extends SparkSpec {
     assert(spark.read.parquet(ctx.path("_run_ledger")).count() == 32)
   }
 
+  test("rewriteDim: two-step swap, debris-free, crash-recoverable, sized files") {
+    import spark.implicits._
+    val ctx = freshCtx()
+    val fs = new org.apache.hadoop.fs.Path(ctx.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(ctx.path(s))
+
+    assert(ctx.rewriteDim("dim_x", Seq((1L, "a"), (2L, "b")).toDF("k", "v")) == 2)
+    assert(ctx.rewriteDim("dim_x", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")) == 3)
+    assert(spark.read.parquet(ctx.path("dim_x")).count() == 3)
+    // no swap debris and a small dim compacts to exactly one data file
+    assert(!fs.exists(p("dim_x__tmp")) && !fs.exists(p("dim_x__bak"))
+      && !fs.exists(p("dim_x__tmpraw")))
+    assert(fs.listStatus(p("dim_x")).count(
+      _.getPath.getName.endsWith(".parquet")) == 1)
+
+    // crash between the two renames: live was moved to .bak, new never
+    // landed — the next rewrite must restore and proceed
+    fs.rename(p("dim_x"), p("dim_x__bak"))
+    assert(!fs.exists(p("dim_x")))
+    assert(ctx.rewriteDim("dim_x", Seq((9L, "z")).toDF("k", "v")) == 1)
+    assert(spark.read.parquet(ctx.path("dim_x")).select("v")
+      .collect().map(_.getString(0)).toSeq == Seq("z"))
+    assert(!fs.exists(p("dim_x__bak")))
+
+    // empty rewrite keeps a readable schema-bearing table
+    assert(ctx.rewriteDim("dim_x", Seq.empty[(Long, String)].toDF("k", "v")) == 0)
+    assert(spark.read.parquet(ctx.path("dim_x")).columns.toSeq == Seq("k", "v"))
+  }
+
   test("SCD2 change sequence: close old version, open new, asof resolves both") {
     val ctx = freshCtx()
     // window 1: agentA @ ip .1 ; window 2: agentA moved to ip .9
