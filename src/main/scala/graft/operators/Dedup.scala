@@ -254,45 +254,79 @@ object Dedup {
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
   }
 
-  /** Connected components over a similarity pair list (id_a, id_b):
-    * iterative min-label propagation — each round every node adopts the
-    * smallest label in its neighborhood (including its own), until
-    * fixpoint. Rounds are O(diameter) ≤ maxIter, each a single
-    * shuffle-by-node; near-dup clusters have tiny diameters, so this
-    * converges in 2–4 rounds at any corpus size.
+  /** Connected components over a similarity pair list (id_a, id_b) via
+    * large-star / small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round
+    * re-points edges at neighborhood minima, collapsing trees toward
+    * stars rooted at the component min. Converges in O(log n) rounds
+    * even on deep chains — unlike min-label propagation's O(diameter) —
+    * so a pathological long-path graph can't turn into thousands of
+    * shuffle rounds. Every round `localCheckpoint`s the edge set:
+    * lineage is truncated, so round k's plan doesn't embed rounds
+    * 1..k-1 (Catalyst re-planning otherwise grows superlinearly with
+    * iteration count; stale checkpoint blocks are reclaimed by the
+    * ContextCleaner as the loop drops references).
     * Returns (id, component) where component = min id in the cluster. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // no distinct: duplicate edges cannot change a min aggregate, and
-    // dropping the dedupe saves a full shuffle of the edge list
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("component", col("id"))
-    var cachedRound: Option[DataFrame] = None
-    var changed = 1L
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // canonical directed edges u > v; self-loops contribute membership
+    // (via `nodes`) but no connectivity
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every neighbor x > u re-points at m(u) = min(Γ(u) ∪ u).
+    // Output stays canonical: x > u ≥ m(u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("__m"))
+      sym.join(minN, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .distinct()
+    }
+
+    // small-star: smaller neighbors (and u itself) re-point at the min
+    // of u's smaller neighborhood. Canonical in, canonical out.
+    def smallStar(e: DataFrame): DataFrame = {
+      val minN = e.groupBy("u").agg(min(col("v")).as("__m"))
+      val redirected = e.join(minN, "u")
+        .filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      redirected.union(minN.select(col("u"), col("__m").as("v"))).distinct()
+    }
+
+    // fixpoint when the canonical edge set stops changing; (count,
+    // hash-xor) is an order-free, overflow-free set signature computed
+    // in one tiny agg (ANSI mode forbids a wrapping sum)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("__n"))
-      // change flag computed in the same pass — one cached job per
-      // round plus a cheap agg, instead of a second labels join
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__n"), col("component")))
-            .as("__next"),
-          (col("__n") < col("component")).as("__chg"))
-        .cache()
-      changed = next.agg(coalesce(
-        sum(when(col("__chg"), 1).otherwise(0)), lit(0L))).first().getLong(0)
-      cachedRound.foreach(_.unpersist())
-      cachedRound = Some(next)
-      labels = next.select(col("id"), col("__next").as("component"))
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
       i += 1
     }
-    labels
+    // at fixpoint every non-root carries exactly one edge to its root;
+    // min() is a cheap belt-and-braces if maxIter cut the loop short
+    nodes.join(
+        edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
   /** Near-dup dedupe: one survivor (min id) per connected component of

@@ -50,6 +50,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(comp(7L) == 7L && comp(9L) == 7L)
   }
 
+  test("components: deep chain converges in O(log) star rounds") {
+    import spark.implicits._
+    // a 300-node path has diameter 299 — label propagation at maxIter
+    // 20 could never close it; star alternation must
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 300)
+    assert(comp.forall(_._2 == 0L))
+  }
+
+  test("components: random graph matches union-find; self-pairs keep membership") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+    val got = Dedup.components(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find reference, component = min id of the set
+    val parent = Array.tabulate(150)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    assert(got == want)
+    // an id appearing only as a self-pair is still a (singleton) member
+    val solo = Dedup.components(Seq((42L, 42L)).toDF("id_a", "id_b")).collect()
+    assert(solo.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 42L)))
+  }
+
   test("simhash pairs: identical texts at distance 0, near-dups close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
