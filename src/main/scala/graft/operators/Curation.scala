@@ -58,8 +58,16 @@ object Curation {
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       k: Int, salts: Int = 8): DataFrame = {
     val gcols = groupCols.map(col)
+    // salt must be per-row-unique, not a function of orderCol alone: a
+    // low-cardinality ordering (coarse quality score) would hash every
+    // tied row to ONE salt and resurrect the single-partition skew this
+    // two-phase pass exists to avoid. The partition-local id makes salt
+    // assignment row-unique; the final result never depends on which
+    // salt a row landed in (phase 2 re-ranks), so nondeterministic ids
+    // are safe here.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(orderCol)), lit(salts.toLong)))
+      pmod(xxhash64(col(orderCol), monotonically_increasing_id()),
+        lit(salts.toLong)))
     val w1 = Window.partitionBy(gcols :+ col("__salt"): _*).orderBy(col(orderCol))
     val pre = salted.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k).drop("__rn", "__salt")

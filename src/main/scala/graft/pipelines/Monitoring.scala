@@ -15,16 +15,31 @@ import org.apache.spark.sql.types.StructType
   */
 object Monitoring {
 
+  /** Per-pipeline operational thresholds — the Spark counterpart of the
+    * reference's control.pipeline_configs columns
+    * (06_dynamic_dag_metadata.sql:36-37: freshness_threshold_minutes
+    * DEFAULT 2, sla_minutes DEFAULT 10) plus the volume-anomaly
+    * baseline knobs its volume_metrics table implies. */
+  case class SlaConfig(
+      pipelineId: String,
+      table: String,
+      freshnessThresholdMinutes: Double = 2.0,
+      slaMinutes: Double = 10.0,
+      baselineDays: Int = 7,
+      volumeDeviation: Double = 0.5)
+
   /** Minutes since the newest event_ts in a table; None if absent/empty.
     * Compare against the reference's freshness thresholds (default 2 min,
-    * seeded 120–720 min). */
-  def freshnessMinutes(ctx: GoldContext, table: String): Option[Double] = {
+    * seeded 120–720 min). `asOfMillis` pins "now" for deterministic
+    * checks/tests. */
+  def freshnessMinutes(ctx: GoldContext, table: String,
+      asOfMillis: Long = System.currentTimeMillis()): Option[Double] = {
     if (!ctx.exists(table)) return None
     val df = ctx.spark.read.parquet(ctx.path(table))
     if (!df.columns.contains("event_ts")) return None
     val row = df.agg(max("event_ts")).collect().head
     Option(row.getTimestamp(0)).map(ts =>
-      (System.currentTimeMillis() - ts.getTime) / 60000.0)
+      (asOfMillis - ts.getTime) / 60000.0)
   }
 
   /** Row volume per event_date partition — feed for volume-anomaly
@@ -61,4 +76,118 @@ object Monitoring {
     rows.write.mode(SaveMode.Append).parquet(ctx.path("_monitoring"))
     rows
   }
+
+  /** One alert row: mirrors monitoring.alerts
+    * (04_monitoring_tables.sql: pipeline_id, alert_type, severity,
+    * message). */
+  case class Alert(pipelineId: String, alertType: String,
+      severity: String, message: String)
+
+  /** Latest-partition volume vs the mean of the preceding
+    * `baselineDays` partitions (volume_metrics semantics:
+    * event_count, baseline_count, status). Status `ok` when no
+    * baseline exists yet or the count is inside the deviation band. */
+  def volumeStatus(ctx: GoldContext, cfg: SlaConfig): Option[(Long, Option[Long], String)] = {
+    if (!ctx.exists(cfg.table)) return None
+    val df = ctx.spark.read.parquet(ctx.path(cfg.table))
+    if (!df.columns.contains(graft.core.PartitionedWriter.DateCol)) return None
+    val daily = dailyVolume(ctx, cfg.table).collect()
+    if (daily.isEmpty) return None
+    val latest = daily.last.getLong(1)
+    val baseline = daily.dropRight(1).takeRight(cfg.baselineDays)
+    if (baseline.isEmpty) return Some((latest, None, "ok"))
+    val mean = baseline.map(_.getLong(1)).sum.toDouble / baseline.length
+    val status =
+      if (latest < mean * (1 - cfg.volumeDeviation)) "low"
+      else if (latest > mean * (1 + cfg.volumeDeviation)) "high"
+      else "ok"
+    Some((latest, Some(math.round(mean)), status))
+  }
+
+  /** Evaluate freshness / run-duration SLA / volume-anomaly / schema
+    * drift per pipeline config, emit alert rows. Severity: `critical`
+    * past 2× the threshold, else `warning` (the reference's alerts
+    * table declares severity but seeds no policy; 2× is ours,
+    * documented here). Pure driver-side control plane: each check is
+    * one tiny agg per table. */
+  def checkSla(ctx: GoldContext, configs: Seq[SlaConfig],
+      expected: Map[String, StructType] = Map.empty,
+      asOfMillis: Long = System.currentTimeMillis()): Seq[Alert] = {
+    val ledger =
+      if (ctx.exists("_run_ledger"))
+        Some(ctx.spark.read.parquet(ctx.path("_run_ledger")))
+      else None
+    configs.flatMap { cfg =>
+      val fresh = freshnessMinutes(ctx, cfg.table, asOfMillis).toSeq.collect {
+        case m if m > cfg.freshnessThresholdMinutes =>
+          val sev = if (m > 2 * cfg.freshnessThresholdMinutes) "critical"
+            else "warning"
+          Alert(cfg.pipelineId, "freshness", sev,
+            f"${cfg.table} is $m%.1f min stale (threshold ${cfg.freshnessThresholdMinutes}%.1f)")
+      }
+      val sla = ledger.toSeq.flatMap { led =>
+        led.filter(col("pipelineId") === cfg.pipelineId)
+          .orderBy(col("run_at").desc).limit(1)
+          .select(col("durationMs")).collect().toSeq.collect {
+            case r if r.getLong(0) > cfg.slaMinutes * 60000 =>
+              val mins = r.getLong(0) / 60000.0
+              val sev = if (mins > 2 * cfg.slaMinutes) "critical" else "warning"
+              Alert(cfg.pipelineId, "sla", sev,
+                f"last run took $mins%.1f min (SLA ${cfg.slaMinutes}%.1f)")
+          }
+      }
+      val volume = volumeStatus(ctx, cfg).toSeq.collect {
+        case (n, Some(base), status) if status != "ok" =>
+          Alert(cfg.pipelineId, "volume", "warning",
+            s"latest partition has $n rows vs baseline $base ($status)")
+      }
+      val drift = expected.get(cfg.table).toSeq.flatMap { exp =>
+        val (missing, unexpected, changed) = schemaDrift(ctx, cfg.table, exp)
+        (missing.map(c => s"missing:$c") ++ unexpected.map(c => s"unexpected:$c")
+          ++ changed.map(c => s"type_changed:$c")) match {
+          case Nil => Nil
+          case probs => Seq(Alert(cfg.pipelineId, "schema_drift", "critical",
+            probs.mkString(", ")))
+        }
+      }
+      fresh ++ sla ++ volume ++ drift
+    }
+  }
+
+  /** Run [[checkSla]] and append any alerts to the `_alerts` table
+    * (monitoring.alerts). Returns the alerts emitted. */
+  def emitAlerts(ctx: GoldContext, configs: Seq[SlaConfig],
+      expected: Map[String, StructType] = Map.empty,
+      asOfMillis: Long = System.currentTimeMillis()): Seq[Alert] = {
+    val alerts = checkSla(ctx, configs, expected, asOfMillis)
+    if (alerts.nonEmpty) {
+      ctx.spark.createDataFrame(alerts)
+        .withColumn("alert_ts", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(ctx.path("_alerts"))
+    }
+    alerts
+  }
+
+  /** Data-quality gate (gold.dq_results): named boolean checks over a
+    * table, persisted as one row per run with a JSON result blob. */
+  def dqCheck(ctx: GoldContext, pipelineId: String, table: String,
+      checks: Seq[(String, DataFrame => Boolean)]): (String, Seq[(String, Boolean)]) = {
+    val df = ctx.spark.read.parquet(ctx.path(table))
+    val results = checks.map { case (name, fn) => name -> fn(df) }
+    val status = if (results.forall(_._2)) "pass" else "fail"
+    val json = results.map { case (n, ok) => s""""$n":$ok""" }
+      .mkString("{", ",", "}")
+    import ctx.spark.implicits._
+    Seq((pipelineId, status, json))
+      .toDF("pipeline_id", "status", "results_json")
+      .withColumn("run_ts", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(ctx.path("_dq_results"))
+    (status, results)
+  }
+
+  /** Default SLA configs for the 16 registered pipelines (reference
+    * defaults: 2-minute freshness, 10-minute SLA). Facts/bridges carry
+    * event_ts; dims are covered by freshness of their source facts. */
+  def defaultConfigs: Seq[SlaConfig] =
+    Registry.all.map(s => SlaConfig(s.id, s.target))
 }

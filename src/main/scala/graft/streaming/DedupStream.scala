@@ -15,11 +15,49 @@ import graft.operators.Dedup
   * any batch job can also read.
   *
   * Outputs duplicate pairs (id_a, id_b, jaccard ≥ threshold) to
-  * `pairsPath`. Batch ids must be globally unique (the reference's
-  * event-hash discipline); re-delivered ids produce re-detected pairs,
-  * deduplicated downstream like every other at-least-once sink.
+  * `pairsPath`.
+  *
+  * Replay safety: foreachBatch is at-least-once — a crash after the
+  * writes but before the checkpoint commit re-runs the SAME batch id.
+  * Both sinks are therefore `__batch_id`-partitioned with dynamic
+  * partition overwrite: a replay rewrites its own partition instead of
+  * appending a second copy, so the "index accumulates each doc exactly
+  * once" invariant survives failure-replay, not just clean runs. (The
+  * replayed probe sees its own docs already indexed; the self-pair
+  * guard and pair normalization in [[Dedup.incrementalCandidates]]
+  * make that re-probe emit the same pair set, which the overwrite then
+  * replaces in place.)
   */
 object DedupStream {
+
+  private val BatchCol = "__batch_id"
+
+  /** One micro-batch: index, probe against history, persist both —
+    * idempotent on `batchId`. Public so tests (and batch replayers)
+    * can drive the exact foreachBatch body. */
+  def processBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexPath: String, pairsPath: String,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val newIdx = Dedup.buildIndex(batch, textCol, idCol).cache()
+    try {
+      val oldIdx = scala.util.Try(
+          spark.read.parquet(indexPath).drop(BatchCol))
+        .getOrElse(newIdx.limit(0)) // first batch: empty index
+      Dedup.incrementalCandidates(newIdx, oldIdx)
+        .filter(col("jaccard") >= threshold)
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(pairsPath)
+      newIdx.withColumn(BatchCol, lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(indexPath)
+    } finally { newIdx.unpersist(); () }
+  }
 
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, pairsPath: String, checkpointDir: String,
@@ -28,17 +66,9 @@ object DedupStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val newIdx = Dedup.buildIndex(batch, textCol, idCol).cache()
-        try {
-          val oldIdx = scala.util.Try(spark.read.parquet(indexPath))
-            .getOrElse(newIdx.limit(0)) // first batch: empty index
-          Dedup.incrementalCandidates(newIdx, oldIdx)
-            .filter(col("jaccard") >= threshold)
-            .write.mode(SaveMode.Append).parquet(pairsPath)
-          newIdx.write.mode(SaveMode.Append).parquet(indexPath)
-        } finally { newIdx.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, textCol, idCol, indexPath, pairsPath,
+          threshold)
       }
       .start()
 }

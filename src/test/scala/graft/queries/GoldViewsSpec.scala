@@ -69,6 +69,69 @@ class GoldViewsSpec extends SparkSpec {
     assert(snap.count() == 2)
     assert(ctx.exists("_monitoring"))
   }
+  test("SLA thresholds: stale table, blown run SLA, volume drop, drift -> alert rows") {
+    import graft.pipelines.Monitoring.SlaConfig
+    val maxTs = spark.read.parquet(ctx.path("fact_suricata_events"))
+      .agg(max("event_ts")).collect().head.getTimestamp(0).getTime
+    val cfg = SlaConfig("fact_suricata_events", "fact_suricata_events")
+
+    // fresh as-of just after the newest event: no alerts at all
+    assert(Monitoring.checkSla(ctx, Seq(cfg), asOfMillis = maxTs + 60000).isEmpty)
+
+    // 3 hours stale against a 2-minute threshold: critical freshness
+    val stale = Monitoring.checkSla(ctx, Seq(cfg),
+      asOfMillis = maxTs + 3 * 3600 * 1000)
+    assert(stale.map(a => (a.alertType, a.severity)) == Seq(("freshness", "critical")))
+
+    // blown run SLA (threshold 0): the ledger's last run must trip it
+    val sla = Monitoring.checkSla(ctx,
+      Seq(cfg.copy(slaMinutes = 0.0)), asOfMillis = maxTs + 60000)
+    assert(sla.exists(_.alertType == "sla"))
+
+    // volume drop: 10,10,1 rows across three partitions -> 'low'
+    import spark.implicits._
+    val rows = (0 until 21).map { i =>
+      val day = if (i < 10) "01" else if (i < 20) "02" else "03"
+      (s"v$i", java.sql.Timestamp.valueOf(s"2026-02-$day 10:00:00"))
+    }.toDF("event_id", "event_ts")
+    PartitionedWriter.append(rows, ctx.path("vol_probe"), "event_ts")
+    val volCfg = SlaConfig("vol_probe", "vol_probe")
+    assert(Monitoring.volumeStatus(ctx, volCfg)
+      .exists { case (n, b, s) => n == 1 && b.contains(10L) && s == "low" })
+    val vol = Monitoring.checkSla(ctx, Seq(volCfg), asOfMillis = maxTs + 60000)
+      .filter(_.alertType == "volume")
+    assert(vol.nonEmpty && vol.head.message.contains("low"))
+
+    // schema drift: expecting a column the table doesn't have -> critical
+    val exp = org.apache.spark.sql.types.StructType(
+      graft.pipelines.Dims.schemas.dimSensor.fields :+
+        org.apache.spark.sql.types.StructField("not_there",
+          org.apache.spark.sql.types.StringType))
+    val drift = Monitoring.checkSla(ctx,
+      Seq(SlaConfig("dim_sensor", "dim_sensor")),
+      expected = Map("dim_sensor" -> exp), asOfMillis = maxTs + 60000)
+    assert(drift.map(_.alertType) == Seq("schema_drift"))
+    assert(drift.head.message.contains("missing:not_there"))
+
+    // emission persists to _alerts
+    val emitted = Monitoring.emitAlerts(ctx, Seq(cfg),
+      asOfMillis = maxTs + 3 * 3600 * 1000)
+    assert(emitted.nonEmpty && ctx.exists("_alerts"))
+    assert(spark.read.parquet(ctx.path("_alerts"))
+      .filter(col("alertType") === "freshness").count() >= 1)
+
+    // DQ gate: pass + fail both persist to _dq_results
+    val (ok, _) = Monitoring.dqCheck(ctx, "fact_suricata_events",
+      "fact_suricata_events", Seq(
+        "has_rows" -> (df => df.count() > 0),
+        "keys_not_null" -> (df => df.filter(col("event_id").isNull).count() == 0)))
+    assert(ok == "pass")
+    val (bad, results) = Monitoring.dqCheck(ctx, "fact_suricata_events",
+      "fact_suricata_events", Seq("impossible" -> (df => df.count() < 0)))
+    assert(bad == "fail" && results == Seq("impossible" -> false))
+    assert(spark.read.parquet(ctx.path("_dq_results")).count() == 2)
+  }
+
   test("dedupe-on-read view collapses doubled appends") {
     // duplicate a fact row by raw append, bypassing the idempotent writer
     val fact = spark.read.parquet(ctx.path("fact_suricata_events"))

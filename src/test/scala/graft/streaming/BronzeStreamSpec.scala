@@ -132,6 +132,40 @@ class BronzeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/index").count() == 5)
   }
 
+  test("dedup stream batch replay is idempotent (at-least-once foreachBatch)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dreplay").toString
+    import spark.implicits._
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog near the creek"),
+      (4L, "some fresh unique text body here"),
+      (5L, "some fresh unique text body here")).toDF("doc_id", "text")
+
+    def pairs() = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    DedupStream.processBatch(b0, 0L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", threshold = 0.5)
+    DedupStream.processBatch(b1, 1L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", threshold = 0.5)
+    val firstPairs = pairs()
+    assert(spark.read.parquet(s"$base/index").count() == 5)
+
+    // a crash between sink writes and checkpoint commit replays the
+    // SAME batch id: the index must not grow, pairs must not duplicate
+    DedupStream.processBatch(b1, 1L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", threshold = 0.5)
+    assert(spark.read.parquet(s"$base/index").count() == 5)
+    assert(spark.read.parquet(s"$base/index")
+      .select("__id").distinct().count() == 5)
+    assert(pairs() == firstPairs)
+    assert(!pairs().exists(p => p._1 == p._2)) // no self-pairs from replay
+  }
+
   test("streaming dedupe drops redelivered events inside the watermark") {
     val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
     val in = s"$base/in"
