@@ -1,41 +1,136 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{NormalizeIp, SortedIntersectSize, VecCosine, VecDot}
+import graft.functions._
+import graft.operators.Dedup
+import graft.core.Keys
 
-/** SparkSessionExtensions hook: registers the engine's native
-  * expressions so they are usable from SQL text as well as the Column
-  * API. Attach with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)`.
+/** SQL surface for the engine's function family — the counterpart of
+  * the reference exposing cityHash64 / toIPv6OrNull / JSONExtract to
+  * its SQL users (every reference query is plain SQL; a user switching
+  * engines shouldn't have to leave SQL to reach these).
+  *
+  * Two entry points:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)`);
+  *  - programmatic: [[GraftExtensions.register]] on a live session.
+  *
+  * Every function resolves to the same Catalyst expression trees the
+  * DataFrame API builds (native codegen expressions or builtin
+  * compositions), so SQL callers get identical plans — nothing here is
+  * a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def unary(name: String, clazz: Class[_], mk: Expression => Expression): Unit = {
-      val builder: FunctionBuilder = { children =>
-        require(children.size == 1, s"$name takes one argument")
-        mk(children.head)
-      }
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name), builder))
-    }
-    def binary(name: String, clazz: Class[_],
-        mk: (Expression, Expression) => Expression): Unit = {
-      val builder: FunctionBuilder = { children =>
-        require(children.size == 2, s"$name takes two arguments")
-        mk(children.head, children(1))
-      }
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name), builder))
-    }
-    unary("normalize_ip", classOf[NormalizeIp], NormalizeIp(_))
-    binary("vec_dot", classOf[VecDot], VecDot(_, _))
-    binary("vec_cosine", classOf[VecCosine], VecCosine(_, _))
-    binary("sorted_intersect_size", classOf[SortedIntersectSize],
-      SortedIntersectSize(_, _))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, eagerExpression => expression}
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
   }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def arityIn(fn: String, args: Seq[Expression], ns: Range): Unit =
+    require(ns.contains(args.length),
+      s"$fn expects ${ns.head}..${ns.last} arguments, got ${args.length}")
+
+  /** Wrap a Column→Column composition as a Catalyst function builder. */
+  private def composed(fn: String, n: Int)(
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Builder =
+    args => { arity(fn, args, n); expression(f(args.map(column))) }
+
+  /** (name, builder) for every exposed function. */
+  private val builders: Seq[(String, Builder)] = Seq(
+    // native expressions, registered 1:1
+    "normalize_ip" -> { args =>
+      arity("normalize_ip", args, 1); NormalizeIp(args.head) },
+    "vec_dot" -> { args =>
+      arity("vec_dot", args, 2); VecDot(args(0), args(1)) },
+    "vec_cosine" -> { args =>
+      arity("vec_cosine", args, 2); VecCosine(args(0), args(1)) },
+    "sorted_intersect_size" -> { args =>
+      arity("sorted_intersect_size", args, 2)
+      SortedIntersectSize(args(0), args(1)) },
+    "simhash64" -> { args =>
+      arity("simhash64", args, 1); SimHash64(args.head) },
+    "hyperplane_sig" -> { args =>
+      arityIn("hyperplane_sig", args, 2 to 4)
+      val dim = intLit(args(1), "hyperplane_sig", "dim")
+      val bits = if (args.length > 2)
+        intLit(args(2), "hyperplane_sig", "bits") else 16
+      val seed = if (args.length > 3)
+        longLit(args(3), "hyperplane_sig", "seed") else 42L
+      HyperplaneSig(args.head, dim, bits, seed) },
+    // builtin compositions — same trees the Scala API produces
+    "text_tokens" -> composed("text_tokens", 1)(c => Dedup.tokens(c.head)),
+    "hashed_shingles" -> { args =>
+      arity("hashed_shingles", args, 2)
+      expression(Dedup.hashedShingles(column(args.head),
+        intLit(args(1), "hashed_shingles", "n"))) },
+    "text_simhash" -> composed("text_simhash", 1)(c => Dedup.simhash(c.head)),
+    "lang_id" -> composed("lang_id", 1)(c => TextFunctions.langId(c.head)),
+    "quality_score" ->
+      composed("quality_score", 1)(c => TextFunctions.qualityScore(c.head)),
+    "token_count" ->
+      composed("token_count", 1)(c => TextFunctions.tokenCount(c.head)),
+    "subword_count" ->
+      composed("subword_count", 1)(c => TextFunctions.subwordCount(c.head)),
+    "dup_token_fraction" -> composed("dup_token_fraction", 1)(
+      c => TextFunctions.dupTokenFraction(c.head)),
+    "dup_ngram_fraction" -> { args =>
+      arityIn("dup_ngram_fraction", args, 1 to 2)
+      val n = if (args.length > 1)
+        intLit(args(1), "dup_ngram_fraction", "n") else 2
+      expression(TextFunctions.dupNgramFraction(column(args.head), n)) },
+    "redact_pii" ->
+      composed("redact_pii", 1)(c => TextFunctions.redactPii(c.head)),
+    "content_fingerprint" -> composed("content_fingerprint", 1)(
+      c => TextFunctions.contentFingerprint(c.head)),
+    "rolling_fingerprint" -> { args =>
+      arityIn("rolling_fingerprint", args, 1 to 2)
+      val n = if (args.length > 1)
+        intLit(args(1), "rolling_fingerprint", "n") else 3
+      expression(TextFunctions.rollingFingerprint(column(args.head), n)) },
+    "surrogate_key" -> { args =>
+      require(args.nonEmpty, "surrogate_key expects at least 1 argument")
+      expression(Keys.surrogateKey(args.map(column): _*)) },
+    "date_key" -> composed("date_key", 1)(c => Keys.dateKey(c.head)),
+    "time_key" -> composed("time_key", 1)(c => Keys.timeKey(c.head))
+  )
+
+  /** The injectFunction descriptions (identifier, info, builder). */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
+    builders.map { case (name, b) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, name), b)
+    }
+
+  /** Register every function on an already-built session (tests, REPLs,
+    * sessions whose builder the caller doesn't own). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
 }

@@ -33,6 +33,13 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // ns-timestamp parquet (driver events table) reads as long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // BI endpoint (queries.BiServer): every Thrift JDBC session shares
+      // this session's catalog, so the registered gold views are what a
+      // BI tool sees — one warehouse, one read surface, same as the
+      // reference's single ClickHouse endpoint. Static conf: must be
+      // set at build time, not after (BiServer falls back to
+      // global_temp views when attached to a foreign session).
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
     master.fold(b)(b.master)
   }
 

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column→Expression conversion. `expression` defers via a
+    * lazy ColumnNodeExpression placeholder that only materializes
+    * during Dataset analysis — fine inside the DataFrame API, but a
+    * FunctionRegistry builder must hand the analyzer a real catalyst
+    * tree: a custom expression's checkInputDataTypes would otherwise
+    * see the unconverted placeholder (NullType) and fail resolution. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
