@@ -76,6 +76,31 @@ object Curation {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Temperature-scaled mixture weights for corpus re-balancing (the
+    * multilingual-sampling scheme of e.g. mBERT/XLM-R: raise per-source
+    * token mass to `temperature` ∈ (0,1] and renormalize, so small
+    * sources are up-weighted without letting any source dominate), plus
+    * the per-source keep-rate that hits a global `tokenBudget`.
+    *
+    * Returns one row per source: (group, n_tokens, weight, rate) with
+    * weight = n^T / Σ n^T and rate = min(1, budget·weight / n). Feed
+    * `rate` into [[mixSources]] for the actual (shuffle-free) filter
+    * pass. Scale shape: one agg to per-source counts (map-side
+    * combined), then a window over the per-source rows — cardinality =
+    * #sources, negligible by construction. */
+  def mixtureWeights(df: DataFrame, groupCol: String, tokenCount: Column,
+      temperature: Double, tokenBudget: Long): DataFrame = {
+    require(temperature > 0 && temperature <= 1, "temperature in (0,1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(tokenCount).cast("double").as("n_tokens"))
+    val w = counts.withColumn("__tw", pow(col("n_tokens"), lit(temperature)))
+      .withColumn("weight", col("__tw") / sum(col("__tw")).over(Window.partitionBy()))
+    w.select(col(groupCol), col("n_tokens").cast("long").as("n_tokens"),
+      col("weight"),
+      least(lit(1.0), lit(tokenBudget.toDouble) * col("weight") / col("n_tokens"))
+        .as("rate"))
+  }
+
   /** Weighted source mixing: keep each group at the given sampling rate
     * (missing groups keep everything). The per-group cut is the same
     * deterministic keyed hash as [[hashSample]], so a mix is stable

@@ -1107,6 +1107,82 @@ object Suite {
              |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
              |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
 
+    Q("l24_mix_weights",
+      (s, d) => Curation.mixtureWeights(t(s, d, "documents"), "source",
+          TextFunctions.tokenCount(col("text")),
+          temperature = 0.7, tokenBudget = 50000L)
+        .select(col("source"), col("n_tokens"),
+          round(col("weight"), 6).as("weight"), round(col("rate"), 6).as("rate"))
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(sum(len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0))) AS DOUBLE) AS n
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n, pow(n, 0.7) AS tw FROM c)
+             |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+             |  round(tw / sum(tw) OVER (), 6) AS weight,
+             |  round(least(1.0, 50000 * (tw / sum(tw) OVER ()) / n), 6) AS rate
+             |FROM w ORDER BY source""".stripMargin)),
+
+    Q("l25_idf_quality",
+      (s, d) => {
+        // mean inverse-document-frequency of a doc's distinct tokens —
+        // the classic "rare-vocabulary" quality signal. Shuffle carries
+        // (doc, token) pairs and per-token df counts, never text.
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+        val dfc = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        toks.join(dfc, "tok").crossJoin(broadcast(nDocs))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("n_docs") / col("df"))), 6).as("idf_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0))) AS tok FROM documents),
+             |dfc AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT t.doc_id, round(avg(ln(n.n_docs / dfc.df)), 6) AS idf_score
+             |FROM tok t JOIN dfc USING (tok) CROSS JOIN n
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    Q("l26_cluster_sizes",
+      (s, d) => {
+        // near-dup cluster size histogram — the dedupe-impact report
+        // (how much of the corpus collapses, and into how many clusters)
+        val pairs = Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+        Dedup.components(pairs)
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      // same exhaustive closure as l21's oracle, then the histogram
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t),
+             |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+             |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT src AS id, src AS r FROM edges
+             |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+             |    ON e.dst = re.id),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |sizes AS (SELECT component, count(*) AS cluster_size FROM comp
+             |  GROUP BY component)
+             |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+             |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -48,6 +48,39 @@ class CurationSpec extends SparkSpec {
     assert(mixed == sampled)
   }
 
+  test("mixtureWeights: temperature up-weights small sources, budget met") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // src_big has 10x the tokens of src_small
+    val docs = ((0 until 100).map(i => (i.toLong, "a b c d e f g h i j", "src_big")) ++
+      (100 until 110).map(i => (i.toLong, "a b c d e f g h i j", "src_small")))
+      .toDF("doc_id", "text", "source")
+    val tc = graft.functions.TextFunctions.tokenCount(col("text"))
+    val w = Curation.mixtureWeights(docs, "source", tc,
+        temperature = 0.5, tokenBudget = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("src_big")._1 == 1000L && w("src_small")._1 == 100L)
+    // weights normalize and T<1 up-weights the small source beyond its
+    // natural 1/11 share
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(w("src_small")._2 > 100.0 / 1100.0)
+    // temperature 1 reproduces natural proportions exactly
+    val nat = Curation.mixtureWeights(docs, "source", tc, 1.0, 500L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(nat("src_big") - 1000.0 / 1100.0) < 1e-12)
+    // applying the rates via mixSources keeps ≈ budget·weight tokens per
+    // source (hash sampling is exact-in-expectation; wide tolerance)
+    val rates = Curation.mixtureWeights(docs, "source", tc, 0.5, 500L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val kept = Curation.mixSources(docs, "source", col("doc_id"), rates)
+    assert(kept.count() < docs.count())
+    // rate for the small source is capped at 1 when budget·weight > n
+    val gen = Curation.mixtureWeights(docs, "source", tc, 0.5, 100000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(gen.values.forall(_ == 1.0))
+  }
+
   test("quotaPerGroup caps each group at k with the lowest order values") {
     val out = Curation.quotaPerGroup(docs, Seq("source"), "doc_id", k = 10,
       salts = 4)
