@@ -173,6 +173,10 @@ object Prof {
           docs.select(graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
             .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         }
+      case p if p.startsWith("plan:") =>
+        // formatted physical plan of any suite query, e.g. plan:l25_idf_quality
+        graft.queries.Suite.queries(p.stripPrefix("plan:"))(spark, sfDir)
+          .explain("formatted")
       case _ => sys.error(s"unknown: $what")
     }
     spark.stop()
