@@ -266,18 +266,56 @@ object Dedup {
     * 1..k-1 (Catalyst re-planning otherwise grows superlinearly with
     * iteration count; stale checkpoint blocks are reclaimed by the
     * ContextCleaner as the loop drops references).
-    * Returns (id, component) where component = min id in the cluster. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    * Returns (id, component) where component = min id in the cluster.
+    *
+    * Size-adaptive: star rounds run distributed only while the edge set
+    * exceeds `localFinishEdges`; below it the remaining graph collects
+    * to the driver for an O(E α(E)) union-find finish. Each star round
+    * only shrinks the canonical edge set (trees collapse toward stars,
+    * parallel edges merge), so every run eventually crosses the
+    * threshold — and a thresholded similarity graph is edges-only
+    * (two longs a pair), so the default bounds driver memory at ~MBs.
+    * Set 0 to force fully-distributed rounds. */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      localFinishEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // materialize the pair list ONCE: nodes and edges each read it
+    // twice, and `pairs` is typically an expensive similarity-join
+    // plan — four re-evaluations of the LSH pipeline otherwise
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
     // canonical directed edges u > v; self-loops contribute membership
     // (via `nodes`) but no connectivity
-    var edges = pairs
+    var edges = p
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+
+    def unionFindFinish(e: DataFrame): DataFrame = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        seen += u; seen += v
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      import spark.implicits._
+      val labels = seen.iterator.map(k => (k, find(k)))
+        .filter { case (k, r) => k != r }.toSeq
+      nodes.join(labels.toDF("id", "__c"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    }
 
     // large-star: every neighbor x > u re-points at m(u) = min(Γ(u) ∪ u).
     // Output stays canonical: x > u ≥ m(u).
@@ -313,7 +351,7 @@ object Dedup {
     var sig = signature(edges)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && sig._1 > localFinishEdges && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -321,12 +359,14 @@ object Dedup {
       edges = next
       i += 1
     }
-    // at fixpoint every non-root carries exactly one edge to its root;
-    // min() is a cheap belt-and-braces if maxIter cut the loop short
-    nodes.join(
-        edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__c")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    if (!converged && sig._1 <= localFinishEdges) unionFindFinish(edges)
+    else
+      // at fixpoint every non-root carries exactly one edge to its root;
+      // min() is a cheap belt-and-braces if maxIter cut the loop short
+      nodes.join(
+          edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__c")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
   /** Near-dup dedupe: one survivor (min id) per connected component of

@@ -55,7 +55,9 @@ class LlmOpsSpec extends SparkSpec {
     // a 300-node path has diameter 299 — label propagation at maxIter
     // 20 could never close it; star alternation must
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.components(chain).collect()
+    // localFinishEdges = 0 forces the distributed star rounds (the
+    // default would collect this tiny graph and finish on the driver)
+    val comp = Dedup.components(chain, localFinishEdges = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(comp.length == 300)
     assert(comp.forall(_._2 == 0L))
@@ -68,6 +70,12 @@ class LlmOpsSpec extends SparkSpec {
       (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
     val got = Dedup.components(edges.toDF("id_a", "id_b")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the distributed star rounds and the driver union-find finish are
+    // interchangeable — same labels either way
+    val distributed = Dedup.components(edges.toDF("id_a", "id_b"),
+        localFinishEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got)
     // local union-find reference, component = min id of the set
     val parent = Array.tabulate(150)(identity)
     def find(x: Int): Int = {

@@ -68,6 +68,11 @@ class BiServerSpec extends SparkSpec {
             |JOIN dim_rule d ON f.rule_key = d.rule_key
             |GROUP BY d.rule_name""".stripMargin)
         assert(rs2.next() && rs2.getString(1) == "r7" && rs2.getLong(2) == 4L)
+        // the engine's SQL function family rides the shared session:
+        // remote BI clients can call it too
+        val rs3 = st.executeQuery(
+          "SELECT normalize_ip('192.168.1.1') AS ip")
+        assert(rs3.next() && rs3.getString(1) == "::ffff:192.168.1.1")
       } finally conn.close()
     } finally {
       server.stop()
