@@ -53,6 +53,32 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("mixtureWeights: weights normalize; expected kept tokens never exceed budget") {
+    val srcGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(1, 50)))
+    forSamples(Gen.zip(srcGen, Gen.choose(0.1, 1.0), Gen.choose(50L, 5000L))) {
+      case (rows, temp, budget) =>
+        val df = rows.zipWithIndex
+          .map { case ((s, n), i) => (i.toLong, Seq.fill(n)("w").mkString(" "), s"s$s") }
+          .toDF("doc_id", "text", "source")
+        val w = Curation.mixtureWeights(df, "source",
+            graft.functions.TextFunctions.tokenCount(col("text")), temp, budget)
+          .as[(String, Long, Double, Double)].collect()
+        assert(math.abs(w.map(_._3).sum - 1.0) < 1e-9)
+        assert(w.forall { case (_, _, wt, r) => wt > 0 && r > 0 && r <= 1.0 })
+        // E[kept tokens] = Σ rate·n = Σ min(budget·w, n) ≤ Σ budget·w = budget
+        val expectedKept = w.map { case (_, n, _, r) => r * n }.sum
+        assert(expectedKept <= budget + 1e-6)
+        // smaller temperature ⇒ small sources get a weakly larger share
+        val w2 = Curation.mixtureWeights(df, "source",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            math.max(0.05, temp / 2), budget)
+          .as[(String, Long, Double, Double)].collect()
+        val (minSrc, _, minW, _) = w.minBy(_._2)
+        val minW2 = w2.find(_._1 == minSrc).get._3
+        assert(minW2 >= minW - 1e-9)
+    }
+  }
+
   test("packSequences: every pack except a group's last starts under budget") {
     val tokGen = Gen.listOfN(60, Gen.choose(1, 900))
     forSamples(Gen.zip(tokGen, Gen.choose(100, 1000))) { case (toks, budget) =>
