@@ -212,18 +212,26 @@ object Dedup {
       .unionByName(newB)
     // (no cache here: this runs per micro-batch from DedupStream, where
     // cached plans would accumulate; the re-read is a cheap posexplode)
+    // only buckets a NEW doc probes can produce pairs, so restrict the
+    // whole candidate path — census included — to them up front via a
+    // broadcast semi-join (batch bucket keys are batch-sized). Without
+    // this the hot-bucket census would aggregate the ENTIRE accumulated
+    // index every micro-batch: O(corpus) shuffled per batch, breaking
+    // the O(|new| + collisions) incremental contract.
+    val newKeys = newB.select(col("__b"), col("__bh")).distinct()
+    val touched = allB.join(broadcast(newKeys), Seq("__b", "__bh"), "left_semi")
     // hot buckets switch to star edges, same scheme as
     // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
     // contract: emit (min, m) only when m or the bucket min is new —
     // old↔old edges were produced by the batches that introduced them.
-    val hot = allB.groupBy(col("__b"), col("__bh"))
+    val hot = touched.groupBy(col("__b"), col("__bh"))
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
         min_by(col("__new"), col("__id")).as("__minNew"))
       .filter(col("__n") > maxBandBucket)
       .select(col("__b"), col("__bh"), col("__min"), col("__minNew"))
     val hotKeys = hot.select(col("__b"), col("__bh"))
     val coldNew = newB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
-    val coldAll = allB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+    val coldAll = touched.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
     val coldPairs = coldNew.as("l")
       .join(coldAll.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
@@ -237,7 +245,7 @@ object Dedup {
       // min-first) dedupes orientations in one distinct
       .select(least(col("l.__id"), col("r.__id")).as("id_a"),
         greatest(col("l.__id"), col("r.__id")).as("id_b"))
-    val starPairs = allB.join(broadcast(hot), Seq("__b", "__bh"))
+    val starPairs = touched.join(broadcast(hot), Seq("__b", "__bh"))
       .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
     val pairs = coldPairs.unionByName(starPairs).distinct()
