@@ -104,6 +104,8 @@ object GraftExtensions {
       val n = if (args.length > 1)
         intLit(args(1), "dup_ngram_fraction", "n") else 2
       expression(TextFunctions.dupNgramFraction(column(args.head), n)) },
+    "gopher_stats" ->
+      composed("gopher_stats", 1)(c => TextFunctions.gopherStats(c.head)),
     "redact_pii" ->
       composed("redact_pii", 1)(c => TextFunctions.redactPii(c.head)),
     "content_fingerprint" -> composed("content_fingerprint", 1)(

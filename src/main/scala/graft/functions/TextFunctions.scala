@@ -84,6 +84,39 @@ object TextFunctions {
     round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 6)
   }
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A — the published
+    * web-corpus filter set, trimmed to signals computable without line
+    * structure): word-count bounds, mean-word-length band, symbol and
+    * digit density caps, stopword presence. Returns a struct of raw
+    * signals, per-rule booleans, and an overall `pass`, so pipelines
+    * can filter on `pass` or report the failing-rule distribution.
+    * Pure builtin column algebra — one tokens pass per row. */
+  def gopherStats(text: Column): Column = letBind(tokens(text)) { toks =>
+    val nWords = size(toks)
+    val nChar = length(text).cast("double")
+    val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double")
+    val meanLen = wordChars / greatest(nWords.cast("double"), lit(1.0))
+    val symFrac = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(nChar, lit(1.0))
+    val digFrac = regexp_count(text, lit("[0-9]")).cast("double") /
+      greatest(nChar, lit(1.0))
+    val wordsOk = nWords >= 50 && nWords <= 100000
+    val meanOk = meanLen >= 3.0 && meanLen <= 10.0
+    val symOk = symFrac < 0.1
+    val digOk = digFrac < 0.2
+    val stopOk = stopHits(toks, "en") >= 2
+    struct(
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symFrac, 6).as("symbol_frac"),
+      round(digFrac, 6).as("digit_frac"),
+      wordsOk.as("words_ok"), meanOk.as("mean_len_ok"),
+      symOk.as("symbol_ok"), digOk.as("digit_ok"), stopOk.as("stopword_ok"),
+      (wordsOk && meanOk && symOk && digOk && stopOk).as("pass"))
+  }
+
   // ---- repetition signals (Gopher-style quality rules) ----------------
 
   /** Fraction of tokens that are repeats of an earlier token:

@@ -1183,6 +1183,41 @@ object Suite {
              |SELECT cluster_size, count(*) AS n_clusters FROM sizes
              |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
 
+    Q("l27_gopher_rules",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_frac").as("symbol_frac"),
+          col("g.digit_frac").as("digit_frac"),
+          col("g.words_ok").as("words_ok"), col("g.mean_len_ok").as("mean_len_ok"),
+          col("g.symbol_ok").as("symbol_ok"), col("g.digit_ok").as("digit_ok"),
+          col("g.stopword_ok").as("stopword_ok"), col("g.pass").as("pass"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id, text, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS toks FROM documents),
+             |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+             |  coalesce(CAST(list_sum(list_transform(toks, t -> len(t)))
+             |      AS DOUBLE), 0) / greatest(len(toks), 1) AS mean_len,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE /
+             |    greatest(length(text), 1) AS sym,
+             |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE /
+             |    greatest(length(text), 1) AS dig,
+             |  len(list_filter(toks, t -> list_contains(['the','a','of','and',
+             |    'to','in','is','that','it','for'], t))) AS stop_hits
+             |  FROM x)
+             |SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len,
+             |  round(sym, 6) AS symbol_frac, round(dig, 6) AS digit_frac,
+             |  (n_words >= 50 AND n_words <= 100000) AS words_ok,
+             |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_len_ok,
+             |  (sym < 0.1) AS symbol_ok, (dig < 0.2) AS digit_ok,
+             |  (stop_hits >= 2) AS stopword_ok,
+             |  (n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0
+             |    AND mean_len <= 10.0 AND sym < 0.1 AND dig < 0.2
+             |    AND stop_hits >= 2) AS pass
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     Q("m2_frame_sample",
       (s, d) => {
         val docs = t(s, d, "documents")

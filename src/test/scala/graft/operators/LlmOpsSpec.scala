@@ -321,6 +321,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(7L) == "unknown")
   }
 
+  test("gopher rules: clean prose passes, spam/empty/short docs fail the right rule") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and runs to " +
+      "the river in the morning light for it is a fine day ") * 3
+    val cases = Seq(
+      (1L, clean),                         // passes everything
+      (2L, ""),                            // empty: words_ok false
+      (3L, "buy now " * 60),               // no stopword signal, short words
+      (4L, ("#### @@@@ %%%% " * 40) + "the a of and to in is that it for")
+    ).toDF("doc_id", "text")
+    val g = cases.select(col("doc_id"),
+        TextFunctions.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("pass"))
+    assert(!g(2L).getAs[Boolean]("words_ok") && !g(2L).getAs[Boolean]("pass"))
+    assert(g(2L).getAs[Int]("n_words") == 0)
+    assert(!g(3L).getAs[Boolean]("stopword_ok"))
+    assert(!g(4L).getAs[Boolean]("symbol_ok") && !g(4L).getAs[Boolean]("pass"))
+  }
+
   test("token counts, quality score bounds, fingerprints") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
