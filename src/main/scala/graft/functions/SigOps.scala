@@ -17,20 +17,25 @@ object SigOps {
 
   /** 64-bit SimHash over tokenized words: two seeded 32-bit murmurs
     * form the 64 bits, one pass per row. Bit-identical to the
-    * historical UDF (same seeds, same accumulate/threshold). */
+    * historical UDF (same seeds, same accumulate/threshold) on
+    * null-free input; null elements are skipped (the SQL surface
+    * accepts arbitrary array<string>, where the tokenizer's
+    * no-null guarantee doesn't hold). */
   def simhash64(toks: ArrayData): Long = {
     val acc = new Array[Int](64)
     val n = toks.numElements()
     var t = 0
     while (t < n) {
-      val s = toks.getUTF8String(t).toString
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t).toString
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
       }
       t += 1
     }
@@ -41,7 +46,8 @@ object SigOps {
   }
 
   /** Random-hyperplane signature: bit b set iff planes(b)·v ≥ 0.
-    * Truncates to min(plane dim, |v|), matching the historical UDF. */
+    * Truncates to min(plane dim, |v|); null elements contribute 0
+    * (arbitrary SQL input — dense embeddings never carry them). */
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]]): Long = {
     var sig = 0L
     val nv = v.numElements()
@@ -51,7 +57,10 @@ object SigOps {
       val n = math.min(p.length, nv)
       var s = 0.0
       var i = 0
-      while (i < n) { s += p(i) * v.getFloat(i); i += 1 }
+      while (i < n) {
+        if (!v.isNullAt(i)) s += p(i) * v.getFloat(i)
+        i += 1
+      }
       if (s >= 0) sig |= (1L << b)
       b += 1
     }

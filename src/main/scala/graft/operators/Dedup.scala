@@ -101,7 +101,18 @@ object Dedup {
     * bucket (two docs similar to each other but not to the bucket min
     * lose their direct edge — for dedupe semantics the component is
     * what matters). Hot buckets are rare by construction, so the hot
-    * list broadcasts and the cold path's plan is unchanged. */
+    * list broadcasts and the cold path's plan is unchanged.
+    *
+    * Recall caveat, stated precisely: a star edge still passes through
+    * the caller's jaccard-threshold verify, so if EVERY bucket shared
+    * by a truly-similar pair (A, B) is hot AND neither A nor B clears
+    * the threshold against those buckets' min docs, the pair is lost
+    * to [[minhashLsh]] — the scenario is a >maxBandBucket cluster of
+    * boilerplate-dominated signatures (template pages whose shared
+    * grams win every minhash slot). The remedies are a larger
+    * maxBandBucket or stripping the boilerplate before shingling;
+    * within-bucket all-pairs at that size is the O(cluster²) failure
+    * this cap exists to prevent. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, nBands: Int = 16,
       maxBandBucket: Int = 1024): DataFrame = {
@@ -220,18 +231,27 @@ object Dedup {
     // the O(|new| + collisions) incremental contract.
     val newKeys = newB.select(col("__b"), col("__bh")).distinct()
     val touched = allB.join(broadcast(newKeys), Seq("__b", "__bh"), "left_semi")
+    // collapse to one row per (bucket, id): a re-delivered id sits in
+    // BOTH indexes, and duplicate rows would (a) double-count the hot
+    // census — a replayed batch could then flip a bucket hot and emit a
+    // different pair set than the original run, breaking DedupStream's
+    // overwrite-in-place idempotency — and (b) make the bucket-min
+    // newness flag a nondeterministic tie-break. A re-delivered id IS
+    // part of this batch, so its membership row is marked new.
+    val members = touched.groupBy(col("__b"), col("__bh"), col("__id"))
+      .agg(max(col("__new")).as("__new"))
     // hot buckets switch to star edges, same scheme as
     // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
     // contract: emit (min, m) only when m or the bucket min is new —
     // old↔old edges were produced by the batches that introduced them.
-    val hot = touched.groupBy(col("__b"), col("__bh"))
+    val hot = members.groupBy(col("__b"), col("__bh"))
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
         min_by(col("__new"), col("__id")).as("__minNew"))
       .filter(col("__n") > maxBandBucket)
       .select(col("__b"), col("__bh"), col("__min"), col("__minNew"))
     val hotKeys = hot.select(col("__b"), col("__bh"))
     val coldNew = newB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
-    val coldAll = touched.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+    val coldAll = members.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
     val coldPairs = coldNew.as("l")
       .join(coldAll.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
@@ -245,7 +265,7 @@ object Dedup {
       // min-first) dedupes orientations in one distinct
       .select(least(col("l.__id"), col("r.__id")).as("id_a"),
         greatest(col("l.__id"), col("r.__id")).as("id_b"))
-    val starPairs = touched.join(broadcast(hot), Seq("__b", "__bh"))
+    val starPairs = members.join(broadcast(hot), Seq("__b", "__bh"))
       .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
     val pairs = coldPairs.unionByName(starPairs).distinct()
@@ -284,7 +304,7 @@ object Dedup {
     * threshold — and a thresholded similarity graph is edges-only
     * (two longs a pair), so the default bounds driver memory at ~MBs.
     * Set 0 to force fully-distributed rounds. */
-  def components(pairs: DataFrame, maxIter: Int = 20,
+  def components(pairs: DataFrame, maxIter: Int = 50,
       localFinishEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair list ONCE: nodes and edges each read it
@@ -302,6 +322,13 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
+    // the driver finish needs integral ids (string/other id types take
+    // the distributed rounds, which are type-generic via greatest/least)
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    val localCutoff = if (integralIds) localFinishEdges else -1L
+
     def unionFindFinish(e: DataFrame): DataFrame = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       val seen = scala.collection.mutable.Set.empty[Long]
@@ -312,8 +339,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
+      def idAt(row: org.apache.spark.sql.Row, i: Int): Long = row.get(i) match {
+        case l: Long => l
+        case n: Int => n.toLong
+        case other => sys.error(s"non-integral id in local finish: $other")
+      }
       e.collect().foreach { row =>
-        val (u, v) = (row.getLong(0), row.getLong(1))
+        val (u, v) = (idAt(row, 0), idAt(row, 1))
         seen += u; seen += v
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
@@ -359,7 +391,7 @@ object Dedup {
     var sig = signature(edges)
     var converged = false
     var i = 0
-    while (!converged && sig._1 > localFinishEdges && i < maxIter) {
+    while (!converged && sig._1 > localCutoff && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -367,10 +399,16 @@ object Dedup {
       edges = next
       i += 1
     }
-    if (!converged && sig._1 <= localFinishEdges) unionFindFinish(edges)
+    if (!converged && sig._1 <= localCutoff) unionFindFinish(edges)
+    else if (!converged)
+      // an unconverged forest still has depth ≥ 2 nodes whose parent is
+      // NOT the component min — emitting labels would silently split
+      // components, which is worse than failing
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter star rounds " +
+          s"(${sig._1} edges remain) — raise maxIter or localFinishEdges")
     else
-      // at fixpoint every non-root carries exactly one edge to its root;
-      // min() is a cheap belt-and-braces if maxIter cut the loop short
+      // at fixpoint every non-root carries exactly one edge to its root
       nodes.join(
           edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__c")),
           Seq("id"), "left")

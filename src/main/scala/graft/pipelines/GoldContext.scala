@@ -114,9 +114,22 @@ class GoldContext(
     fs.delete(raw, true)
     val n = spark.read.parquet(tmp.toString).count()
 
+    // FileSystem.rename reports many failures by returning false, not
+    // throwing (quota, permissions, concurrent recreation of the
+    // destination) — an unchecked false here followed by the bak delete
+    // would destroy the only remaining copy of the table
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
     val hadTable = fs.exists(target)
-    if (hadTable) fs.rename(target, bak)
-    fs.rename(tmp, target)
+    if (hadTable) mustRename(target, bak)
+    try mustRename(tmp, target)
+    catch {
+      case e: java.io.IOException =>
+        // put the live table back before surfacing the failure
+        if (hadTable && !fs.exists(target)) fs.rename(bak, target)
+        throw e
+    }
     if (hadTable) fs.delete(bak, true)
     n
   }

@@ -89,9 +89,13 @@ object Monitoring {
     * baseline exists yet or the count is inside the deviation band. */
   def volumeStatus(ctx: GoldContext, cfg: SlaConfig): Option[(Long, Option[Long], String)] = {
     if (!ctx.exists(cfg.table)) return None
+    // one read: the loaded frame serves both the column check and the
+    // per-partition counts (dailyVolume would re-list and re-read)
     val df = ctx.spark.read.parquet(ctx.path(cfg.table))
     if (!df.columns.contains(graft.core.PartitionedWriter.DateCol)) return None
-    val daily = dailyVolume(ctx, cfg.table).collect()
+    val daily = df.groupBy(graft.core.PartitionedWriter.DateCol)
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(graft.core.PartitionedWriter.DateCol).collect()
     if (daily.isEmpty) return None
     val latest = daily.last.getLong(1)
     val baseline = daily.dropRight(1).takeRight(cfg.baselineDays)
@@ -161,7 +165,11 @@ object Monitoring {
       asOfMillis: Long = System.currentTimeMillis()): Seq[Alert] = {
     val alerts = checkSla(ctx, configs, expected, asOfMillis)
     if (alerts.nonEmpty) {
+      // persisted column names follow monitoring.alerts (snake_case),
+      // not the case-class field names
       ctx.spark.createDataFrame(alerts)
+        .select(col("pipelineId").as("pipeline_id"),
+          col("alertType").as("alert_type"), col("severity"), col("message"))
         .withColumn("alert_ts", current_timestamp())
         .write.mode(SaveMode.Append).parquet(ctx.path("_alerts"))
     }
@@ -175,7 +183,15 @@ object Monitoring {
     val df = ctx.spark.read.parquet(ctx.path(table))
     val results = checks.map { case (name, fn) => name -> fn(df) }
     val status = if (results.forall(_._2)) "pass" else "fail"
-    val json = results.map { case (n, ok) => s""""$n":$ok""" }
+    // check names are caller-supplied free text — escape them or the
+    // persisted blob stops being JSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = results.map { case (n, ok) => s""""${esc(n)}":$ok""" }
       .mkString("{", ",", "}")
     import ctx.spark.implicits._
     Seq((pipelineId, status, json))

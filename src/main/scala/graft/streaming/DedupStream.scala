@@ -27,6 +27,12 @@ import graft.operators.Dedup
   * guard and pair normalization in [[Dedup.incrementalCandidates]]
   * make that re-probe emit the same pair set, which the overwrite then
   * replaces in place.)
+  *
+  * Note: a partitioned parquet sink materializes no files for an empty
+  * batch result, so `pairsPath` becomes readable at the first batch
+  * that actually emits a pair (readers should Try/exists-guard it, as
+  * GoldContext does for all tables); the index path always
+  * materializes — every batch has rows.
   */
 object DedupStream {
 

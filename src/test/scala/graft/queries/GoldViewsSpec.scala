@@ -118,7 +118,7 @@ class GoldViewsSpec extends SparkSpec {
       asOfMillis = maxTs + 3 * 3600 * 1000)
     assert(emitted.nonEmpty && ctx.exists("_alerts"))
     assert(spark.read.parquet(ctx.path("_alerts"))
-      .filter(col("alertType") === "freshness").count() >= 1)
+      .filter(col("alert_type") === "freshness").count() >= 1)
 
     // DQ gate: pass + fail both persist to _dq_results
     val (ok, _) = Monitoring.dqCheck(ctx, "fact_suricata_events",
@@ -127,9 +127,16 @@ class GoldViewsSpec extends SparkSpec {
         "keys_not_null" -> (df => df.filter(col("event_id").isNull).count() == 0)))
     assert(ok == "pass")
     val (bad, results) = Monitoring.dqCheck(ctx, "fact_suricata_events",
-      "fact_suricata_events", Seq("impossible" -> (df => df.count() < 0)))
-    assert(bad == "fail" && results == Seq("impossible" -> false))
-    assert(spark.read.parquet(ctx.path("_dq_results")).count() == 2)
+      "fact_suricata_events", Seq(""""impossible" check""" -> (df => df.count() < 0)))
+    assert(bad == "fail" && results.map(_._2) == Seq(false))
+    val dq = spark.read.parquet(ctx.path("_dq_results"))
+    assert(dq.count() == 2)
+    // persisted blobs stay valid JSON even with quoted check names
+    dq.select("results_json").collect().foreach { r =>
+      assert(spark.sql(s"SELECT from_json('${r.getString(0).replace("'", "''")
+        .replace("\\", "\\\\")}', 'map<string,boolean>') IS NOT NULL")
+        .collect().head.getBoolean(0))
+    }
   }
 
   test("dedupe-on-read view collapses doubled appends") {
