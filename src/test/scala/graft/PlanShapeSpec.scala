@@ -80,6 +80,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
   }
 
+  test("incremental dedup probe broadcasts batch bucket keys (no corpus shuffle)") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => operators.Dedup.buildIndex(
+      ids.map(i => (i, s"doc number $i with some shared words here")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val plan = planOf(operators.Dedup.incrementalCandidates(
+      mk(Seq(100L, 101L)), mk(0L until 50L)))
+    // the old index is pruned to new-touched buckets via a BROADCAST
+    // left-semi join before any aggregation: the census/star path must
+    // never hash-shuffle the accumulated corpus per micro-batch
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
