@@ -55,6 +55,26 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("null-key bypass is observationally identical when no keys are null") {
+    forSamples(Gen.zip(eventsGen, versionsGen)) { case (evs, vers) =>
+      if (evs.nonEmpty && vers.nonEmpty) {
+        import spark.implicits._
+        val left = evs.zipWithIndex
+          .map { case ((k, s), i) => (k, ts(s), i.toLong) }
+          .toDF("k", "event_ts", "row_id")
+        val right = vers.distinct
+          .map { case (k, s) => (k, ts(s), s"$k@$s") }
+          .toDF("k", "effective_from", "version")
+        def run(nkm: Boolean) = AsOfJoin
+          .merge(left, right, Seq("k"), "event_ts", "effective_from",
+            nullKeysMatch = nkm)
+          .select("row_id", "version").as[(Long, Option[String])]
+          .collect().toMap
+        assert(run(true) == run(false))
+      }
+    }
+  }
+
   test("Replacing.latestByKey == naive per-key max over random data") {
     forSamples(eventsGen) { evs =>
       if (evs.nonEmpty) {
