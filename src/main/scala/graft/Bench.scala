@@ -31,16 +31,21 @@ object Bench {
       try fn(spark, sfDir).limit(1).collect() catch { case _: Throwable => () }
     }
 
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the rep failed: a failed rep's near-zero wall time must not
+    // enter the median (it would make a broken query look FAST), and a
+    // query whose reps all fail must surface in the JSON, not vanish
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       // operators cache intermediates (LSH tables etc.); drop them so
       // rep N+1 / query N+1 isn't taxed by earlier blocks
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -53,15 +58,21 @@ object Bench {
       .filter { case (n, _) => only.forall(n.contains) }
       .map { case (name, fn) =>
         val times = (1 to reps).map(_ => timeOnce(name, fn))
-        val med = median(times)
-        System.err.println(f"[bench] $name%-28s median $med%8.2f s  " +
-          times.map(t => f"$t%.2f").mkString("(", " ", ")"))
-        name -> med
+        val ok = times.flatten
+        val med = if (ok.nonEmpty) Some(median(ok)) else None
+        System.err.println(f"[bench] $name%-28s median ${med.getOrElse(Double.NaN)}%8.2f s  " +
+          times.map(t => t.map(v => f"$v%.2f").getOrElse("FAIL"))
+            .mkString("(", " ", ")"))
+        (name, med, times.count(_.isEmpty))
       }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.collect { case (k, Some(v), _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val failedReps = results.map(_._3).sum
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps}""")
+    if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

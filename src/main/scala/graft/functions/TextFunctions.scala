@@ -66,22 +66,44 @@ object TextFunctions {
 
   // ---- quality scoring -----------------------------------------------
 
+  /** Exact integer floor division (both sides ≥ 0 here, so floor ≡
+    * truncate and the DuckDB `//` operator computes the same value).
+    * A floating `floor(a / b)` can misround when the true quotient sits
+    * within half an ulp of an integer; integral divide cannot. */
+  private def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
+  }
+
   /** Deterministic [0,1] quality score: length saturation, low
     * punctuation density, stopword presence, sane mean word length.
-    * The exact formula matters less than being cheap, monotone in the
-    * obvious signals, and reproducible across engines. */
+    * Computed entirely in fixed-point micro-units (Long, 1e6 = 1.0)
+    * with a single exact double division at the end: every sub-score is
+    * floor(rational · 1e6) over non-negative integers, so the value is
+    * exact by construction and a cross-engine compare cannot flip at a
+    * rounding boundary (the earlier double formulation landed within
+    * 1 ulp of a round(·, 6) boundary on ~2/5000 rows at sf0.1).
+    * micro/1e6 of an exact integer is one correctly-rounded IEEE-754
+    * division — bit-identical in any conforming engine. */
   def qualityScore(text: Column): Column = letBind(tokens(text)) { toks =>
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val stopRatio = stopHits(toks, "en").cast("double") / greatest(nTok, lit(1.0))
-    val meanWord = (nChar - nTok + lit(1.0)) / greatest(nTok, lit(1.0))
-    val lenScore = least(nTok / lit(64.0), lit(1.0))
-    val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 4, lit(1.0))
-    val stopScore = least(stopRatio * 5, lit(1.0))
-    val wordScore = lit(1.0) -
-      least(abs(meanWord - lit(5.0)) / lit(5.0), lit(1.0))
-    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 6)
+    val S = 1000000L
+    val nTok = size(toks).cast("long")
+    val nChar = length(text).cast("long")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+    val tokDen = greatest(nTok, lit(1L))
+    val charDen = greatest(nChar, lit(1L))
+    val lenScore = least(idiv(nTok * S, lit(64L)), lit(S))
+    val punctScore = lit(S) - least(idiv(punct * 4L * S, charDen), lit(S))
+    val stopScore =
+      least(idiv(stopHits(toks, "en").cast("long") * 5L * S, tokDen), lit(S))
+    // mean word length m = (nChar − nTok + 1)/nTok vs target 5:
+    // |m − 5| / 5 = |num − 5·den| / (5·den) — same rational, integer terms
+    val num = nChar - nTok + lit(1L)
+    val wordScore = lit(S) -
+      least(idiv(abs(num - lit(5L) * tokDen) * S, lit(5L) * tokDen), lit(S))
+    idiv(lenScore * 3L + punctScore * 3L + stopScore * 2L + wordScore * 2L,
+      lit(10L)).cast("double") / lit(1000000.0)
   }
 
   /** Gopher-style quality rule bundle (Rae et al. 2021, "Scaling

@@ -58,16 +58,23 @@ object Curation {
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       k: Int, salts: Int = 8): DataFrame = {
     val gcols = groupCols.map(col)
-    // salt must be per-row-unique, not a function of orderCol alone: a
-    // low-cardinality ordering (coarse quality score) would hash every
-    // tied row to ONE salt and resurrect the single-partition skew this
-    // two-phase pass exists to avoid. The partition-local id makes salt
-    // assignment row-unique; the final result never depends on which
-    // salt a row landed in (phase 2 re-ranks), so nondeterministic ids
-    // are safe here.
+    // salt must spread ties in orderCol (a coarse quality score would
+    // otherwise hash every tied row to ONE salt and resurrect the
+    // single-partition skew this two-phase pass exists to avoid), and it
+    // must be DETERMINISTIC per row: a nondeterministic salt (e.g. from
+    // monotonically_increasing_id) is recomputed differently when a
+    // fetch failure retries a map stage, so reducers that already
+    // fetched see a row in one salt group while the retried partition
+    // emits it in another — rows drop or double-keep across attempts
+    // (the SPARK-23207 hazard class). Hashing the FULL row is both:
+    // distinct rows scatter across salts regardless of orderCol ties,
+    // and the assignment is a pure function of row content. Exact
+    // duplicate rows do co-locate on one salt — phase 1 still caps that
+    // group at k per salt, so the skew bound degrades only for a group
+    // made of >k·salts copies of ONE identical row, which phase 2's
+    // ≤ k·salts input bound tolerates by construction.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(orderCol), monotonically_increasing_id()),
-        lit(salts.toLong)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val w1 = Window.partitionBy(gcols :+ col("__salt"): _*).orderBy(col(orderCol))
     val pre = salted.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k).drop("__rn", "__salt")

@@ -353,7 +353,14 @@ object Dedup {
       import spark.implicits._
       val labels = seen.iterator.map(k => (k, find(k)))
         .filter { case (k, r) => k != r }.toSeq
-      nodes.join(labels.toDF("id", "__c"), Seq("id"), "left")
+      // labels materialize as (Long, Long); cast back to the caller's id
+      // type so IntegerType ids don't come back widened to bigint on this
+      // path only (the distributed path preserves the input type) — the
+      // output schema must not depend on which finish the edge count picks
+      val idType = nodes.schema("id").dataType
+      val typed = labels.toDF("id", "__c")
+        .select(col("id").cast(idType), col("__c").cast(idType))
+      nodes.join(typed, Seq("id"), "left")
         .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
     }
 

@@ -23,13 +23,37 @@ import graft.pipelines.GoldContext
   * `java.time.Instant`/`LocalDate` instead of `java.sql` types (stored
   * data and SQL semantics are unaffected). Reset the conf if mixed
   * in-process collection must keep the legacy types.
+  *
+  * Security seam, stated plainly: the endpoint is UNAUTHENTICATED
+  * (hive.server2.authentication=NONE, the Spark default) — anyone who
+  * can reach the port can run SQL with the server process's
+  * privileges. The reference deploys the equivalent surface behind a
+  * read-only database role and client-side limits
+  * (superset/superset_config.py:1-2 ROW_LIMIT 50000 / 60 s timeout;
+  * postgres/init/00_databases.sql:10-21 RBAC); in this library the
+  * perimeter is deployment-level (bind to localhost / a private
+  * interface, front with an authenticating proxy). What CAN be
+  * enforced server-side is set here: incremental collect so a runaway
+  * SELECT streams partition-by-partition instead of materializing the
+  * full result on the driver heap, an operation/session idle timeout
+  * mirroring the reference's 60 s statement posture, and a session
+  * sweep interval so abandoned BI connections release resources.
   */
 object BiServer {
 
   /** Returns the server handle typed as its public parent (the
     * concrete HiveThriftServer2 class is private[hive]); `stop()` it
-    * to release the port. */
-  def serve(ctx: GoldContext, port: Int): HiveServer2 = {
+    * to release the port.
+    *
+    * @param bindHost interface to bind; default localhost keeps the
+    *   unauthenticated endpoint off the network — pass an interface
+    *   address (or "0.0.0.0") deliberately to serve remote BI tools.
+    * @param operationTimeoutMs idle-operation kill timer (≤0 disables):
+    *   a statement whose client stops consuming is cancelled after
+    *   this long, the server-side analog of the reference's 60 s
+    *   client timeout. */
+  def serve(ctx: GoldContext, port: Int, bindHost: String = "localhost",
+      operationTimeoutMs: Long = 60000L): HiveServer2 = {
     val registered = GoldViews.registerAll(ctx)
     // singleSession is a STATIC conf (graft.core.GraftSession sets it):
     // when this session was built elsewhere without it, each JDBC
@@ -40,8 +64,19 @@ object BiServer {
       .getOption("spark.sql.hive.thriftServer.singleSession").contains("true")
     if (!single) registered.foreach(t =>
       ctx.spark.table(t).createOrReplaceGlobalTempView(t))
-    ctx.spark.conf.set("hive.server2.thrift.port", port.toString)
-    ctx.spark.conf.set("hive.server2.thrift.bind.host", "localhost")
+    val conf = ctx.spark.conf
+    conf.set("hive.server2.thrift.port", port.toString)
+    conf.set("hive.server2.thrift.bind.host", bindHost)
+    // guardrails (see object scaladoc): stream results incrementally —
+    // a full-table SELECT from a misconfigured dashboard must not
+    // materialize on the driver heap
+    conf.set("spark.sql.thriftServer.incrementalCollect", "true")
+    // sweep idle sessions/operations; interval must be positive for the
+    // timeouts below to fire
+    conf.set("hive.server2.session.check.interval", "60000")
+    conf.set("hive.server2.idle.operation.timeout",
+      operationTimeoutMs.toString)
+    conf.set("hive.server2.idle.session.timeout", "3600000")
     HiveThriftServer2.startWithContext(ctx.spark.sqlContext)
   }
 }

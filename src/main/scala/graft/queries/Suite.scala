@@ -688,13 +688,10 @@ object Suite {
              |SELECT lang_pred, count(*) AS n FROM pred
              |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
-    // Known boundary behavior: the score is a weighted double sum, and
-    // a value landing within ~1 ulp of a 1e-6 rounding boundary can
-    // round differently across engines (Spark BigDecimal-of-shortest-
-    // repr vs DuckDB x*1e6). Measured incidence ~2 rows in 5000 at
-    // sf0.1; zero at the sf0.01 gate. Inherent to fixed-precision
-    // cross-engine comparison of irrational weights, documented rather
-    // than papered over with coarser rounding.
+    // The score is fixed-point by construction (integer micro-units,
+    // one exact double division at the end — TextFunctions.qualityScore)
+    // so the cross-engine compare is exact; DuckDB's `//` is the same
+    // floor division over the same non-negative integers.
     Q("l8_quality_score",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
@@ -702,20 +699,25 @@ object Suite {
         .orderBy("doc_id"),
       Some("""WITH x AS (SELECT doc_id,
              |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |    t -> len(t) > 0))::DOUBLE AS n_tok,
-             |  length(text)::DOUBLE AS n_char,
-             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+             |    t -> len(t) > 0))::BIGINT AS n_tok,
+             |  length(text)::BIGINT AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
              |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
              |    t -> list_contains(['the','a','of','and','to','in','is','that',
-             |      'it','for'], t)))::DOUBLE AS stop_hits
-             |  FROM documents)
-             |SELECT doc_id, round(
-             |  least(n_tok / 64.0, 1.0) * 0.3 +
-             |  (1.0 - least(punct / greatest(n_char, 1.0) * 4, 1.0)) * 0.3 +
-             |  least(stop_hits / greatest(n_tok, 1.0) * 5, 1.0) * 0.2 +
-             |  (1.0 - least(abs((n_char - n_tok + 1.0) / greatest(n_tok, 1.0)
-             |    - 5.0) / 5.0, 1.0)) * 0.2, 6) AS q
-             |FROM x ORDER BY doc_id""".stripMargin)),
+             |      'it','for'], t)))::BIGINT AS stop_hits
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |  least(n_tok * 1000000 // 64, 1000000) AS len_s,
+             |  1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |    1000000) AS punct_s,
+             |  least(stop_hits * 5000000 // greatest(n_tok, 1), 1000000) AS stop_s,
+             |  1000000 - least(abs(n_char - n_tok + 1 - 5 * greatest(n_tok, 1))
+             |    * 1000000 // (5 * greatest(n_tok, 1)), 1000000) AS word_s
+             |  FROM x)
+             |SELECT doc_id,
+             |  ((len_s * 3 + punct_s * 3 + stop_s * 2 + word_s * 2) // 10)::DOUBLE
+             |    / 1000000.0 AS q
+             |FROM s ORDER BY doc_id""".stripMargin)),
 
     Q("l11_embedding_neardup",
       (s, d) => {

@@ -73,6 +73,14 @@ class BiServerSpec extends SparkSpec {
         val rs3 = st.executeQuery(
           "SELECT normalize_ip('192.168.1.1') AS ip")
         assert(rs3.next() && rs3.getString(1) == "::ffff:192.168.1.1")
+        // guardrails are set on the serving session (BiServer scaladoc):
+        // incremental collect + idle-operation/session sweep
+        assert(spark.conf.get("spark.sql.thriftServer.incrementalCollect")
+          == "true")
+        assert(spark.conf.get("hive.server2.session.check.interval").toLong > 0)
+        assert(spark.conf.get("hive.server2.idle.operation.timeout").toLong
+          == 60000L)
+        assert(spark.conf.get("hive.server2.thrift.bind.host") == "localhost")
       } finally conn.close()
     } finally {
       server.stop()
