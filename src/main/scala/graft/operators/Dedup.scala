@@ -163,14 +163,7 @@ object Dedup {
       .filter(col("__id") =!= col("__min"))
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
     val pairs = coldPairs.unionByName(starPairs).distinct()
-    // arrays are distinct: |A ∪ B| = |A| + |B| − |A ∩ B|
-    pairs
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
+    verifyJaccard(pairs, sh)
   }
 
   /** Persistable LSH signature index: one row per document carrying its
@@ -204,23 +197,22 @@ object Dedup {
     sh.join(sig.select(col("__id"), array(bandCols: _*).as("__bands")), "__id")
   }
 
-  /** Incremental near-dup candidates: pairs involving at least one NEW
-    * document, verified with exact Jaccard — without re-banding or
-    * re-pairing the existing corpus against itself. `newIndex` and
-    * `oldIndex` are [[buildIndex]] outputs (old typically read back from
-    * its parquet home). Every pair appears once, ordered id_a < id_b.
-    * The band join probes old+new with only the new side exploded on
-    * the left — shuffle is O(|new| + collisions), not O(|corpus|²). */
-  def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame,
-      maxBandBucket: Int = 1024): DataFrame = {
-    // band join carries only (band, hash, id) — gram arrays rejoin by id
-    val newB = newIndex.select(col("__id"),
-        posexplode(col("__bands")).as(Seq("__b", "__bh")))
-      .withColumn("__new", lit(true))
-    val allB = oldIndex.select(col("__id"),
-        posexplode(col("__bands")).as(Seq("__b", "__bh")))
-      .withColumn("__new", lit(false))
-      .unionByName(newB)
+  /** Band-membership rows (__id, __b, __bh, __new) of a [[buildIndex]]
+    * frame — the only shape candidate generation needs (gram arrays
+    * rejoin by id at verify time). Also the row shape [[LshIndex]]
+    * persists, so a file-pruned index read plugs straight in. */
+  private[operators] def bandMembers(index: DataFrame,
+      isNew: Boolean): DataFrame =
+    index.select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .withColumn("__new", lit(isNew))
+
+  /** Candidate pairs (id_a < id_b) involving ≥1 new member, from band
+    * membership rows. `newB` is the new batch's memberships (__new
+    * true); `allB` is old ∪ new (old rows __new false).
+    * Shared by [[incrementalCandidates]] (DataFrame-to-DataFrame) and
+    * [[LshIndex.probe]] (file-pruned persisted index). */
+  private[operators] def incrementalPairs(newB: DataFrame, allB: DataFrame,
+      maxBandBucket: Int): DataFrame = {
     // (no cache here: this runs per micro-batch from DedupStream, where
     // cached plans would accumulate; the re-read is a cheap posexplode)
     // only buckets a NEW doc probes can produce pairs, so restrict the
@@ -268,11 +260,14 @@ object Dedup {
     val starPairs = members.join(broadcast(hot), Seq("__b", "__bh"))
       .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
-    val pairs = coldPairs.unionByName(starPairs).distinct()
-    // a re-delivered id would otherwise join twice per side and
-    // multiply verify rows — one gram row per id
-    val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))
-      .dropDuplicates("__id")
+    coldPairs.unionByName(starPairs).distinct()
+  }
+
+  /** Exact-Jaccard verification: join each pair side to its gram array
+    * (`grams` = one (__id, __sh) row per id) and score. Arrays are
+    * distinct: |A ∪ B| = |A| + |B| − |A ∩ B|. */
+  private[operators] def verifyJaccard(pairs: DataFrame,
+      grams: DataFrame): DataFrame =
     pairs
       .join(grams.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(grams.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -280,6 +275,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
+
+  /** Incremental near-dup candidates: pairs involving at least one NEW
+    * document, verified with exact Jaccard — without re-banding or
+    * re-pairing the existing corpus against itself. `newIndex` and
+    * `oldIndex` are [[buildIndex]] outputs. Every pair appears once,
+    * ordered id_a < id_b. The band join probes old+new with only the
+    * new side exploded on the left — shuffle is O(|new| + collisions),
+    * not O(|corpus|²). NOTE on IO: this DataFrame-shaped entry point
+    * evaluates whatever plan `oldIndex` carries, so reading a whole
+    * persisted index here scans O(corpus) files per call even though
+    * the shuffle stays incremental — continuous pipelines should store
+    * the index with [[LshIndex.append]] and probe via [[LshIndex.probe]],
+    * which pushes the touched-bucket predicate into the scan. */
+  def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame,
+      maxBandBucket: Int = 1024): DataFrame = {
+    // band join carries only (band, hash, id) — gram arrays rejoin by id
+    val newB = bandMembers(newIndex, isNew = true)
+    val allB = bandMembers(oldIndex, isNew = false).unionByName(newB)
+    val pairs = incrementalPairs(newB, allB, maxBandBucket)
+    // a re-delivered id would otherwise join twice per side and
+    // multiply verify rows — one gram row per id
+    val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))
+      .dropDuplicates("__id")
+    verifyJaccard(pairs, grams)
   }
 
   /** Connected components over a similarity pair list (id_a, id_b) via
@@ -503,14 +522,7 @@ object Dedup {
             >= alpha)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    pairs
-      .join(prepped.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(prepped.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(pairs, prepped).filter(col("jaccard") >= threshold)
   }
 
   /** Benchmark decontamination: for every (corpus doc, benchmark item)

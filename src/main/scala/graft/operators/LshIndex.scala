@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucket-partitioned persistent home for [[Dedup.buildIndex]] output —
+  * the layout that makes continuous dedupe IO-incremental, not just
+  * shuffle-incremental.
+  *
+  * The DataFrame-shaped probe ([[Dedup.incrementalCandidates]]) prunes
+  * its SHUFFLE to O(|new| + collisions) via a broadcast semi-join, but
+  * any plan that starts from `spark.read.parquet(index)` still SCANS
+  * the whole accumulated index every micro-batch — O(corpus) file IO
+  * per trigger, the one cost that grows without bound as a 100 TB
+  * corpus accumulates. This layout moves the touched-bucket predicate
+  * from the shuffle into the scan:
+  *
+  *  - `members/` — band membership rows `(__id, __b, __bh)` partitioned
+  *    by `(__batch_id, __pb)` where `__pb = pmod(__bh, numBuckets)`.
+  *    A probe computes the batch's bucket set (one tiny job over the
+  *    batch), collects the ≤ numBuckets distinct `__pb` prefixes, and
+  *    reads `members` with `__pb IN (...)` — parquet partition pruning
+  *    skips every file of every untouched prefix.
+  *  - `grams/` — one `(__id, __sh)` row per document partitioned by
+  *    `(__batch_id, __gp)` where `__gp = pmod(xxhash64(__id),
+  *    numBuckets)`. Gram arrays are only needed for ids that appear in
+  *    a candidate pair (O(collisions) of them), so the verify read
+  *    prunes to the partitions owning those ids.
+  *
+  * Per-batch IO is then O(touched/numBuckets · |index| + |new|): for a
+  * micro-batch touching t of the `numBuckets` prefixes, the scan reads
+  * t/numBuckets of the membership table instead of all of it. Size
+  * `numBuckets` so one prefix ≈ a few files at the target corpus (the
+  * prune factor saturates once every batch touches every prefix —
+  * 16 bands × |batch| bucket keys spread uniformly, so numBuckets
+  * should sit well above the per-trigger bucket count; 256 suits tests
+  * and small deployments, 64k+ a large corpus). `numBuckets` is
+  * recorded in `_lsh_index_meta.json` at first append and enforced on
+  * every later append/probe — mixing layouts would silently break
+  * pruning correctness.
+  *
+  * `__batch_id` is the outer partition level for the same reason
+  * [[graft.streaming.DedupStream]]'s sinks carry it: dynamic partition
+  * overwrite makes an at-least-once replay rewrite its own partitions
+  * in place, and [[graft.core.BatchCompaction]] can fold old batch
+  * partitions into one segment by renaming a directory level. Both
+  * tables are read through a per-(key, id) collapse, so a compaction
+  * crash that leaves a batch both merged and unreclaimed cannot change
+  * probe results — only waste space until the next compaction.
+  */
+object LshIndex {
+
+  val BatchCol = "__batch_id"
+  val MemberPart = "__pb"
+  val GramPart = "__gp"
+
+  private def membersPath(root: String) = s"$root/members"
+  private def gramsPath(root: String) = s"$root/grams"
+  private def metaFile(root: String) = new Path(s"$root/_lsh_index_meta.json")
+
+  private def fileSystem(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    fileSystem(spark, root).exists(new Path(membersPath(root)))
+
+  private def pb(bh: Column, n: Int): Column = pmod(bh, lit(n.toLong))
+  private def gp(id: Column, n: Int): Column = pmod(xxhash64(id), lit(n.toLong))
+
+  private[operators] def readNumBuckets(spark: SparkSession,
+      root: String): Int = {
+    val fs = fileSystem(spark, root)
+    val in = fs.open(metaFile(root))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(s"malformed ${metaFile(root)}: $txt")
+    }
+  }
+
+  private def ensureMeta(spark: SparkSession, root: String, n: Int): Unit = {
+    val fs = fileSystem(spark, root)
+    if (fs.exists(metaFile(root))) {
+      val existing = readNumBuckets(spark, root)
+      require(existing == n,
+        s"index at $root is partitioned with numBuckets=$existing; " +
+          s"append/probe with $n would defeat partition pruning")
+    } else {
+      fs.mkdirs(new Path(root))
+      val out = fs.create(metaFile(root), true)
+      try out.write(s"""{"numBuckets":$n}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Append one batch of [[Dedup.buildIndex]] output. Idempotent on
+    * `batchId`: both tables use dynamic partition overwrite, so an
+    * at-least-once replay rewrites its own partitions instead of
+    * appending a second copy. */
+  def append(index: DataFrame, root: String, batchId: Long,
+      numBuckets: Int = 256): Unit = {
+    val spark = index.sparkSession
+    ensureMeta(spark, root, numBuckets)
+    index
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .withColumn(MemberPart, pb(col("__bh"), numBuckets))
+      .withColumn(BatchCol, lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol, MemberPart)
+      .parquet(membersPath(root))
+    index.select(col("__id"), col("__sh"))
+      .withColumn(GramPart, gp(col("__id"), numBuckets))
+      .withColumn(BatchCol, lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol, GramPart)
+      .parquet(gramsPath(root))
+  }
+
+  /** Membership read restricted to the given partition prefixes — the
+    * `IN` on the partition column is what parquet prunes at file level
+    * (PlanShapeSpec asserts selectedPartitions == touched). */
+  private[graft] def prunedMembers(spark: SparkSession, root: String,
+      touchedPb: Seq[Long]): DataFrame = {
+    val all = spark.read.parquet(membersPath(root))
+    if (touchedPb.isEmpty) all.where(lit(false))
+    else all.where(col(MemberPart).isin(touchedPb: _*))
+  }
+
+  /** Gram read restricted to the partitions owning the given prefixes. */
+  private[graft] def prunedGrams(spark: SparkSession, root: String,
+      touchedGp: Seq[Long]): DataFrame = {
+    val all = spark.read.parquet(gramsPath(root))
+    if (touchedGp.isEmpty) all.where(lit(false))
+    else all.where(col(GramPart).isin(touchedGp: _*))
+  }
+
+  /** Incremental near-dup probe of a new batch against the persisted
+    * index, with file-level pruning on both reads. Equivalent to
+    * `Dedup.incrementalCandidates(newIndex, <whole persisted index>)`
+    * (LshIndexSpec asserts the equivalence) — but the membership scan
+    * reads only touched `__pb` partitions and the gram scan only the
+    * `__gp` partitions owning a pair id.
+    *
+    * Two tiny driver actions bound the plan: collecting the batch's
+    * distinct partition prefixes (≤ numBuckets longs) and pinning the
+    * candidate pair list with `localCheckpoint` (O(collisions) rows)
+    * so the pair ids are known before the gram read is planned. */
+  def probe(newIndex: DataFrame, root: String,
+      maxBandBucket: Int = 1024): DataFrame = {
+    val spark = newIndex.sparkSession
+    val n = readNumBuckets(spark, root)
+    val newB = Dedup.bandMembers(newIndex, isNew = true)
+    val touched = newB.select(pb(col("__bh"), n).as("__p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val oldB = prunedMembers(spark, root, touched)
+      .select(col("__id"), col("__b"), col("__bh"), lit(false).as("__new"))
+    val pairs = Dedup
+      .incrementalPairs(newB, oldB.unionByName(newB), maxBandBucket)
+      .localCheckpoint()
+    val touchedGp = pairs
+      .select(explode(array(gp(col("id_a"), n), gp(col("id_b"), n))).as("__g"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pairIds = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
+    // partition pruning cuts the file set; the broadcast semi-join cuts
+    // the surviving rows to exactly the pair ids before the verify join
+    val oldGrams = prunedGrams(spark, root, touchedGp)
+      .join(broadcast(pairIds), Seq("__id"), "left_semi")
+      .select(col("__id"), col("__sh"))
+    // a replayed batch sits in BOTH newIndex and the persisted index —
+    // one gram row per id (same collapse incrementalCandidates applies)
+    val grams = newIndex.select(col("__id"), col("__sh"))
+      .unionByName(oldGrams).dropDuplicates("__id")
+    Dedup.verifyJaccard(pairs, grams)
+  }
+}

@@ -128,8 +128,8 @@ class BronzeStreamSpec extends SparkSpec {
     assert(pairs.contains((3L, 1L)) || pairs.contains((1L, 3L))) // cross-batch
     assert(pairs.contains((4L, 5L))) // within-batch
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L))) // non-dups silent
-    // index accumulated every batch exactly once
-    assert(spark.read.parquet(s"$base/index").count() == 5)
+    // index accumulated every batch exactly once (grams = 1 row/doc)
+    assert(spark.read.parquet(s"$base/index/grams").count() == 5)
   }
 
   test("dedup stream batch replay is idempotent (at-least-once foreachBatch)") {
@@ -153,14 +153,14 @@ class BronzeStreamSpec extends SparkSpec {
     DedupStream.processBatch(b1, 1L, "text", "doc_id",
       s"$base/index", s"$base/pairs", threshold = 0.5)
     val firstPairs = pairs()
-    assert(spark.read.parquet(s"$base/index").count() == 5)
+    assert(spark.read.parquet(s"$base/index/grams").count() == 5)
 
     // a crash between sink writes and checkpoint commit replays the
     // SAME batch id: the index must not grow, pairs must not duplicate
     DedupStream.processBatch(b1, 1L, "text", "doc_id",
       s"$base/index", s"$base/pairs", threshold = 0.5)
-    assert(spark.read.parquet(s"$base/index").count() == 5)
-    assert(spark.read.parquet(s"$base/index")
+    assert(spark.read.parquet(s"$base/index/grams").count() == 5)
+    assert(spark.read.parquet(s"$base/index/grams")
       .select("__id").distinct().count() == 5)
     assert(pairs() == firstPairs)
     assert(!pairs().exists(p => p._1 == p._2)) // no self-pairs from replay
