@@ -86,12 +86,21 @@ object Suite {
              |  count(*) AS n
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // multi-field extraction parses the payload ONCE (from_json with
+    // the minimal schema) instead of one get_json_object re-parse per
+    // field — the same single-parse shape Bronze uses on the ingest hot
+    // path (PlanShapeSpec asserts one JsonToStructs in both plans)
     Q("b4_json_fallback",
       (s, d) => t(s, d, "events")
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("k", coalesce(
-          get_json_object(col("props"), "$.missing"),
-          get_json_object(col("props"), "$.k")).cast("int"))
+        .withColumn("__j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("missing",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.StringType)))))
+        .withColumn("k",
+          coalesce(col("__j.missing"), col("__j.k")).cast("int"))
         .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
         .agg(count(lit(1)).as("n"))
         .orderBy("k_mod"),

@@ -93,6 +93,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
   }
 
+  test("multi-field JSON extraction parses once per row (one JsonToStructs)") {
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
+    import spark.implicits._
+    def parses(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val exprs = df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+      (exprs.flatMap(_.collect { case j: JsonToStructs => j }).size,
+        exprs.flatMap(_.collect { case g: GetJsonObject => g }).size)
+    }
+    // parquet-backed (a local Seq relation constant-folds the whole
+    // projection away at optimization time)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonplan").toString
+    Seq("""{"suricata":{},"event":{"hash":"h1","provider":"wazuh"},"zeek":{}}""")
+      .toDF("raw").write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    // 20-40 field chains, ONE parse; the only remaining per-path probes
+    // are the routing predicates that gate the parse itself (≤ a
+    // handful — nullif() expands its argument twice), never the O(40)
+    // a per-field chain would show
+    for (df <- Seq(ingest.Bronze.suricata(raw), ingest.Bronze.wazuh(raw),
+        ingest.Bronze.zeek(raw))) {
+      val (json, perPath) = parses(df)
+      assert(json == 1, s"expected one JsonToStructs, got $json")
+      assert(perPath <= 6, s"non-routing get_json_object probes: $perPath")
+    }
+    val (b4json, b4perPath) =
+      parses(queries.Suite.queries("b4_json_fallback")(spark, sf))
+    assert(b4json == 1 && b4perPath == 0)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString

@@ -80,6 +80,28 @@ class BronzeSpec extends SparkSpec {
     assert(r.getAs[String]("message") == r.getAs[String]("rule_name"))
   }
 
+  test("single-parse projections are byte-identical to per-path probing") {
+    // reference fixtures + adversarial shapes: numbers where strings are
+    // expected (and vice versa), empty strings, missing branches, space
+    // timestamps — every case where from_json(schema) could diverge
+    // from per-field get_json_object
+    val corpus = rawDf(suriPayload, wazuhPayload, zeekPayload,
+      """{"event":{"hash":"x1","provider":"wazuh","start":"1767864514640"},"rule":{"id":7,"level":"5","name":""},"message":""}""",
+      """{"zeek":{"conn":{"orig_pkts":"2","duration":0.5}},"event":{"hash":"z9"},"tags":["a","b"],"@timestamp":"2026-01-08 01:02:03"}""",
+      """{"suricata":{"alert":{"severity":3}},"event":{"hash":"s9","severity_tags":["t1"]},"rule":{"category":["c1","c2"]}}""",
+      """{"suricata":{},"event":{"hash":"s10"},"node":"n1","totDataBytes":99}""")
+    val variants = Seq(
+      ("suricata", Bronze.suricata(corpus), Bronze.suricata(corpus, singleParse = false)),
+      ("wazuh", Bronze.wazuh(corpus), Bronze.wazuh(corpus, singleParse = false)),
+      ("zeek", Bronze.zeek(corpus), Bronze.zeek(corpus, singleParse = false)))
+    for ((name, single, legacy) <- variants) {
+      assert(single.schema.map(f => (f.name, f.dataType)) ==
+        legacy.schema.map(f => (f.name, f.dataType)), s"$name schema")
+      assert(single.collect().toSeq == legacy.collect().toSeq, s"$name rows")
+      assert(single.count() > 0, s"$name routed rows")
+    }
+  }
+
   test("zeek projection: string numerics try-cast, IPv6 dest, conn fields") {
     val r = Bronze.zeek(rawDf(zeekPayload)).collect().head
     assert(r.getAs[String]("zeek_uid") == "CWVDHLj037LlFJ04a")
