@@ -1201,6 +1201,69 @@ object Suite {
              |SELECT cluster_size, count(*) AS n_clusters FROM sizes
              |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
 
+    // the streaming curation front door's batch twin: langid + fixed-
+    // point quality + gopher pass composed into an accept/reject split
+    // with a single first-failing-gate reason per row — the exact
+    // DataFrame CurationStream.processBatch writes per micro-batch
+    Q("l28_curation_pipeline",
+      (s, d) => graft.streaming.CurationStream
+        .curate(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_words"),
+          col("accepted"), col("reject_reason"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, text, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |base AS (SELECT doc_id,
+             |  CAST(len(tk) AS INT) AS n_words,
+             |  len(tk)::BIGINT AS n_tok,
+             |  length(text)::BIGINT AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+             |  coalesce(CAST(list_sum(list_transform(tk, t -> len(t)))
+             |      AS DOUBLE), 0) / greatest(len(tk), 1) AS mean_len,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE /
+             |    greatest(length(text), 1) AS sym,
+             |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE /
+             |    greatest(length(text), 1) AS dig,
+             |  len(list_filter(tk, t -> list_contains(['the','a','of','and',
+             |    'to','in','is','that','it','for'], t)))::BIGINT AS en,
+             |  len(list_filter(tk, t -> list_contains(['der','die','das','und',
+             |    'ist','nicht','ein','mit','zu','von'], t))) AS de,
+             |  len(list_filter(tk, t -> list_contains(['le','la','les','et',
+             |    'est','une','que','pour','dans','des'], t))) AS fr,
+             |  len(list_filter(tk, t -> list_contains(['el','la','los','las',
+             |    'es','una','que','por','para','con'], t))) AS es,
+             |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+             |  FROM toks),
+             |scored AS (SELECT doc_id, n_words,
+             |  CASE WHEN cjk > 0 THEN 'zh'
+             |    WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+             |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+             |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+             |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             |    ELSE 'es' END AS lang,
+             |  ((least(n_tok * 1000000 // 64, 1000000) * 3 +
+             |    (1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |      1000000)) * 3 +
+             |    least(en * 5000000 // greatest(n_tok, 1), 1000000) * 2 +
+             |    (1000000 - least(abs(n_char - n_tok + 1 -
+             |      5 * greatest(n_tok, 1)) * 1000000 //
+             |      (5 * greatest(n_tok, 1)), 1000000)) * 2) // 10)::DOUBLE
+             |    / 1000000.0 AS quality,
+             |  (n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0
+             |    AND mean_len <= 10.0 AND sym < 0.1 AND dig < 0.2
+             |    AND en >= 2) AS gpass
+             |  FROM base),
+             |final AS (SELECT doc_id, lang, quality, n_words,
+             |  CASE WHEN NOT gpass THEN 'gopher'
+             |       WHEN quality < 0.3 THEN 'quality'
+             |       WHEN lang <> 'en' THEN 'lang'
+             |       ELSE NULL END AS reject_reason
+             |  FROM scored)
+             |SELECT doc_id, lang, quality, n_words,
+             |  (reject_reason IS NULL) AS accepted, reject_reason
+             |FROM final ORDER BY doc_id""".stripMargin)),
+
     Q("l27_gopher_rules",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.gopherStats(col("text")).as("g"))
