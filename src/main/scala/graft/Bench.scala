@@ -34,13 +34,15 @@ object Bench {
     // None = the rep failed: a failed rep's near-zero wall time must not
     // enter the median (it would make a broken query look FAST), and a
     // query whose reps all fail must surface in the JSON, not vanish
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String = sfDir): Option[Double] = {
       // operators cache intermediates (LSH tables etc.); drop them so
       // rep N+1 / query N+1 isn't taxed by earlier blocks
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -71,7 +73,42 @@ object Bench {
       .mkString("[", ",", "]")
     val failedReps = results.map(_._3).sum
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps}""")
+
+    // non-gating scale rehearsal: inflate documents ~10× (deterministic,
+    // SyntheticDocs) and record the dedupe/components pipelines at both
+    // scales — evidence for the SCALING CURVE, not just the sf0.1
+    // point. One rep each, excluded from suite_total; skipped when a
+    // name filter is active (isolated timing runs) or factor <= 1.
+    val synthQueries =
+      Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes")
+    val synthFactor =
+      sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
+    val synth: String =
+      if (only.isDefined || synthFactor <= 1) ""
+      else try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_synth")
+          .toString
+        val n = sources.SyntheticDocs.materialize(spark, sfDir, dir,
+          synthFactor)
+        val timings = synthQueries.flatMap { q =>
+          SparkEntry.queries.get(q)
+            .flatMap(fn => timeOnce(s"synth:$q", fn, dir).map(q -> _))
+        }
+        timings.foreach { case (q, t) =>
+          val base = results.collectFirst {
+            case (nm, Some(m), _) if nm == q => m }
+          System.err.println(f"[bench] synth x$synthFactor $q%-22s " +
+            f"$t%7.2f s (sf base ${base.getOrElse(Double.NaN)}%.2f s)")
+        }
+        val items = timings
+          .map { case (q, t) => "\"" + q + f"\":$t%.3f" }.mkString(",")
+        s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] synth rehearsal FAILED: ${e.getMessage}")
+        ""
+      }
+
+    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth}""")
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
