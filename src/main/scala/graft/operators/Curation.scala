@@ -30,6 +30,38 @@ object Curation {
       lit((fraction * buckets).toLong))
   }
 
+  /** The cut point for [[hashSamplePortable]]: first `fraction` of the
+    * 60-bit md5-prefix space. Computed once in Scala so an external
+    * engine replaying the sample embeds the identical literal instead of
+    * re-deriving it with its own float→int cast rules. */
+  def portableCut(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    (fraction * (1L << 60).toDouble).toLong
+  }
+
+  /** Engine-portable deterministic sample: keep a row iff the first 15
+    * hex digits of `md5(seed || ':' || key)` — a 60-bit integer — fall
+    * below [[portableCut]].
+    *
+    * Same reproducibility contract as [[hashSample]], with one more
+    * property: every warehouse engine has md5 + hex→int, so the exact
+    * row set is replayable outside Spark (DuckDB
+    * `('0x' || substr(md5(...), 1, 15))::BIGINT`, Trino
+    * `from_base(substr(to_hex(md5(...)), 1, 15), 16)`) — the audit story
+    * for "which corpus slice trained this model" doesn't require a Spark
+    * cluster. Costs an md5 per row vs xxhash64's few ns, so default to
+    * [[hashSample]] inside Spark-only pipelines and to this one when the
+    * sample manifest must be cross-checkable. Null keys are dropped
+    * (null hash fails the cut), matching SQL filter semantics. Still a
+    * pure codegen'd map-side filter — no shuffle, no RNG state. */
+  def hashSamplePortable(df: DataFrame, key: Column, fraction: Double,
+      seed: Long = 0L): DataFrame = {
+    val h = conv(substring(md5(
+      concat(lit(seed.toString), lit(":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    df.filter(h < lit(portableCut(fraction)))
+  }
+
   /** Disjoint deterministic split (train/val/test): returns one DataFrame
     * per weight, partitioning the key-hash space proportionally. Every
     * row lands in exactly one split, stable under re-runs. */

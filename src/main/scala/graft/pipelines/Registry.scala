@@ -119,6 +119,76 @@ object Registry {
     ctx.appendFact(table, rows, "event_ts", Seq("event_id", "event_ts", "tag_key"))
   }
 
+  /** Runtime metadata overlay for one pipeline — the knobs the reference
+    * hot-reloads from its metadata store every 10 minutes
+    * (airflow/dags/metadata_updater.py:38-56 re-exports per-pipeline
+    * `enabled`, `depends_on`, `window_minutes`; the DAG regenerates from
+    * the refreshed file without redeploy). Pipeline *code* stays compiled
+    * Scala; only the wiring is data.
+    */
+  case class Overlay(
+      pipelineId: String,
+      enabled: Boolean = true,
+      dependsOn: Option[Seq[String]] = None,
+      windowMinutes: Option[Int] = None)
+
+  /** Parse an overlay file: `{"pipelines": [{"pipeline_id": ...,
+    * "enabled": ..., "depends_on": [...], "window_minutes": ...}, ...]}`
+    * (field names per metadata_updater.py:41-52). Read fresh on every
+    * [[run]] so edits take effect on the next cadence tick, no redeploy —
+    * the file is tiny, so re-parsing beats mtime caching for simplicity.
+    */
+  def loadOverlays(path: String): Seq[Overlay] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path))
+    val arr = root.path("pipelines")
+    require(arr.isArray, s"metadata file $path needs a 'pipelines' array")
+    arr.elements().asScala.map { n =>
+      val id = n.path("pipeline_id").asText("")
+      require(id.nonEmpty, s"metadata file $path: entry missing pipeline_id")
+      Overlay(
+        pipelineId = id,
+        enabled = !n.has("enabled") || n.get("enabled").asBoolean(),
+        dependsOn =
+          if (!n.has("depends_on")) None
+          else Some(n.get("depends_on").elements().asScala.map(_.asText()).toSeq),
+        windowMinutes =
+          if (!n.has("window_minutes")) None else Some(n.get("window_minutes").asInt()))
+    }.toSeq
+  }
+
+  /** Overlay runtime metadata onto the compiled specs: drop disabled
+    * pipelines, replace dependency edges, and widen the run window to the
+    * per-pipeline `window_minutes` lookback (a late-data pipeline can read
+    * a longer window than the cadence tick, 10_metadata.sql:53 semantics).
+    * Unknown ids and enabled→disabled dependencies are errors, not silent
+    * drops — a typo in the metadata file must not quietly skip a pipeline.
+    */
+  def applyOverlays(specs: Seq[PipelineSpec], overlays: Seq[Overlay]): Seq[PipelineSpec] = {
+    val byId = overlays.map(o => o.pipelineId -> o).toMap
+    require(byId.size == overlays.size, "duplicate pipeline_id in metadata")
+    val unknown = byId.keySet -- specs.map(_.id).toSet
+    require(unknown.isEmpty, s"metadata names unknown pipelines: ${unknown.mkString(", ")}")
+    val enabled = specs.flatMap { s =>
+      val o = byId.get(s.id)
+      if (!o.forall(_.enabled)) None
+      else {
+        val deps = o.flatMap(_.dependsOn).getOrElse(s.dependsOn)
+        val runFn = o.flatMap(_.windowMinutes) match {
+          case Some(m) => (ctx: GoldContext, w: TimeWindow) => s.run(ctx,
+            TimeWindow(new java.sql.Timestamp(w.end.getTime - m * 60000L), w.end))
+          case None => s.run
+        }
+        Some(s.copy(dependsOn = deps, run = runFn))
+      }
+    }
+    val ids = enabled.map(_.id).toSet
+    for (s <- enabled; d <- s.dependsOn) require(ids(d),
+      s"pipeline ${s.id} depends on '$d' which is disabled or unknown")
+    enabled
+  }
+
   /** Kahn topo order, stable by declaration order. */
   def topoOrder(specs: Seq[PipelineSpec] = all): Seq[PipelineSpec] = {
     val byId = specs.map(s => s.id -> s).toMap
@@ -136,11 +206,17 @@ object Registry {
 
   /** Run pipelines for a window (all, or the named subset plus nothing
     * else — the dag_run.conf pipeline filter, gold_pipeline.py:170-174);
-    * appends RunStats to the `_run_ledger` table. */
+    * appends RunStats to the `_run_ledger` table. When `metadataPath` is
+    * set, the overlay file is re-read on THIS call — edit it between
+    * cadence ticks and the next run picks it up (metadata_updater.py's
+    * 10-minute refresh, without the Airflow side). */
   def run(ctx: GoldContext, w: TimeWindow,
-      only: Option[Set[String]] = None): Seq[RunStats] = {
+      only: Option[Set[String]] = None,
+      metadataPath: Option[String] = None): Seq[RunStats] = {
+    val specs = metadataPath
+      .map(p => applyOverlays(all, loadOverlays(p))).getOrElse(all)
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
-    val stats = topoOrder().filter(s => only.forall(_.contains(s.id))).map { s =>
+    val stats = topoOrder(specs).filter(s => only.forall(_.contains(s.id))).map { s =>
       val before = ctx.count(s.target)
       val t0 = System.nanoTime()
       val appended = s.run(ctx, w)

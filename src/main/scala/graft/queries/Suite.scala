@@ -900,6 +900,17 @@ object Suite {
         .select("doc_id").orderBy("doc_id"),
       None), // xxhash64 cut has no DuckDB twin — determinism in CurationSpec
 
+    Q("l29_portable_sample",
+      (s, d) => Curation.hashSamplePortable(
+          t(s, d, "documents"), col("doc_id"), fraction = 0.3, seed = 7)
+        .select("doc_id").orderBy("doc_id"),
+      // the whole point of the md5 cut: any engine can replay the exact
+      // row set — this oracle IS the cross-engine audit story
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT
+              |  < ${Curation.portableCut(0.3)}
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("l15_sessionize",
       (s, d) => Curation.sessionize(
           t(s, d, "events"), Seq("user_id"), "ts", gapSeconds = 3600)

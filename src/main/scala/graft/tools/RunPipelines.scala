@@ -43,7 +43,11 @@ object RunPipelines {
           (TimeWindow.of(args(1), args(2)), args.drop(3))
         else (TimeWindow.lastMinutes(10), args.drop(1))
       val only = if (rest.isEmpty) None else Some(rest.toSet)
-      val stats = Registry.run(ctx, window, only)
+      // GRAFT_PIPELINE_METADATA points at a JSON overlay re-read per run —
+      // edit it between cadence ticks to enable/disable/rewire pipelines
+      // without redeploy (metadata_updater.py's 10-minute refresh).
+      val stats = Registry.run(ctx, window, only,
+        metadataPath = sys.env.get("GRAFT_PIPELINE_METADATA"))
       stats.foreach { s =>
         println(f"${s.pipelineId}%-28s before=${s.rowsBefore}%-8d " +
           f"appended=${s.rowsAppended}%-8d after=${s.rowsAfter}%-8d ${s.durationMs} ms")

@@ -23,6 +23,29 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a.toSet))
   }
 
+  test("hashSamplePortable matches an out-of-Spark md5 replay exactly") {
+    val a = Curation.hashSamplePortable(docs, col("doc_id"), 0.3, seed = 7)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Curation.hashSamplePortable(docs.repartition(7), col("doc_id"),
+      0.3, seed = 7).select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.length > 200 && a.length < 400)
+    val c = Curation.hashSamplePortable(docs, col("doc_id"), 0.1, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.subsetOf(a.toSet))
+
+    // replay the cut with plain JDK md5 — no Spark — and get the same set:
+    // the portability contract, verified against an independent impl
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cut = Curation.portableCut(0.3)
+    val replay = (1L to 1000L).filter { id =>
+      val hex = md.digest(s"7:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) < cut
+    }
+    assert(a.toSeq == replay)
+  }
+
   test("hashSplit partitions every row into exactly one split") {
     val splits = Curation.hashSplit(docs, col("doc_id"), Seq(8, 1, 1), seed = 3)
     val sizes = splits.map(_.count())
