@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Replacing, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, Replacing, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -46,6 +46,58 @@ object Suite {
         StructField("effective_to", TimestampType),
         StructField("is_current", IntegerType))))
   }
+
+  /** Shared by l6 (in-memory IVF) and l30 (persisted cell-partitioned
+    * index) — both must produce exactly this deterministic pipeline:
+    * stride-seeded centroids → cosine assignment → probe → score. */
+  private val ivfOracleSql: String =
+    """WITH cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+      |    embedding AS ce FROM embeddings
+      |  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 16) = 0
+      |  ORDER BY vec_id LIMIT 16),
+      |asg AS (
+      |  SELECT vec_id, embedding, centroid_id FROM (
+      |    SELECT vec_id, embedding, centroid_id, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn
+      |    FROM (SELECT c.vec_id, c.embedding, t.centroid_id,
+      |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+      |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+      |      FROM embeddings c CROSS JOIN cent t))
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qe, centroid_id FROM (
+      |    SELECT query_id, qe, centroid_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cos DESC, centroid_id ASC) AS rn
+      |    FROM (SELECT q.vec_id AS query_id, q.embedding AS qe, t.centroid_id,
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |        i -> q.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+      |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+      |      FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 3))
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * p.qe[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(p.qe) + 1),
+      |      i -> p.qe[i]::DOUBLE * p.qe[i]::DOUBLE)))) AS cos
+      |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, round(cos, 6) AS cosine, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -815,53 +867,24 @@ object Suite {
       // the whole IVF path is deterministic (stride-seeded centroids,
       // cosine assignment with centroid_id tie-break), so the exact
       // pipeline is expressible in SQL: seed → assign → probe → score
-      Some("""WITH cent AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             |    embedding AS ce FROM embeddings
-             |  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 16) = 0
-             |  ORDER BY vec_id LIMIT 16),
-             |asg AS (
-             |  SELECT vec_id, embedding, centroid_id FROM (
-             |    SELECT vec_id, embedding, centroid_id, row_number() OVER (
-             |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn
-             |    FROM (SELECT c.vec_id, c.embedding, t.centroid_id,
-             |      list_sum(list_transform(range(1, len(c.embedding) + 1),
-             |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
-             |      (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-             |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
-             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
-             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
-             |      FROM embeddings c CROSS JOIN cent t))
-             |  WHERE rn = 1),
-             |probes AS (
-             |  SELECT query_id, qe, centroid_id FROM (
-             |    SELECT query_id, qe, centroid_id, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY cos DESC, centroid_id ASC) AS rn
-             |    FROM (SELECT q.vec_id AS query_id, q.embedding AS qe, t.centroid_id,
-             |      list_sum(list_transform(range(1, len(q.embedding) + 1),
-             |        i -> q.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
-             |      (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-             |        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
-             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
-             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
-             |      FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 3))
-             |  WHERE rn <= 4),
-             |scored AS (
-             |  SELECT p.query_id, a.vec_id,
-             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-             |      i -> a.embedding[i]::DOUBLE * p.qe[i]::DOUBLE)) /
-             |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-             |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-             |     sqrt(list_sum(list_transform(range(1, len(p.qe) + 1),
-             |      i -> p.qe[i]::DOUBLE * p.qe[i]::DOUBLE)))) AS cos
-             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id),
-             |ranked AS (
-             |  SELECT query_id, vec_id, round(cos, 6) AS cosine, row_number() OVER (
-             |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-             |  FROM scored)
-             |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-             |FROM ranked WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfOracleSql)),
+
+    Q("l30_ivf_index",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivf_suite").toString
+        IvfIndex.build(emb, root, nlist = 16)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        IvfIndex.query(s, root, queries, k = 5, nprobe = 4)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      // persisted cell-partitioned index must return EXACTLY the
+      // in-memory IVF answer — same oracle as l6 by construction
+      Some(ivfOracleSql)),
 
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")
