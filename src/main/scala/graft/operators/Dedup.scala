@@ -75,6 +75,46 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Corpus-wide paragraph-level dedup (the CCNet/RefinedWeb pass that
+    * removes boilerplate repeated ACROSS pages, finer-grained than
+    * whole-document [[exact]]): split each text on `sep`, keep only the
+    * FIRST occurrence of every distinct paragraph — ordering by
+    * (`idCol`, position), so the winner is deterministic and intra-doc
+    * repeats also collapse to their first position — then reassemble
+    * each document from its surviving paragraphs in original order.
+    * Blank paragraphs never win or survive; a document whose every
+    * paragraph was seen earlier vanishes from the output.
+    *
+    * Output: (`idCol`, `textCol` rebuilt, n_paragraphs kept).
+    *
+    * Scale shape: the winner-per-paragraph aggregate groups BY the
+    * paragraph text, so partial aggregation collapses a mega-duplicated
+    * boilerplate paragraph to one row per map partition before the
+    * shuffle — the skew a window-rank formulation would serialize into
+    * a single task. Two shuffles total (by paragraph, then by doc), and
+    * the second one carries only surviving paragraphs. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__p")))
+      .filter(trim(col("__p")) =!= "")
+    val winners = paras
+      .groupBy(col("__p"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("__idx").as("__idx"), col("__p"))
+    winners
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__p")))),
+            s => s.getField("__p")),
+          sep).as(textCol),
+        count(lit(1)).as("n_paragraphs"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
   /** Candidate pairs (idA < idB) that share ≥1 LSH band, with their

@@ -886,6 +886,35 @@ object Suite {
       // in-memory IVF answer — same oracle as l6 by construction
       Some(ivfOracleSql)),
 
+    Q("l31_paragraph_dedup",
+      (s, d) => {
+        // the corpus is single-line text: paragraph-ize deterministically
+        // (break after every 10th word) so near-dup docs — which share
+        // long prefixes — yield genuinely repeated cross-doc paragraphs
+        val docs = t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\w+ ){9}\\w+) ", "$1\n\n"))
+        Dedup.paragraphDedup(docs, "text", "doc_id")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("n_paragraphs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    regexp_replace(text, '((\w+ ){9}\w+) ',
+             |      '\1' || chr(10) || chr(10), 'g') AS text FROM documents),
+             |p0 AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10) || chr(10))) AS p,
+             |    generate_subscripts(string_split(text,
+             |      chr(10) || chr(10)), 1) AS i FROM d),
+             |p AS (SELECT doc_id, i - 1 AS idx, p FROM p0
+             |  WHERE trim(p) <> ''),
+             |w AS (SELECT doc_id, idx, p, row_number() OVER (
+             |    PARTITION BY p ORDER BY doc_id, idx) AS rn FROM p)
+             |SELECT doc_id,
+             |  md5(string_agg(p, chr(10) || chr(10) ORDER BY idx)) AS text_md5,
+             |  count(*) AS n_paragraphs
+             |FROM w WHERE rn = 1 GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)

@@ -28,6 +28,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.count() == 7)
   }
 
+  test("paragraph dedup: first occurrence wins, docs rebuild in order") {
+    import spark.implicits._
+    val pdocs = Seq(
+      (0L, "shared boilerplate header\n\nunique body of doc zero\n\nshared footer"),
+      (1L, "shared boilerplate header\n\nunique body of doc one\n\nshared footer"),
+      (2L, "shared boilerplate header\n\nshared footer"), // nothing unique
+      (3L, "repeat me\n\nrepeat me\n\nthen something else"), // intra-doc repeat
+      (4L, "\n\n  \n\nonly real paragraph") // blanks are dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // doc 0 saw every paragraph first: intact
+    assert(out(0L) == ("shared boilerplate header\n\nunique body of doc zero" +
+      "\n\nshared footer", 3L))
+    // doc 1 loses both shared paragraphs, keeps its unique body
+    assert(out(1L) == ("unique body of doc one", 1L))
+    // doc 2 had nothing unique: vanishes
+    assert(!out.contains(2L))
+    // intra-doc repeat collapses to its first position
+    assert(out(3L) == ("repeat me\n\nthen something else", 2L))
+    // blank paragraphs never survive
+    assert(out(4L) == ("only real paragraph", 1L))
+  }
+
   test("minhash LSH finds the near-dup pair and dedupes it") {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", shingleN = 2)
       .filter(col("jaccard") >= 0.5)
