@@ -78,6 +78,89 @@ object PartitionedWriter {
     fs.exists(p)
   }
 
+  case class CompactStats(partition: String, filesBefore: Int, filesAfter: Int)
+
+  /** Rewrite date partitions that accumulated too many files into
+    * size-targeted, range-sorted ones. Every cadence append writes its
+    * own file set, so a 10-minute pipeline leaves ~144 files per
+    * partition per day — file listing, scan task count, and row-group
+    * locality all degrade without a periodic fold (the reference's
+    * storage engine merges parts in the background continuously; this
+    * is the explicit Spark-side equivalent).
+    *
+    * Only partitions with ≥ `minFiles` data files are touched. The
+    * compacted copy is range-partitioned + sorted on `orderCols` (the
+    * table's ORDER BY), restoring global sort order so parquet row-group
+    * min/max pruning works across the whole partition again — appends
+    * keep locality only within each append's own files.
+    *
+    * Swap discipline per partition, same as GoldContext.rewriteDim:
+    * write to a staging dir OUTSIDE the table root (a tmp dir inside it
+    * would corrupt Hive-style partition discovery), rename live → bak,
+    * staged → live, delete bak; a crash between the renames is healed
+    * on the next call (bak restored when live is missing). Readers see
+    * the partition missing only between two metadata-speed renames.
+    * Content is byte-for-byte the same rows, so appendIfAbsent's
+    * key-level idempotency is unaffected. */
+  def compactPartitions(spark: SparkSession, path: String,
+      orderCols: Seq[String] = Nil, minFiles: Int = 8,
+      targetFileBytes: Long = 128L << 20): Seq[CompactStats] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val staging = new Path(path + "__compact")
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
+
+    // heal a crash from a previous run: live partition gone, bak present
+    if (fs.exists(staging)) fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".bak"))
+      .foreach { b =>
+        val live = new Path(root, b.getPath.getName.stripSuffix(".bak"))
+        if (!fs.exists(live)) fs.rename(b.getPath, live)
+      }
+
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+
+    val stats = parts.flatMap { p =>
+      val dataFiles = fs.listStatus(p.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length < minFiles) None
+      else {
+        val bytes = dataFiles.map(_.getLen).sum
+        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val part = spark.read.parquet(p.getPath.toString)
+        val shaped =
+          if (orderCols.nonEmpty)
+            part.repartitionByRange(files, orderCols.map(col).toIndexedSeq: _*)
+              .sortWithinPartitions(orderCols.map(col).toIndexedSeq: _*)
+          else part.repartition(files)
+        val tmp = new Path(staging, p.getPath.getName + ".tmp")
+        val bak = new Path(staging, p.getPath.getName + ".bak")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        mustRename(p.getPath, bak)
+        try mustRename(tmp, p.getPath)
+        catch {
+          case e: java.io.IOException =>
+            if (!fs.exists(p.getPath)) fs.rename(bak, p.getPath)
+            throw e
+        }
+        fs.delete(bak, true)
+        val after = fs.listStatus(p.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        Some(CompactStats(p.getPath.getName, dataFiles.length, after))
+      }
+    }
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
+    stats
+  }
+
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }

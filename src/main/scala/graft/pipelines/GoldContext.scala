@@ -142,6 +142,14 @@ class GoldContext(
 
   def count(table: String): Long =
     if (exists(table)) spark.read.parquet(path(table)).count() else 0L
+
+  /** Fold a fact/bronze table's accumulated per-append files into
+    * size-targeted sorted ones (the background-merge equivalent; see
+    * PartitionedWriter.compactPartitions). Run off-cadence. */
+  def compactTable(table: String,
+      orderCols: Seq[String] = Seq("event_ts", "event_id"),
+      minFiles: Int = 8): Seq[PartitionedWriter.CompactStats] =
+    PartitionedWriter.compactPartitions(spark, path(table), orderCols, minFiles)
 }
 
 /** Half-open incremental window [start, end) (gold_pipeline.py:27-49). */

@@ -72,4 +72,49 @@ class CoreSpec extends SparkSpec {
     PartitionedWriter.appendIfAbsent(df2, dir, "event_ts", Seq("event_id", "event_ts"))
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("compactPartitions folds per-append files, content and idempotency intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 10 cadence appends to one date + 2 to another: 10 and 2 file sets
+    def row(i: Int, day: Int) = (s"e$i",
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d 10:${i % 60}%02d:00"), i.toDouble)
+    (0 until 10).foreach { i =>
+      PartitionedWriter.append(Seq(row(i, 1)).toDF("event_id", "event_ts", "v"),
+        dir, "event_ts", Seq("event_ts", "event_id"))
+    }
+    (10 until 12).foreach { i =>
+      PartitionedWriter.append(Seq(row(i, 2)).toDF("event_id", "event_ts", "v"),
+        dir, "event_ts", Seq("event_ts", "event_id"))
+    }
+    def files(part: String) = new java.io.File(s"$dir/$part").list()
+      .count(_.endsWith(".parquet"))
+    assert(files("event_date=2024-01-01") >= 10)
+    val before = spark.read.parquet(dir)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+
+    val stats = PartitionedWriter.compactPartitions(spark, dir,
+      Seq("event_ts", "event_id"), minFiles = 8)
+    // only the 10-file partition crossed minFiles; it folded to 1 file
+    assert(stats.map(s => (s.partition, s.filesAfter)) ==
+      Seq(("event_date=2024-01-01", 1)))
+    assert(files("event_date=2024-01-01") == 1)
+    assert(files("event_date=2024-01-02") == 2)
+    // no staging debris inside or beside the table
+    assert(!new java.io.File(dir + "__compact").exists())
+
+    // identical content, partition column included, and appendIfAbsent
+    // still recognizes every row as present
+    val after = spark.read.parquet(dir)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(after == before)
+    val again = (0 until 12).map(i => row(i, if (i < 10) 1 else 2))
+      .toDF("event_id", "event_ts", "v")
+    assert(PartitionedWriter.appendIfAbsent(again, dir, "event_ts",
+      Seq("event_id", "event_ts")) == 0L)
+
+    // nothing above minFiles anymore: second compact is a no-op
+    assert(PartitionedWriter.compactPartitions(spark, dir,
+      Seq("event_ts", "event_id"), minFiles = 8).isEmpty)
+  }
 }
