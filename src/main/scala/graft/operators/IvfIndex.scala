@@ -100,6 +100,17 @@ object IvfIndex {
     appendAssigned(newVecs, root, batchId, idCol, vecCol)
   }
 
+  /** Replay path for the streaming twin ([[graft.streaming.AnnStream]]):
+    * an at-least-once re-delivery of the BUILD batch (id 0) must
+    * re-assign under the already-frozen centroids and overwrite its own
+    * partitions — not re-train. Package-private: the batch API keeps
+    * batch 0 reserved for [[build]]. */
+  private[graft] def replayAppend(vecs: DataFrame, root: String,
+      batchId: Long, idCol: String, vecCol: String): Unit = {
+    readNlist(vecs.sparkSession, root)
+    appendAssigned(vecs, root, batchId, idCol, vecCol)
+  }
+
   private def appendAssigned(vecs: DataFrame, root: String, batchId: Long,
       idCol: String, vecCol: String): Unit = {
     val cents = centroids(vecs.sparkSession, root)
