@@ -80,7 +80,8 @@ object Bench {
     // point. One rep each, excluded from suite_total; skipped when a
     // name filter is active (isolated timing runs) or factor <= 1.
     val synthQueries =
-      Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes")
+      Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes",
+        "l28_curation_pipeline", "l31_paragraph_dedup")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -66,6 +66,35 @@ object Monitoring {
     (missing, unexpected, changed)
   }
 
+  case class FileStats(table: String, partition: String, files: Long,
+      bytes: Long, avgFileBytes: Long, needsCompaction: Boolean)
+
+  /** Per-partition file census for a date-partitioned table — the
+    * observability half of [[graft.core.PartitionedWriter
+    * .compactPartitions]]: cadence appends accumulate one file set per
+    * run, and this probe names the partitions whose file count crossed
+    * `minFiles` while the average file is under half the target size —
+    * exactly the partitions a maintenance-cadence `compactTable` will
+    * fold. Pure driver-side metadata listing; no data is read. */
+  def fileStats(ctx: GoldContext, table: String, minFiles: Int = 8,
+      targetFileBytes: Long = 128L << 20): Seq[FileStats] = {
+    import org.apache.hadoop.fs.Path
+    if (!ctx.exists(table)) return Nil
+    val root = new Path(ctx.path(table))
+    val fs = root.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { p =>
+        val data = fs.listStatus(p.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val bytes = data.map(_.getLen).sum
+        val avg = if (data.isEmpty) 0L else bytes / data.length
+        FileStats(table, p.getPath.getName, data.length, bytes, avg,
+          data.length >= minFiles && avg < targetFileBytes / 2)
+      }
+      .sortBy(_.partition)
+  }
+
   /** Append a monitoring snapshot (freshness + row count per table). */
   def snapshot(ctx: GoldContext, tables: Seq[String]): DataFrame = {
     import ctx.spark.implicits._

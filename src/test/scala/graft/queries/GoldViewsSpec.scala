@@ -69,6 +69,30 @@ class GoldViewsSpec extends SparkSpec {
     assert(snap.count() == 2)
     assert(ctx.exists("_monitoring"))
   }
+  test("file census flags fragmented partitions; compaction clears the flag") {
+    import spark.implicits._
+    // a table built by many per-row appends: one file set per append
+    (0 until 10).foreach { i =>
+      PartitionedWriter.append(
+        Seq((s"frag$i", java.sql.Timestamp.valueOf(f"2026-02-01 10:$i%02d:00"), 1.0))
+          .toDF("event_id", "event_ts", "v"),
+        ctx.path("frag_table"), "event_ts", Seq("event_ts", "event_id"))
+    }
+    val before = Monitoring.fileStats(ctx, "frag_table", minFiles = 8)
+    assert(before.size == 1 && before.head.files >= 10)
+    assert(before.head.needsCompaction)
+
+    val stats = ctx.compactTable("frag_table", minFiles = 8)
+    assert(stats.nonEmpty)
+    val after = Monitoring.fileStats(ctx, "frag_table", minFiles = 8)
+    assert(after.size == 1 && !after.head.needsCompaction)
+    assert(after.head.files < before.head.files)
+    // content survived the fold
+    assert(spark.read.parquet(ctx.path("frag_table")).count() == 10)
+    // absent table: empty census, not an error
+    assert(Monitoring.fileStats(ctx, "no_such_table").isEmpty)
+  }
+
   test("SLA thresholds: stale table, blown run SLA, volume drop, drift -> alert rows") {
     import graft.pipelines.Monitoring.SlaConfig
     val maxTs = spark.read.parquet(ctx.path("fact_suricata_events"))
