@@ -340,6 +340,31 @@ object Suite {
              |FROM events e LEFT JOIN current c ON e.user_id = c.user_id
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
+    Q("c11_bucketed_join",
+      (s, d) => {
+        // the zero-exchange big-big join: both sides bucketed on the
+        // join key into the same bucket count (BucketingSpec asserts
+        // the plan has no Exchange; this entry oracle-checks results).
+        // Revenue sums through DECIMAL so the aggregate is exact and
+        // engine-order-independent, then converts once for output.
+        val dec = col("o_totalprice").cast("decimal(18,2)")
+        graft.core.Bucketing.writeBucketed(t(s, d, "customer"),
+          "bk_customer", Seq("c_custkey"), 8)
+        graft.core.Bucketing.writeBucketed(
+          t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          "bk_orders", Seq("c_custkey"), 8)
+        s.table("bk_orders").join(s.table("bk_customer"), "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec).cast("double").as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ================= D. aggregation ===============================
 
     Q("d1_distinct_dim",
