@@ -80,6 +80,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
   }
 
+  test("portable sample filter evaluates scan-side with pruned columns") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.hashSamplePortable(docs, col("doc_id"), 0.25, 1L)
+      .select("doc_id")
+    val plan = planOf(df)
+    // same contract as hashSample: pure map-side filter, no shuffle,
+    // scan reads only the key column
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
+    assert(plan.contains("DataFilters: [(cast(conv(substring(md5("))
+  }
+
+  test("paragraph dedup pre-combines winners map-side (2 shuffles total)") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Dedup.paragraphDedup(docs, "text", "doc_id"))
+    // the first-occurrence winner must be a PARTIAL min(struct) BEFORE
+    // the paragraph shuffle — a mega-duplicated boilerplate paragraph
+    // collapses to one row per map partition instead of all copies
+    // crossing the wire into one window task
+    val partialIdx = plan.indexOf("partial_min(struct(doc_id")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(__p")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial winner agg must sit below its exchange:\n$plan")
+    // exactly two shuffles: by paragraph (winners), then by doc (rebuild)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("incremental dedup probe broadcasts batch bucket keys (no corpus shuffle)") {
     import spark.implicits._
     val mk = (ids: Seq[Long]) => operators.Dedup.buildIndex(
