@@ -156,6 +156,42 @@ object Curation {
     df.filter(h < cut)
   }
 
+  /** Token-window chunking — the pre-embedding step of a retrieval /
+    * ANN pipeline: split each document into chunks of `chunkTokens`
+    * whitespace tokens, consecutive chunks overlapping by `overlap`
+    * tokens so no semantic span is cut without context. Chunk ids are
+    * (doc, 0-based index), deterministic, so embedding jobs and
+    * [[IvfIndex]] appends are replayable per chunk.
+    *
+    * Output: (`idCol`, chunk_idx, chunk_text, n_tokens). Documents with
+    * no tokens produce no chunks; a document shorter than one chunk
+    * produces exactly one.
+    *
+    * Scale shape: pure per-row column algebra (split → slice windows →
+    * posexplode) — no shuffle, no UDF; the explode multiplies rows by
+    * ~len/stride, which is the output's intrinsic size. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // ceil((size - overlap) / stride) starts, at least 1 for any tokens
+    // (floor of the int-column `/` — which is true division — is exact
+    // here: token counts sit far inside double precision)
+    val n = greatest(lit(1), floor(
+      (size(col("__toks")) - overlap + stride - 1) / stride).cast("int"))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), n - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkTokens))))
+        .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("n_tokens"))
+  }
+
   /** Token-length bucket index for sequence-length binning (packing
     * batches of similar length): bucket i ⇔ tokenCount < boundaries(i),
     * else boundaries.size. Boundaries must be ascending. */

@@ -940,6 +940,29 @@ object Suite {
              |FROM w WHERE rn = 1 GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l32_chunk_documents",
+      (s, d) => Curation.chunkDocuments(
+          t(s, d, "documents"), "text", "doc_id", chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |n AS (SELECT doc_id, tk,
+             |    greatest(1, (len(tk) - 8 + 24 - 1) // 24) AS nc
+             |  FROM t WHERE len(tk) > 0),
+             |c AS (SELECT doc_id,
+             |    unnest(list_transform(range(0, nc),
+             |      i -> array_to_string(tk[i*24+1 : i*24+32], ' '))) AS chunk,
+             |    unnest(range(0, nc)) AS chunk_idx,
+             |    unnest(list_transform(range(0, nc),
+             |      i -> len(tk[i*24+1 : i*24+32]))) AS n_toks
+             |  FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  md5(chunk) AS chunk_md5, CAST(n_toks AS INT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)

@@ -46,6 +46,32 @@ class CurationSpec extends SparkSpec {
     assert(a.toSeq == replay)
   }
 
+  test("chunkDocuments: overlapping token windows, exact boundaries") {
+    import org.apache.spark.sql.Row
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "only three words"),                       // shorter than a chunk
+      (3L, "   "),                                    // no tokens: no chunks
+      (4L, (1 to 4).map(i => s"x$i").mkString(" "))   // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, "text", "doc_id",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+
+    // doc 1: stride 3 → starts 0,3,6,9 → ceil((10-1)/3)=3 chunks
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq == Seq(
+      (0, "w1 w2 w3 w4", 4), (1, "w4 w5 w6 w7", 4), (2, "w7 w8 w9 w10", 4)))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(c1(0).getString(2).split(" ").last == c1(1).getString(2).split(" ").head)
+
+    assert(out.filter(_.getLong(0) == 2L).toSeq ==
+      Seq(Row(2L, 0, "only three words", 3)))
+    assert(!out.exists(_.getLong(0) == 3L))
+    assert(out.filter(_.getLong(0) == 4L).toSeq ==
+      Seq(Row(4L, 0, "x1 x2 x3 x4", 4)))
+  }
+
   test("hashSplit partitions every row into exactly one split") {
     val splits = Curation.hashSplit(docs, col("doc_id"), Seq(8, 1, 1), seed = 3)
     val sizes = splits.map(_.count())
