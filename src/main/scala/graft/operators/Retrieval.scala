@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval over a text corpus — the BM25 complement
+  * to [[Similarity]]'s embedding search. A training-data pipeline needs
+  * both: lexical ranking for benchmark decontamination and targeted
+  * corpus probes, embedding ANN for semantic neighbors.
+  *
+  * Scale shape: [[postings]] is the inverted index — one explode + one
+  * groupBy over the corpus, shuffled on (term, doc); persist it
+  * partitioned/bucketed by a term hash and the per-query work becomes a
+  * broadcast semi-join touching only the query's terms. Corpus text is
+  * never shuffled, only (term, id, tf, dl) tuples. Document frequency
+  * for scoring is computed from the postings restricted to query terms,
+  * so a q-term query aggregates |postings(q-terms)| rows, not the
+  * corpus.
+  */
+object Retrieval {
+
+  /** Lower-cased alphanumeric tokens (codegen'd column algebra). */
+  def termsOf(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Inverted-index postings: one row per (doc, term) with the term
+    * frequency and the doc's token length. This is the persistable
+    * artifact — at scale, write it once partitioned by
+    * `pmod(xxhash64(term), P)` and every BM25 query prunes to the
+    * partitions its terms hash into. */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus scalars BM25 needs: document count and mean token length.
+    * One cheap full-corpus aggregate, broadcast to the scorer. avgdl
+    * is an exact Long sum divided once — not avg() — so the double is
+    * identical regardless of partitioning or engine. */
+  def corpusStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(size(termsOf(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** BM25 top-k: for each query row, the k highest-scoring documents.
+    *
+    * score(q,d) = Σ_{t ∈ distinct terms(q)} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), with the Robertson
+    * idf = ln(1 + (N − df + ½)/(df + ½)) (always positive).
+    *
+    * Each per-term contribution is rounded to integer micro-units and
+    * the document score summed in Long — exact, order-independent
+    * arithmetic, so ranking and the reported score are reproducible
+    * across engines, partitionings, and re-runs (no float-summation
+    * order sensitivity). Ties break by ascending document id.
+    *
+    * Output: (queryIdCol, idCol, score, rank), score in units of 1e-6.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val stats = corpusStats(docs, textCol, idCol)
+    val qterms = queries.select(col(queryIdCol),
+        explode(array_distinct(termsOf(col(queryTextCol)))).as("term"))
+    // Restrict the index to terms any query mentions (broadcast — the
+    // query set is small by construction of a top-k serving path), then
+    // df per surviving term is a tiny aggregate.
+    val touched = post.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val termDf = touched.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val idf = log(lit(1d) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val sat = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = touched
+      .join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("__micro", round(idf * sat * 1e6).cast("long"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__micro")).as("__sum"))
+      .withColumn("score", col("__sum") / 1e6)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sum").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Duplicate n-gram span detection — substring-level dedup in the
+    * style of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): hash every rolling window of
+    * `windowTokens` whitespace tokens; any window text occurring in
+    * more than one document marks a duplicated span in every document
+    * containing it. Downstream can cut the spans or drop the docs.
+    *
+    * Output: one row per (doc, span) whose window text appears in >1
+    * document — (idCol, span_start = 0-based token offset, span_hash,
+    * n_docs, n_occurrences).
+    *
+    * Scale shape: window hashing is per-row column algebra (no
+    * shuffle); the duplicate decision shuffles (hash, id, start)
+    * tuples only — window text dies at the map side. `hashFn` defaults
+    * to xxhash64 (8-byte shuffle keys); pass md5 when a re-derivable
+    * cross-engine fingerprint matters more than key width.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val spans = docs
+      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= windowTokens)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__tk")) - windowTokens),
+          i => hashFn(array_join(
+            slice(col("__tk"), i + 1, lit(windowTokens)), " "))))
+        .as(Seq("span_start", "span_hash")))
+    val dups = spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+    spans.join(dups, Seq("span_hash"))
+      .select(col(idCol), col("span_start"), col("span_hash"),
+        col("n_docs"), col("n_occurrences"))
+  }
+}

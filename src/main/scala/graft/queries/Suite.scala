@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, Replacing, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -962,6 +962,62 @@ object Suite {
              |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
              |  md5(chunk) AS chunk_md5, CAST(n_toks AS INT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    Q("l33_bm25_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Retrieval.termsOf(col("text")), 1, 8), " ")
+              .as("query_text"))
+        Retrieval.bm25TopK(docs, queries, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+             |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok)
+             |  GROUP BY 1, 2, 3),
+             |stats AS (SELECT count(*) AS n_docs,
+             |    sum(len(tk))::DOUBLE / count(*) AS avgdl FROM tok),
+             |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
+             |  FROM tok WHERE doc_id < 3),
+             |scored AS (SELECT q.query_id, p.doc_id, CAST(round(
+             |    ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+             |    (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) *
+             |    1000000) AS BIGINT) AS micro
+             |  FROM post p
+             |  JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM post
+             |        WHERE term IN (SELECT term FROM q) GROUP BY 1) t USING (term)
+             |  JOIN q ON q.term = p.term CROSS JOIN stats s),
+             |agg AS (SELECT query_id, doc_id, sum(micro) AS m
+             |  FROM scored GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, m / 1e6 AS score, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY m DESC, doc_id ASC) AS rank
+             |  FROM agg)
+             |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("l34_duplicate_spans",
+      (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",
+          "doc_id", windowTokens = 16, hashFn = md5(_))
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |sp AS (SELECT doc_id,
+             |    unnest(range(0, len(tk) - 15)) AS span_start,
+             |    unnest(list_transform(range(0, len(tk) - 15),
+             |      i -> md5(array_to_string(tk[i+1 : i+16], ' ')))) AS span_hash
+             |  FROM tok WHERE len(tk) >= 16),
+             |dup AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+             |    count(*) AS n_occurrences
+             |  FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) > 1)
+             |SELECT sp.doc_id, CAST(sp.span_start AS INT) AS span_start,
+             |  sp.span_hash, dup.n_docs, dup.n_occurrences
+             |FROM sp JOIN dup USING (span_hash)
+             |ORDER BY doc_id, span_start""".stripMargin)),
 
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown cat sleeps"),
+    (3L, "lorem ipsum dolor sit amet"),
+    (4L, "quick quick quick brown")
+  ).toDF("doc_id", "text")
+
+  test("postings: tf and dl per (doc, term)") {
+    val p = Retrieval.postings(docs, "text", "doc_id")
+      .filter($"doc_id" === 4L).orderBy("term").collect()
+    assert(p.map(r => (r.getString(2), r.getInt(1), r.getLong(3))).toSeq ==
+      Seq(("brown", 4, 1L), ("quick", 4, 3L)))
+  }
+
+  test("bm25TopK: ranking follows tf saturation and idf") {
+    val queries = Seq((10L, "quick brown")).toDF("query_id", "query_text")
+    val top = Retrieval.bm25TopK(docs, queries, k = 3).orderBy("rank").collect()
+    // Docs 1, 2, 4 contain both terms' any; doc 3 neither → absent.
+    assert(top.map(_.getLong(1)).toSeq.sorted == Seq(1L, 2L, 4L))
+    // Doc 4 (tf(quick)=3, shortest relevant... dl=4) should outrank the
+    // long doc 1: higher tf on a rarer-weighted term and shorter length.
+    assert(top.head.getLong(1) == 4L)
+    // Scores strictly positive, ranks dense from 1.
+    assert(top.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(top.forall(_.getDouble(2) > 0))
+  }
+
+  test("bm25TopK: micro-unit scores are exact longs (order-independent)") {
+    val queries = Seq((1L, "fox dog"), (2L, "lorem")).toDF("query_id", "query_text")
+    val a = Retrieval.bm25TopK(docs, queries, 5).collect().toSet
+    val b = Retrieval.bm25TopK(docs.repartition(7), queries, 5).collect().toSet
+    assert(a == b)  // partitioning must not move any score by an ulp
+  }
+
+  test("duplicateSpans: flags only cross-doc repeated windows") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),   // shares the 4-gram "a b c d" with doc 1
+      (3L, "c d e f c d e f"), // repeats a window, but only within itself
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.duplicateSpans(d, "text", "doc_id", windowTokens = 4)
+      .orderBy("doc_id", "span_start").collect()
+    // Cross-doc windows: "a b c d" (doc1@0, doc2@2) and "c d e f"
+    // (doc1@2, doc3@0, doc3@4 — within-doc repeats count as
+    // occurrences once another doc shares the window). Doc 4 clean.
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0, 2L, 2L), (1L, 2, 2L, 3L), (2L, 2, 2L, 2L),
+        (3L, 0, 2L, 3L), (3L, 4, 2L, 3L)))
+  }
+
+  test("duplicateSpans: within-doc repetition counts occurrences, not docs") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // "a b a b" at starts 0 and 2
+      (2L, "z a b a b")     // "a b a b" at start 1
+    ).toDF("doc_id", "text")
+    val out = Retrieval.duplicateSpans(d, "text", "doc_id", windowTokens = 4)
+      .orderBy("doc_id", "span_start").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0, 2L, 3L), (1L, 2, 2L, 3L), (2L, 1, 2L, 3L)))
+  }
+}
