@@ -657,6 +657,79 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells as the candidate generator — only
+    * embeddings assigned to the same centroid are compared, and
+    * same-cell pairs with cosine ≥ threshold are semantic duplicates.
+    * `centroids` come from [[Similarity.seedCentroids]] (deterministic)
+    * or [[Similarity.kmeansRefine]].
+    *
+    * Scale shape: assignment is one broadcast pass; the self-join
+    * shuffles on cell id so each cell's quadratic work is local and
+    * cells are ~corpus/nlist sized. Cells larger than `maxCell` (a
+    * mega-cluster of boilerplate) degrade to star edges around the
+    * cell's min id — the same recall trade as [[minhashCandidates]]'
+    * hot bands, with the same caveat: transitive closure recovers
+    * same-component membership, not every individual pair. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double,
+      maxCell: Int = 4096): DataFrame = {
+    // cache() is load-bearing: the census and both self-join sides read
+    // the assignment, which is itself a broadcast-join + window plan
+    val cells = Similarity.assignCells(
+        df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col("centroid_id"))
+      .cache()
+    val hot = cells.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+      .filter(col("__n") > maxCell)
+      .select(col("centroid_id"), col("__min"))
+    val cold = cells.join(broadcast(hot.select(col("centroid_id"))),
+      Seq("centroid_id"), "left_anti")
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        Similarity.cosine(col("l.__v"), col("r.__v")).as("cosine"))
+    // star edges need the hub's vector: recover it from the (tiny) hot
+    // set by joining back to the assignment on (cell, min id)
+    val hubs = cells.as("c").join(broadcast(hot).as("h"),
+        col("c.centroid_id") === col("h.centroid_id") &&
+          col("c.__id") === col("h.__min"))
+      .select(col("h.centroid_id"), col("h.__min"),
+        col("c.__v").as("__hubv"))
+    val starPairs = cells.join(broadcast(hubs), Seq("centroid_id"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"),
+        Similarity.cosine(col("__hubv"), col("__v")).as("cosine"))
+    coldPairs.unionByName(starPairs).filter(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup: prune `df` to one representative (lowest id) per
+    * duplicate group, where groups are connected components of
+    * [[semanticDupPairs]]. Output keeps every `df` column and adds
+    * `dup_group_size` — 1 for rows with no duplicate, else the group
+    * size the representative stands for (pruning provenance: row
+    * weights for loss re-weighting survive the dedup). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double,
+      maxCell: Int = 4096): DataFrame = {
+    val pairs = semanticDupPairs(df, idCol, vecCol, centroids, threshold,
+      maxCell).select(col("id_a"), col("id_b"))
+    val comp = components(pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("dup_group_size"))
+    val reps = comp.filter(col("id") === col("component"))
+      .join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("dup_group_size"))
+    val inAnyGroup = comp.select(col("id").as(idCol))
+    df.join(inAnyGroup, Seq(idCol), "left_anti")
+      .withColumn("dup_group_size", lit(1L))
+      .unionByName(df.join(reps, Seq(idCol)))
+  }
+
   // ---- exact n-gram Jaccard ------------------------------------------
 
   /** Exact word-n-gram Jaccard for all pairs within a blocking key

@@ -1019,6 +1019,68 @@ object Suite {
              |FROM sp JOIN dup USING (span_hash)
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    Q("l35_semantic_dedup",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // exact copies chain the first 10 ids into 3-member groups and
+        // ids 10..19 into 2-member groups; n=530 → centroid stride 33
+        val corpus = emb.select("vec_id", "embedding")
+          .unionByName(emb.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          .unionByName(emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+        val cents = Similarity.seedCentroids(corpus, 16)
+        Dedup.semanticDedup(corpus, "vec_id", "embedding", cents,
+            threshold = 0.85)
+          .select(col("vec_id"), col("dup_group_size"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
+             |    WHERE vec_id < 20
+             |  UNION ALL SELECT vec_id + 20000, embedding FROM embeddings
+             |    WHERE vec_id < 10),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+             |    AS centroid_id, embedding AS ce
+             |  FROM corpus WHERE vec_id % 33 = 0 ORDER BY vec_id LIMIT 16),
+             |sim AS (SELECT c.vec_id, c.embedding, ct.centroid_id,
+             |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |      i -> c.embedding[i]::DOUBLE * ct.ce[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(ct.ce) + 1),
+             |      i -> ct.ce[i]::DOUBLE * ct.ce[i]::DOUBLE)))) AS s
+             |  FROM corpus c CROSS JOIN cent ct),
+             |cells AS MATERIALIZED (SELECT vec_id, embedding, centroid_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY s DESC, centroid_id ASC) AS rn FROM sim)
+             |  WHERE rn = 1),
+             |pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM cells a JOIN cells b
+             |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+             |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+             |    >= 0.85),
+             |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT src AS id, src AS r FROM edges
+             |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+             |    ON e.dst = re.id),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |sizes AS (SELECT component, count(*) AS gs FROM comp GROUP BY 1)
+             |SELECT vec_id, dup_group_size FROM (
+             |  SELECT c.vec_id, 1::BIGINT AS dup_group_size FROM corpus c
+             |  WHERE c.vec_id NOT IN (SELECT id FROM comp)
+             |  UNION ALL
+             |  SELECT cp.id, sz.gs FROM comp cp JOIN sizes sz USING (component)
+             |  WHERE cp.id = cp.component)
+             |ORDER BY vec_id""".stripMargin)),
+
     Q("l10_fingerprint",
       (s, d) => t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)

@@ -258,6 +258,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.length == 2)
   }
 
+  test("semantic dedup keeps one representative per cosine group, with size") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.7f, 0.7f, 0f, 0f)) // ~0.707 to both groups: kept
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(vecs, 2) // ids 0 and 3 seed
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, 0.85)
+      .select($"vec_id", $"dup_group_size").orderBy("vec_id").collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("semantic dedup hot-cell star cap preserves group membership") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(vecs, 2)
+    // maxCell = 2 trips the first cell (members 0,1,2,5): only star
+    // edges 0-1, 0-2, 0-5 are scored; 0-5 fails the threshold but the
+    // component {0,1,2} and the kept set are unchanged
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, 0.85,
+        maxCell = 2)
+      .select($"vec_id", $"dup_group_size").orderBy("vec_id").collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L), (3L, 2L), (5L, 1L)))
+  }
+
   test("IVF ANN recalls the exact top-1 on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
