@@ -71,7 +71,11 @@ object Retrieval {
     // Restrict the index to terms any query mentions (broadcast — the
     // query set is small by construction of a top-k serving path), then
     // df per surviving term is a tiny aggregate.
+    // cache() is load-bearing: df-count and the scorer both read the
+    // restricted postings; uncached, the full explode+groupBy index
+    // build runs twice
     val touched = post.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .cache()
     val termDf = touched.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
     val idf = log(lit(1d) +
@@ -115,6 +119,9 @@ object Retrieval {
       windowTokens: Int,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
+    // cache() is load-bearing: the duplicate census and the join-back
+    // both read the span set; uncached, the tokenize+window-hash
+    // explode — the expensive part — runs twice over the corpus
     val spans = docs
       .select(col(idCol), termsOf(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= windowTokens)
@@ -123,6 +130,7 @@ object Retrieval {
           i => hashFn(array_join(
             slice(col("__tk"), i + 1, lit(windowTokens)), " "))))
         .as(Seq("span_start", "span_hash")))
+      .cache()
     val dups = spans.groupBy(col("span_hash"))
       .agg(count_distinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))

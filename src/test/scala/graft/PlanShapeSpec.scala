@@ -150,6 +150,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(b4json == 1 && b4perPath == 0)
   }
 
+  test("bm25 restricts the index to query terms via broadcast, once") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 40).as("query_text"))
+    val df = operators.Retrieval.bm25TopK(docs, queries, 5)
+    val plan = planOf(df)
+    // the corpus-sized postings meet the tiny query-term set with a
+    // broadcast join — never a shuffle keyed on the full term set
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the restricted postings are cached: df-count and scoring reuse
+    // one materialization instead of rebuilding the inverted index
+    assert(plan.contains("InMemoryTableScan"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("duplicate-span census and join-back share one span materialization") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Retrieval.duplicateSpans(docs, "text", "doc_id", 16)
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // shuffle keys are (hash, id, offset) tuples — no cartesian, and
+    // the window text itself never reaches an exchange
+    assert(!plan.contains("CartesianProduct"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
