@@ -102,16 +102,25 @@ object Similarity {
   }
 
   /** Assign each corpus vector to its nearest centroid (one broadcast
-    * pass; cosine metric). */
+    * pass; cosine metric; ties break toward the lower centroid id).
+    *
+    * The winner is resolved with a max-of-struct aggregate over narrow
+    * (id, sim, -cell) triples — order-independent, map-side combined —
+    * then joined back to the corpus row. A window formulation would
+    * instead push corpus × nlist rows, each carrying both the corpus
+    * and the centroid vector, through one exchange and sort them:
+    * ~(nlist+1)× the shuffle bytes of this plan. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    corpus.join(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__centroid", "__sim", "__rn")
+    val best = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(centroids))
+      .select(col(idCol), struct(
+        cosine(col("__v"), col("__centroid")).as("__sim"),
+        (-col("centroid_id")).as("__negc")).as("__sc"))
+      .groupBy(col(idCol))
+      .agg(max(col("__sc")).as("__b"))
+      .select(col(idCol), (-col("__b.__negc")).as("centroid_id"))
+    corpus.join(best, Seq(idCol))
   }
 
   /** ANN top-k: score only vectors in the query's nprobe nearest cells.
