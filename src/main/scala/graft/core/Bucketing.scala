@@ -22,10 +22,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
+  /** Write `df` as a bucketed+sorted managed parquet table.
+    *
+    * Idempotent across JVMs: with the in-memory (non-Hive) catalog, a
+    * previous process's managed-table directory survives while the
+    * catalog entry does not, and Overwrite-saveAsTable then refuses
+    * with LOCATION_ALREADY_EXISTS — so any orphaned location is
+    * cleared first. `table` is an unqualified name in the session's
+    * current database. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

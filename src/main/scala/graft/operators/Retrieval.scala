@@ -139,4 +139,68 @@ object Retrieval {
       .select(col(idCol), col("span_start"), col("span_hash"),
         col("n_docs"), col("n_occurrences"))
   }
+
+  /** Cut duplicated spans out of the corpus (the removal half of Lee
+    * et al. 2022): for every window text occurring more than once, the
+    * globally-first occurrence (lowest (id, start)) is the winner; all
+    * other occurrences are cut from their documents. A token survives
+    * iff a winning span covers it, or no losing span does — so winning
+    * occurrences are preserved verbatim even when a same-document
+    * repeat overlaps them.
+    *
+    * Output: (idCol, textCol rebuilt from surviving tokens — single
+    * spaces; this operates on the token stream a training pipeline
+    * consumes, not raw bytes — and removed_tokens). Duplicated here
+    * means ANY repeat, cross- or within-document.
+    *
+    * Scale shape: span hashing and the winner decision shuffle
+    * (hash, id, start) tuples; the cut itself is per-row column
+    * algebra over each doc's own span lists (O(tokens × spans-per-doc)
+    * in the coverage lambda — spans-per-doc is small outside
+    * pathological boilerplate). */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = windowTokens
+    val spans = docs
+      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__tk")) - w),
+          i => hashFn(array_join(slice(col("__tk"), i + 1, lit(w)), " "))))
+        .as(Seq("__start", "__h")))
+      .cache() // census + occurrence marking both read it
+    val firsts = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("__fid"), col("__start").as("__fst")))
+          .as("__first"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first.__fid").as("__fid"),
+        col("__first.__fst").as("__fst"))
+    val perDoc = spans.join(firsts, Seq("__h"))
+      .withColumn("__win",
+        col(idCol) === col("__fid") && col("__start") === col("__fst"))
+      .groupBy(col(idCol))
+      .agg(collect_list(when(col("__win"), col("__start"))).as("__wins"),
+        collect_list(when(!col("__win"), col("__start"))).as("__loses"))
+    val covered = (starts: Column, i: Column) =>
+      exists(starts, s => i >= s && i < s + w)
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__wins"), array().cast("array<int>")).as("__wins"),
+        coalesce(col("__loses"), array().cast("array<int>")).as("__loses"),
+        termsOf(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        // transform-with-index (not sequence(0, n-1): that yields
+        // [0, -1] for an empty doc — Spark infers a negative step)
+        filter(transform(col("__tk"), (_, i) => i), i =>
+          covered(col("__wins"), i) || !covered(col("__loses"), i))
+          .as("__keep"),
+        col("__tk"))
+      .select(col(idCol),
+        array_join(transform(col("__keep"),
+          i => element_at(col("__tk"), i + 1)), " ").as(textCol),
+        (size(col("__tk")) - size(col("__keep"))).as("removed_tokens"))
+  }
 }

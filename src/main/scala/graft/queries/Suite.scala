@@ -1019,6 +1019,39 @@ object Suite {
              |FROM sp JOIN dup USING (span_hash)
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    Q("l36_remove_dup_spans",
+      (s, d) => Retrieval.removeDuplicateSpans(t(s, d, "documents"), "text",
+          "doc_id", windowTokens = 16, hashFn = md5(_))
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("removed_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |sp AS (SELECT doc_id,
+             |    unnest(range(0, len(tk) - 15)) AS span_start,
+             |    unnest(list_transform(range(0, len(tk) - 15),
+             |      i -> md5(array_to_string(tk[i+1 : i+16], ' ')))) AS h
+             |  FROM tok WHERE len(tk) >= 16),
+             |marked AS (SELECT *, row_number() OVER (PARTITION BY h
+             |      ORDER BY doc_id, span_start) AS rn,
+             |    count(*) OVER (PARTITION BY h) AS n FROM sp),
+             |agg AS (SELECT doc_id,
+             |    list(span_start) FILTER (rn = 1) AS wins,
+             |    list(span_start) FILTER (rn > 1) AS loses
+             |  FROM marked WHERE n > 1 GROUP BY doc_id),
+             |cut AS (SELECT t.doc_id, t.tk,
+             |    list_filter(range(0, len(t.tk)), i ->
+             |      len(list_filter(coalesce(a.wins, []),
+             |        s -> i >= s AND i < s + 16)) > 0 OR
+             |      len(list_filter(coalesce(a.loses, []),
+             |        s -> i >= s AND i < s + 16)) = 0) AS keep
+             |  FROM tok t LEFT JOIN agg a USING (doc_id))
+             |SELECT doc_id, md5(coalesce(array_to_string(
+             |    list_transform(keep, i -> tk[i+1]), ' '), '')) AS clean_md5,
+             |  CAST(len(tk) - len(keep) AS INT) AS removed_tokens
+             |FROM cut ORDER BY doc_id""".stripMargin)),
+
     Q("l35_semantic_dedup",
       (s, d) => {
         val emb = t(s, d, "embeddings")

@@ -57,6 +57,39 @@ class RetrievalSpec extends SparkSpec {
         (3L, 0, 2L, 3L), (3L, 4, 2L, 3L)))
   }
 
+  test("removeDuplicateSpans: losers cut, winner and clean docs verbatim") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"), // loses "a b c d" to doc 1 → cut to "x y z"
+      (3L, "p q r s")        // no duplicated window: untouched
+    ).toDF("doc_id", "text")
+    val out = Retrieval.removeDuplicateSpans(d, "text", "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a b c d e f", 0), (2L, "x y z", 4), (3L, "p q r s", 0)))
+  }
+
+  test("removeDuplicateSpans: self-overlap keeps the winning occurrence intact") {
+    val d = Seq((1L, "a b a b a b"), (2L, "q r s t")).toDF("doc_id", "text")
+    // within doc 1, "a b a b" occurs at starts 0 (winner) and 2 (loser);
+    // the loser overlaps the winner on tokens 2-3, which survive because
+    // a winning span covers them — only tokens 4-5 are cut
+    val out = Retrieval.removeDuplicateSpans(d, "text", "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a b a b", 2), (2L, "q r s t", 0)))
+  }
+
+  test("removeDuplicateSpans: short and empty docs pass through") {
+    val d = Seq((1L, "tiny"), (2L, "   "), (3L, "a b c d"), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    // docs 3 and 4 share "a b c d": doc 3 wins, doc 4 loses its first 4
+    val out = Retrieval.removeDuplicateSpans(d, "text", "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "tiny", 0), (2L, "", 0), (3L, "a b c d", 0), (4L, "e", 4)))
+  }
+
   test("duplicateSpans: within-doc repetition counts occurrences, not docs") {
     val d = Seq(
       (1L, "a b a b a b"),  // "a b a b" at starts 0 and 2
