@@ -46,6 +46,13 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
 
+  /** One row per (query, distinct term) — the unit the scorer and the
+    * index's partition pruning both work in. */
+  def queryTerms(queries: DataFrame, queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame =
+    queries.select(col(queryIdCol),
+      explode(array_distinct(termsOf(col(queryTextCol)))).as("term"))
+
   /** BM25 top-k: for each query row, the k highest-scoring documents.
     *
     * score(q,d) = Σ_{t ∈ distinct terms(q)} idf(t) · tf·(k1+1) /
@@ -66,8 +73,7 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(docs, textCol, idCol)
     val stats = corpusStats(docs, textCol, idCol)
-    val qterms = queries.select(col(queryIdCol),
-        explode(array_distinct(termsOf(col(queryTextCol)))).as("term"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // Restrict the index to terms any query mentions (broadcast — the
     // query set is small by construction of a top-k serving path), then
     // df per surviving term is a tiny aggregate.
@@ -76,6 +82,16 @@ object Retrieval {
     // build runs twice
     val touched = post.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .cache()
+    scoreBm25(touched, stats, qterms, k, k1, b, idCol, queryIdCol)
+  }
+
+  /** The BM25 scorer over postings already restricted to query terms —
+    * shared verbatim by [[bm25TopK]] and [[PostingsIndex.query]] so the
+    * in-memory and file-backed paths cannot diverge. `touched` carries
+    * (term, idCol, dl, tf); `stats` one row (n_docs, avgdl). */
+  private[operators] def scoreBm25(touched: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double, b: Double,
+      idCol: String, queryIdCol: String): DataFrame = {
     val termDf = touched.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
     val idf = log(lit(1d) +

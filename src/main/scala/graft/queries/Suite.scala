@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, PostingsIndex, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -98,6 +98,43 @@ object Suite {
       |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Query set shared by l33 (in-memory BM25) and l37 (persisted
+    * postings index): first 8 tokens of the first 3 documents. */
+  private def bm25Queries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.termsOf(col("text")), 1, 8), " ")
+          .as("query_text"))
+
+  /** Shared by l33 and l37 — the index-served path must return exactly
+    * the whole-corpus BM25 answer (same scorer, same micro-unit math). */
+  private val bm25OracleSql: String =
+    """WITH tok AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> len(x) > 0) AS tk FROM documents),
+      |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+      |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    sum(len(tk))::DOUBLE / count(*) AS avgdl FROM tok),
+      |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
+      |  FROM tok WHERE doc_id < 3),
+      |scored AS (SELECT q.query_id, p.doc_id, CAST(round(
+      |    ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+      |    (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) *
+      |    1000000) AS BIGINT) AS micro
+      |  FROM post p
+      |  JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM post
+      |        WHERE term IN (SELECT term FROM q) GROUP BY 1) t USING (term)
+      |  JOIN q ON q.term = p.term CROSS JOIN stats s),
+      |agg AS (SELECT query_id, doc_id, sum(micro) AS m
+      |  FROM scored GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, m / 1e6 AS score, row_number()
+      |    OVER (PARTITION BY query_id ORDER BY m DESC, doc_id ASC) AS rank
+      |  FROM agg)
+      |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -964,40 +1001,27 @@ object Suite {
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     Q("l33_bm25_topk",
+      (s, d) => Retrieval.bm25TopK(t(s, d, "documents"), bm25Queries(s, d),
+          k = 10)
+        .orderBy("query_id", "rank"),
+      Some(bm25OracleSql)),
+
+    Q("l37_postings_index",
       (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_post_suite").toString
         val docs = t(s, d, "documents")
-        val queries = docs.filter(col("doc_id") < 3)
-          .select(col("doc_id").as("query_id"),
-            array_join(slice(Retrieval.termsOf(col("text")), 1, 8), " ")
-              .as("query_text"))
-        Retrieval.bm25TopK(docs, queries, k = 10)
+        // split the corpus across a build and an append so the served
+        // result exercises cross-batch df/avgdl — must still equal the
+        // whole-corpus in-memory answer (same oracle as l33)
+        PostingsIndex.build(docs.filter(col("doc_id") % 2 === 0), root,
+          parts = 32)
+        PostingsIndex.append(docs.filter(col("doc_id") % 2 === 1), root,
+          batchId = 1L)
+        PostingsIndex.query(s, root, bm25Queries(s, d), k = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH tok AS (SELECT doc_id, list_filter(
-             |    string_split_regex(lower(text), '[^a-z0-9]+'),
-             |    x -> len(x) > 0) AS tk FROM documents),
-             |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
-             |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok)
-             |  GROUP BY 1, 2, 3),
-             |stats AS (SELECT count(*) AS n_docs,
-             |    sum(len(tk))::DOUBLE / count(*) AS avgdl FROM tok),
-             |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8])) AS term
-             |  FROM tok WHERE doc_id < 3),
-             |scored AS (SELECT q.query_id, p.doc_id, CAST(round(
-             |    ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-             |    (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) *
-             |    1000000) AS BIGINT) AS micro
-             |  FROM post p
-             |  JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM post
-             |        WHERE term IN (SELECT term FROM q) GROUP BY 1) t USING (term)
-             |  JOIN q ON q.term = p.term CROSS JOIN stats s),
-             |agg AS (SELECT query_id, doc_id, sum(micro) AS m
-             |  FROM scored GROUP BY 1, 2),
-             |r AS (SELECT query_id, doc_id, m / 1e6 AS score, row_number()
-             |    OVER (PARTITION BY query_id ORDER BY m DESC, doc_id ASC) AS rank
-             |  FROM agg)
-             |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
-             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25OracleSql)),
 
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",
