@@ -156,6 +156,37 @@ object Retrieval {
         col("n_docs"), col("n_occurrences"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine ranked
+    * lists from incommensurable scorers — BM25 lexical, ANN cosine —
+    * into one ranking by rrf(d) = Σ_lists 1/(k0 + rank_d). Rank-only
+    * fusion sidesteps score normalization entirely; a document absent
+    * from a list simply contributes nothing for it.
+    *
+    * Per-list contributions are exact nano-unit longs (1e9/(k0+rank)
+    * rounded once per rank value), summed in Long — fusion order and
+    * partitioning cannot move the result. Ties break by ascending id.
+    *
+    * Inputs need (queryIdCol, idCol, rank); extra columns are ignored.
+    * Output: (queryIdCol, idCol, rrf_score, rank), score in 1e-9 units.
+    * Scale shape: one union + one groupBy on (query, id) — never joins
+    * the lists pairwise. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60,
+      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val u = lists
+      .map(_.select(col(queryIdCol), col(idCol),
+        round(lit(1e9) / (col("rank") + k0)).cast("long").as("__nano")))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__nano")).as("__s"))
+      .withColumn("rrf_score", col("__s") / 1e9)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__s").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rrf_score"), col("rank"))
+  }
+
   /** Cut duplicated spans out of the corpus (the removal half of Lee
     * et al. 2022): for every window text occurring more than once, the
     * globally-first occurrence (lowest (id, start)) is the winner; all

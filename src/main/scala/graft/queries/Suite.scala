@@ -107,9 +107,9 @@ object Suite {
         array_join(slice(Retrieval.termsOf(col("text")), 1, 8), " ")
           .as("query_text"))
 
-  /** Shared by l33 and l37 — the index-served path must return exactly
-    * the whole-corpus BM25 answer (same scorer, same micro-unit math). */
-  private val bm25OracleSql: String =
+  /** BM25 CTE chain shared by l33/l37 (full statement below) and l38
+    * (which fuses `r` with a cosine ranking). */
+  private val bm25CtesSql: String =
     """WITH tok AS (SELECT doc_id, list_filter(
       |    string_split_regex(lower(text), '[^a-z0-9]+'),
       |    x -> len(x) > 0) AS tk FROM documents),
@@ -132,9 +132,45 @@ object Suite {
       |  FROM scored GROUP BY 1, 2),
       |r AS (SELECT query_id, doc_id, m / 1e6 AS score, row_number()
       |    OVER (PARTITION BY query_id ORDER BY m DESC, doc_id ASC) AS rank
-      |  FROM agg)
+      |  FROM agg)""".stripMargin
+
+  /** Shared by l33 and l37 — the index-served path must return exactly
+    * the whole-corpus BM25 answer (same scorer, same micro-unit math). */
+  private val bm25OracleSql: String = bm25CtesSql +
+    """
       |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** l38: BM25 top-10 (the `r` CTE) fused with cosine ANN top-10 over
+    * the id-aligned embeddings table by reciprocal rank. */
+  private val hybridOracleSql: String = bm25CtesSql +
+    """,
+      |cosr AS (SELECT query_id, vec_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM (SELECT q.vec_id AS query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+      |    FROM embeddings c CROSS JOIN embeddings q WHERE q.vec_id < 3)),
+      |contrib AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(round(1e9 / (rank + 60)) AS BIGINT) AS nano
+      |  FROM r WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, vec_id AS doc_id,
+      |    CAST(round(1e9 / (rank + 60)) AS BIGINT) AS nano
+      |  FROM cosr WHERE rank <= 10),
+      |fused AS (SELECT query_id, doc_id, sum(nano) AS s
+      |  FROM contrib GROUP BY 1, 2),
+      |franked AS (SELECT query_id, doc_id, s / 1e9 AS rrf_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, doc_id ASC) AS rank
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank
+      |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -1022,6 +1058,23 @@ object Suite {
           .orderBy("query_id", "rank")
       },
       Some(bm25OracleSql)),
+
+    Q("l38_hybrid_rrf",
+      (s, d) => {
+        // lexical and semantic views of the same corpus (embeddings are
+        // id-aligned with documents in the testdata), fused rank-only
+        val lex = Retrieval.bm25TopK(t(s, d, "documents"),
+          bm25Queries(s, d), k = 10)
+        val emb = t(s, d, "embeddings")
+        val sem = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 10)
+          .withColumnRenamed("vec_id", "doc_id")
+        Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(hybridOracleSql)),
 
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",

@@ -40,6 +40,31 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)  // partitioning must not move any score by an ulp
   }
 
+  test("rrfFuse: agreement outranks a single first place; absentees score") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), k = 4)
+      .orderBy("rank").collect()
+    // doc 11 (ranks 2+1) beats doc 10 (rank 1 in one list only):
+    // 1/62 + 1/61 > 1/61
+    assert(out.map(_.getLong(1)).toSeq == Seq(11L, 12L, 10L, 13L))
+    // absent-from-one-list docs still carry their single contribution
+    val d13 = out.find(_.getLong(1) == 13L).get
+    assert(math.abs(d13.getDouble(2) - 1.0 / 63) < 1e-6)
+  }
+
+  test("rrfFuse: fusion is exact and partition-order independent") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (2L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val x = Retrieval.rrfFuse(Seq(a, b), 5).collect().toSet
+    val y = Retrieval.rrfFuse(Seq(b.repartition(7), a.repartition(3)), 5)
+      .collect().toSet
+    assert(x == y)
+  }
+
   test("duplicateSpans: flags only cross-doc repeated windows") {
     val d = Seq(
       (1L, "a b c d e f"),
