@@ -79,9 +79,15 @@ object Bench {
     // scales — evidence for the SCALING CURVE, not just the sf0.1
     // point. One rep each, excluded from suite_total; skipped when a
     // name filter is active (isolated timing runs) or factor <= 1.
+    // document-only queries (the synth dir materializes just the
+    // inflated documents table). l35 is absent deliberately: its suite
+    // entry pins nlist for the oracle, and SemDeDup at fixed nlist is
+    // O(n²/nlist) by design — a real deployment grows nlist with the
+    // corpus, so a fixed-nlist rehearsal would measure the wrong thing.
     val synthQueries =
       Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes",
-        "l28_curation_pipeline", "l31_paragraph_dedup")
+        "l28_curation_pipeline", "l31_paragraph_dedup", "l33_bm25_topk",
+        "l34_duplicate_spans", "l36_remove_dup_spans")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

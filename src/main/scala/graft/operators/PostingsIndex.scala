@@ -52,7 +52,7 @@ object PostingsIndex {
   def termPartition(term: Column, parts: Int): Column =
     pmod(xxhash64(term), lit(parts.toLong))
 
-  private[operators] def readParts(spark: SparkSession, root: String): Int = {
+  private[graft] def readParts(spark: SparkSession, root: String): Int = {
     val fs = fileSystem(spark, root)
     val in = fs.open(metaFile(root))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -88,6 +88,17 @@ object PostingsIndex {
   def append(docs: DataFrame, root: String, batchId: Long,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(batchId > 0, "batch 0 is the build corpus; append with id > 0")
+    val parts = readParts(docs.sparkSession, root)
+    appendBatch(docs, root, batchId, textCol, idCol, parts)
+  }
+
+  /** Replay path for the streaming twin ([[graft.streaming.LexStream]]):
+    * an at-least-once re-delivery of the BUILD batch (id 0) re-derives
+    * postings under the already-frozen partition count and overwrites
+    * its own partitions. Package-private: the batch API keeps batch 0
+    * reserved for [[build]]. */
+  private[graft] def replayAppend(docs: DataFrame, root: String,
+      batchId: Long, textCol: String, idCol: String): Unit = {
     val parts = readParts(docs.sparkSession, root)
     appendBatch(docs, root, batchId, textCol, idCol, parts)
   }
