@@ -210,13 +210,7 @@ object Retrieval {
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     val w = windowTokens
-    val spans = docs
-      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) >= w)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("__tk")) - w),
-          i => hashFn(array_join(slice(col("__tk"), i + 1, lit(w)), " "))))
-        .as(Seq("__start", "__h")))
+    val spans = spansOf(docs, textCol, idCol, w, hashFn)
       .cache() // census + occurrence marking both read it
     val firsts = spans.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"),
@@ -231,6 +225,49 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(collect_list(when(col("__win"), col("__start"))).as("__wins"),
         collect_list(when(!col("__win"), col("__start"))).as("__loses"))
+    cutSpans(docs, perDoc, textCol, idCol, w)
+  }
+
+  /** Cut every corpus span whose window text occurs ANYWHERE in the
+    * benchmark set — decontamination that edits documents instead of
+    * dropping them (keep the doc, lose the leaked passage). The
+    * benchmark side only contributes its distinct window hashes, which
+    * broadcast; corpus text never shuffles at all.
+    *
+    * Output shape matches [[removeDuplicateSpans]]:
+    * (idCol, rebuilt textCol, removed_tokens). */
+  def removeContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = windowTokens
+    val benchHashes = spansOf(bench, textCol, idCol, w, hashFn)
+      .select(col("__h")).distinct()
+    val perDoc = spansOf(corpus, textCol, idCol, w, hashFn)
+      .join(broadcast(benchHashes), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__start")).as("__loses"))
+      .withColumn("__wins", array().cast("array<int>"))
+    cutSpans(corpus, perDoc, textCol, idCol, w)
+  }
+
+  /** All (id, 0-based token offset, window hash) rows for `w`-token
+    * rolling windows; docs shorter than one window yield none. */
+  private def spansOf(docs: DataFrame, textCol: String, idCol: String,
+      w: Int, hashFn: Column => Column): DataFrame =
+    docs
+      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__tk")) - w),
+          i => hashFn(array_join(slice(col("__tk"), i + 1, lit(w)), " "))))
+        .as(Seq("__start", "__h")))
+
+  /** Rebuild each document keeping a token iff a winning span covers it
+    * or no losing span does. `perDoc` carries (idCol, __wins, __loses)
+    * for the affected docs; everything else passes through verbatim. */
+  private def cutSpans(docs: DataFrame, perDoc: DataFrame, textCol: String,
+      idCol: String, w: Int): DataFrame = {
     val covered = (starts: Column, i: Column) =>
       exists(starts, s => i >= s && i < s + w)
     docs.join(perDoc, Seq(idCol), "left")

@@ -1129,6 +1129,48 @@ object Suite {
              |  CAST(len(tk) - len(keep) AS INT) AS removed_tokens
              |FROM cut ORDER BY doc_id""".stripMargin)),
 
+    Q("l39_decontaminate_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // stand-in benchmark: 150-char prefixes of the first 20 docs
+        // (same construction as l22's detection twin) — the cut edits
+        // the leaked passages out instead of dropping the documents
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+        Retrieval.removeContaminatedSpans(docs, bench, "text", "doc_id",
+            windowTokens = 8, hashFn = md5(_))
+          .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+            col("removed_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |btok AS (SELECT list_filter(
+             |    string_split_regex(lower(text[1:150]), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk
+             |  FROM documents WHERE doc_id < 20),
+             |bh AS (SELECT DISTINCT unnest(list_transform(
+             |    range(0, len(tk) - 7),
+             |    i -> md5(array_to_string(tk[i+1 : i+8], ' ')))) AS h
+             |  FROM btok WHERE len(tk) >= 8),
+             |sp AS (SELECT doc_id,
+             |    unnest(range(0, len(tk) - 7)) AS span_start,
+             |    unnest(list_transform(range(0, len(tk) - 7),
+             |      i -> md5(array_to_string(tk[i+1 : i+8], ' ')))) AS h
+             |  FROM tok WHERE len(tk) >= 8),
+             |agg AS (SELECT doc_id, list(span_start) AS loses
+             |  FROM sp JOIN bh USING (h) GROUP BY doc_id),
+             |cut AS (SELECT t.doc_id, t.tk,
+             |    list_filter(range(0, len(t.tk)), i ->
+             |      len(list_filter(coalesce(a.loses, []),
+             |        s -> i >= s AND i < s + 8)) = 0) AS keep
+             |  FROM tok t LEFT JOIN agg a USING (doc_id))
+             |SELECT doc_id, md5(coalesce(array_to_string(
+             |    list_transform(keep, i -> tk[i+1]), ' '), '')) AS clean_md5,
+             |  CAST(len(tk) - len(keep) AS INT) AS removed_tokens
+             |FROM cut ORDER BY doc_id""".stripMargin)),
+
     Q("l35_semantic_dedup",
       (s, d) => {
         val emb = t(s, d, "embeddings")

@@ -105,6 +105,20 @@ class RetrievalSpec extends SparkSpec {
       Seq((1L, "a b a b", 2), (2L, "q r s t", 0)))
   }
 
+  test("removeContaminatedSpans: cuts leaked benchmark passages only") {
+    val corpus = Seq(
+      (1L, "intro a b c d outro x y"), // leaks the bench 4-gram at start 1
+      (2L, "completely unrelated clean text here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = Retrieval.removeContaminatedSpans(corpus, bench, "text",
+        "doc_id", windowTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "intro outro x y", 4),
+        (2L, "completely unrelated clean text here", 0)))
+  }
+
   test("removeDuplicateSpans: short and empty docs pass through") {
     val d = Seq((1L, "tiny"), (2L, "   "), (3L, "a b c d"), (4L, "a b c d e"))
       .toDF("doc_id", "text")
