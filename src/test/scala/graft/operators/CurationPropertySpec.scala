@@ -37,6 +37,37 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments reconstructs every token stream exactly, any geometry") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").limit(120).cache()
+    val want = docs
+      .select(col("doc_id"), filter(split(col("text"), "\\s+"),
+        t => length(t) > 0).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    forSamples(Gen.zip(Gen.choose(2, 64), Gen.choose(0, 40)), n = 6) {
+      case (chunk, rawOverlap) =>
+        val overlap = rawOverlap % chunk
+        val got = Curation.chunkDocuments(docs, "text", "doc_id",
+            chunk, overlap)
+          .orderBy("doc_id", "chunk_idx")
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (id, rows) =>
+            // chunk 0 whole, later chunks minus their `overlap` head,
+            // concatenated, must be the original token stream
+            id -> rows.sortBy(_.getInt(1)).zipWithIndex.flatMap {
+              case (r, 0) => r.getString(2).split(" ").toList
+              case (r, _) => r.getString(2).split(" ").drop(overlap).toList
+            }.toList
+          }
+        val nonEmpty = want.filter(_._2.nonEmpty)
+        assert(got.keySet == nonEmpty.keySet)
+        nonEmpty.foreach { case (id, toks) =>
+          assert(got(id) == toks, s"doc $id chunk=$chunk overlap=$overlap")
+        }
+    }
+  }
+
   test("quotaPerGroup == naive global rank for arbitrary data and salt counts") {
     val rowsGen = Gen.listOfN(120,
       Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 100000L)))
