@@ -92,8 +92,11 @@ object Retrieval {
   private[operators] def scoreBm25(touched: DataFrame, stats: DataFrame,
       qterms: DataFrame, k: Int, k1: Double, b: Double,
       idCol: String, queryIdCol: String): DataFrame = {
+    // postings are unique per (term, doc) by construction ([[postings]]
+    // aggregates; the index path dropDuplicates), so document frequency
+    // is a plain count — map-side combined, no distinct-aggregate pass
     val termDf = touched.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
     val idf = log(lit(1d) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val sat = col("tf") * (k1 + 1) /

@@ -177,6 +177,19 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("decontamination broadcasts bench hashes; corpus text stays map-side") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("text"))
+    val df = operators.Retrieval.removeContaminatedSpans(
+      docs, bench, "text", "doc_id", 8)
+    val plan = planOf(df)
+    // the (tiny) benchmark hash set meets the corpus spans broadcast —
+    // the corpus-sized side never shuffles for the contamination match
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
