@@ -1076,6 +1076,52 @@ object Suite {
       },
       Some(hybridOracleSql)),
 
+    Q("l40_binary_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.binaryTopK(emb, queries, k = 5, rerank = 50)
+          .select(col("query_id"), col("vec_id"), col("hamming"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      // 1-bit quantization is pure integer packing, so the whole
+      // Hamming-prefilter → exact-rerank pipeline is engine-portable
+      Some("""WITH sig AS (SELECT vec_id, embedding,
+             |    CAST(list_sum(list_transform(range(0, 32), i ->
+             |      CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+             |        ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             |    CAST(list_sum(list_transform(range(0, 32), i ->
+             |      CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i)
+             |        ELSE 0::BIGINT END)) AS BIGINT) AS hi
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe,
+             |    lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 3),
+             |ham AS (SELECT q.query_id, c.vec_id,
+             |    CAST(bit_count(xor(c.lo, q.qlo)) +
+             |      bit_count(xor(c.hi, q.qhi)) AS INT) AS hamming,
+             |    c.embedding AS ce, q.qe
+             |  FROM sig c CROSS JOIN q),
+             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY hamming ASC, vec_id ASC) AS hr FROM ham),
+             |scored AS (SELECT query_id, vec_id, hamming,
+             |    list_sum(list_transform(range(1, len(qe) + 1),
+             |      i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+             |      i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+             |      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos
+             |  FROM cand WHERE hr <= 50),
+             |ranked AS (SELECT query_id, vec_id, hamming,
+             |    round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+             |SELECT query_id, vec_id, hamming, cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",
           "doc_id", windowTokens = 16, hashFn = md5(_))
