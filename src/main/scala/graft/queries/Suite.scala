@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, PostingsIndex, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -1121,6 +1121,33 @@ object Suite {
              |  CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("l41_lm_perplexity",
+      (s, d) => NgramLm.perplexity(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      // per-bigram log2-probs land in micro-bit longs before the sum,
+      // so the per-doc mean is exact and engine-portable
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks)),
+             |sc AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((c12 + 1)::DOUBLE / (c1 + nv)) *
+             |      1000000) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |  CROSS JOIN voc GROUP BY b.doc_id)
+             |SELECT d.doc_id, coalesce(n, 0) AS n_bigrams,
+             |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",

@@ -304,6 +304,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@10 with 30/300 reranked: $recall")
   }
 
+  test("bigram LM self-perplexity: hand-checked add-one smoothing") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a". c(a,b)=2, c(b,a)=1, c(a·)=2, c(b·)=1,
+    // |V|=2 -> P(b|a)=3/4, P(a|b)=2/3; micro-bits 415037/584963
+    val docs = Seq((0L, "a b a b"), (1L, "a")).toDF("doc_id", "text")
+    val out = NgramLm.perplexity(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - 0.471679) < 1e-9)
+    assert(out(1).getLong(1) == 0L)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("perplexity ranks corpus-typical transitions as more fluent") {
+    import spark.implicits._
+    val docs = ((0L until 50L).map(i => (i, "swift river swift river"))
+      :+ (50L, "zxq vbn")).toDF("doc_id", "text")
+    val bits = NgramLm.perplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bits(50L) > bits(0L),
+      s"rare transitions ${bits(50L)} must cost more than typical ${bits(0L)}")
+  }
+
   test("semantic dedup keeps one representative per cosine group, with size") {
     import spark.implicits._
     val vecs = Seq(
