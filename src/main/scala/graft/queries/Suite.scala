@@ -1149,6 +1149,40 @@ object Suite {
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l42_lm_cross_score",
+      (s, d) => {
+        // the production shape: freeze an LM on a trusted half of the
+        // corpus, score EVERY document against it (unseen transitions
+        // pay the add-one floor under the TRAINING vocabulary)
+        val docs = t(s, d, "documents")
+        NgramLm.score(docs,
+            NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache())
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 2 = 0)),
+             |sc AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+             |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM big b LEFT JOIN c12 USING (w1, w2)
+             |  LEFT JOIN c1 USING (w1) CROSS JOIN voc
+             |  GROUP BY b.doc_id)
+             |SELECT d.doc_id, coalesce(n, 0) AS n_bigrams,
+             |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",
           "doc_id", windowTokens = 16, hashFn = md5(_))

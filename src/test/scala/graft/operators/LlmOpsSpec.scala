@@ -316,6 +316,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(2))
   }
 
+  test("frozen LM cross-scoring: unseen transitions pay the smoothing floor") {
+    import spark.implicits._
+    // LM trained on "a b": vocab 2, c(a,b)=1. Scoring "c d": the unseen
+    // transition costs exactly -log2(1/(0+2)) = 1 bit; "a b" costs
+    // -log2(2/3)
+    val lm = NgramLm.train(Seq((0L, "a b")).toDF("doc_id", "text"))
+    val out = NgramLm.score(
+        Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text"), lm)
+      .orderBy("doc_id").collect()
+    assert(math.abs(out(0).getDouble(2) - 0.584963) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("perplexity ranks corpus-typical transitions as more fluent") {
     import spark.implicits._
     val docs = ((0L until 50L).map(i => (i, "swift river swift river"))
