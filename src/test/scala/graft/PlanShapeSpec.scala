@@ -190,6 +190,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("binary ANN reranks via broadcast-back; vectors never sort-merge") {
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val plan = planOf(operators.Similarity.binaryTopK(emb, q, 5, 50))
+    // tiny candidate set meets the corpus by id broadcast-side — the
+    // full-precision vectors are fetched for rerank×queries rows only,
+    // and nothing corpus-sized ever shuffles for a join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
