@@ -172,6 +172,99 @@ object Suite {
       |SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank
       |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by l28 and l43: tokenize → rule signals → lang/quality/
+    * gopher verdicts (the twin of CurationStream.curate's enrichment). */
+  private val curationCtesSql: String =
+    """WITH toks AS (SELECT doc_id, text, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0) AS tk FROM documents),
+      |base AS (SELECT doc_id,
+      |  CAST(len(tk) AS INT) AS n_words,
+      |  len(tk)::BIGINT AS n_tok,
+      |  length(text)::BIGINT AS n_char,
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+      |  coalesce(CAST(list_sum(list_transform(tk, t -> len(t)))
+      |      AS DOUBLE), 0) / greatest(len(tk), 1) AS mean_len,
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE /
+      |    greatest(length(text), 1) AS sym,
+      |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE /
+      |    greatest(length(text), 1) AS dig,
+      |  len(list_filter(tk, t -> list_contains(['the','a','of','and',
+      |    'to','in','is','that','it','for'], t)))::BIGINT AS en,
+      |  len(list_filter(tk, t -> list_contains(['der','die','das','und',
+      |    'ist','nicht','ein','mit','zu','von'], t))) AS de,
+      |  len(list_filter(tk, t -> list_contains(['le','la','les','et',
+      |    'est','une','que','pour','dans','des'], t))) AS fr,
+      |  len(list_filter(tk, t -> list_contains(['el','la','los','las',
+      |    'es','una','que','por','para','con'], t))) AS es,
+      |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+      |  FROM toks),
+      |scored AS (SELECT doc_id, n_words,
+      |  CASE WHEN cjk > 0 THEN 'zh'
+      |    WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+      |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+      |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+      |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+      |    ELSE 'es' END AS lang,
+      |  ((least(n_tok * 1000000 // 64, 1000000) * 3 +
+      |    (1000000 - least(punct * 4000000 // greatest(n_char, 1),
+      |      1000000)) * 3 +
+      |    least(en * 5000000 // greatest(n_tok, 1), 1000000) * 2 +
+      |    (1000000 - least(abs(n_char - n_tok + 1 -
+      |      5 * greatest(n_tok, 1)) * 1000000 //
+      |      (5 * greatest(n_tok, 1)), 1000000)) * 2) // 10)::DOUBLE
+      |    / 1000000.0 AS quality,
+      |  (n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0
+      |    AND mean_len <= 10.0 AND sym < 0.1 AND dig < 0.2
+      |    AND en >= 2) AS gpass
+      |  FROM base)""".stripMargin
+
+  private val curationOracleSql: String = curationCtesSql +
+    """,
+      |final AS (SELECT doc_id, lang, quality, n_words,
+      |  CASE WHEN NOT gpass THEN 'gopher'
+      |       WHEN quality < 0.3 THEN 'quality'
+      |       WHEN lang <> 'en' THEN 'lang'
+      |       ELSE NULL END AS reject_reason
+      |  FROM scored)
+      |SELECT doc_id, lang, quality, n_words,
+      |  (reject_reason IS NULL) AS accepted, reject_reason
+      |FROM final ORDER BY doc_id""".stripMargin
+
+  /** l43: the rule gates + the frozen LM trained on the even half of
+    * the corpus (the l42 scorer verbatim), cut at 4.9 bits; docs too
+    * short to score pass the LM gate. */
+  private val curationLmOracleSql: String = curationCtesSql +
+    """,
+      |big AS (SELECT doc_id,
+      |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+      |    unnest(list_slice(tk, 2, len(tk))) AS w2
+      |  FROM toks WHERE len(tk) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |voc AS (SELECT count(DISTINCT t) AS nv FROM
+      |  (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 2 = 0)),
+      |lmagg AS (SELECT b.doc_id,
+      |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+      |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS s,
+      |    count(*) AS n
+      |  FROM big b LEFT JOIN c12 USING (w1, w2)
+      |  LEFT JOIN c1 USING (w1) CROSS JOIN voc
+      |  GROUP BY b.doc_id),
+      |lmsc AS (SELECT doc_id, round((-s) / 1000000.0 / n, 6) AS nll
+      |  FROM lmagg),
+      |final AS (SELECT sc.doc_id, lang, quality, n_words, l.nll,
+      |  CASE WHEN NOT gpass THEN 'gopher'
+      |       WHEN quality < 0.3 THEN 'quality'
+      |       WHEN lang <> 'en' THEN 'lang'
+      |       WHEN l.nll > 4.9 THEN 'perplexity'
+      |       ELSE NULL END AS reject_reason
+      |  FROM scored sc LEFT JOIN lmsc l USING (doc_id))
+      |SELECT doc_id, lang, quality, n_words, nll AS avg_nll_bits,
+      |  (reject_reason IS NULL) AS accepted, reject_reason
+      |FROM final ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ================= B. filters / predicates ======================
@@ -1693,64 +1786,28 @@ object Suite {
     // point quality + gopher pass composed into an accept/reject split
     // with a single first-failing-gate reason per row — the exact
     // DataFrame CurationStream.processBatch writes per micro-batch
+    Q("l43_curation_lm",
+      (s, d) => {
+        // the full CCNet-style gate chain: rule gates + a frozen LM
+        // trained on the even half of the corpus, cut at 4.9 bits
+        val docs = t(s, d, "documents")
+        val lm = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
+        graft.streaming.CurationStream.curate(docs, "text",
+            lm = Some(lm), maxNllBits = 4.9)
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("n_words"), col("avg_nll_bits"), col("accepted"),
+            col("reject_reason"))
+          .orderBy("doc_id")
+      },
+      Some(curationLmOracleSql)),
+
     Q("l28_curation_pipeline",
       (s, d) => graft.streaming.CurationStream
         .curate(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("lang"), col("quality"), col("n_words"),
           col("accepted"), col("reject_reason"))
         .orderBy("doc_id"),
-      Some("""WITH toks AS (SELECT doc_id, text, list_filter(
-             |    string_split_regex(lower(trim(text)), '\s+'),
-             |    t -> len(t) > 0) AS tk FROM documents),
-             |base AS (SELECT doc_id,
-             |  CAST(len(tk) AS INT) AS n_words,
-             |  len(tk)::BIGINT AS n_tok,
-             |  length(text)::BIGINT AS n_char,
-             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
-             |  coalesce(CAST(list_sum(list_transform(tk, t -> len(t)))
-             |      AS DOUBLE), 0) / greatest(len(tk), 1) AS mean_len,
-             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE /
-             |    greatest(length(text), 1) AS sym,
-             |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE /
-             |    greatest(length(text), 1) AS dig,
-             |  len(list_filter(tk, t -> list_contains(['the','a','of','and',
-             |    'to','in','is','that','it','for'], t)))::BIGINT AS en,
-             |  len(list_filter(tk, t -> list_contains(['der','die','das','und',
-             |    'ist','nicht','ein','mit','zu','von'], t))) AS de,
-             |  len(list_filter(tk, t -> list_contains(['le','la','les','et',
-             |    'est','une','que','pour','dans','des'], t))) AS fr,
-             |  len(list_filter(tk, t -> list_contains(['el','la','los','las',
-             |    'es','una','que','por','para','con'], t))) AS es,
-             |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
-             |  FROM toks),
-             |scored AS (SELECT doc_id, n_words,
-             |  CASE WHEN cjk > 0 THEN 'zh'
-             |    WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
-             |    WHEN en = greatest(en, de, fr, es) THEN 'en'
-             |    WHEN de = greatest(en, de, fr, es) THEN 'de'
-             |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-             |    ELSE 'es' END AS lang,
-             |  ((least(n_tok * 1000000 // 64, 1000000) * 3 +
-             |    (1000000 - least(punct * 4000000 // greatest(n_char, 1),
-             |      1000000)) * 3 +
-             |    least(en * 5000000 // greatest(n_tok, 1), 1000000) * 2 +
-             |    (1000000 - least(abs(n_char - n_tok + 1 -
-             |      5 * greatest(n_tok, 1)) * 1000000 //
-             |      (5 * greatest(n_tok, 1)), 1000000)) * 2) // 10)::DOUBLE
-             |    / 1000000.0 AS quality,
-             |  (n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0
-             |    AND mean_len <= 10.0 AND sym < 0.1 AND dig < 0.2
-             |    AND en >= 2) AS gpass
-             |  FROM base),
-             |final AS (SELECT doc_id, lang, quality, n_words,
-             |  CASE WHEN NOT gpass THEN 'gopher'
-             |       WHEN quality < 0.3 THEN 'quality'
-             |       WHEN lang <> 'en' THEN 'lang'
-             |       ELSE NULL END AS reject_reason
-             |  FROM scored)
-             |SELECT doc_id, lang, quality, n_words,
-             |  (reject_reason IS NULL) AS accepted, reject_reason
-             |FROM final ORDER BY doc_id""".stripMargin)),
+      Some(curationOracleSql)),
 
     Q("l27_gopher_rules",
       (s, d) => t(s, d, "documents")

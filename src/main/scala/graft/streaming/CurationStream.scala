@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.BatchCompaction
 import graft.functions.TextFunctions
-import graft.operators.LshIndex
+import graft.operators.{LshIndex, NgramLm}
 
 /** Streaming quality-filter front door for a training-data pipeline:
   * each arriving micro-batch of documents is language-identified,
@@ -30,9 +30,11 @@ import graft.operators.LshIndex
   * [[compactSinks]] on a maintenance cadence to bound the partition
   * count.
   *
-  * Scale shape: no shuffle at all — scoring is per-row column algebra
-  * and the split is two filters of the same enriched frame, so the
-  * stage is map-only and scales with input bandwidth. (The enriched
+  * Scale shape: no shuffle at all in the default configuration —
+  * scoring is per-row column algebra and the split is two filters of
+  * the same enriched frame, so the stage is map-only and scales with
+  * input bandwidth (the optional frozen-LM gate adds one narrow
+  * (id, bits) exchange — see [[curate]]). (The enriched
   * batch is computed once per sink write; Spark recomputes the lineage
   * per action, which for a map-only stage is cheaper than caching
   * inside a micro-batch — caching there leaks blocks across batches.)
@@ -43,12 +45,25 @@ object CurationStream {
 
   /** Enrich with (lang, quality, gopher signals) + redacted text and
     * mark acceptance: accepted ⇔ gopher pass ∧ quality ≥ minQuality ∧
-    * lang ∈ langs (empty `langs` = any language). `reject_reason` names
-    * the FIRST failing gate (gopher < quality < lang) — one reason per
-    * row keeps the reject feed aggregable. */
+    * lang ∈ langs (empty `langs` = any language) ∧ LM fluency (when a
+    * frozen model is supplied). `reject_reason` names the FIRST failing
+    * gate (gopher < quality < lang < perplexity) — one reason per row
+    * keeps the reject feed aggregable.
+    *
+    * `lm` is a [[graft.operators.NgramLm.train]] model (read it from
+    * parquet once outside the stream): docs scoring above `maxNllBits`
+    * bits/transition are rejected as `perplexity`, the CCNet cut. Docs
+    * too short to score (< 2 tokens; null bits) pass the gate — the
+    * length rules own that case. The default lm=None path stays
+    * map-only; with a model the stage adds one narrow (id, bits)
+    * aggregate exchange, still corpus-text-shuffle-free since the
+    * vocab-bounded model broadcasts. */
   def curate(docs: DataFrame, textCol: String,
       minQuality: Double = 0.3,
-      langs: Set[String] = Set("en")): DataFrame = {
+      langs: Set[String] = Set("en"),
+      lm: Option[DataFrame] = None,
+      maxNllBits: Double = 12.0,
+      idCol: String = "doc_id"): DataFrame = {
     val g = TextFunctions.gopherStats(col(textCol))
     val enriched = docs
       .withColumn("lang", TextFunctions.langId(col(textCol)))
@@ -56,13 +71,22 @@ object CurationStream {
       .withColumn("n_words", g.getField("n_words"))
       .withColumn("gopher_pass", g.getField("pass"))
       .withColumn("text_redacted", TextFunctions.redactPii(col(textCol)))
+    val withLm = lm match {
+      case Some(model) => enriched.join(
+        NgramLm.score(docs, model, textCol, idCol)
+          .select(col(idCol), col("avg_nll_bits")),
+        Seq(idCol), "left")
+      case None => enriched
+        .withColumn("avg_nll_bits", lit(null).cast("double"))
+    }
     val langOk =
       if (langs.isEmpty) lit(true) else col("lang").isInCollection(langs)
-    enriched
+    withLm
       .withColumn("reject_reason",
         when(!col("gopher_pass"), lit("gopher"))
           .when(col("quality") < minQuality, lit("quality"))
           .when(!langOk, lit("lang"))
+          .when(col("avg_nll_bits") > maxNllBits, lit("perplexity"))
           .otherwise(lit(null).cast("string")))
       .withColumn("accepted", col("reject_reason").isNull)
   }
@@ -72,8 +96,9 @@ object CurationStream {
     * exact foreachBatch body. */
   def processBatch(batch: DataFrame, batchId: Long, textCol: String,
       acceptPath: String, rejectPath: String,
-      minQuality: Double = 0.3, langs: Set[String] = Set("en")): Unit = {
-    val curated = curate(batch, textCol, minQuality, langs)
+      minQuality: Double = 0.3, langs: Set[String] = Set("en"),
+      lm: Option[DataFrame] = None, maxNllBits: Double = 12.0): Unit = {
+    val curated = curate(batch, textCol, minQuality, langs, lm, maxNllBits)
     def write(df: DataFrame, path: String): Unit =
       df.withColumn(BatchCol, lit(batchId))
         .write.mode(SaveMode.Overwrite)
@@ -97,13 +122,14 @@ object CurationStream {
   def start(docs: DataFrame, textCol: String, acceptPath: String,
       rejectPath: String, checkpointDir: String,
       minQuality: Double = 0.3, langs: Set[String] = Set("en"),
+      lm: Option[DataFrame] = None, maxNllBits: Double = 12.0,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, acceptPath, rejectPath,
-          minQuality, langs)
+          minQuality, langs, lm, maxNllBits)
       }
       .start()
 }

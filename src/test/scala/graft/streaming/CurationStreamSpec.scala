@@ -68,6 +68,38 @@ class CurationStreamSpec extends SparkSpec {
     assert(acc.filter(col("quality") < 0.3).count() == 0)
   }
 
+  test("frozen-LM gate rejects unseen-transition docs the rule gates pass") {
+    import graft.operators.NgramLm
+    val lm = NgramLm.train(docsDF((0L until 5L).map(i => (i, goodText))))
+    // same words, reversed order: identical under every order-blind
+    // gate (gopher/lang/quality), but every transition is unseen
+    val reversed = goodText.split(" ").reverse.mkString(" ")
+    val batch = docsDF(Seq((1L, goodText), (2L, reversed)))
+    val bits = NgramLm.score(batch, lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bits(2L) > bits(1L))
+    val cut = (bits(1L) + bits(2L)) / 2
+    val out = CurationStream.curate(batch, "text",
+        lm = Some(lm), maxNllBits = cut)
+      .select("doc_id", "accepted", "reject_reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2))))
+      .toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("perplexity"))))
+
+    // the foreachBatch body routes on the same gate and the score
+    // rides into both sinks
+    val base = java.nio.file.Files.createTempDirectory("graft_clm").toString
+    CurationStream.processBatch(batch, 0L, "text", s"$base/a", s"$base/r",
+      lm = Some(lm), maxNllBits = cut)
+    val acc = spark.read.parquet(s"$base/a")
+    assert(acc.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(acc.columns.contains("avg_nll_bits"))
+    assert(spark.read.parquet(s"$base/r")
+      .select("reject_reason").collect().map(_.getString(0)).toSet ==
+      Set("perplexity"))
+  }
+
   test("batch replay is idempotent on both sinks") {
     val base = java.nio.file.Files.createTempDirectory("graft_creplay").toString
     val b0 = docsDF(Seq((1L, goodText), (2L, shortText)))
