@@ -183,14 +183,20 @@ object Similarity {
     * signatures (per query: top-`rerank` candidates), then exact-cosine
     * rerank only those. The Hamming pass carries (id, 2×long) — the
     * full-precision vectors are fetched only for the rerank×queries
-    * candidate rows, via a broadcast join back to the corpus. */
+    * candidate rows, via a broadcast join back to the corpus.
+    *
+    * Serving path: persist [[signBits]] output once (a 16 B/vector
+    * table) and pass it as `sigs` — the candidate scan then reads ONLY
+    * the signature table; the raw-vector table is touched just for the
+    * tiny rerank fetch. */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       rerank: Int, idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      sigs: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank pool $rerank smaller than k=$k")
     val qs = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
       signHalf(col(vecCol), 0).as("__qlo"), signHalf(col(vecCol), 32).as("__qhi"))
-    val hammed = signBits(corpus, idCol, vecCol)
+    val hammed = sigs.getOrElse(signBits(corpus, idCol, vecCol))
       .join(broadcast(qs.select(col(queryIdCol), col("__qlo"), col("__qhi"))))
       .withColumn("hamming",
         (bit_count(col("sig_lo").bitwiseXOR(col("__qlo"))) +

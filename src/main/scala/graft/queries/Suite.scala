@@ -1237,7 +1237,35 @@ object Suite {
              |    count(*) AS n
              |  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
              |  CROSS JOIN voc GROUP BY b.doc_id)
-             |SELECT d.doc_id, coalesce(n, 0) AS n_bigrams,
+             |SELECT d.doc_id, coalesce(n, 0) AS n_ngrams,
+             |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("l44_trigram_lm",
+      (s, d) => NgramLm.perplexity(t(s, d, "documents"), order = 3)
+        .orderBy("doc_id"),
+      // order-3 contexts are the space-join of two tokens (tokens are
+      // whitespace-split, so the join is collision-free)
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS ctx,
+             |    tk[i + 3] AS w
+             |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 2)) AS i
+             |        FROM toks WHERE len(tk) >= 3)),
+             |cg AS (SELECT ctx, w, count(*) AS c FROM big GROUP BY 1, 2),
+             |cc AS (SELECT ctx, sum(c) AS cctx FROM cg GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks)),
+             |sc AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((c + 1)::DOUBLE / (cctx + nv)) *
+             |      1000000) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM big b JOIN cg USING (ctx, w) JOIN cc USING (ctx)
+             |  CROSS JOIN voc GROUP BY b.doc_id)
+             |SELECT d.doc_id, coalesce(n, 0) AS n_ngrams,
              |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
@@ -1271,7 +1299,7 @@ object Suite {
              |  FROM big b LEFT JOIN c12 USING (w1, w2)
              |  LEFT JOIN c1 USING (w1) CROSS JOIN voc
              |  GROUP BY b.doc_id)
-             |SELECT d.doc_id, coalesce(n, 0) AS n_bigrams,
+             |SELECT d.doc_id, coalesce(n, 0) AS n_ngrams,
              |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),

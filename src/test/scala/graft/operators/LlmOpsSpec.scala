@@ -284,6 +284,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(bq == exact)
   }
 
+  test("binary ANN served from a persisted signature table is identical") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsig")
+      .toString + "/sigs"
+    Similarity.signBits(emb).write.parquet(dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity.binaryTopK(emb, queries, 10, rerank = 30)
+    val served = Similarity.binaryTopK(emb, queries, 10, rerank = 30,
+      sigs = Some(spark.read.parquet(dir)))
+    assert(key(served) == key(inline))
+  }
+
   test("binary ANN recall at a 10% rerank pool stays high") {
     import spark.implicits._
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
@@ -314,6 +331,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 0.471679) < 1e-9)
     assert(out(1).getLong(1) == 0L)
     assert(out(1).isNullAt(2))
+  }
+
+  test("trigram LM: hand-checked two-token contexts") {
+    import spark.implicits._
+    // "a b c a b c": c(ab,c)=2, c(bc,a)=1, c(ca,b)=1, |V|=3 ->
+    // P(c|ab)=3/5, P(a|bc)=P(b|ca)=1/2; grams (ab c)(bc a)(ca b)(ab c)
+    val docs = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val out = NgramLm.perplexity(docs, order = 3).collect().head
+    assert(out.getLong(1) == 4L)
+    assert(math.abs(out.getDouble(2) - 0.868483) < 1e-9)
   }
 
   test("frozen LM cross-scoring: unseen transitions pay the smoothing floor") {
