@@ -168,6 +168,34 @@ object Similarity {
         when(x > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (a, b) => a.bitwiseOR(b))
 
+  /** Average many vectors into one per key — the chunk→document
+    * pooling step when documents are embedded chunk-wise
+    * ([[graft.operators.Curation.chunkDocuments]] upstream). One
+    * posexplode + one hash aggregate on (key, position): linear,
+    * map-side combined, no window.
+    *
+    * Components are quantized to 1e-6 before the sum (floats carry ~7
+    * significant digits at unit scale, so nothing real is lost) —
+    * summing longs makes the distributed mean independent of partial-
+    * aggregation order, so pooled vectors are bit-reproducible across
+    * runs/cluster layouts and engine-portable for the oracle. */
+  def meanPool(vectors: DataFrame, keyCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col(keyCol), col("__p"),
+        round(col("__x").cast("double") * 1000000).cast("long").as("__u"))
+      .groupBy(col(keyCol), col("__p"))
+      .agg(sum(col("__u")).as("__s"), count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__p"),
+        (col("__s").cast("double") / 1000000.0 / col("__n"))
+          .cast("float").as("__m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
+        .as("__pm"))
+      .select(col(keyCol),
+        transform(col("__pm"), s => s.getField("__m")).as(vecCol))
+
   /** 1-bit (sign) quantization of a 64-dim embedding: two packed
     * 32-bit halves. 16 bytes per vector instead of 256 — at 100 TB of
     * fp32 embeddings the candidate scan touches ~6% of the bytes, and

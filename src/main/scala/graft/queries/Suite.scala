@@ -1215,6 +1215,25 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l45_mean_pool",
+      (s, d) => Similarity.meanPool(t(s, d, "embeddings"), "label")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("label"), col("p"),
+          round(col("v").cast("double"), 6).as("v"))
+        .orderBy("label", "p"),
+      // micro-unit pooling is exact long arithmetic until one final
+      // division — the float vector compares bit-identically
+      Some("""WITH e AS (SELECT label,
+             |    CAST(round(unnest(embedding)::DOUBLE * 1000000)
+             |      AS BIGINT) AS u,
+             |    unnest(range(0, len(embedding))) AS p
+             |  FROM embeddings),
+             |m AS (SELECT label, p, sum(u) AS s, count(*) AS n
+             |  FROM e GROUP BY 1, 2)
+             |SELECT label, CAST(p AS INT) AS p,
+             |  round(((s / 1000000.0 / n)::REAL)::DOUBLE, 6) AS v
+             |FROM m ORDER BY label, p""".stripMargin)),
+
     Q("l41_lm_perplexity",
       (s, d) => NgramLm.perplexity(t(s, d, "documents"))
         .orderBy("doc_id"),

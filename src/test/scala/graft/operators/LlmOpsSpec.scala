@@ -333,6 +333,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(2))
   }
 
+  test("mean pooling averages chunk vectors per key, position-aligned") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.5f, 0.5f))
+    ).toDF("doc_id", "embedding")
+    val out = Similarity.meanPool(vecs, "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getSeq[Float](1) == Seq(2.0f, 1.0f))
+    assert(out(1).getSeq[Float](1) == Seq(0.5f, 0.5f))
+  }
+
   test("trigram LM: hand-checked two-token contexts") {
     import spark.implicits._
     // "a b c a b c": c(ab,c)=2, c(bc,a)=1, c(ca,b)=1, |V|=3 ->
