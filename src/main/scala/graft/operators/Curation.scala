@@ -156,6 +156,39 @@ object Curation {
     df.filter(h < cut)
   }
 
+  /** Deterministic epoch shuffle + sharding — the last step of a
+    * curation pipeline before training: scatter the corpus into
+    * `numShards` shards and give every row a stable 0-based position
+    * within its shard, both pure functions of (seed, key). A new epoch
+    * is a new seed — a full reshuffle with zero state; re-running any
+    * epoch reproduces it bit-for-bit on any cluster layout.
+    *
+    * The shuffle key is the same portable md5 construction as
+    * [[hashSamplePortable]] (`md5(seed || ':' || key)`), so the exact
+    * shard assignment and order are replayable in any engine with md5 —
+    * the "which examples, in which order, trained step N" audit needs
+    * no Spark cluster. Shard = first 32 hash bits mod `numShards`;
+    * order within shard = the full hash (key as tie-break for the
+    * astronomically-unlikely collision).
+    *
+    * Scale shape: ONE shuffle, partitioned by shard, plus a per-shard
+    * sort — exactly the physical layout a shard writer needs
+    * (`partitionBy(shard)`, one sorted file per shard); position is a
+    * row_number over that same clustering, so no second exchange. Shard
+    * count is the parallelism unit: pick numShards ≈ total size /
+    * target shard file size. */
+  def epochShuffle(df: DataFrame, key: Column, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat(lit(seed.toString), lit(":"), key.cast("string")))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h).withColumn("__shard", shard)
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .withColumnRenamed("__shard", "shard").drop("__h")
+  }
+
   /** Token-window chunking — the pre-embedding step of a retrieval /
     * ANN pipeline: split each document into chunks of `chunkTokens`
     * whitespace tokens, consecutive chunks overlapping by `overlap`

@@ -1528,6 +1528,24 @@ object Suite {
               |  < ${Curation.portableCut(0.3)}
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("l46_epoch_shuffle",
+      (s, d) => Curation.epochShuffle(
+          t(s, d, "documents").select("doc_id", "source"),
+          col("doc_id"), numShards = 8, seed = 7)
+        .select("doc_id", "source", "shard", "shard_pos")
+        .orderBy("doc_id"),
+      // the md5 shuffle key makes shard AND order replayable anywhere —
+      // this oracle is the "what trained at step N" audit in SQL
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    md5('7:' || doc_id) AS k FROM documents),
+             |s AS (SELECT doc_id, source, k,
+             |    (('0x' || substr(k, 1, 8))::BIGINT % 8)::INT AS shard
+             |  FROM h)
+             |SELECT doc_id, source, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+             |    - 1 AS shard_pos
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     Q("l15_sessionize",
       (s, d) => Curation.sessionize(
           t(s, d, "events"), Seq("user_id"), "ts", gapSeconds = 3600)

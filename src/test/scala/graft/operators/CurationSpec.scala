@@ -23,6 +23,30 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a.toSet))
   }
 
+  test("epochShuffle is a layout-independent permutation into dense shards") {
+    val out = Curation.epochShuffle(docs, col("doc_id"), numShards = 8,
+      seed = 3).select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect()
+    // a permutation: every doc exactly once
+    assert(out.map(_._1).sorted.toSeq == (1L to 1000L))
+    // shards dense in [0, 8); positions contiguous 0..n-1 per shard
+    assert(out.map(_._2).forall(s => s >= 0 && s < 8))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong))
+    }
+    // bit-identical under a different physical layout
+    val again = Curation.epochShuffle(docs.repartition(13), col("doc_id"),
+      numShards = 8, seed = 3).select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a new epoch (seed) is a genuinely different order
+    val epoch2 = Curation.epochShuffle(docs, col("doc_id"), numShards = 8,
+      seed = 4).select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect()
+    assert(!out.sortBy(_._1).map(r => (r._2, r._3))
+      .sameElements(epoch2.sortBy(_._1).map(r => (r._2, r._3))))
+  }
+
   test("hashSamplePortable matches an out-of-Spark md5 replay exactly") {
     val a = Curation.hashSamplePortable(docs, col("doc_id"), 0.3, seed = 7)
       .select("doc_id").as[Long].collect().sorted
