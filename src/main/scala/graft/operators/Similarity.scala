@@ -147,6 +147,46 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** k-nearest-neighbor GRAPH: every corpus vector's top-k neighbors by
+    * cosine — the corpus-vs-corpus twin of [[ivfTopK]], the substrate
+    * of graph-based curation (SemDeDup cluster audits, connectivity
+    * pruning, label propagation). Output: (src_id, nbr_id, cosine,
+    * rank), self excluded.
+    *
+    * Unlike the query path, the "query" side here IS the corpus, so
+    * nothing broadcasts: each vector is routed to its `nprobe` nearest
+    * cells (one broadcast-centroids pass), then a SHUFFLE hash join on
+    * `centroid_id` co-partitions probes with cell members — the shuffle
+    * carries corpus × nprobe vectors, which is the intrinsic candidate
+    * volume, and AQE splits any mega-cell skew. Each (src, nbr) pair
+    * arises at most once (a neighbor lives in exactly one cell), so no
+    * dedup pass. With `nprobe` = nlist every pair is scored and the
+    * graph is EXACT — the oracle checks that configuration, and the
+    * approximate scale path differs only by the probe count. */
+  def knnGraph(cells: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val wp = Window.partitionBy(col("src_id"))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = cells.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+      .join(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__sv"), col("__centroid")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("src_id"), col("__sv"), col("centroid_id"))
+    val scored = cells
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+        col("centroid_id"))
+      .join(probes, Seq("centroid_id"))
+      .filter(col("nbr_id") =!= col("src_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__sv")))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bit signature (cosine-preserving) packed into
     * a long; deterministic seeded planes (native codegen expression —
     * [[graft.functions.HyperplaneSig]]). Bucket-join docs sharing a

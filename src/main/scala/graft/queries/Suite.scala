@@ -912,6 +912,36 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l47_knn_graph",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.seedCentroids(emb, nlist = 8)
+        val cells = Similarity.assignCells(emb, cents)
+        // nprobe = nlist scores every pair -> exact graph; the scale
+        // path is the same plan with nprobe << nlist
+        Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+          .select(col("src_id"), col("nbr_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("src_id", "rank")
+      },
+      Some("""WITH scored AS (SELECT a.vec_id AS src_id,
+             |    b.vec_id AS nbr_id,
+             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+             |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+             |    AS cos
+             |  FROM embeddings a CROSS JOIN embeddings b
+             |  WHERE a.vec_id <> b.vec_id),
+             |ranked AS (SELECT src_id, nbr_id, round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY src_id
+             |      ORDER BY cos DESC, nbr_id ASC) AS rank FROM scored)
+             |SELECT src_id, nbr_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY src_id, rank""".stripMargin)),
+
     Q("l7_langid",
       (s, d) => t(s, d, "documents")
         .select(TextFunctions.langId(col("text")).as("lang_pred"))

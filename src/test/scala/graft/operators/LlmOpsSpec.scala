@@ -344,6 +344,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Float](1) == Seq(0.5f, 0.5f))
   }
 
+  test("knnGraph at full probe equals brute force; partial probe recalls most") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(emb, nlist = 6)
+    val cells = Similarity.assignCells(emb, cents)
+    val exact = Similarity.knnGraph(cells, cents, k = 4, nprobe = 6)
+      .select("src_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // ground truth via the independent brute-force path (self filtered
+    // out of its k+1 because bruteForceTopK scores the self-pair at 1.0)
+    val bf = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")), k = 5)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 4)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact == bf)
+    // partial probing is a subset-quality approximation, not garbage
+    val approx = Similarity.knnGraph(cells, cents, k = 4, nprobe = 2)
+      .select("src_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = approx.count(p => bf.exists(b => (b._1, b._2) == p)).toDouble /
+      bf.size
+    assert(recall > 0.5, s"recall $recall")
+  }
+
   test("trigram LM: hand-checked two-token contexts") {
     import spark.implicits._
     // "a b c a b c": c(ab,c)=2, c(bc,a)=1, c(ca,b)=1, |V|=3 ->
