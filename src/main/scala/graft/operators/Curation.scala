@@ -256,6 +256,53 @@ object Curation {
           budget).cast("long"))
   }
 
+  /** Per-stratum quantile band filter — keep rows whose score sits
+    * between the `loQ` and `hiQ` quantiles of their stratum (cut the
+    * gibberish tail AND the boilerplate head of a quality distribution,
+    * per source). Membership is decided on `percent_rank` =
+    * (rank−1)/(n−1), a pure integer-derived ratio with one IEEE
+    * division — every engine computes the identical value, so the band
+    * is exact and replayable (no interpolated-percentile boundary to
+    * disagree about). Ties share a rank and land on the same side of
+    * the cut together.
+    *
+    * Scale shape: one window per stratum — strata parallelize, but ONE
+    * stratum's ranking is a single sorted partition, so this is the
+    * exact path for per-source bands (thousands of sources, each
+    * comfortably sortable); for a single 100 TB stratum use
+    * [[quantileBandApprox]], which trades the exact rank for a
+    * two-pass approx-percentile boundary at fixed memory. */
+  def quantileBand(df: DataFrame, strataCols: Seq[String], scoreCol: Column,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && loQ <= hiQ && hiQ <= 1, "need 0 <= loQ <= hiQ <= 1")
+    val w0 = if (strataCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(strataCols.map(col): _*)
+    df.withColumn("__pr", percent_rank().over(w0.orderBy(scoreCol)))
+      .filter(col("__pr") >= loQ && col("__pr") <= hiQ)
+      .drop("__pr")
+  }
+
+  /** Fixed-memory approximate twin of [[quantileBand]]: per-stratum
+    * `approx_percentile` boundaries (one map-side-combined aggregate,
+    * no global sort), broadcast back, inclusive filter. At `accuracy`
+    * a the rank error is ≤ 1/a of the stratum — the shape that holds
+    * when one stratum is the whole corpus. */
+  def quantileBandApprox(df: DataFrame, strataCols: Seq[String],
+      scoreCol: Column, loQ: Double, hiQ: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(loQ >= 0 && loQ <= hiQ && hiQ <= 1, "need 0 <= loQ <= hiQ <= 1")
+    val bounds =
+      (if (strataCols.isEmpty) df.groupBy() else df.groupBy(strataCols.map(col): _*))
+        .agg(approx_percentile(scoreCol, array(lit(loQ), lit(hiQ)),
+          lit(accuracy)).as("__qb"))
+    val joined = if (strataCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), strataCols)
+    joined
+      .filter(scoreCol >= element_at(col("__qb"), 1) &&
+        scoreCol <= element_at(col("__qb"), 2))
+      .drop("__qb")
+  }
+
   /** Batch sessionization (gaps-and-islands): assigns a per-key
     * `session_seq` (1-based) that increments whenever the gap to the
     * previous event exceeds `gapSeconds`. Gap arithmetic is on

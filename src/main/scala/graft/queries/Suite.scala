@@ -974,6 +974,39 @@ object Suite {
     // one exact double division at the end — TextFunctions.qualityScore)
     // so the cross-engine compare is exact; DuckDB's `//` is the same
     // floor division over the same non-negative integers.
+    Q("l48_quality_band",
+      (s, d) => Curation.quantileBand(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("q")),
+          Seq("source"), col("q"), loQ = 0.1, hiQ = 0.9)
+        .orderBy("doc_id"),
+      // percent_rank is (rank-1)/(n-1) in both engines — integer-derived,
+      // so the band membership is exact, no interpolation to disagree on
+      Some("""WITH x AS (SELECT doc_id, source,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::BIGINT AS n_tok,
+             |  length(text)::BIGINT AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> list_contains(['the','a','of','and','to','in','is','that',
+             |      'it','for'], t)))::BIGINT AS stop_hits
+             |  FROM documents),
+             |s AS (SELECT doc_id, source,
+             |  least(n_tok * 1000000 // 64, 1000000) AS len_s,
+             |  1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |    1000000) AS punct_s,
+             |  least(stop_hits * 5000000 // greatest(n_tok, 1), 1000000) AS stop_s,
+             |  1000000 - least(abs(n_char - n_tok + 1 - 5 * greatest(n_tok, 1))
+             |    * 1000000 // (5 * greatest(n_tok, 1)), 1000000) AS word_s
+             |  FROM x),
+             |q AS (SELECT doc_id, source,
+             |  ((len_s * 3 + punct_s * 3 + stop_s * 2 + word_s * 2) // 10)::DOUBLE
+             |    / 1000000.0 AS q FROM s),
+             |r AS (SELECT doc_id, source, q, percent_rank() OVER (
+             |    PARTITION BY source ORDER BY q) AS pr FROM q)
+             |SELECT doc_id, source, q FROM r
+             |WHERE pr >= 0.1 AND pr <= 0.9 ORDER BY doc_id""".stripMargin)),
+
     Q("l8_quality_score",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),

@@ -47,6 +47,29 @@ class CurationSpec extends SparkSpec {
       .sameElements(epoch2.sortBy(_._1).map(r => (r._2, r._3))))
   }
 
+  test("quantileBand keeps the middle of each stratum; approx twin brackets it") {
+    // two strata with known score ladders: 0..99 and 0..49
+    val scored = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 50).map(i => ("b", 1000L + i, i.toDouble)))
+      .toDF("source", "doc_id", "q")
+    val kept = Curation.quantileBand(scored, Seq("source"), col("q"), 0.1, 0.9)
+      .select("source", "q").as[(String, Double)].collect()
+    // percent_rank of value i in 1..n is (i-1)/(n-1)
+    val a = kept.filter(_._1 == "a").map(_._2).sorted
+    val b = kept.filter(_._1 == "b").map(_._2).sorted
+    assert(a.head == 11.0 && a.last == 90.0 && a.length == 80)
+    assert(b.head == 6.0 && b.last == 45.0 && b.length == 40)
+    // the approximate path selects a superset-or-near of the exact band
+    // at high accuracy on small data it is exactly the quantile cut
+    val approx = Curation.quantileBandApprox(scored, Seq("source"), col("q"),
+      0.1, 0.9).select("source", "q").as[(String, Double)].collect()
+    val aa = approx.filter(_._1 == "a").map(_._2)
+    assert(aa.min >= 10.0 && aa.max <= 91.0 && aa.length >= 79)
+    // empty strata list = one global band
+    val global = Curation.quantileBand(scored, Nil, col("q"), 0.0, 0.5)
+    assert(global.count() > 0)
+  }
+
   test("hashSamplePortable matches an out-of-Spark md5 replay exactly") {
     val a = Curation.hashSamplePortable(docs, col("doc_id"), 0.3, seed = 7)
       .select("doc_id").as[Long].collect().sorted
