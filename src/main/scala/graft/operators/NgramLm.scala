@@ -77,7 +77,19 @@ object NgramLm {
     * form a gram. Lower is more fluent; filter at a quantile. `order`
     * must match the one the model was trained with. */
   def score(docs: DataFrame, lm: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", order: Int = 2): DataFrame = {
+      idCol: String = "doc_id", order: Int = 2): DataFrame =
+    docs.select(col(idCol))
+      .join(sumBits(docs, lm, textCol, idCol, order), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_ngrams"),
+        round((-col("__s")).cast("double") / 1000000.0 / col("__n"), 6)
+          .as("avg_nll_bits"))
+
+  /** Per-doc TOTAL log2-likelihood in exact micro-bit longs:
+    * (idCol, __s, __n); docs with no grams absent. The exactness
+    * anchor both [[score]] and [[dsirTopK]] stand on. */
+  private def sumBits(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String, order: Int): DataFrame = {
     // context totals are implied by the model: c(ctx·) = Σ_w c(ctx,w)
     val cCtx = lm.groupBy(col("ctx")).agg(sum(col("__c")).as("__cctx"))
     val nv = lm.select(col("__nv")).limit(1)
@@ -88,18 +100,52 @@ object NgramLm {
       round(log2((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
         (coalesce(col("__cctx"), lit(0L)) + col("__nv"))) * 1000000)
         .cast("long")
-    val perDoc = ng
-      .join(lm.drop("__nv"), Seq("ctx", "w"), "left")
+    ng.join(lm.drop("__nv"), Seq("ctx", "w"), "left")
       .join(cCtx, Seq("ctx"), "left")
       .crossJoin(broadcast(nv))
       .groupBy(col(idCol))
       .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+  }
+
+  /** DSIR-style importance resampling (Xie et al., NeurIPS'23, "Data
+    * Selection for Language Models via Importance Resampling"): pick
+    * the `k` candidate documents whose n-gram statistics look most like
+    * a TARGET domain relative to the RAW pool, by Gumbel-top-k over the
+    * log importance ratio λ(x) = log2 P_target(x) − log2 P_raw(x) —
+    * equivalent to sampling without replacement with probability
+    * ∝ 2^λ. Both λ terms are the exact micro-bit longs of [[sumBits]],
+    * and the Gumbel noise is derived from the portable md5 hash of
+    * (seed, id), so the draw is deterministic, layout-independent and
+    * replayable in any engine. Documents too short to form a gram
+    * carry no evidence and are excluded.
+    *
+    * Output: (idCol, log2_ratio, rank), rank 1..k by noisy score.
+    * Scale shape: two broadcast-LM scoring passes (model is
+    * vocab-bounded), one join on id, then global top-k — which Spark
+    * executes as per-partition heaps + driver merge (TakeOrdered), not
+    * a global sort. */
+  def dsirTopK(docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
+      k: Int, textCol: String = "text", idCol: String = "doc_id",
+      order: Int = 2, seed: Long = 0L): DataFrame = {
+    val st = sumBits(docs, targetLm, textCol, idCol, order)
+      .select(col(idCol), col("__s").as("__st"))
+    val sr = sumBits(docs, rawLm, textCol, idCol, order)
+      .select(col(idCol), col("__s").as("__sr"))
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit((1L << 60).toDouble)
+    val gumbel = -log(-log(u)) / lit(math.log(2.0))
+    val top = st.join(sr, Seq(idCol))
+      .withColumn("__lam", col("__st") - col("__sr"))
+      .withColumn("__score", col("__lam").cast("double") / 1000000.0 + gumbel)
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("__score").desc, col(idCol).asc)))
       .select(col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_ngrams"),
-        round((-col("__s")).cast("double") / 1000000.0 / col("__n"), 6)
-          .as("avg_nll_bits"))
+        round(col("__lam").cast("double") / 1000000.0, 6).as("log2_ratio"),
+        col("rank"))
   }
 
   /** Self-perplexity: the corpus scored under its own LM. Batch-only

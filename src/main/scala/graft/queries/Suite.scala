@@ -1386,6 +1386,56 @@ object Suite {
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l49_dsir_topk",
+      (s, d) => {
+        // target domain = the even-id half (as l42); raw = full pool.
+        // Gumbel-top-k draws k docs ∝ 2^(log-ratio), deterministically.
+        val docs = t(s, d, "documents")
+        val target = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
+        val raw = NgramLm.train(docs).cache()
+        NgramLm.dsirTopK(docs, target, raw, k = 100, seed = 7)
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |tc12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |tc1 AS (SELECT w1, sum(c12) AS c1 FROM tc12 GROUP BY 1),
+             |tvoc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 2 = 0)),
+             |tst AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+             |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS st
+             |  FROM big b LEFT JOIN tc12 USING (w1, w2)
+             |  LEFT JOIN tc1 USING (w1) CROSS JOIN tvoc
+             |  GROUP BY b.doc_id),
+             |rc12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |rc1 AS (SELECT w1, sum(c12) AS c1 FROM rc12 GROUP BY 1),
+             |rvoc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks)),
+             |rst AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+             |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS sr
+             |  FROM big b LEFT JOIN rc12 USING (w1, w2)
+             |  LEFT JOIN rc1 USING (w1) CROSS JOIN rvoc
+             |  GROUP BY b.doc_id),
+             |lam AS (SELECT doc_id, st - sr AS lam
+             |  FROM tst JOIN rst USING (doc_id)),
+             |g AS (SELECT doc_id, lam, lam / 1000000.0 +
+             |    (-ln(-ln((('0x' || substr(md5('7:' || doc_id), 1, 15))
+             |      ::BIGINT::DOUBLE + 0.5) / 1152921504606846976.0)) / ln(2))
+             |    AS score FROM lam),
+             |r AS (SELECT doc_id, lam, row_number() OVER (
+             |    ORDER BY score DESC, doc_id ASC) AS rank FROM g)
+             |SELECT doc_id, round(lam / 1000000.0, 6) AS log2_ratio,
+             |  CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
     Q("l34_duplicate_spans",
       (s, d) => Retrieval.duplicateSpans(t(s, d, "documents"), "text",
           "doc_id", windowTokens = 16, hashFn = md5(_))

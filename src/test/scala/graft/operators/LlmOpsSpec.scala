@@ -375,6 +375,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.5, s"recall $recall")
   }
 
+  test("dsirTopK draws target-domain docs; identical LMs degrade to pure hash") {
+    import spark.implicits._
+    // two stylistic families: "code" (ids 1-40) and "prose" (ids 41-80)
+    val code = (1L to 40L).map(i =>
+      (i, s"def fn$i ( x ) : return x + $i end def"))
+    val prose = (41L to 80L).map(i =>
+      (i, s"the quiet morning number $i drifted over the harbor town"))
+    val docs = (code ++ prose).toDF("doc_id", "text")
+    val target = NgramLm.train(docs.filter($"doc_id" <= 40)).cache()
+    val raw = NgramLm.train(docs).cache()
+    val picked = NgramLm.dsirTopK(docs, target, raw, k = 20, seed = 1)
+      .select("doc_id", "rank").as[(Long, Int)].collect()
+    assert(picked.map(_._2).sorted.toSeq == (1 to 20))
+    // ∝ 2^λ with λ strongly favoring code docs -> draw is nearly all code
+    assert(picked.count(_._1 <= 40) >= 18, picked.mkString(","))
+    // λ = 0 everywhere when target == raw: ranking is the seeded hash,
+    // still deterministic and layout-independent
+    val flat = NgramLm.dsirTopK(docs, raw, raw, k = 10, seed = 5)
+      .select("doc_id", "log2_ratio", "rank")
+      .as[(Long, Double, Int)].collect()
+    assert(flat.forall(_._2 == 0.0))
+    val flat2 = NgramLm.dsirTopK(docs.repartition(7), raw, raw, k = 10,
+      seed = 5).select("doc_id", "log2_ratio", "rank")
+      .as[(Long, Double, Int)].collect()
+    assert(flat.sortBy(_._3).toSeq == flat2.sortBy(_._3).toSeq)
+  }
+
   test("trigram LM: hand-checked two-token contexts") {
     import spark.implicits._
     // "a b c a b c": c(ab,c)=2, c(bc,a)=1, c(ca,b)=1, |V|=3 ->
