@@ -88,7 +88,8 @@ object Bench {
       Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes",
         "l28_curation_pipeline", "l31_paragraph_dedup", "l33_bm25_topk",
         "l34_duplicate_spans", "l36_remove_dup_spans", "l41_lm_perplexity",
-        "l46_epoch_shuffle", "l48_quality_band", "l49_dsir_topk")
+        "l46_epoch_shuffle", "l48_quality_band", "l49_dsir_topk",
+        "l50_bpe_fertility")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -1385,6 +1385,17 @@ object Suite {
              |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    Q("l50_bpe_fertility",
+      // BPE training is an iterative argmax — not expressible as one
+      // SQL query, so rows-only here; BpeSpec pins the merge sequence
+      // to the hand-derived Sennrich example and the encode round-trip
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (_, vocab) = Bpe.train(docs, numMerges = 10, minCount = 2)
+        Bpe.fertility(Bpe.encode(docs, vocab)).orderBy("doc_id")
+      },
+      None),
 
     Q("l49_dsir_topk",
       (s, d) => {

@@ -202,6 +202,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("epochShuffle is one exchange, partitioned by shard") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Curation.epochShuffle(
+      docs.select("doc_id", "source"), col("doc_id"), 8, 3L))
+    // the shard window's clustering IS the shard writer's layout:
+    // exactly one shuffle, keyed on the shard id, then a per-shard sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("hashpartitioning(__shard"), plan)
+  }
+
+  test("dsirTopK takes global top-k with per-partition heaps, not a sort") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val lmT = operators.NgramLm.train(docs.filter(col("doc_id") % 2 === 0))
+    val lmR = operators.NgramLm.train(docs)
+    val plan = planOf(operators.NgramLm.dsirTopK(docs, lmT, lmR, 10))
+    // orderBy().limit(k) must compile to TakeOrdered — the 100 TB draw
+    // is per-partition heaps + driver merge, never a global sort shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("quantileBand approx path has no window sort; bounds broadcast back") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val scored = docs.select(col("doc_id"), col("source"),
+      functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val plan = planOf(operators.Curation.quantileBandApprox(
+      scored, Seq("source"), col("q"), 0.1, 0.9))
+    // the fixed-memory path: approx_percentile aggregate + broadcast
+    // join — no percent_rank window, no per-stratum global sort
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the exact path does rank — one exchange for the stratum window
+    val exact = planOf(operators.Curation.quantileBand(
+      scored, Seq("source"), col("q"), 0.1, 0.9))
+    assert(exact.contains("Window"), exact)
+    assert("Exchange hashpartitioning".r.findAllIn(exact).size == 1, exact)
+  }
+
+  test("knnGraph routes centroids by broadcast and never goes cartesian") {
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val cents = operators.Similarity.seedCentroids(emb, 4)
+    val cells = operators.Similarity.assignCells(emb, cents)
+    val plan = planOf(operators.Similarity.knnGraph(cells, cents, 3, 2))
+    // candidate generation is an equi-join on centroid_id — the corpus
+    // meets itself through cell routing, never an all-pairs cross
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
