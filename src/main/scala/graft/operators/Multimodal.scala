@@ -36,6 +36,20 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(IntegerType).as("duration_ms")))
 
+  /** Exact content dedup over raw media assets: one row per DISTINCT
+    * byte content — the keeper (lowest id), its md5, and how many
+    * assets shared those bytes. This is the manifest a 100 TB asset
+    * store persists; filtering the store is then a semi-join on the
+    * keeper ids. The md5 runs map-side next to the scan, so the only
+    * thing that ever shuffles is (hash, id) — ~50 bytes per asset, the
+    * raw bytes themselves never cross the wire (same discipline as the
+    * text exact-dedup path, `Dedup.scala`). */
+  def mediaDedupManifest(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), md5(col(s"$MediaCol.bytes")).as("media_md5"))
+      .groupBy(col("media_md5"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("media_md5"), col("dup_count"))
+
   // ---- codec seam (STUBS — deterministic fakes, real signatures) -----
 
   /** The decode seam. Real deployments swap in imageio/ffmpeg-backed

@@ -127,16 +127,31 @@ object NgramLm {
   def dsirTopK(docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
       k: Int, textCol: String = "text", idCol: String = "doc_id",
       order: Int = 2, seed: Long = 0L): DataFrame = {
-    val st = sumBits(docs, targetLm, textCol, idCol, order)
-      .select(col(idCol), col("__s").as("__st"))
-    val sr = sumBits(docs, rawLm, textCol, idCol, order)
-      .select(col(idCol), col("__s").as("__sr"))
+    // ONE tokenize+explode of the corpus scores BOTH models: the gram
+    // stream left-joins each model's transition and context tables and
+    // the per-gram bit DIFFERENCE sums in a single aggregate — exact,
+    // since Σ(t−r) over longs ≡ Σt − Σr
+    def prep(lm: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = (
+      lm.select(col("ctx"), col("w"), col("__c").as(s"__c$tag")),
+      lm.groupBy(col("ctx")).agg(sum(col("__c")).as(s"__cctx$tag")),
+      lm.select(col("__nv").as(s"__nv$tag")).limit(1))
+    val (tLm, tCtx, tNv) = prep(targetLm, "t")
+    val (rLm, rCtx, rNv) = prep(rawLm, "r")
+    def microBits(tag: String): Column =
+      round(log2((coalesce(col(s"__c$tag"), lit(0L)) + 1).cast("double") /
+        (coalesce(col(s"__cctx$tag"), lit(0L)) + col(s"__nv$tag"))) * 1000000)
+        .cast("long")
+    val lam = ngramStream(docs, textCol, idCol, order)
+      .join(tLm, Seq("ctx", "w"), "left").join(tCtx, Seq("ctx"), "left")
+      .join(rLm, Seq("ctx", "w"), "left").join(rCtx, Seq("ctx"), "left")
+      .crossJoin(broadcast(tNv)).crossJoin(broadcast(rNv))
+      .groupBy(col(idCol))
+      .agg(sum(microBits("t") - microBits("r")).as("__lam"))
     val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
     val u = (h.cast("double") + 0.5) / lit((1L << 60).toDouble)
     val gumbel = -log(-log(u)) / lit(math.log(2.0))
-    val top = st.join(sr, Seq(idCol))
-      .withColumn("__lam", col("__st") - col("__sr"))
+    val top = lam
       .withColumn("__score", col("__lam").cast("double") / 1000000.0 + gumbel)
       .orderBy(col("__score").desc, col(idCol).asc)
       .limit(k)

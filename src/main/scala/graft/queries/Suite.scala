@@ -2055,6 +2055,23 @@ object Suite {
              |    AS frame_bytes
              |FROM x WHERE n > 0 ORDER BY doc_id""".stripMargin)),
 
+    Q("m3_media_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("data", encode(col("text"), "UTF-8"))
+        Multimodal.mediaDedupManifest(
+            Multimodal.attachMedia(docs, "data", "text/plain"), "doc_id")
+          .orderBy("doc_id")
+      },
+      // md5 of the media BYTES ≡ DuckDB md5 of the utf-8 string —
+      // the manifest is replayable against the raw store in any engine
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS media_md5
+             |  FROM documents),
+             |g AS (SELECT media_md5, min(doc_id) AS doc_id,
+             |    count(*) AS dup_count FROM h GROUP BY 1)
+             |SELECT doc_id, media_md5, dup_count
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     Q("m1_media_bytes",
       (s, d) => {
         val docs = t(s, d, "documents")

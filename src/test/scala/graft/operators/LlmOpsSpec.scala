@@ -597,6 +597,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(0).getLong(3) != r(2).getLong(3))
   }
 
+  test("media dedup manifest: identical bytes collapse to the lowest id") {
+    import spark.implicits._
+    val bin = Seq(
+      (10L, Array[Byte](1, 2, 3)), (4L, Array[Byte](1, 2, 3)),
+      (7L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9))
+    ).toDF("id", "data")
+    val m = Multimodal.mediaDedupManifest(
+      Multimodal.attachMedia(bin, "data", "image/jpeg"), "id")
+      .select("id", "dup_count").as[(Long, Long)].collect().sortBy(_._1)
+    assert(m.toSeq == Seq((2L, 1L), (4L, 3L)))
+  }
+
   test("multimodal: media struct, batch features, frame explode") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
