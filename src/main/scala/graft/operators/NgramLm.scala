@@ -124,13 +124,17 @@ object NgramLm {
     * vocab-bounded), one join on id, then global top-k — which Spark
     * executes as per-partition heaps + driver merge (TakeOrdered), not
     * a global sort. */
-  def dsirTopK(docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
-      k: Int, textCol: String = "text", idCol: String = "doc_id",
-      order: Int = 2, seed: Long = 0L): DataFrame = {
-    // ONE tokenize+explode of the corpus scores BOTH models: the gram
-    // stream left-joins each model's transition and context tables and
-    // the per-gram bit DIFFERENCE sums in a single aggregate — exact,
-    // since Σ(t−r) over longs ≡ Σt − Σr
+  /** Per-document DSIR log importance ratio in exact micro-bits:
+    * (idCol, __lam) with __lam = Σ log2 P_target − Σ log2 P_raw over
+    * the doc's grams, a LONG — the shared exactness substrate of
+    * [[dsirTopK]] and [[dsirGate]]. ONE tokenize+explode of the corpus
+    * scores BOTH models: the gram stream left-joins each model's
+    * transition and context tables and the per-gram bit DIFFERENCE
+    * sums in a single aggregate — exact, since Σ(t−r) over longs
+    * ≡ Σt − Σr. */
+  def logRatioMicroBits(docs: DataFrame, targetLm: DataFrame,
+      rawLm: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      order: Int = 2): DataFrame = {
     def prep(lm: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = (
       lm.select(col("ctx"), col("w"), col("__c").as(s"__c$tag")),
       lm.groupBy(col("ctx")).agg(sum(col("__c")).as(s"__cctx$tag")),
@@ -141,12 +145,38 @@ object NgramLm {
       round(log2((coalesce(col(s"__c$tag"), lit(0L)) + 1).cast("double") /
         (coalesce(col(s"__cctx$tag"), lit(0L)) + col(s"__nv$tag"))) * 1000000)
         .cast("long")
-    val lam = ngramStream(docs, textCol, idCol, order)
+    ngramStream(docs, textCol, idCol, order)
       .join(tLm, Seq("ctx", "w"), "left").join(tCtx, Seq("ctx"), "left")
       .join(rLm, Seq("ctx", "w"), "left").join(rCtx, Seq("ctx"), "left")
       .crossJoin(broadcast(tNv)).crossJoin(broadcast(rNv))
       .groupBy(col(idCol))
       .agg(sum(microBits("t") - microBits("r")).as("__lam"))
+  }
+
+  /** Threshold twin of [[dsirTopK]] for STREAMING curation: keep
+    * documents whose log2 importance ratio clears `minLog2Ratio`. No
+    * global view needed (a top-k is meaningless inside one
+    * micro-batch, a fixed τ is not), so this drops straight into a
+    * foreachBatch chain against frozen persisted LMs. The compare runs
+    * on the micro-bit LONG against a pre-rounded integer threshold —
+    * no float boundary to flip. Output: docs rows + `log2_ratio`. */
+  def dsirGate(docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
+      minLog2Ratio: Double, textCol: String = "text",
+      idCol: String = "doc_id", order: Int = 2): DataFrame = {
+    val minMicro = math.round(minLog2Ratio * 1000000)
+    docs.join(
+      logRatioMicroBits(docs, targetLm, rawLm, textCol, idCol, order)
+        .filter(col("__lam") >= lit(minMicro)),
+      Seq(idCol))
+      .withColumn("log2_ratio",
+        round(col("__lam").cast("double") / 1000000.0, 6))
+      .drop("__lam")
+  }
+
+  def dsirTopK(docs: DataFrame, targetLm: DataFrame, rawLm: DataFrame,
+      k: Int, textCol: String = "text", idCol: String = "doc_id",
+      order: Int = 2, seed: Long = 0L): DataFrame = {
+    val lam = logRatioMicroBits(docs, targetLm, rawLm, textCol, idCol, order)
     val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
     val u = (h.cast("double") + 0.5) / lit((1L << 60).toDouble)

@@ -1397,6 +1397,50 @@ object Suite {
       },
       None),
 
+    Q("l51_dsir_gate",
+      (s, d) => {
+        // streaming-shaped twin of l49: fixed τ=0 keeps every doc the
+        // target LM likes at least as much as the raw LM does
+        val docs = t(s, d, "documents")
+        val target = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
+        val raw = NgramLm.train(docs).cache()
+        NgramLm.dsirGate(docs, target, raw, minLog2Ratio = 0.0)
+          .select("doc_id", "log2_ratio")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |tc12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |tc1 AS (SELECT w1, sum(c12) AS c1 FROM tc12 GROUP BY 1),
+             |tvoc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 2 = 0)),
+             |tst AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+             |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS st
+             |  FROM big b LEFT JOIN tc12 USING (w1, w2)
+             |  LEFT JOIN tc1 USING (w1) CROSS JOIN tvoc
+             |  GROUP BY b.doc_id),
+             |rc12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |rc1 AS (SELECT w1, sum(c12) AS c1 FROM rc12 GROUP BY 1),
+             |rvoc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks)),
+             |rst AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((coalesce(c12, 0) + 1)::DOUBLE /
+             |      (coalesce(c1, 0) + nv)) * 1000000) AS BIGINT)) AS sr
+             |  FROM big b LEFT JOIN rc12 USING (w1, w2)
+             |  LEFT JOIN rc1 USING (w1) CROSS JOIN rvoc
+             |  GROUP BY b.doc_id),
+             |lam AS (SELECT doc_id, st - sr AS lam
+             |  FROM tst JOIN rst USING (doc_id))
+             |SELECT doc_id, round(lam / 1000000.0, 6) AS log2_ratio
+             |FROM lam WHERE lam >= 0 ORDER BY doc_id""".stripMargin)),
+
     Q("l49_dsir_topk",
       (s, d) => {
         // target domain = the even-id half (as l42); raw = full pool.

@@ -402,6 +402,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(flat.sortBy(_._3).toSeq == flat2.sortBy(_._3).toSeq)
   }
 
+  test("dsirGate is the threshold twin: τ=-inf keeps all scored, gate ≡ topK set") {
+    import spark.implicits._
+    val code = (1L to 40L).map(i =>
+      (i, s"def fn$i ( x ) : return x + $i end def"))
+    val prose = (41L to 80L).map(i =>
+      (i, s"the quiet morning number $i drifted over the harbor town"))
+    val docs = (code ++ prose).toDF("doc_id", "text")
+    val target = NgramLm.train(docs.filter($"doc_id" <= 40)).cache()
+    val raw = NgramLm.train(docs).cache()
+    // a huge positive τ keeps nothing; τ=0 keeps exactly the docs the
+    // target model prefers — here that separates code from prose
+    assert(NgramLm.dsirGate(docs, target, raw, 1e9).count() == 0)
+    val kept = NgramLm.dsirGate(docs, target, raw, 0.0)
+      .select("doc_id", "log2_ratio").as[(Long, Double)].collect()
+    assert(kept.forall(_._2 >= 0.0))
+    assert(kept.map(_._1).forall(_ <= 40L), kept.mkString(","))
+    assert(kept.length == 40)
+    // gate carries the doc row through (schema = docs + log2_ratio)
+    val cols = NgramLm.dsirGate(docs, target, raw, 0.0).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "log2_ratio"))
+  }
+
   test("trigram LM: hand-checked two-token contexts") {
     import spark.implicits._
     // "a b c a b c": c(ab,c)=2, c(bc,a)=1, c(ca,b)=1, |V|=3 ->
