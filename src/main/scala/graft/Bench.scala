@@ -79,9 +79,9 @@ object Bench {
     // scales — evidence for the SCALING CURVE, not just the sf0.1
     // point. One rep each, excluded from suite_total; skipped when a
     // name filter is active (isolated timing runs) or factor <= 1.
-    // document-only queries (the synth dir materializes just the
-    // inflated documents table). l35 is absent deliberately: its suite
-    // entry pins nlist for the oracle, and SemDeDup at fixed nlist is
+    // the synth dir materializes inflated documents AND embeddings.
+    // l35/l47 are absent deliberately: their suite entries pin nlist
+    // for the oracle, and SemDeDup/kNN-graph at fixed nlist are
     // O(n²/nlist) by design — a real deployment grows nlist with the
     // corpus, so a fixed-nlist rehearsal would measure the wrong thing.
     val synthQueries =
@@ -89,7 +89,9 @@ object Bench {
         "l28_curation_pipeline", "l31_paragraph_dedup", "l33_bm25_topk",
         "l34_duplicate_spans", "l36_remove_dup_spans", "l41_lm_perplexity",
         "l46_epoch_shuffle", "l48_quality_band", "l49_dsir_topk",
-        "l50_bpe_fertility")
+        "l50_bpe_fertility",
+        "l5_cosine_topk", "l6_ivf_ann", "l11_embedding_neardup",
+        "l40_binary_ann", "l45_mean_pool")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -50,15 +50,39 @@ object SyntheticDocs {
     else out
   }
 
-  /** Materialize an inflated documents table under `outDir` in the
-    * same layout the testdata uses, so suite queries run against it
-    * unchanged. Returns the inflated row count. */
+  /** Embedding-corpus inflation, same determinism contract as
+    * [[inflate]]: variant 0 is the original vector; variant k ≥ 1 adds
+    * a hash-derived per-component jitter that grows with k — variant 1
+    * is a genuine near-duplicate (cosine ≈ 0.999 at unit scale),
+    * higher variants drift into distinct-but-clustered vectors, so ANN
+    * recall and near-dup pipelines see realistic neighborhood pressure
+    * at scale. Map-only column algebra, no RNG state. */
+  def inflateEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    emb
+      .withColumn("__k", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("embedding", when(col("__k") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), col("__k"), i.cast("long")),
+            lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.02 *
+            col("__k").cast("double")).cast("float"))))
+      .withColumn("vec_id", col("vec_id") * factor + col("__k"))
+      .drop("__k")
+  }
+
+  /** Materialize inflated documents + embeddings tables under `outDir`
+    * in the same layout the testdata uses, so suite queries run
+    * against it unchanged. Returns the inflated document count. */
   def materialize(spark: SparkSession, sfDir: String, outDir: String,
       factor: Int = 10): Long = {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     inflate(docs, factor)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    inflateEmbeddings(emb, factor)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 }

@@ -19,6 +19,30 @@ class SyntheticDocsSpec extends SparkSpec {
     assert(a.select("doc_id").distinct().count() == a.count())
   }
 
+  test("embedding inflation: originals intact, k=1 near-dup, ids disjoint") {
+    val emb =
+      graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = SyntheticDocs.inflateEmbeddings(emb, 5)
+    val b = SyntheticDocs.inflateEmbeddings(emb, 5)
+    assert(a.count() == emb.count() * 5)
+    assert(a.select("vec_id").distinct().count() == a.count())
+    assert(a.exceptAll(b).isEmpty) // deterministic
+    val originals = a.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") / 5).cast("long").as("vec_id"), col("embedding"))
+    assert(originals.exceptAll(emb.select("vec_id", "embedding")).isEmpty)
+    // variant 1 sits close to its original; variant 4 strictly farther
+    val pairs = a.select((col("vec_id") / 5).cast("long").as("base"),
+        pmod(col("vec_id"), lit(5)).as("k"), col("embedding"))
+    val cos = pairs.filter(col("k") === 0).as("o")
+      .join(pairs.filter(col("k") =!= 0).as("v"), "base")
+      .select(col("v.k").as("k"), graft.operators.Similarity.cosine(
+        col("o.embedding"), col("v.embedding")).as("c"))
+      .groupBy("k").agg(avg(col("c")).as("c")).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(cos(1) > 0.99, s"k=1 mean cosine ${cos(1)}")
+    assert(cos(4) < cos(1), s"spectrum broken: $cos")
+  }
+
   test("variant 0 is the original; variants form a similarity spectrum") {
     val inflated = SyntheticDocs.inflate(docs, 6).cache()
     try {
