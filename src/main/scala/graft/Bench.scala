@@ -26,10 +26,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up action so JVM/codegen startup isn't billed to query 1
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).limit(1).collect() catch { case _: Throwable => () }
-    }
+    // one warm-up action so JVM/codegen startup isn't billed to query 1.
+    // A FIXED cheap query (not Map hash order, which could hand back a
+    // broken or trivial one and let query 1 re-absorb codegen startup).
+    SparkEntry.queries.get("d1_distinct_dim")
+      .orElse(SparkEntry.queries.headOption.map(_._2))
+      .foreach { fn =>
+        try fn(spark, sfDir).limit(1).collect() catch { case _: Throwable => () }
+      }
 
     // None = the rep failed: a failed rep's near-zero wall time must not
     // enter the median (it would make a broken query look FAST), and a
@@ -119,7 +123,52 @@ object Bench {
         ""
       }
 
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth}""")
+    // end-to-end gold SLA rehearsal — the reference's REAL operating
+    // target (BASELINE.md): ingest ≥333 ev/s, then all 16 pipelines
+    // over a 10-min window inside the 5-min cadence. One timed pass
+    // (raw parse→bronze, gold build, idempotent re-run), recorded per
+    // round so the SLA is a number, not a round-2 memory. Skipped in
+    // isolated-timing runs or with SPARK_GRAFT_E2E_EVENTS=0.
+    val e2eEvents =
+      sys.env.getOrElse("SPARK_GRAFT_E2E_EVENTS", "200000").toLong
+    val e2e: String =
+      if (only.isDefined || e2eEvents <= 0) ""
+      else try {
+        import graft.core.PartitionedWriter
+        import graft.ingest.Bronze
+        import graft.pipelines.{GoldContext, Registry, TimeWindow}
+        val rawDir = java.nio.file.Files
+          .createTempDirectory("graft_e2e_raw").toString
+        sources.SyntheticEvents.materialize(spark, rawDir, e2eEvents)
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_e2e_wh").toString
+        val ctx = new GoldContext(spark, wh, "Asia/Jakarta")
+        val t0 = System.nanoTime()
+        Bronze.route(sources.SyntheticEvents.read(spark, rawDir))
+          .foreach { case (src, df) =>
+            PartitionedWriter.append(df, ctx.path(s"bronze_$src"),
+              "event_ts", Seq("event_ts", "event_id"))
+          }
+        val ingestSec = (System.nanoTime() - t0) / 1e9
+        val w = TimeWindow.of("2026-01-08 00:00:00", "2026-01-08 00:10:00")
+        val t1 = System.nanoTime()
+        Registry.run(ctx, w)
+        val goldSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        Registry.run(ctx, w)
+        val rerunSec = (System.nanoTime() - t2) / 1e9
+        System.err.println(
+          f"[bench] e2e: $e2eEvents events ingested in $ingestSec%.1f s " +
+            f"(${e2eEvents / ingestSec}%.0f ev/s vs 333 target); " +
+            f"16 pipelines $goldSec%.1f s (cadence 300 s); " +
+            f"idempotent re-run $rerunSec%.1f s")
+        f""","e2e":{"events":$e2eEvents,"ingest_sec":$ingestSec%.3f,"ingest_events_per_sec":${e2eEvents / ingestSec}%.0f,"gold_16_pipelines_sec":$goldSec%.3f,"gold_rerun_sec":$rerunSec%.3f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] e2e FAILED: ${e.getMessage}")
+        ""
+      }
+
+    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e}""")
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

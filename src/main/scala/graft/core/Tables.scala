@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * The `events` table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-  * Spark's parquet reader rejects outright; we read it via the legacy
-  * `nanosAsLong` conf and convert to a microsecond TimestampType column
-  * (truncation — identical to how DuckDB's epoch_* functions truncate ns).
+  * The `events` table's `ts` column has drifted across driver versions:
+  * INT64 TIMESTAMP(NANOS) (read via the legacy `nanosAsLong` conf as a
+  * plain Long), then parquet `timestamp[us]` (reads as TIMESTAMP_NTZ).
+  * `load` normalizes every variant to a session-UTC `TimestampType` so the
+  * rest of the engine never sees the drift. TablesSchemaSpec is the canary:
+  * a future format change fails one clearly-named test, not 20 oracle rows.
   */
 object Tables {
 
@@ -22,11 +24,24 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        // ts: ns-since-epoch Long -> TimestampType (µs, truncated).
-        // `div` keeps the arithmetic in integers: a double division here
-        // loses precision (ns epochs ≈ 1.7e18 exceed double's 2^53 exact
-        // range) and can shift values by ±1 µs.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        import org.apache.spark.sql.types._
+        df.schema("ts").dataType match {
+          case LongType =>
+            // ts: ns-since-epoch Long -> TimestampType (µs, truncated).
+            // `div` keeps the arithmetic in integers: a double division
+            // loses precision (ns epochs ≈ 1.7e18 exceed double's 2^53
+            // exact range) and can shift values by ±1 µs.
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: TimestampNTZType =>
+            // With the session tz pinned to UTC this cast is a pure
+            // re-tag of the same µs epoch value, no wall-clock shift.
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case _: TimestampType => df
+          case other =>
+            throw new IllegalStateException(
+              s"events.ts has unsupported parquet-loaded type $other; " +
+                "extend Tables.load for the new testdata format")
+        }
       case _ => df
     }
   }

@@ -15,11 +15,14 @@ import graft.functions.TextFunctions
   *    map-side-combined aggregate; everything after operates on the
   *    dictionary, which is VOCAB-bounded (millions of rows), not
   *    corpus-bounded (billions).
-  *  - each merge round is one small aggregate over the dict (adjacent
-  *    pair counts weighted by word frequency) + a 1-row argmax to the
-  *    driver + one column-algebra rewrite of the symbol arrays. The
-  *    dict is localCheckpoint'ed per round so N rounds never stack N
-  *    nested lambda expressions into one codegen unit.
+  *  - the merge loop runs DRIVER-LOCAL over the collected dictionary
+  *    (capped at `maxDictWords` most-frequent words so driver memory is
+  *    bounded at any corpus scale): incremental pair-count maintenance
+  *    plus a lazy-invalidation max-heap makes 32k merges a tight
+  *    in-memory loop, not 32k sequential Spark jobs — the standard
+  *    shape of every production BPE trainer, and the fix for the
+  *    round-3 finding that a per-merge Spark job is a driver
+  *    bottleneck at real vocab sizes.
   *  - encoding the corpus is tokenize + broadcast join against the
   *    trained (word → subwords) dictionary — no per-row merge replay;
   *    out-of-vocabulary words fall back to character symbols, the
@@ -56,43 +59,145 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
+  /** Leftmost-first merge of every adjacent (a, b) — the driver-side
+    * twin of [[mergePair]], bit-for-bit the same left fold. */
+  private def mergeLocal(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Train a BPE model: returns (merges, vocab).
     *  - merges: (merge_rank, left, right, pair_count) — the ordered
     *    merge table, the portable model artifact;
     *  - vocab: (word, __n, symbols) — every corpus word with its final
     *    subword decomposition, the broadcast side of [[encode]].
     * `minCount` floors the dictionary (hapax words can't influence
-    * merges and would balloon the dict at web scale). */
+    * merges and would balloon the dict at web scale); `maxDictWords`
+    * caps the driver-side collect at the most-frequent words, so driver
+    * memory stays bounded no matter the corpus (truncating the rare
+    * tail cannot change which high-count pairs win early merges).
+    *
+    * Exactly ONE Spark job touches the corpus (the word-count collect);
+    * the merge loop itself is driver-local with incremental pair counts
+    * and a lazily-invalidated max-heap — O(touched symbols) per merge. */
   def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 50,
-      minCount: Long = 1L): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var dict = wordCounts(docs, textCol)
+      minCount: Long = 1L, maxDictWords: Int = 1 << 22)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import scala.collection.mutable
+    // the one corpus-sized pass; orderBy makes the cap deterministic
+    val dictRows = wordCounts(docs, textCol)
       .filter(col("__n") >= minCount)
-      .select(col("word"), col("__n"), charSymbols(col("word")).as("symbols"))
-      .localCheckpoint()
+      .orderBy(col("__n").desc, col("word").asc)
+      .limit(maxDictWords)
+      .collect()
+    val words = dictRows.map(_.getString(0))
+    val counts = dictRows.map(_.getLong(1))
+    // codepoint-aware split — the driver twin of charSymbols (Spark's
+    // split(w, "") keeps surrogate pairs whole; so must we)
+    def charSyms(w: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](w.length + 1)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out += EOW
+      out.toArray
+    }
+    val syms: Array[Array[String]] = words.map(charSyms)
+
+    // pair -> weighted count; pair -> word indices currently containing it
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val occursIn = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def eachPair(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < s.length - 1) { f((s(i), s(i + 1))); i += 1 }
+    }
+    // max-heap: highest count wins; ties -> lexicographically smallest
+    // (a, b). Entries are snapshots — stale ones are discarded on pop.
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val ca = y._2.compareTo(x._2)
+            if (ca != 0) ca else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long, idx: Int, add: Boolean): Unit = {
+      val nv = pairCount.getOrElse(p, 0L) + delta
+      if (nv <= 0L) pairCount.remove(p) else pairCount(p) = nv
+      if (nv > 0L) heap.enqueue((nv, p._1, p._2))
+      val set = occursIn.getOrElseUpdate(p, mutable.BitSet.empty)
+      if (add) set += idx
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      eachPair(syms(wi))(p => bump(p, counts(wi), wi, add = true))
+      wi += 1
+    }
+
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
     var done = false
-    for (r <- 0 until numMerges if !done) {
-      // adjacent-pair census, weighted by word frequency; ties break
-      // lexicographically so the model is a pure function of the corpus
-      val best = dict
-        .select(col("__n"), posexplode(slice(col("symbols"), lit(1),
-          size(col("symbols")) - 1)).as(Seq("__i", "__a")),
-          col("symbols"))
-        .select(col("__n"), col("__a"),
-          element_at(col("symbols"), col("__i") + 2).as("__b"))
-        .groupBy(col("__a"), col("__b")).agg(sum(col("__n")).as("__c"))
-        .orderBy(col("__c").desc, col("__a").asc, col("__b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((r, a, b, c))
-        dict = dict.withColumn("symbols", mergePair(col("symbols"), a, b))
-          .localCheckpoint()
+    while (r < numMerges && !done) {
+      // pop until the snapshot matches the live count (lazy invalidation)
+      var best: Option[(String, String, Long)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.get((a, b)).contains(c)) best = Some((a, b, c))
+      }
+      best match {
+        case None => done = true
+        case Some((a, b, c)) =>
+          merges += ((r, a, b, c))
+          val touched = occursIn.getOrElse((a, b), mutable.BitSet.empty)
+            .toArray
+          var k = 0
+          while (k < touched.length) {
+            val i = touched(k)
+            val before = syms(i)
+            val after = mergeLocal(before, a, b)
+            if (!java.util.Arrays.equals(
+                before.asInstanceOf[Array[AnyRef]],
+                after.asInstanceOf[Array[AnyRef]])) {
+              // retract the word's old pair contributions, add the new
+              val beforeSet = mutable.HashSet.empty[(String, String)]
+              eachPair(before) { p =>
+                bump(p, -counts(i), i, add = false); beforeSet += p
+              }
+              val afterSet = mutable.HashSet.empty[(String, String)]
+              eachPair(after) { p =>
+                bump(p, counts(i), i, add = true); afterSet += p
+              }
+              beforeSet.diff(afterSet)
+                .foreach(p => occursIn.get(p).foreach(_ -= i))
+              syms(i) = after
+            }
+            k += 1
+          }
+          r += 1
       }
     }
-    (merges.result(), dict)
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = words.indices
+      .map(i => (words(i), counts(i), syms(i).toSeq))
+      .toDF("word", "__n", "symbols")
+    (merges.result(), vocab)
   }
 
   /** Subword-encode a corpus against a trained vocab: tokenize, then a

@@ -614,6 +614,51 @@ object Dedup {
     column(graft.functions.SimHash64(expression(tokens(text))))
   }
 
+  /** Portable 60-bit SimHash over word unigrams: per-token hash = first
+    * 15 hex chars of md5 (60 bits — stays in signed-positive range in
+    * every engine, the same trick as [[Curation.hashSamplePortable]]);
+    * each token OCCURRENCE votes ±1 per bit (tf-weighted, the classic
+    * Charikar scheme); bit set iff the vote sum is strictly positive.
+    * Pure built-in column algebra — any SQL engine with md5 can replay
+    * the exact signature, which makes the whole pair pipeline
+    * DuckDB-oracle-able. The murmur-based [[simhash]] stays the fast
+    * path (one fused codegen expression vs an explode + 60 sums). */
+  def simhashPortable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bits = 60
+    val voteCols = (0 until bits).map(b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$b"))
+    val votes = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("__h",
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+      .groupBy("__id")
+      .agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until bits).map(b =>
+        when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("__id"), sig.as("__sig"))
+  }
+
+  /** [[simhashPairs]] on the portable 60-bit signature: 4×15-bit blocks
+    * (pigeonhole-complete to Hamming ≤ 3), exact Hamming verify. */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigs = simhashPortable(df, textCol, idCol).cache()
+    val blocked = sigs.select(col("__id"), col("__sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sig"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("__b", "__bv")))
+    blocked.as("l")
+      .join(blocked.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__bv") === col("r.__bv") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Candidate pairs with Hamming distance ≤ maxDistance. Blocking on
     * the 4 16-bit blocks guarantees completeness for maxDistance ≤ 3
     * (pigeonhole: one block must match exactly). */

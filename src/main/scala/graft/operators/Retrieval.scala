@@ -117,6 +117,38 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** Hard-negative mining for dual-encoder retrieval training (DPR,
+    * Karpukhin et al. 2020, arXiv:2004.04906 §3.2): per query, the
+    * top-k BM25 hits EXCLUDING its labeled positives — lexically close
+    * but unlabeled documents, the negatives that actually move a
+    * retriever. `positives` carries (queryIdCol, idCol) labeled pairs.
+    * Candidates are fetched to depth k + maxPositivesPerQuery, so the
+    * exclusion still leaves k negatives when up to that many positives
+    * land in the candidate window; queries with more positives in-window
+    * yield fewer negatives (standard behavior).
+    *
+    * Output: (queryIdCol, idCol, score, neg_rank), neg_rank dense 1..k
+    * per query in BM25 order.
+    *
+    * Scale shape: candidates come from the broadcast-term-restricted
+    * postings path of [[bm25TopK]] (the corpus never shuffles whole);
+    * the exclusion is a broadcast anti-join (labels ≪ corpus). */
+  def hardNegatives(docs: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int, maxPositivesPerQuery: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val cands = bm25TopK(docs, queries, k + maxPositivesPerQuery, textCol,
+      idCol, queryIdCol, queryTextCol, k1, b)
+    val negs = cands.join(
+      broadcast(positives.select(col(queryIdCol), col(idCol))),
+      Seq(queryIdCol, idCol), "left_anti")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("rank").asc)
+    negs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("neg_rank"))
+  }
+
   /** Duplicate n-gram span detection — substring-level dedup in the
     * style of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"): hash every rolling window of

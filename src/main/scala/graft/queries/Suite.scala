@@ -47,6 +47,46 @@ object Suite {
         StructField("is_current", IntegerType))))
   }
 
+  /** DuckDB twin of Bpe.train + encode + fertility at a fixed merge
+    * count: the merge loop UNROLLS into `numMerges` chained CTE rounds
+    * (pair census over the current decomposition → lexicographic-tie
+    * argmax → apply). Decompositions live as chr(31)-wrapped strings —
+    * every symbol is delimiter-wrapped on BOTH sides, so a plain
+    * left-to-right non-overlapping replace() of `␟a␟␟b␟` with `␟ab␟`
+    * is bit-for-bit the leftmost-first merge fold of [[Bpe.mergePair]]
+    * (no cross-symbol-boundary or overlap false matches). */
+  private def bpeFertilityOracleSql(numMerges: Int, minCount: Int): String = {
+    val D = "chr(31)"
+    val rounds = (0 until numMerges).map { r =>
+      s"""p$r AS (SELECT a, b, sum(n) AS c FROM (
+         |  SELECT n, unnest(list_slice(syms, 1, len(syms)-1)) AS a,
+         |         unnest(list_slice(syms, 2, len(syms))) AS b
+         |  FROM (SELECT n, string_split(substr(dec, 2, len(dec)-2),
+         |        $D||$D) AS syms FROM w$r)
+         |  ) GROUP BY 1, 2),
+         |best$r AS (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |w${r + 1} AS (SELECT word, n,
+         |    replace(dec, $D||a||$D||$D||b||$D, $D||a||b||$D) AS dec
+         |  FROM w$r CROSS JOIN best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    t -> len(t) > 0)) AS tok FROM documents),
+       |wc AS (SELECT tok AS word, count(*) AS n FROM toks
+       |  GROUP BY 1 HAVING count(*) >= $minCount),
+       |w0 AS (SELECT word, n,
+       |    $D || array_to_string(list_append(string_split(word, ''),
+       |      '</w>'), $D||$D) || $D AS dec
+       |  FROM wc),
+       |$rounds,
+       |vocab AS (SELECT word, len(string_split(substr(dec, 2, len(dec)-2),
+       |    $D||$D)) AS nsym FROM w$numMerges)
+       |SELECT t.doc_id, count(*) AS n_words,
+       |  CAST(sum(coalesce(v.nsym, len(t.tok) + 1)) AS BIGINT) AS n_subwords
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.word
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Shared by l6 (in-memory IVF) and l30 (persisted cell-partitioned
     * index) — both must produce exactly this deterministic pipeline:
     * stride-seeded centroids → cosine assignment → probe → score. */
@@ -1102,9 +1142,31 @@ object Suite {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("l3_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
+      // portable 60-bit simhash (md5 token hashes): the signature is
+      // engine-replayable, so the WHOLE pair pipeline oracles in DuckDB
+      // exactly — the murmur-based SimHash64 fast path keeps its spec
+      // coverage (SimHash block completeness + codegen specs)
+      (s, d) => Dedup.simhashPairsPortable(t(s, d, "documents"), "text", "doc_id")
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0)) AS tok FROM documents),
+             |h AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+             |votes AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+             |  FROM h CROSS JOIN range(60) t(b) GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+             |  FROM votes GROUP BY 1),
+             |blk AS (SELECT doc_id, sig, b AS blk_id,
+             |    (sig >> (b * 15)) & 32767 AS bv
+             |  FROM sig CROSS JOIN range(4) t(b)),
+             |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             |    bit_count(xor(l.sig, r.sig))::INT AS hamming
+             |  FROM blk l JOIN blk r ON l.blk_id = r.blk_id AND l.bv = r.bv
+             |    AND l.doc_id < r.doc_id)
+             |SELECT id_a, id_b, hamming FROM pairs
+             |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
     Q("l6_ivf_ann",
       (s, d) => {
@@ -1197,6 +1259,26 @@ object Suite {
           k = 10)
         .orderBy("query_id", "rank"),
       Some(bm25OracleSql)),
+
+    Q("l52_hard_negatives",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // each query's positive is its own source document — the hit a
+        // dual-encoder trainer always excludes (self-retrieval)
+        val pos = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("doc_id"))
+        Retrieval.hardNegatives(docs, bm25Queries(s, d), pos, k = 10,
+            maxPositivesPerQuery = 8)
+          .orderBy("query_id", "neg_rank")
+      },
+      // candidate depth 18 = k + maxPositivesPerQuery, mirrored exactly
+      Some(bm25CtesSql + """,
+        |neg AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rank ASC) AS neg_rank
+        |  FROM r WHERE rank <= 18 AND doc_id != query_id)
+        |SELECT query_id, doc_id, score, CAST(neg_rank AS INT) AS neg_rank
+        |FROM neg WHERE neg_rank <= 10
+        |ORDER BY query_id, neg_rank""".stripMargin)),
 
     Q("l37_postings_index",
       (s, d) => {
@@ -1387,15 +1469,18 @@ object Suite {
              |ORDER BY doc_id""".stripMargin)),
 
     Q("l50_bpe_fertility",
-      // BPE training is an iterative argmax — not expressible as one
-      // SQL query, so rows-only here; BpeSpec pins the merge sequence
-      // to the hand-derived Sennrich example and the encode round-trip
       (s, d) => {
         val docs = t(s, d, "documents")
         val (_, vocab) = Bpe.train(docs, numMerges = 10, minCount = 2)
         Bpe.fertility(Bpe.encode(docs, vocab)).orderBy("doc_id")
       },
-      None),
+      // BPE training is an iterative argmax, but at a FIXED merge count
+      // it unrolls into SQL: 10 chained (pair-census → argmax → apply)
+      // CTEs. The merge application is replace() over a chr(31)-wrapped
+      // symbol string — left-to-right non-overlapping replace is exactly
+      // the leftmost-first merge fold (each symbol is delimiter-wrapped
+      // on both sides, so no cross-boundary or overlap artifacts).
+      Some(bpeFertilityOracleSql(numMerges = 10, minCount = 2))),
 
     Q("l51_dsir_gate",
       (s, d) => {

@@ -52,6 +52,36 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].head() == Seq("x", "ab", "b"))
   }
 
+  test("500 merges do NOT launch 500 Spark jobs (driver-local merge loop)") {
+    // 400 distinct pseudo-words (digits mapped to letters, tripled) give
+    // thousands of mergeable pairs — plenty of headroom for 500 rounds
+    val docs = (0 until 400).map { i =>
+      val w = i.toString.map(c => ('a' + (c - '0')).toChar)
+      (i.toLong, s"q$w$w$w")
+    }.toDF("doc_id", "text")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try Bpe.train(docs, numMerges = 500)._1
+      finally {
+        // listener bus is async: wait until the count stabilizes
+        var last = -1
+        var spins = 0
+        while (jobs != last && spins < 50) {
+          last = jobs; Thread.sleep(100); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(merges.size == 500, s"expected 500 merges, got ${merges.size}")
+    assert(jobs < 50,
+      s"train(numMerges=500) launched $jobs Spark jobs — merge loop is not driver-local")
+  }
+
   test("minCount floors the dictionary; fertility counts add up") {
     val docs = corpus.union(Seq((5L, "hapax")).toDF("doc_id", "text"))
     val (_, vocab) = Bpe.train(docs, numMerges = 2, minCount = 2)

@@ -40,6 +40,20 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)  // partitioning must not move any score by an ulp
   }
 
+  test("hardNegatives: positives excluded, BM25 order kept, ranks dense") {
+    val queries = Seq((10L, "quick brown")).toDF("query_id", "query_text")
+    val top = Retrieval.bm25TopK(docs, queries, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // label the BM25 winner as the positive: negatives are the rest,
+    // in unchanged relative order, re-ranked densely from 1
+    val pos = Seq((10L, top.head)).toDF("query_id", "doc_id")
+    val negs = Retrieval.hardNegatives(docs, queries, pos, k = 3,
+      maxPositivesPerQuery = 2).orderBy("neg_rank").collect()
+    assert(negs.map(_.getLong(1)).toSeq == top.tail)
+    assert(negs.map(_.getInt(3)).toSeq == Seq(1, 2))
+    assert(!negs.map(_.getLong(1)).contains(top.head))
+  }
+
   test("rrfFuse: agreement outranks a single first place; absentees score") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")
