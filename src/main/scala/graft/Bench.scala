@@ -115,8 +115,47 @@ object Bench {
           System.err.println(f"[bench] synth x$synthFactor $q%-22s " +
             f"$t%7.2f s (sf base ${base.getOrElse(Double.NaN)}%.2f s)")
         }
-        val items = timings
-          .map { case (q, t) => "\"" + q + f"\":$t%.3f" }.mkString(",")
+        // growth-matched rehearsal for the O(n²/nlist) family: the
+        // suite entries for SemDeDup and the kNN graph pin nlist for
+        // their oracles, so a fixed-nlist 10× rehearsal would measure
+        // the wrong thing (cells grow quadratically dense). A real
+        // deployment grows nlist with the corpus — rehearse THAT:
+        // factor× vectors with factor× cells, timed at both scales.
+        // ~linear growth here is the scale evidence the fixed-nlist
+        // entries cannot provide.
+        def semdedup(nlist: Int)(d: String) = {
+          val emb = core.Tables.load(spark, d, "embeddings")
+          val cents = operators.Similarity.seedCentroids(emb, nlist)
+          operators.Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+            threshold = 0.85)
+        }
+        def knng(nlist: Int)(d: String) = {
+          val emb = core.Tables.load(spark, d, "embeddings")
+          val cents = operators.Similarity.seedCentroids(emb, nlist)
+          val cells = operators.Similarity.assignCells(emb, cents)
+          operators.Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+        }
+        val grown = Seq(
+          ("l35g_semdedup_nlist", semdedup(16) _, semdedup(16 * synthFactor) _),
+          ("l47g_knng_nlist", knng(8) _, knng(8 * synthFactor) _))
+          .flatMap { case (nm, baseFn, grownFn) =>
+            for {
+              tb <- timeOnce(s"synthN:$nm(base)",
+                (_, dd) => baseFn(dd), sfDir)
+              tg <- timeOnce(s"synthN:$nm(x$synthFactor)",
+                (_, dd) => grownFn(dd), dir)
+            } yield {
+              System.err.println(f"[bench] synthN x$synthFactor $nm%-22s " +
+                f"base $tb%6.2f s -> grown $tg%6.2f s (ratio ${tg / tb}%.1fx)")
+              (nm, tb, tg)
+            }
+          }
+        val grownItems = grown.map { case (nm, tb, tg) =>
+          f""""$nm":{"base":$tb%.3f,"grown":$tg%.3f}"""
+        }.mkString(",")
+        val items = (timings
+          .map { case (q, t) => "\"" + q + f"\":$t%.3f" } ++
+          (if (grown.isEmpty) Nil else Seq(grownItems))).mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] synth rehearsal FAILED: ${e.getMessage}")

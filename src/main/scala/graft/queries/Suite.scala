@@ -1482,6 +1482,54 @@ object Suite {
       // on both sides, so no cross-boundary or overlap artifacts).
       Some(bpeFertilityOracleSql(numMerges = 10, minCount = 2))),
 
+    Q("l53_ccnet_buckets",
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020,
+      // arXiv:1911.00359 §4.3): score the corpus under its own LM and
+      // label head/middle/tail by perplexity terciles — the standard
+      // quality strata fed to downstream mixing. Exact percent_rank
+      // path here (one global sort, same shape as l48's exact band);
+      // at 100 TB the thresholds come from Curation.quantileBandApprox
+      // boundaries instead, the fixed-memory twin.
+      (s, d) => {
+        val ppl = NgramLm.perplexity(t(s, d, "documents"))
+          .filter(col("n_ngrams") > 0)
+        val w = Window.orderBy(col("avg_nll_bits").asc, col("doc_id").asc)
+        ppl.withColumn("__pr", percent_rank().over(w))
+          .withColumn("bucket",
+            when(col("__pr") < 1.0 / 3, lit("head"))
+              .when(col("__pr") < 2.0 / 3, lit("middle"))
+              .otherwise(lit("tail")))
+          .select(col("doc_id"), col("avg_nll_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      // identical micro-bit LM math as l41; percent_rank is
+      // (rank-1)/(n-1) in both engines, tie-broken by doc_id
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks)),
+             |sc AS (SELECT b.doc_id,
+             |    sum(CAST(round(log2((c12 + 1)::DOUBLE / (c1 + nv)) *
+             |      1000000) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |  CROSS JOIN voc GROUP BY b.doc_id),
+             |ppl AS (SELECT doc_id,
+             |    round((-s) / 1000000.0 / n, 6) AS avg_nll_bits FROM sc),
+             |pr AS (SELECT doc_id, avg_nll_bits, percent_rank() OVER (
+             |    ORDER BY avg_nll_bits, doc_id) AS p FROM ppl)
+             |SELECT doc_id, avg_nll_bits,
+             |  CASE WHEN p < 1.0/3 THEN 'head'
+             |       WHEN p < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM pr ORDER BY doc_id""".stripMargin)),
+
     Q("l51_dsir_gate",
       (s, d) => {
         // streaming-shaped twin of l49: fixed τ=0 keeps every doc the
