@@ -166,6 +166,22 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("hard negatives exclude positives via broadcast anti-join") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 40).as("query_text"))
+    val pos = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("doc_id"))
+    val df = operators.Retrieval.hardNegatives(docs, queries, pos, 5)
+    val plan = planOf(df)
+    // the label set is broadcast against the candidate list — the
+    // exclusion never shuffles candidates on the label keys
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("duplicate-span census and join-back share one span materialization") {
     val docs = core.Tables.load(spark, sf, "documents")
     val df = operators.Retrieval.duplicateSpans(docs, "text", "doc_id", 16)
