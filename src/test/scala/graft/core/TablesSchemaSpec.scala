@@ -1,6 +1,7 @@
 package graft.core
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Testdata-schema canary: loads every driver-provided table at sf0.001 and
@@ -27,6 +28,15 @@ class TablesSchemaSpec extends SparkSpec {
     // Arithmetic that died in round 3 must analyze: ts is a real timestamp.
     val probed = df.selectExpr("date_trunc('hour', ts) AS h", "unix_timestamp(ts) AS u")
     assert(probed.limit(1).count() == 1)
+  }
+
+  test("events.ts time filters still push down to the parquet scan") {
+    val df = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .select("event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"ts filter did not reach the scan:\n$plan")
   }
 
   test("key column dtypes hold steady across the suite's assumptions") {
