@@ -303,6 +303,53 @@ object Curation {
       .drop("__qb")
   }
 
+  /** Corpus drift between two snapshots: unigram Jensen–Shannon
+    * divergence in bits, the standard freshness/shift monitor for a
+    * training-data pipeline (0 = identical distributions, 1 = disjoint
+    * vocabularies). Per-term contributions use only EXACT integer
+    * ratios inside the log — p/m = 2·cₐ·T_b / (cₐ·T_b + c_b·Tₐ) — and
+    * land in micro-bit longs before the sum (the same fixed-point
+    * discipline as [[NgramLm]]), so the result is bit-reproducible
+    * across engines, partitionings and re-runs.
+    *
+    * Output: one row (js_bits, n_terms, total_a, total_b).
+    *
+    * Scale shape: two map-side-combined unigram aggregates, one
+    * term-keyed full-outer join, totals broadcast back — nothing
+    * corpus-sized ever shuffles except (term, count) pairs. */
+  def unigramDrift(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__t"),
+        "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = joined.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"))
+    val withT = joined.crossJoin(broadcast(totals))
+    def side(c: Column, t: Column, oc: Column, ot: Column): Column = {
+      // Σ c·round(1e6·log2(2·c·T_other / (c·T_other + c_other·T_own)))
+      val ratio = lit(2d) * c.cast("double") * ot.cast("double") /
+        (c.cast("double") * ot.cast("double") +
+          oc.cast("double") * t.cast("double"))
+      sum(when(c > 0, c * round(log2(ratio) * 1000000).cast("long"))
+        .otherwise(lit(0L)))
+    }
+    withT
+      .agg(
+        side(col("__ca"), col("__ta"), col("__cb"), col("__tb")).as("__sa"),
+        side(col("__cb"), col("__tb"), col("__ca"), col("__ta")).as("__sb"),
+        count(lit(1)).as("n_terms"),
+        first(col("__ta")).as("total_a"), first(col("__tb")).as("total_b"))
+      .select(
+        round((col("__sa").cast("double") / col("total_a") +
+          col("__sb").cast("double") / col("total_b")) / 2d / 1000000d, 6)
+          .as("js_bits"),
+        col("n_terms"), col("total_a"), col("total_b"))
+  }
+
   /** Batch sessionization (gaps-and-islands): assigns a per-key
     * `session_seq` (1-based) that increments whenever the gap to the
     * previous event exceeds `gapSeconds`. Gap arithmetic is on

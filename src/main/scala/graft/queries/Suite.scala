@@ -1530,6 +1530,42 @@ object Suite {
              |       WHEN p < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket
              |FROM pr ORDER BY doc_id""".stripMargin)),
 
+    Q("l54_corpus_drift",
+      // drift monitor between two corpus snapshots (here: the even/odd
+      // doc halves): unigram Jensen–Shannon divergence in bits, exact
+      // micro-bit fixed-point — the number a pipeline alerts on when a
+      // new crawl shifts vocabulary distribution
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.unigramDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0)) AS t FROM documents),
+             |cca AS (SELECT t, count(*) AS ca FROM toks
+             |  WHERE doc_id % 2 = 0 GROUP BY 1),
+             |ccb AS (SELECT t, count(*) AS cb FROM toks
+             |  WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT t, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+             |  FROM cca FULL OUTER JOIN ccb USING (t)),
+             |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+             |s AS (SELECT
+             |    sum(CASE WHEN ca > 0 THEN ca * CAST(round(log2(
+             |      2.0 * ca * tb / (ca * tb + cb * ta)) * 1000000)
+             |      AS BIGINT) ELSE 0 END) AS sa,
+             |    sum(CASE WHEN cb > 0 THEN cb * CAST(round(log2(
+             |      2.0 * cb * ta / (cb * ta + ca * tb)) * 1000000)
+             |      AS BIGINT) ELSE 0 END) AS sb,
+             |    count(*) AS n_terms,
+             |    CAST(max(ta) AS BIGINT) AS total_a,
+             |    CAST(max(tb) AS BIGINT) AS total_b
+             |  FROM j CROSS JOIN tot)
+             |SELECT round((sa::DOUBLE / total_a + sb::DOUBLE / total_b)
+             |    / 2 / 1000000, 6) AS js_bits,
+             |  n_terms, total_a, total_b FROM s""".stripMargin)),
+
     Q("l51_dsir_gate",
       (s, d) => {
         // streaming-shaped twin of l49: fixed τ=0 keeps every doc the

@@ -10,6 +10,22 @@ class CurationSpec extends SparkSpec {
     (i, s"doc number $i with some text", s"src${i % 5}"))
     .toDF("doc_id", "text", "source")
 
+  test("unigramDrift: 0 bits on identical corpora, 1 bit on disjoint") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val same = Curation.unigramDrift(a, a).head()
+    assert(same.getDouble(0) == 0.0)
+    assert(same.getLong(1) == 4) // alpha beta gamma delta
+    val b = Seq((3L, "epsilon zeta eta"), (4L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    val far = Curation.unigramDrift(a, b).head()
+    assert(far.getDouble(0) == 1.0) // disjoint vocabularies: JS max
+    assert(far.getLong(2) == 6 && far.getLong(3) == 6) // token totals
+    // partitioning independence — exact fixed-point, not float luck
+    val c = Curation.unigramDrift(a.repartition(7), b.repartition(3)).head()
+    assert(c.getDouble(0) == far.getDouble(0))
+  }
+
   test("hashSample is deterministic, id-stable and ~fraction-sized") {
     val a = Curation.hashSample(docs, col("doc_id"), 0.3, seed = 7)
       .select("doc_id").as[Long].collect().sorted
