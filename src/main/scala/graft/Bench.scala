@@ -194,14 +194,17 @@ object Bench {
         Registry.run(ctx, w)
         val goldSec = (System.nanoTime() - t1) / 1e9
         val t2 = System.nanoTime()
-        Registry.run(ctx, w)
+        val rerunStats = Registry.run(ctx, w)
         val rerunSec = (System.nanoTime() - t2) / 1e9
+        // the delivery-guarantee receipt: a full re-run of the same
+        // window must append zero rows anywhere (anti-join dedupe)
+        val rerunAppended = rerunStats.map(_.rowsAppended).sum
         System.err.println(
           f"[bench] e2e: $e2eEvents events ingested in $ingestSec%.1f s " +
             f"(${e2eEvents / ingestSec}%.0f ev/s vs 333 target); " +
             f"16 pipelines $goldSec%.1f s (cadence 300 s); " +
-            f"idempotent re-run $rerunSec%.1f s")
-        f""","e2e":{"events":$e2eEvents,"ingest_sec":$ingestSec%.3f,"ingest_events_per_sec":${e2eEvents / ingestSec}%.0f,"gold_16_pipelines_sec":$goldSec%.3f,"gold_rerun_sec":$rerunSec%.3f}"""
+            f"idempotent re-run $rerunSec%.1f s appended $rerunAppended rows")
+        f""","e2e":{"events":$e2eEvents,"ingest_sec":$ingestSec%.3f,"ingest_events_per_sec":${e2eEvents / ingestSec}%.0f,"gold_16_pipelines_sec":$goldSec%.3f,"gold_rerun_sec":$rerunSec%.3f,"rerun_appended":$rerunAppended}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] e2e FAILED: ${e.getMessage}")
         ""

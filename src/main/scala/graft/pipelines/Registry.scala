@@ -108,8 +108,14 @@ object Registry {
       schema: org.apache.spark.sql.types.StructType,
       spec: Dims.Scd2Spec): Long = {
     val dim = ctx.gold(table, schema)
+    // rewriteDim returns the FULL rebuilt table count; the ledger's
+    // rowsAppended must be the new-version delta, or every re-run
+    // reports the whole dim as "appended" and the idempotency receipt
+    // (zero rows on an identical window) can never read zero
+    val before = dim.count()
     val next = Dims.scd2Apply(dim, ctx.bronzeWindow("wazuh", w), spec)
-    ctx.rewriteDim(table, next)
+    val total = ctx.rewriteDim(table, next)
+    math.max(0L, total - before)
   }
 
   private def runBridge(ctx: GoldContext, w: TimeWindow, source: String,

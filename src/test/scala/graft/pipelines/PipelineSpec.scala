@@ -68,6 +68,11 @@ class PipelineRunSpec extends SparkSpec {
     assert(by2("dim_date").rowsAppended == 0)
     assert(by2("bridge_wazuh_event_tag").rowsAppended == 0)
     assert(by2("dim_agent_scd2").rowsAfter == 2) // SCD2 rewrite stable
+    // the idempotency receipt must read zero EVERYWHERE — the SCD2
+    // rewrite reports its new-version delta, not the rebuilt table size
+    assert(stats2.map(_.rowsAppended).sum == 0,
+      stats2.filter(_.rowsAppended != 0).map(s =>
+        s"${s.pipelineId}=${s.rowsAppended}").mkString(", "))
 
     // run ledger recorded both runs
     assert(spark.read.parquet(ctx.path("_run_ledger")).count() == 32)
