@@ -149,6 +149,54 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("neg_rank"))
   }
 
+  /** Ranking-quality evaluation against labeled relevance (qrels):
+    * per query, recall@k, MRR@k and nDCG@k — the numbers that tune the
+    * retrieval stack (BM25 / hybrid / ANN) this module serves. `ranked`
+    * carries (queryIdCol, idCol, rankCol); `qrels` carries (queryIdCol,
+    * idCol, rel) with integer gains ≥ 1.
+    *
+    * Fixed-point discipline as everywhere: per-hit DCG contributions
+    * round to integer micro-units (rel·10⁶/log2(rank+1)) before the
+    * sum, so every metric is bit-reproducible across engines and
+    * partitionings. Output: (queryIdCol, recall_at_k, mrr_at_k,
+    * ndcg_at_k), each rounded to 6 places.
+    *
+    * Scale shape: one join keyed (query, doc) against the (small) qrel
+    * set, one aggregate per query — ranked lists are already ≤ k rows
+    * per query, so nothing here is corpus-sized. */
+  def evalRanking(ranked: DataFrame, qrels: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    val rel = qrels.select(col(queryIdCol), col(idCol),
+      col("rel").cast("long").as("__rel"))
+    // ideal DCG per query: gains sorted descending, positions 1..k
+    val ideal = rel.withColumn("__irank",
+        row_number().over(Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__rel").desc, col(idCol).asc)))
+      .filter(col("__irank") <= k)
+      .groupBy(col(queryIdCol))
+      .agg(sum(round(col("__rel") * 1000000d /
+        log2(col("__irank") + 1)).cast("long")).as("__idcg"))
+    val nRel = rel.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("__nrel"))
+    val hits = ranked.filter(col(rankCol) <= k)
+      .join(rel, Seq(queryIdCol, idCol), "inner")
+    val perQuery = hits.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("__nhit"),
+        min(col(rankCol)).as("__first"),
+        sum(round(col("__rel") * 1000000d /
+          log2(col(rankCol) + 1)).cast("long")).as("__dcg"))
+    nRel.join(ideal, Seq(queryIdCol))
+      .join(perQuery, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        round(coalesce(col("__nhit"), lit(0L)).cast("double") /
+          col("__nrel"), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6)
+          .as("mrr_at_k"),
+        round(coalesce(col("__dcg"), lit(0L)).cast("double") /
+          col("__idcg"), 6).as("ndcg_at_k"))
+  }
+
   /** Duplicate n-gram span detection — substring-level dedup in the
     * style of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"): hash every rolling window of

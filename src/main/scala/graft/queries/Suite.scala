@@ -1280,6 +1280,58 @@ object Suite {
         |FROM neg WHERE neg_rank <= 10
         |ORDER BY query_id, neg_rank""".stripMargin)),
 
+    Q("l55_retrieval_eval",
+      // measure the lexical ranker against semantic ground truth: BM25
+      // top-10 evaluated with recall/MRR/nDCG@10 where "relevant" =
+      // exact-cosine top-3 of the id-aligned embeddings — the
+      // lexical-vs-semantic agreement panel a retrieval stack tunes on
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val lex = Retrieval.bm25TopK(docs, bm25Queries(s, d), k = 10)
+        val qrels = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 3)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            lit(1).as("rel"))
+        Retrieval.evalRanking(lex, qrels, k = 10).orderBy("query_id")
+      },
+      Some(bm25CtesSql + """,
+        |cosr AS (SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM (SELECT q.vec_id AS query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+        |      AS cos
+        |    FROM embeddings c CROSS JOIN embeddings q WHERE q.vec_id < 3)),
+        |qrel AS (SELECT query_id, vec_id AS doc_id, 1::BIGINT AS rel
+        |  FROM cosr WHERE rank <= 3),
+        |nrel AS (SELECT query_id, count(*) AS nr FROM qrel GROUP BY 1),
+        |ideal AS (SELECT query_id, sum(CAST(round(rel * 1000000.0 /
+        |      log2(ir + 1)) AS BIGINT)) AS idcg
+        |  FROM (SELECT query_id, rel, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS ir
+        |    FROM qrel)
+        |  WHERE ir <= 10 GROUP BY 1),
+        |hits AS (SELECT r.query_id, r.doc_id, r.rank, q.rel
+        |  FROM r JOIN qrel q USING (query_id, doc_id) WHERE r.rank <= 10),
+        |pq AS (SELECT query_id, count(*) AS nhit, min(rank) AS frst,
+        |    sum(CAST(round(rel * 1000000.0 / log2(rank + 1)) AS BIGINT))
+        |      AS dcg
+        |  FROM hits GROUP BY 1)
+        |SELECT n.query_id,
+        |  round(coalesce(nhit, 0)::DOUBLE / nr, 6) AS recall_at_k,
+        |  round(coalesce(1.0 / frst, 0.0), 6) AS mrr_at_k,
+        |  round(coalesce(dcg, 0)::DOUBLE / idcg, 6) AS ndcg_at_k
+        |FROM nrel n JOIN ideal USING (query_id)
+        |LEFT JOIN pq USING (query_id)
+        |ORDER BY query_id""".stripMargin)),
+
     Q("l37_postings_index",
       (s, d) => {
         val root = java.nio.file.Files

@@ -54,6 +54,30 @@ class RetrievalSpec extends SparkSpec {
     assert(!negs.map(_.getLong(1)).contains(top.head))
   }
 
+  test("evalRanking: recall/MRR/nDCG from hand-computed fixtures") {
+    // q1: ranked 10,11,12; relevant {11, 99} -> one hit at rank 2
+    // q2: ranked 20,21; relevant {20}        -> perfect at rank 1
+    // q3: ranked 30;    relevant {31}        -> zero everywhere
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (3L, 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 11L, 1), (1L, 99L, 1), (2L, 20L, 1), (3L, 31L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val m = Retrieval.evalRanking(ranked, qrels, k = 3)
+      .orderBy("query_id").collect()
+    def micro(rank: Int): Long =
+      math.round(1000000d / (math.log(rank + 1) / math.log(2)))
+    assert(m(0).getDouble(1) == 0.5) // recall 1/2
+    assert(m(0).getDouble(2) == 0.5) // mrr 1/2
+    val ndcg1 = BigDecimal(micro(2).toDouble / (micro(1) + micro(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(0).getDouble(3) == ndcg1)
+    assert(m(1).getDouble(1) == 1.0 && m(1).getDouble(2) == 1.0 &&
+      m(1).getDouble(3) == 1.0)
+    assert(m(2).getDouble(1) == 0.0 && m(2).getDouble(2) == 0.0 &&
+      m(2).getDouble(3) == 0.0)
+  }
+
   test("rrfFuse: agreement outranks a single first place; absentees score") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")
