@@ -21,6 +21,22 @@ class CurationPropertySpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("unigramDrift is symmetric and bounded in [0, 1] for arbitrary corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(4, doc)
+    forSamples(Gen.zip(corpus, corpus), n = 6) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val b = bs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ab = Curation.unigramDrift(a, b).head.getDouble(0)
+      val ba = Curation.unigramDrift(b, a).head.getDouble(0)
+      assert(ab == ba, s"JS not symmetric: $ab vs $ba")
+      assert(ab >= 0.0 && ab <= 1.0, s"JS out of range: $ab")
+    }
+  }
+
   test("hashSplit is an exact partition for arbitrary weights") {
     val weightsGen = Gen.listOfN(Gen.choose(2, 5).sample.get,
       Gen.choose(1, 10).map(_.toDouble))
