@@ -303,6 +303,26 @@ object Curation {
       .drop("__qb")
   }
 
+  /** Within-document repeated-line removal (the Dolma/RefinedWeb
+    * cleanup step): keep the FIRST occurrence of every distinct line,
+    * preserve order, drop the rest — boilerplate navigation/footer
+    * lines repeated inside one page die here, cross-document dedup is
+    * [[Dedup]]'s job. Pure per-row column algebra: no shuffle, no UDF;
+    * the first-occurrence test is `array_position == own index`,
+    * quadratic only in the per-doc LINE count (bounded, unlike corpus
+    * size). */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    // let-bind the split: higher-order fns run without CSE, so an
+    // unbound `lines` inside the lambda re-splits per element
+    def letBind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    val kept = letBind(split(col(textCol), "\n")) { lines =>
+      array_join(filter(lines, (x, i) =>
+        array_position(lines, x) === (i + 1).cast("long")), "\n")
+    }
+    df.withColumn(textCol, kept)
+  }
+
   /** Corpus drift between two snapshots: unigram Jensen–Shannon
     * divergence in bits, the standard freshness/shift monitor for a
     * training-data pipeline (0 = identical distributions, 1 = disjoint

@@ -1202,6 +1202,31 @@ object Suite {
       // in-memory IVF answer — same oracle as l6 by construction
       Some(ivfOracleSql)),
 
+    Q("l56_line_dedup",
+      // within-document repeated-line removal (Dolma/RefinedWeb step):
+      // line-ize every 5 words so intra-doc repeats become visible,
+      // keep first occurrences in order, drop the rest
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1\n"))
+        Curation.dedupLinesWithinDoc(docs, "text")
+          .select(col("doc_id"),
+            size(split(col("text"), "\n")).as("n_lines"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (SELECT doc_id, regexp_replace(text,
+             |    '((\w+ ){4}\w+) ', '\1' || chr(10), 'g') AS text
+             |  FROM documents),
+             |ded AS (SELECT doc_id, array_to_string(list_filter(
+             |    string_split(text, chr(10)),
+             |    (x, i) -> list_position(string_split(text, chr(10)), x)
+             |      = i), chr(10)) AS text FROM lined)
+             |SELECT doc_id,
+             |  len(string_split(text, chr(10)))::INT AS n_lines,
+             |  md5(text) AS text_md5
+             |FROM ded ORDER BY doc_id""".stripMargin)),
+
     Q("l31_paragraph_dedup",
       (s, d) => {
         // the corpus is single-line text: paragraph-ize deterministically

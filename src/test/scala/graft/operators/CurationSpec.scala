@@ -10,6 +10,20 @@ class CurationSpec extends SparkSpec {
     (i, s"doc number $i with some text", s"src${i % 5}"))
     .toDF("doc_id", "text", "source")
 
+  test("dedupLinesWithinDoc keeps first occurrences in order") {
+    val in = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "only\nlines\nhere"),
+      (3L, "same\nsame\nsame"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Curation.dedupLinesWithinDoc(in, "text")
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    assert(out(0) == "nav\nbody one\nbody two")
+    assert(out(1) == "only\nlines\nhere") // no dupes: verbatim
+    assert(out(2) == "same")
+    assert(out(3) == "") // empty doc passes through
+  }
+
   test("unigramDrift: 0 bits on identical corpora, 1 bit on disjoint") {
     val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
       .toDF("doc_id", "text")
