@@ -338,13 +338,26 @@ object Curation {
     * term-keyed full-outer join, totals broadcast back — nothing
     * corpus-sized ever shuffles except (term, count) pairs. */
   def unigramDrift(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame =
+    unigramDriftVsCounts(a, unigramCounts(b, textCol), textCol)
+
+  /** The (term, n) unigram table for [[unigramDriftVsCounts]] —
+    * compute the reference snapshot's counts ONCE, persist, and reuse
+    * across monitor ticks / stream batches instead of re-scanning the
+    * reference corpus per comparison. */
+  def unigramCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+
+  /** [[unigramDrift]] against a precomputed reference unigram table —
+    * the streaming/monitoring shape (frozen reference, moving corpus). */
+  def unigramDriftVsCounts(a: DataFrame, refCounts: DataFrame,
       textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as("__t"))
-        .groupBy(col("__t")).agg(count(lit(1)).as(out))
-    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__t"),
-        "full_outer")
+    val joined = unigramCounts(a, textCol)
+      .select(col("term").as("__t"), col("n").as("__ca"))
+      .join(refCounts.select(col("term").as("__t"), col("n").as("__cb")),
+        Seq("__t"), "full_outer")
       .na.fill(0L, Seq("__ca", "__cb"))
     val totals = joined.agg(sum(col("__ca")).as("__ta"),
       sum(col("__cb")).as("__tb"))

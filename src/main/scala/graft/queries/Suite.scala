@@ -87,6 +87,36 @@ object Suite {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** One JS-drift SELECT block (corpus slice `aPred` vs the frozen
+    * even-doc reference), tagged with a batch id — l57 unions one per
+    * simulated stream batch. Same fixed-point math as l54. */
+  private def driftSelectSql(aPred: String, batchId: Int): String =
+    s"""(WITH toks AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    t -> len(t) > 0)) AS t FROM documents),
+       |cca AS (SELECT t, count(*) AS ca FROM toks
+       |  WHERE $aPred GROUP BY 1),
+       |ccb AS (SELECT t, count(*) AS cb FROM toks
+       |  WHERE doc_id % 2 = 0 GROUP BY 1),
+       |j AS (SELECT t, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM cca FULL OUTER JOIN ccb USING (t)),
+       |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+       |s AS (SELECT
+       |    sum(CASE WHEN ca > 0 THEN ca * CAST(round(log2(
+       |      2.0 * ca * tb / (ca * tb + cb * ta)) * 1000000)
+       |      AS BIGINT) ELSE 0 END) AS sa,
+       |    sum(CASE WHEN cb > 0 THEN cb * CAST(round(log2(
+       |      2.0 * cb * ta / (cb * ta + ca * tb)) * 1000000)
+       |      AS BIGINT) ELSE 0 END) AS sb,
+       |    count(*) AS n_terms,
+       |    CAST(max(ta) AS BIGINT) AS total_a,
+       |    CAST(max(tb) AS BIGINT) AS total_b
+       |  FROM j CROSS JOIN tot)
+       |SELECT $batchId::BIGINT AS batch_id,
+       |  round((sa::DOUBLE / total_a + sb::DOUBLE / total_b)
+       |    / 2 / 1000000, 6) AS js_bits,
+       |  n_terms, total_a, total_b FROM s)""".stripMargin
+
   /** Shared by l6 (in-memory IVF) and l30 (persisted cell-partitioned
     * index) — both must produce exactly this deterministic pipeline:
     * stride-seeded centroids → cosine assignment → probe → score. */
@@ -1642,6 +1672,27 @@ object Suite {
              |SELECT round((sa::DOUBLE / total_a + sb::DOUBLE / total_b)
              |    / 2 / 1000000, 6) AS js_bits,
              |  n_terms, total_a, total_b FROM s""".stripMargin)),
+
+    Q("l57_stream_drift",
+      // the streaming drift monitor's batch twin: two simulated stream
+      // batches (doc quartiles 1 and 3) each scored against the FROZEN
+      // even-doc reference counts — exactly what DriftStream.processBatch
+      // lands per micro-batch (DriftStreamSpec pins stream ≡ this twin)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val refCounts = Curation.unigramCounts(
+          docs.filter(col("doc_id") % 2 === 0))
+        Seq(1L, 3L).map { b =>
+          Curation.unigramDriftVsCounts(
+              docs.filter(col("doc_id") % 4 === b), refCounts)
+            .withColumn("batch_id", lit(b))
+        }.reduce(_ unionByName _)
+          .select(col("batch_id"), col("js_bits"), col("n_terms"),
+            col("total_a"), col("total_b"))
+          .orderBy("batch_id")
+      },
+      Some(driftSelectSql("doc_id % 4 = 1", 1) + "\nUNION ALL\n" +
+        driftSelectSql("doc_id % 4 = 3", 3) + "\nORDER BY batch_id")),
 
     Q("l51_dsir_gate",
       (s, d) => {
