@@ -775,6 +775,33 @@ object Dedup {
       .unionByName(df.join(reps, Seq(idCol)))
   }
 
+  /** Cluster-representative selection by SCORE: given duplicate pairs
+    * (id_a, id_b) and a per-row score, keep the argmax-score member of
+    * each connected component (ties → lowest id) — the "keep the best
+    * duplicate" curation policy (longest member, highest quality,
+    * freshest crawl …) where [[semanticDedup]]'s min-id default is
+    * arbitrary. Output keeps every `df` column + `dup_group_size`.
+    *
+    * Scale shape: components is the O(log n)-round star machinery;
+    * the argmax is one map-side-combined `max_by` over (id, score)
+    * pairs — scores join by id, text never enters the shuffle. */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val comp = components(pairs.select(col("id_a"), col("id_b")))
+    val members = comp.join(
+      df.select(col(idCol).as("id"), score.as("__score")), Seq("id"))
+    // the struct tiebreak key (-id) is unique per member, so max_by
+    // never sees equal keys — argmax is deterministic
+    val best = members.groupBy(col("component"))
+      .agg(max_by(col("id"),
+          struct(col("__score"), (-col("id")).as("__nid"))).as("__keep"),
+        count(lit(1)).as("dup_group_size"))
+    val reps = best.select(col("__keep").as(idCol), col("dup_group_size"))
+    df.join(comp.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .withColumn("dup_group_size", lit(1L))
+      .unionByName(df.join(reps, Seq(idCol)))
+  }
+
   // ---- exact n-gram Jaccard ------------------------------------------
 
   /** Exact word-n-gram Jaccard for all pairs within a blocking key

@@ -2140,6 +2140,49 @@ object Suite {
              |FROM p GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    Q("l58_keep_best_dup",
+      // quality-aware dedup keep policy: within each near-dup cluster
+      // (the l21-certified ≥0.8 pair set) keep the LONGEST member, not
+      // the arbitrary min-id — the curation choice that preserves the
+      // most content per duplicate group
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+        Dedup.keepBestPerCluster(docs, pairs, "doc_id",
+            size(TextFunctions.tokens(col("text"))))
+          .select(col("doc_id"), col("dup_group_size"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t),
+             |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+             |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT src AS id, src AS r FROM edges
+             |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+             |    ON e.dst = re.id),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |scorej AS (SELECT c.id, c.component, len(t.toks) AS s
+             |  FROM comp c JOIN t ON t.doc_id = c.id),
+             |rk AS (SELECT id, component, row_number() OVER (
+             |    PARTITION BY component ORDER BY s DESC, id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY component) AS gs FROM scorej)
+             |SELECT doc_id, 1::BIGINT AS dup_group_size FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM comp)
+             |UNION ALL
+             |SELECT id AS doc_id, gs AS dup_group_size FROM rk WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l21_components",
       (s, d) => {
         val pairs = Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id")

@@ -122,6 +122,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(solo.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 42L)))
   }
 
+  test("keepBestPerCluster keeps the argmax member, ties to lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b c d"), (3L, "a b"),
+      (4L, "lonely doc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id",
+        size(TextFunctions.tokens(col("text"))))
+      .orderBy("doc_id")
+      .select("doc_id", "dup_group_size").as[(Long, Long)].collect()
+    // cluster {1,2,3}: doc 2 is longest -> representative, size 3
+    assert(kept.toSeq == Seq((2L, 3L), (4L, 1L)))
+    // score tie (docs 1 and 3 both "a b") -> lowest id wins
+    val tiePairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val tied = Dedup.keepBestPerCluster(docs, tiePairs, "doc_id",
+        size(TextFunctions.tokens(col("text"))))
+      .orderBy("doc_id").select("doc_id").as[Long].collect()
+    assert(tied.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("simhash pairs: identical texts at distance 0, near-dups close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
