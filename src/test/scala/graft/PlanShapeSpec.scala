@@ -166,6 +166,26 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("within-doc line dedup is map-only (no exchange at all)") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.dedupLinesWithinDoc(docs, "text")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("drift totals broadcast back; only (term, count) pairs shuffle") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.unigramDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val plan = planOf(df)
+    // the 1-row totals meet the term table via broadcast, never a
+    // shuffle keyed on the join of corpus-sized sides
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("hard negatives exclude positives via broadcast anti-join") {
     val docs = core.Tables.load(spark, sf, "documents")
     val queries = docs.filter(col("doc_id") < 2)
