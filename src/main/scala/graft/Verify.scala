@@ -21,6 +21,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .foreach { case (name, fn) =>
+      // operators cache intermediates (LSH block tables etc.); scope
+      // them to the query so a 99-query run doesn't accumulate blocks
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

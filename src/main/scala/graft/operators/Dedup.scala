@@ -639,46 +639,107 @@ object Dedup {
     votes.select(col("__id"), sig.as("__sig"))
   }
 
-  /** [[simhashPairs]] on the portable 60-bit signature: 4×15-bit blocks
-    * (pigeonhole-complete to Hamming ≤ 3), exact Hamming verify. */
-  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
-    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
-    val sigs = simhashPortable(df, textCol, idCol).cache()
-    val blocked = sigs.select(col("__id"), col("__sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sig"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
-        .as(Seq("__b", "__bv")))
-    blocked.as("l")
-      .join(blocked.as("r"),
+  /** Shared hot-bucket-hardened pair join over blocked signatures —
+    * `blocked` rows are (__id, __sig, __b, __bv), hash-partitioned on
+    * (__b, __bv). The same census→cap→star-edge degrade as
+    * [[minhashCandidates]]' hot bands: a block bucket larger than
+    * `maxBlockBucket` (a mega-cluster of identical/templated docs —
+    * such a cluster shares ALL blocks, so every one of its buckets is
+    * hot) would make the self-join O(bucket²) inside one task; over-cap
+    * buckets emit O(bucket) STAR edges (bucket-min ↔ member) instead.
+    * Star edges still score the EXACT Hamming distance member↔hub, so
+    * capping never emits a false pair — it loses intra-hot-bucket
+    * direct edges whose members are within `maxDistance` of each other
+    * but not of the hub; component closure is what dedupe semantics
+    * depend on, and DedupRecallSpec measures both losses on a corpus
+    * that trips the cap.
+    *
+    * Shuffle shape: the caller hands over block rows already cached —
+    * census groupBy, both cold self-join sides, and the star join read
+    * that one materialization (signatures computed once; plan-asserted
+    * in PlanShapeSpec), and any exchanges above it move only the
+    * compact (id, sig, block) rows, never text. The hot list is tiny
+    * by construction, so all three of its uses broadcast. */
+  private def blockedHammingPairs(blocked: DataFrame, maxDistance: Int,
+      maxBlockBucket: Int): DataFrame = {
+    val hot = blocked.groupBy(col("__b"), col("__bv"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
+        min_by(col("__sig"), col("__id")).as("__hubsig"))
+      .filter(col("__n") > maxBlockBucket)
+      .select(col("__b"), col("__bv"), col("__min"), col("__hubsig"))
+    val cold = blocked.join(broadcast(hot.select(col("__b"), col("__bv"))),
+      Seq("__b", "__bv"), "left_anti")
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
         col("l.__b") === col("r.__b") && col("l.__bv") === col("r.__bv") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
-      .distinct()
+    // the hub signature rides the broadcast hot list (min_by in the
+    // census), so star edges need no join-back; __min ≤ member ids
+    // keeps id_a < id_b by construction
+    val starPairs = blocked.join(broadcast(hot), Seq("__b", "__bv"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"),
+        bit_count(col("__hubsig").bitwiseXOR(col("__sig"))).as("hamming"))
+    // a pair found via several blocks (cold) or several hot buckets
+    // (star) carries the same hamming both times — one distinct dedupes
+    coldPairs.unionByName(starPairs).distinct()
       .filter(col("hamming") <= maxDistance)
+  }
+
+  /** (__id, __sig, __b, __bv) block-membership rows of a signature
+    * frame, repartitioned on the block key and cached. The cache is
+    * load-bearing: [[blockedHammingPairs]] reads it from four plan
+    * branches (census, both cold join sides, star join), and without a
+    * pinned fork point Catalyst prunes each branch differently so
+    * nothing — not even an explicit pre-fork repartition exchange —
+    * stays canonically identical for AQE stage reuse (measured: the
+    * uncached form re-shuffles and re-signs per branch). The pre-cache
+    * repartition spreads the signature work across the cluster even
+    * from a single-split source (consumers still re-exchange the
+    * cached rows: AQE-in-cache hides the layout from
+    * EnsureRequirements, but those rows are (id, sig, block) longs —
+    * O(32 bytes × 4 blocks) per doc, never text). Lifetime: the
+    * session cache registry; long-running hosts drop it between
+    * queries (Bench/Verify `clearCache()` per query — the round-4
+    * accumulation fix). */
+  private def blockMembers(sigs: DataFrame, nBlocks: Int,
+      blockBits: Int): DataFrame = {
+    val mask = (1L << blockBits) - 1
+    val par = sigs.sparkSession.sparkContext.defaultParallelism
+    sigs.select(col("__id"), col("__sig"),
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("__sig"), b * blockBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("__b", "__bv")))
+      .repartition(par, col("__b"), col("__bv"))
+      .cache()
+  }
+
+  /** [[simhashPairs]] on the portable 60-bit signature: 4×15-bit blocks
+    * (pigeonhole-complete to Hamming ≤ 3), exact Hamming verify.
+    * Buckets over `maxBlockBucket` degrade to star edges (see
+    * [[blockedHammingPairs]]). */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    blockedHammingPairs(
+      blockMembers(simhashPortable(df, textCol, idCol), 4, 15),
+      maxDistance, maxBlockBucket)
   }
 
   /** Candidate pairs with Hamming distance ≤ maxDistance. Blocking on
     * the 4 16-bit blocks guarantees completeness for maxDistance ≤ 3
-    * (pigeonhole: one block must match exactly). */
+    * (pigeonhole: one block must match exactly) — for sub-cap buckets;
+    * buckets over `maxBlockBucket` degrade to star edges (see
+    * [[blockedHammingPairs]]). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
     require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
-    val sigs = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
-      .cache() // both self-join sides
-    val blocked = sigs.select(col("__id"), col("__sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("__b", "__bv")))
-    blocked.as("l")
-      .join(blocked.as("r"),
-        col("l.__b") === col("r.__b") && col("l.__bv") === col("r.__bv") &&
-          col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
+    blockedHammingPairs(
+      blockMembers(df.select(col(idCol).as("__id"),
+        simhash(col(textCol)).as("__sig")), 4, 16),
+      maxDistance, maxBlockBucket)
   }
 
   // ---- embedding-cosine near-dup -------------------------------------
@@ -687,19 +748,49 @@ object Dedup {
     * from random-hyperplane LSH buckets (cosine-preserving; identical
     * vectors always share a bucket), verified with exact cosine. At
     * scale only bucket collisions are scored — a thresholded
-    * all-pairs-free pipeline. */
+    * all-pairs-free pipeline.
+    *
+    * Buckets over `maxBucket` (a mega-cluster of near-identical
+    * embeddings — or a glut of near-zero/templated vectors collapsing
+    * onto one 16-bit signature) degrade to STAR edges around the
+    * bucket-min vector, exactly the [[blockedHammingPairs]] /
+    * [[minhashCandidates]] scheme: O(bucket) member↔hub pairs scored
+    * with exact cosine instead of O(bucket²) all-pairs in one task.
+    * Direct pairs between hot-bucket members both far from the hub are
+    * lost (DedupRecallSpec measures it); component closure survives.
+    * The repartition-then-cache fork point (see [[blockMembers]] for
+    * why cache, not exchange reuse) means census, both cold join sides
+    * and the star join share one signature materialization; exchanges
+    * above it move (id, vec, sig) rows once each, not recomputed
+    * signatures. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 16, seed: Long = 42L): DataFrame = {
+      dim: Int, threshold: Double, bits: Int = 16, seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
     val sig = Similarity.hyperplaneSignature(dim, bits, seed)
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig", sig(col("__v")))
+      .repartition(par, col("__sig"))
       .cache()
-    bucketed.as("l")
-      .join(bucketed.as("r"),
+    // hub vector rides the broadcast hot list (hot buckets are rare by
+    // construction, so broadcasting a vector per hot bucket is cheap)
+    val hot = bucketed.groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
+        min_by(col("__v"), col("__id")).as("__hubv"))
+      .filter(col("__n") > maxBucket)
+      .select(col("__sig"), col("__min"), col("__hubv"))
+    val cold = bucketed.join(broadcast(hot.select(col("__sig"))),
+      Seq("__sig"), "left_anti")
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
         col("l.__sig") === col("r.__sig") && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         Similarity.cosine(col("l.__v"), col("r.__v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val starPairs = bucketed.join(broadcast(hot), Seq("__sig"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"),
+        Similarity.cosine(col("__hubv"), col("__v")).as("cosine"))
+    coldPairs.unionByName(starPairs).filter(col("cosine") >= threshold)
   }
 
   /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,

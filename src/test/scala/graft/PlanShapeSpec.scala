@@ -287,6 +287,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("simhash pairs: hot census anti-joins broadcast-side off one cached fork") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Dedup.simhashPairs(docs, "text", "doc_id")
+    val plan = planOf(df)
+    // cap machinery present: the hot-bucket exclusion is a broadcast
+    // anti-join (never a shuffle of members keyed on the hot list)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // census, both cold join sides and the star join read ONE cached
+    // materialization — signatures are computed once; the remaining
+    // exchanges move only the compact (id, sig, block) cached rows
+    // (AQE-in-cache hides the cached layout from EnsureRequirements,
+    // so exact exchange counts are version-brittle — the invariant is
+    // the shared fork, not the count)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("embedding near-dup pairs: hot census caps off one cached signature fork") {
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val df = operators.Dedup.embeddingNearDupPairs(emb, "vec_id",
+      "embedding", dim = 64, threshold = 0.999)
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString

@@ -91,4 +91,79 @@ class DedupRecallSpec extends SparkSpec {
     val uncapped = pairKeys(Dedup.minhashCandidates(docs, "text", "doc_id"))
     assert(uncapped == truth)
   }
+
+  private def rawKeys(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("simhash hot-block cap: star edges, exact cold recall, " +
+      "identical components") {
+    import spark.implicits._
+    // 40 IDENTICAL docs: every one of their 4 block buckets holds all
+    // 40 members → hot at maxBlockBucket = 16. Plus 10 planted pairs of
+    // identical vocab-disjoint docs (Hamming 0) that stay cold.
+    val template = (0 until 50).map(j => s"base$j").mkString(" ")
+    val mega = (0L until 40L).map(i => (i, template))
+    val planted = (0 until 10).flatMap { i =>
+      val text = (0 until 30).map(j => s"tok${i}y$j").mkString(" ")
+      Seq((100L + i, text), (200L + i, text))
+    }
+    val docs = (mega ++ planted).toDF("doc_id", "text")
+    val coldTruth = (0L until 10L).map(i => (100L + i, 200L + i)).toSet
+
+    // ground truth = the uncapped generator (block scheme is complete
+    // to Hamming ≤ 3); identical docs pair via every block
+    val truth = rawKeys(Dedup.simhashPairs(docs, "text", "doc_id"))
+    assert(truth.count { case (a, b) => a < 40L && b < 40L } == (40 * 39) / 2)
+    assert(coldTruth.subsetOf(truth))
+
+    val capped = rawKeys(Dedup.simhashPairs(docs, "text", "doc_id",
+      maxBlockBucket = 16))
+    val megaCapped = capped.filter { case (a, b) => a < 40L && b < 40L }
+    // hub=min id, identical sigs → exactly the 39 star edges survive
+    assert(megaCapped == (1L until 40L).map(i => (0L, i)).toSet)
+    assert(capped.subsetOf(truth))
+    // cold recall exactly 1.0: the cap never loses a pair outside a
+    // hot bucket
+    assert(coldTruth.subsetOf(capped))
+    // component membership identical to the exhaustive graph's
+    assert(partitionOf(capped) == partitionOf(truth))
+
+    // portable twin trips the same machinery (shared helper)
+    val cappedP = rawKeys(Dedup.simhashPairsPortable(docs, "text", "doc_id",
+      maxBlockBucket = 16))
+    val truthP = rawKeys(Dedup.simhashPairsPortable(docs, "text", "doc_id"))
+    assert(cappedP.filter { case (a, b) => a < 40L && b < 40L } ==
+      (1L until 40L).map(i => (0L, i)).toSet)
+    assert(coldTruth.subsetOf(cappedP) && cappedP.subsetOf(truthP))
+    assert(partitionOf(cappedP) == partitionOf(truthP))
+  }
+
+  test("embedding hot-bucket cap: star edges, exact cold recall, " +
+      "identical components") {
+    import spark.implicits._
+    val dim = 8
+    def unit(d: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == d) 1.0f else 0.0f)
+    // 40 identical vectors share one LSH bucket → hot at maxBucket=16;
+    // 3 planted identical pairs on orthogonal axes stay cold (their
+    // cross-cosine is 0, so bucket collisions can't create false pairs)
+    val mega = (0L until 40L).map(i => (i, unit(0)))
+    val planted = (0 until 3).flatMap { i =>
+      Seq((100L + i, unit(i + 1)), (200L + i, unit(i + 1)))
+    }
+    val vecs = (mega ++ planted).toDF("vec_id", "embedding")
+    val coldTruth = (0L until 3L).map(i => (100L + i, 200L + i)).toSet
+
+    val truth = rawKeys(Dedup.embeddingNearDupPairs(vecs, "vec_id",
+      "embedding", dim, threshold = 0.99))
+    assert(truth == (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+    } yield (a, b)).toSet ++ coldTruth)
+
+    val capped = rawKeys(Dedup.embeddingNearDupPairs(vecs, "vec_id",
+      "embedding", dim, threshold = 0.99, maxBucket = 16))
+    assert(capped == (1L until 40L).map(i => (0L, i)).toSet ++ coldTruth)
+    assert(partitionOf(capped) == partitionOf(truth))
+  }
 }
