@@ -817,10 +817,14 @@ object Dedup {
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         col("centroid_id"))
       .cache()
+    // the hub's vector rides the census via min_by (hot cells are rare
+    // by construction, so a vector per hot cell broadcasts cheaply) —
+    // no join-back to recover it
     val hot = cells.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
+        min_by(col("__v"), col("__id")).as("__hubv"))
       .filter(col("__n") > maxCell)
-      .select(col("centroid_id"), col("__min"))
+      .select(col("centroid_id"), col("__min"), col("__hubv"))
     val cold = cells.join(broadcast(hot.select(col("centroid_id"))),
       Seq("centroid_id"), "left_anti")
     val coldPairs = cold.as("l")
@@ -829,14 +833,7 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         Similarity.cosine(col("l.__v"), col("r.__v")).as("cosine"))
-    // star edges need the hub's vector: recover it from the (tiny) hot
-    // set by joining back to the assignment on (cell, min id)
-    val hubs = cells.as("c").join(broadcast(hot).as("h"),
-        col("c.centroid_id") === col("h.centroid_id") &&
-          col("c.__id") === col("h.__min"))
-      .select(col("h.centroid_id"), col("h.__min"),
-        col("c.__v").as("__hubv"))
-    val starPairs = cells.join(broadcast(hubs), Seq("centroid_id"))
+    val starPairs = cells.join(broadcast(hot), Seq("centroid_id"))
       .filter(col("__id") =!= col("__min"))
       .select(col("__min").as("id_a"), col("__id").as("id_b"),
         Similarity.cosine(col("__hubv"), col("__v")).as("cosine"))
@@ -857,13 +854,18 @@ object Dedup {
     val comp = components(pairs)
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("dup_group_size"))
-    val reps = comp.filter(col("id") === col("component"))
-      .join(sizes, Seq("component"))
-      .select(col("id").as(idCol), col("dup_group_size"))
-    val inAnyGroup = comp.select(col("id").as(idCol))
-    df.join(inAnyGroup, Seq(idCol), "left_anti")
-      .withColumn("dup_group_size", lit(1L))
-      .unionByName(df.join(reps, Seq(idCol)))
+    // one left join over df does all three roles (vs the round-4
+    // anti-join + inner-join + union, which scanned df twice): a row
+    // outside every group has a NULL component → kept with size 1; a
+    // non-representative member (component ≠ id) → dropped; the
+    // representative → kept with its group size
+    val annotated = comp.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("component"),
+        col("dup_group_size").as("__sz"))
+    df.join(annotated, Seq(idCol), "left")
+      .filter(col("component").isNull || col(idCol) === col("component"))
+      .select(df.columns.map(col) :+
+        coalesce(col("__sz"), lit(1L)).as("dup_group_size"): _*)
   }
 
   /** Cluster-representative selection by SCORE: given duplicate pairs

@@ -104,23 +104,29 @@ object Similarity {
   /** Assign each corpus vector to its nearest centroid (one broadcast
     * pass; cosine metric; ties break toward the lower centroid id).
     *
-    * The winner is resolved with a max-of-struct aggregate over narrow
-    * (id, sim, -cell) triples — order-independent, map-side combined —
-    * then joined back to the corpus row. A window formulation would
-    * instead push corpus × nlist rows, each carrying both the corpus
-    * and the centroid vector, through one exchange and sort them:
-    * ~(nlist+1)× the shuffle bytes of this plan. */
+    * The winner is resolved with a max-of-struct aggregate — order-
+    * independent, map-side combined — and the corpus columns ride the
+    * same aggregate as `first()`s (every duplicate carries the same
+    * value, so `first` is deterministic here), making the whole
+    * assignment ONE corpus shuffle. The round-4 formulation aggregated
+    * narrow (id, sim, -cell) triples and joined the winner back to the
+    * corpus: correct, but the join-back re-shuffled the corpus AND the
+    * winner table — three exchanges where one suffices. A window
+    * formulation would be worse still: corpus × nlist rows, each
+    * carrying both vectors, through one exchange plus a sort. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val best = corpus.select(col(idCol), col(vecCol).as("__v"))
+    val carried = corpus.columns.filterNot(_ == idCol).toSeq
+    val aggs = max(struct(
+        cosine(col(vecCol), col("__centroid")).as("__sim"),
+        (-col("centroid_id")).as("__negc")).as("__sc")).as("__b") +:
+      carried.map(c => first(col(c)).as(c))
+    corpus
       .join(broadcast(centroids))
-      .select(col(idCol), struct(
-        cosine(col("__v"), col("__centroid")).as("__sim"),
-        (-col("centroid_id")).as("__negc")).as("__sc"))
       .groupBy(col(idCol))
-      .agg(max(col("__sc")).as("__b"))
-      .select(col(idCol), (-col("__b.__negc")).as("centroid_id"))
-    corpus.join(best, Seq(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(idCol) +: carried.map(col)) :+
+        (-col("__b.__negc")).as("centroid_id"): _*)
   }
 
   /** ANN top-k: score only vectors in the query's nprobe nearest cells.
