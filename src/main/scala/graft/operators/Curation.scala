@@ -307,18 +307,38 @@ object Curation {
     * cleanup step): keep the FIRST occurrence of every distinct line,
     * preserve order, drop the rest — boilerplate navigation/footer
     * lines repeated inside one page die here, cross-document dedup is
-    * [[Dedup]]'s job. Pure per-row column algebra: no shuffle, no UDF;
-    * the first-occurrence test is `array_position == own index`,
-    * quadratic only in the per-doc LINE count (bounded, unlike corpus
-    * size). */
+    * [[Dedup]]'s job. Pure per-row column algebra: no shuffle, no UDF.
+    *
+    * First occurrences resolve by sort, not scan: (line, index) pairs
+    * sort lexicographically, a run's head (the minimum index of its
+    * line) survives an adjacent-difference filter, and survivors
+    * re-sort by index to restore document order — O(L log L) per doc.
+    * The round-4 `array_position == own index` test was O(L²) per row:
+    * fine for web pages, a single-task stall on a pathological
+    * million-line document (a dumped log, a concatenated corpus file);
+    * CurationPropertySpec pins a 50k-line doc to the fast path and the
+    * sort path's equivalence to the quadratic definition. */
   def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
     // let-bind the split: higher-order fns run without CSE, so an
     // unbound `lines` inside the lambda re-splits per element
     def letBind(value: Column)(body: Column => Column): Column =
       element_at(transform(array(value), body), 1)
     val kept = letBind(split(col(textCol), "\n")) { lines =>
-      array_join(filter(lines, (x, i) =>
-        array_position(lines, x) === (i + 1).cast("long")), "\n")
+      letBind(array_sort(transform(lines,
+          (x, i) => struct(x.as("x"), i.as("i"))))) { sorted =>
+        array_join(
+          transform(
+            array_sort(transform(
+              // keep a (line, idx) pair iff it heads its run of equal
+              // lines — within a run the sort put the smallest idx
+              // first, so the head IS the first occurrence
+              filter(sorted, (s, j) => j === 0 ||
+                element_at(sorted, j).getField("x") =!= s.getField("x")),
+              // flip to (idx, line) so the re-sort restores doc order
+              s => struct(s.getField("i").as("i"), s.getField("x").as("x")))),
+            s => s.getField("x")),
+          "\n")
+      }
     }
     df.withColumn(textCol, kept)
   }

@@ -37,6 +37,36 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLinesWithinDoc == quadratic first-occurrence definition; " +
+      "50k-line doc stays in the fast path") {
+    // equivalence: the sort-based plan must match the direct O(L²)
+    // definition (keep first occurrence, preserve order) on arbitrary
+    // docs with heavy duplication and empty lines
+    val line = Gen.oneOf("nav", "footer", "", "body text", "a", "b b", "c")
+    val doc = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, line))
+    forSamples(Gen.listOfN(5, doc), n = 8) { docs =>
+      val df = docs.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n")) }.toDF("doc_id", "text")
+      val got = Curation.dedupLinesWithinDoc(df, "text")
+        .orderBy("doc_id").select("text").as[String].collect()
+      val want = docs.map(_.foldLeft(Vector.empty[String]) { (acc, l) =>
+        if (acc.contains(l)) acc else acc :+ l
+      }.mkString("\n"))
+      assert(got.toSeq == want.toSeq)
+    }
+    // scale guard: a pathological 50k-line doc (a dumped log) completes
+    // in bounded time — the round-4 array_position formulation was
+    // O(L²) ≈ 2.5e9 string compares in ONE task and would stall here
+    val big = (0 until 50000).map(i => s"line ${i % 1000}").mkString("\n")
+    val t0 = System.nanoTime()
+    val out = Curation.dedupLinesWithinDoc(
+      Seq((1L, big)).toDF("doc_id", "text"), "text")
+      .select("text").as[String].head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out == (0 until 1000).map(i => s"line $i").mkString("\n"))
+    assert(sec < 30.0, f"50k-line doc took $sec%.1f s — quadratic path?")
+  }
+
   test("hashSplit is an exact partition for arbitrary weights") {
     val weightsGen = Gen.listOfN(Gen.choose(2, 5).sample.get,
       Gen.choose(1, 10).map(_.toDouble))
