@@ -153,9 +153,54 @@ object Bench {
         val grownItems = grown.map { case (nm, tb, tg) =>
           f""""$nm":{"base":$tb%.3f,"grown":$tg%.3f}"""
         }.mkString(",")
+        // capped pair-generator rehearsal: candidate output must grow
+        // SUBQUADRATICALLY when the hot-bucket caps are active, so the
+        // pair COUNT is recorded next to the wall time (a quadratic
+        // blowup shows up in either). Caps are set low enough to trip
+        // on the inflated corpus's duplicate families — the degraded
+        // path is the one being rehearsed, not the cold path.
+        def countTimed(label: String,
+            fn: String => org.apache.spark.sql.DataFrame,
+            d: String): Option[(Long, Double)] = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try Some((fn(d).count(), (System.nanoTime() - t0) / 1e9))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val cappedGens = Seq(
+          ("l3c_simhash_capped", (d: String) => {
+            val docs = core.Tables.load(spark, d, "documents")
+            operators.Dedup.simhashPairs(docs, "text", "doc_id",
+              maxBlockBucket = 64)
+          }),
+          ("l11c_emblsh_capped", (d: String) => {
+            val emb = core.Tables.load(spark, d, "embeddings")
+            // the inflated corpus's largest hyperplane bucket is ~11
+            // (jitter spreads variants across signatures), so cap 8 is
+            // what makes the star degrade actually run here; simhash
+            // buckets grow bigger and trip the production-shaped 64
+            operators.Dedup.embeddingNearDupPairs(emb, "vec_id",
+              "embedding", dim = 64, threshold = 0.99, maxBucket = 8)
+          }))
+        val capped = cappedGens.flatMap { case (nm, fn) =>
+          for {
+            (nb, tb) <- countTimed(s"synthC:$nm(base)", fn, sfDir)
+            (ng, tg) <- countTimed(s"synthC:$nm(x$synthFactor)", fn, dir)
+          } yield {
+            System.err.println(f"[bench] synthC x$synthFactor $nm%-20s " +
+              f"base $nb%7d pairs/$tb%5.2f s -> grown $ng%8d pairs/" +
+              f"$tg%5.2f s (pair ratio ${ng.toDouble / math.max(nb, 1)}%.1fx)")
+            f""""$nm":{"base_pairs":$nb,"base":$tb%.3f,""" +
+              f""""grown_pairs":$ng,"grown":$tg%.3f}"""
+          }
+        }
         val items = (timings
           .map { case (q, t) => "\"" + q + f"\":$t%.3f" } ++
-          (if (grown.isEmpty) Nil else Seq(grownItems))).mkString(",")
+          (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped)
+          .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] synth rehearsal FAILED: ${e.getMessage}")

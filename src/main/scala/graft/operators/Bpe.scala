@@ -82,8 +82,14 @@ object Bpe {
     * `minCount` floors the dictionary (hapax words can't influence
     * merges and would balloon the dict at web scale); `maxDictWords`
     * caps the driver-side collect at the most-frequent words, so driver
-    * memory stays bounded no matter the corpus (truncating the rare
-    * tail cannot change which high-count pairs win early merges).
+    * memory stays bounded no matter the corpus. When the cap actually
+    * bites, the model is APPROXIMATE relative to full-dictionary BPE:
+    * each dropped word is individually rare, but beyond ~4M distinct
+    * words the tail's aggregate character-pair mass can flip a merge
+    * argmax — so a tripped cap is logged (`[bpe] dictionary
+    * truncated…`), and callers who need the exact reference model
+    * should raise `minCount` until the dictionary fits instead of
+    * relying on the cap.
     *
     * Exactly ONE Spark job touches the corpus (the word-count collect);
     * the merge loop itself is driver-local with incremental pair counts
@@ -92,12 +98,18 @@ object Bpe {
       minCount: Long = 1L, maxDictWords: Int = 1 << 22)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import scala.collection.mutable
-    // the one corpus-sized pass; orderBy makes the cap deterministic
-    val dictRows = wordCounts(docs, textCol)
+    // the one corpus-sized pass; orderBy makes the cap deterministic.
+    // One row beyond the cap is fetched purely to DETECT truncation
+    val overRows = wordCounts(docs, textCol)
       .filter(col("__n") >= minCount)
       .orderBy(col("__n").desc, col("word").asc)
-      .limit(maxDictWords)
+      .limit(maxDictWords + 1)
       .collect()
+    if (overRows.length > maxDictWords)
+      System.err.println(s"[bpe] dictionary truncated to $maxDictWords " +
+        "words — merges are approximate vs full-dictionary BPE; raise " +
+        "minCount (or maxDictWords) for the exact model")
+    val dictRows = overRows.take(maxDictWords)
     val words = dictRows.map(_.getString(0))
     val counts = dictRows.map(_.getLong(1))
     // codepoint-aware split — the driver twin of charSymbols (Spark's

@@ -371,7 +371,14 @@ object Curation {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
 
   /** [[unigramDrift]] against a precomputed reference unigram table —
-    * the streaming/monitoring shape (frozen reference, moving corpus). */
+    * the streaming/monitoring shape (frozen reference, moving corpus).
+    *
+    * Degenerate input, stated plainly: if either side has ZERO tokens
+    * (empty frame, or all-blank text), its total is 0 and `js_bits`
+    * comes back NULL — there is no distribution to compare, and no
+    * value in [0, 1] would be honest. Callers alerting on `js_bits`
+    * must either null-guard or skip the comparison up front
+    * ([[graft.streaming.DriftStream.processBatch]] skips). */
   def unigramDriftVsCounts(a: DataFrame, refCounts: DataFrame,
       textCol: String = "text"): DataFrame = {
     val joined = unigramCounts(a, textCol)
@@ -387,7 +394,12 @@ object Curation {
       val ratio = lit(2d) * c.cast("double") * ot.cast("double") /
         (c.cast("double") * ot.cast("double") +
           oc.cast("double") * t.cast("double"))
-      sum(when(c > 0, c * round(log2(ratio) * 1000000).cast("long"))
+      // the ot > 0 guard keeps the degenerate empty-side case (T_other
+      // = 0 → 0/0) out of the codegen'd division, which THROWS under
+      // ANSI mode rather than yielding NULL; the final select turns a
+      // zero total into a NULL js_bits explicitly
+      sum(when(c > 0 && ot > 0,
+          c * round(log2(ratio) * 1000000).cast("long"))
         .otherwise(lit(0L)))
     }
     withT
@@ -397,8 +409,9 @@ object Curation {
         count(lit(1)).as("n_terms"),
         first(col("__ta")).as("total_a"), first(col("__tb")).as("total_b"))
       .select(
-        round((col("__sa").cast("double") / col("total_a") +
-          col("__sb").cast("double") / col("total_b")) / 2d / 1000000d, 6)
+        when(col("total_a") > 0 && col("total_b") > 0,
+          round((col("__sa").cast("double") / col("total_a") +
+            col("__sb").cast("double") / col("total_b")) / 2d / 1000000d, 6))
           .as("js_bits"),
         col("n_terms"), col("total_a"), col("total_b"))
   }

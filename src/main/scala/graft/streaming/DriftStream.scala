@@ -16,9 +16,15 @@ import graft.operators.{Curation, LshIndex}
   * One metrics row lands per batch, partitioned by batch id with
   * dynamic overwrite, so checkpoint replays rewrite their own row
   * idempotently (same replay-safe sink discipline as the other
-  * streaming sinks). The reference counts are vocab-bounded and
-  * broadcast inside the drift join; batch text never shuffles — only
-  * (term, count) pairs do.
+  * streaming sinks). Shuffle shape: the term-keyed full-outer join
+  * shuffles vocab-bounded (term, count) pairs — batch text never
+  * shuffles — and only the 1-row totals broadcast back (that totals
+  * join is what PlanShapeSpec pins; the term join itself is a real
+  * exchange, as any join of two unbounded vocabularies must be).
+  *
+  * An empty micro-batch (no rows, or rows with no tokens) has no
+  * distribution to compare: its metrics row is skipped rather than
+  * landing a NULL `js_bits` for downstream alerting to trip over.
   */
 object DriftStream {
 
@@ -29,12 +35,22 @@ object DriftStream {
     * foreachBatch body. */
   def processBatch(batch: DataFrame, batchId: Long, refCounts: DataFrame,
       textCol: String, metricsPath: String): Unit = {
-    Curation.unigramDriftVsCounts(batch, refCounts, textCol)
+    val metrics = Curation.unigramDriftVsCounts(batch, refCounts, textCol)
       .withColumn(BatchCol, lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol)
-      .parquet(metricsPath)
+      .cache() // one row: evaluated for the guard, reused by the write
+    try {
+      // a tokenless side makes js_bits NULL (0/0 mass) — skip the row
+      val ok = !metrics
+        .filter(col("total_a") > 0 && col("total_b") > 0).isEmpty
+      if (ok)
+        metrics.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol)
+          .parquet(metricsPath)
+      else
+        System.err.println(s"[drift] batch $batchId skipped: empty " +
+          "side (no tokens) — no distribution to compare")
+    } finally { metrics.unpersist(); () }
   }
 
   def start(docs: DataFrame, refCounts: DataFrame, textCol: String,

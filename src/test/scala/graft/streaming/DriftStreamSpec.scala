@@ -63,4 +63,19 @@ class DriftStreamSpec extends SparkSpec {
       .collect().toSeq.map(_.toString)
     assert(after == before)
   }
+
+  test("empty micro-batch skips its metrics row instead of landing NULL js") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dempty").toString
+    val refCounts = Curation.unigramCounts(ref)
+    DriftStream.processBatch(Seq("alpha beta").toDF("text"), 0L,
+      refCounts, "text", s"$base/m")
+    // zero rows AND rows-with-no-tokens both have no distribution
+    DriftStream.processBatch(Seq.empty[String].toDF("text"), 1L,
+      refCounts, "text", s"$base/m")
+    DriftStream.processBatch(Seq("   ").toDF("text"), 2L,
+      refCounts, "text", s"$base/m")
+    val m = spark.read.parquet(s"$base/m")
+    assert(m.count() == 1)
+    assert(m.filter(col("js_bits").isNull).count() == 0)
+  }
 }
