@@ -262,7 +262,60 @@ object Bench {
         ""
       }
 
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e}""")
+    // streaming-curation + drift throughput: the batch-twin oracles
+    // prove WHAT the streaming operators compute; this records how
+    // fast the streaming machinery itself moves documents — curation
+    // (langid/quality/gopher/redact, two idempotent sinks) and the
+    // per-batch drift monitor, both drained via AvailableNow
+    // micro-batches over a checkpointed source.
+    val e2eStreamOn =
+      !sys.env.get("SPARK_GRAFT_E2E_STREAM").contains("0")
+    val e2eStream: String =
+      if (only.isDefined || !e2eStreamOn) ""
+      else try {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = core.Tables.load(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        val nDocs = docs.count()
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_es_src").toString
+        docs.repartition(8).write.mode("overwrite").parquet(srcDir)
+        val schema = spark.read.parquet(srcDir).schema
+        def src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_es").toString
+        val t0 = System.nanoTime()
+        val cq = streaming.CurationStream.start(src, "text",
+          s"$base/acc", s"$base/rej", s"$base/ckpt_cur",
+          trigger = Trigger.AvailableNow())
+        cq.awaitTermination()
+        val curSec = (System.nanoTime() - t0) / 1e9
+        val curBatches = cq.recentProgress.length
+        val accepted = spark.read.parquet(s"$base/acc").count()
+        val rejected = spark.read.parquet(s"$base/rej").count()
+        val refCounts = operators.Curation.unigramCounts(docs).cache()
+        refCounts.count() // freeze the reference OUTSIDE the timed loop
+        val t1 = System.nanoTime()
+        val dq = streaming.DriftStream.start(src, refCounts, "text",
+          s"$base/metrics", s"$base/ckpt_drift",
+          trigger = Trigger.AvailableNow())
+        dq.awaitTermination()
+        val driftSec = (System.nanoTime() - t1) / 1e9
+        val driftRows = spark.read.parquet(s"$base/metrics").count()
+        refCounts.unpersist()
+        System.err.println(
+          f"[bench] e2e_stream: $nDocs docs curated in $curSec%.1f s " +
+            f"($curBatches batches, ${nDocs / curSec}%.0f docs/s; " +
+            f"$accepted accepted / $rejected rejected); drift " +
+            f"$driftSec%.1f s, $driftRows metric rows")
+        f""","e2e_stream":{"docs":$nDocs,"curation_sec":$curSec%.3f,"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_batches":$curBatches,"accepted":$accepted,"rejected":$rejected,"drift_sec":$driftSec%.3f,"drift_metric_rows":$driftRows}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] e2e_stream FAILED: ${e.getMessage}")
+        ""
+      }
+
+    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream}""")
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
