@@ -889,10 +889,16 @@ object Dedup {
       .agg(max_by(col("id"),
           struct(col("__score"), (-col("id")).as("__nid"))).as("__keep"),
         count(lit(1)).as("dup_group_size"))
-    val reps = best.select(col("__keep").as(idCol), col("dup_group_size"))
-    df.join(comp.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .withColumn("dup_group_size", lit(1L))
-      .unionByName(df.join(reps, Seq(idCol)))
+    // one left join over df does all three roles (same shape as
+    // [[semanticDedup]]'s finish): ungrouped rows keep size 1, losers
+    // drop, the argmax representative keeps its group size
+    val annotated = comp.select(col("id").as(idCol), col("component"))
+      .join(best, Seq("component"))
+      .select(col(idCol), col("__keep"), col("dup_group_size").as("__sz"))
+    df.join(annotated, Seq(idCol), "left")
+      .filter(col("__keep").isNull || col(idCol) === col("__keep"))
+      .select(df.columns.map(col) :+
+        coalesce(col("__sz"), lit(1L)).as("dup_group_size"): _*)
   }
 
   // ---- exact n-gram Jaccard ------------------------------------------

@@ -282,9 +282,14 @@ class PlanShapeSpec extends SparkSpec {
     val cells = operators.Similarity.assignCells(emb, cents)
     val plan = planOf(operators.Similarity.knnGraph(cells, cents, 3, 2))
     // candidate generation is an equi-join on centroid_id — the corpus
-    // meets itself through cell routing, never an all-pairs cross
+    // meets itself through cell routing, never an all-pairs cross; the
+    // nlist-bounded centroid table is the broadcast side (the
+    // cells↔probes join is corpus×corpus-sized and is ALLOWED to
+    // shuffle — at 100 TB neither side broadcasts)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
   }
 
   test("simhash pairs: hot census anti-joins broadcast-side off one cached fork") {
