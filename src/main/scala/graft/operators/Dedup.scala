@@ -604,6 +604,73 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Whole-corpus benchmark decontamination with a broadcast Bloom
+    * sketch: every corpus doc is labeled contaminated iff it shares ANY
+    * word n-gram with the benchmark set (the hard-filter semantics of
+    * Brown et al. 2020 §C / Lee et al. 2022 "Deduplicating Training
+    * Data…" dedup-style decontamination). Output is EXACT —
+    * (doc_id, matched_grams, contaminated) for every corpus row — the
+    * sketch only decides who must face the exact check.
+    *
+    * Scale shape (the reason this exists next to [[containmentPairs]]):
+    * the naive form explodes 100 TB of corpus into n-grams and joins
+    * them all against the benchmark index. Here the benchmark's distinct
+    * hashed grams are folded distributed into a Bloom filter
+    * (`df.stat.bloomFilter`, an aggregation — no driver materialization
+    * of the gram set beyond the fixed-size sketch), and the sketch
+    * probes each doc's gram array map-side inside whole-stage codegen
+    * ([[graft.functions.BloomMightContainAny]]). No false negatives, so
+    * docs the sketch clears are PROVEN clean and emit `matched_grams=0`
+    * without ever being exploded; only the contaminated-or-false-positive
+    * sliver (a ~`fpp` fraction of clean docs) pays the explode + exact
+    * broadcast join that separates real hits from sketch noise. Nothing
+    * but doc ids and gram hashes ever shuffles.
+    *
+    * Bounded driver work: one `count()` of the benchmark's distinct
+    * grams (sizes the sketch) and the sketch itself (~1.2 MB at 1M
+    * grams / fpp 1e-3) — benchmarks are small by nature. `benchGrams`
+    * is cached for its two uses (sketch fold + exact confirm); lifetime
+    * is the session cache registry, dropped by the per-query
+    * `clearCache()` in Bench/Verify. Collisions: grams are compared as
+    * xxhash64 values (same containment convention as the rest of the
+    * file). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      fpp: Double = 1e-3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val benchGrams = benchmark
+      .select(explode(hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .cache()
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bos = new java.io.ByteArrayOutputStream()
+    benchGrams.stat.bloomFilter("__g", nGrams, fpp).writeTo(bos)
+    val sketchBytes = bos.toByteArray
+    val flagged = corpus.select(col(idCol).as("doc_id"),
+        hashedShingles(col(textCol), n).as("__grams"))
+      .withColumn("__cand",
+        column(graft.functions.BloomMightContainAny(
+          expression(col("__grams")), sketchBytes)))
+    // sketch-cleared docs: proven clean, map-only verdict (no explode)
+    val clean = flagged.filter(!col("__cand"))
+      .select(col("doc_id"), lit(0L).as("matched_grams"))
+    // candidate sliver: exploded once, every gram marked against the
+    // exact benchmark set by broadcast LEFT join, then one count per
+    // doc — a sketch false positive keeps all its gram rows (no inner
+    // join drops it) and lands matched_grams=0 without a join-back.
+    // explode_outer so a pathological empty gram array still yields a
+    // verdict row.
+    val confirmed = flagged.filter(col("__cand"))
+      .select(col("doc_id"), explode_outer(col("__grams")).as("__g"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))),
+        Seq("__g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long")
+        .as("matched_grams"))
+    clean.unionByName(confirmed)
+      .withColumn("contaminated", col("matched_grams") > 0)
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams (two seeded 32-bit murmurs form

@@ -2251,6 +2251,43 @@ object Suite {
              |WHERE len(list_intersect(b.g, c.g))::DOUBLE / len(b.g) >= 0.5
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    Q("l59_bloom_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // same stand-in benchmark as l22 — prefixes of the first 20
+        // docs; hard-filter decontamination via the broadcast Bloom
+        // sketch prefilter + exact confirm (result is exact)
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+        Dedup.bloomDecontaminate(docs, bench, "text", "doc_id", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |cg AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM tok),
+             |btok AS (SELECT list_filter(
+             |    string_split_regex(lower(trim(substr(text, 1, 150))), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents WHERE doc_id < 20),
+             |bg AS (SELECT unnest(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM btok),
+             |bset AS (SELECT DISTINCT g FROM bg),
+             |hits AS (SELECT e.doc_id, count(*) AS m
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM cg) e
+             |  JOIN bset b USING (g) GROUP BY 1)
+             |SELECT c.doc_id, CAST(coalesce(h.m, 0) AS BIGINT)
+             |    AS matched_grams,
+             |  coalesce(h.m, 0) > 0 AS contaminated
+             |FROM cg c LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

@@ -226,6 +226,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bloom decontam probes the sketch map-side; exact confirm broadcasts") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("text"))
+    val df = operators.Dedup.bloomDecontaminate(
+      docs, bench, "text", "doc_id", n = 3)
+    val plan = planOf(df)
+    // the sketch probe is a plain codegen'd filter expression — docs
+    // it clears take the map-only clean branch, never the explode
+    assert(plan.contains("bloom_might_contain_any"), plan)
+    // the exact confirm joins the candidate sliver against the (tiny)
+    // benchmark gram set by broadcast; corpus-sized sides never shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("binary ANN reranks via broadcast-back; vectors never sort-merge") {
     val emb = core.Tables.load(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") < 3)

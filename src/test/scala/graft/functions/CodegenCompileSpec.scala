@@ -102,4 +102,23 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(zout.getDouble(0) == 0.0)
     assert(zout.isNullAt(1))
   }
+
+  test("bloom_might_contain_any generated code compiles and evaluates") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(11L, 22L, 33L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val arrT = ArrayType(LongType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(BloomMightContainAny(
+      BoundReference(0, arrT, nullable = true), bos.toByteArray)))
+    // a member hit anywhere in the array -> true
+    assert(proj(InternalRow(
+      ArrayData.toArrayData(Array(99L, 22L)))).getBoolean(0))
+    // Bloom guarantees no false negatives; these probes are all
+    // non-members and at fpp 1% on 3 items none should collide
+    assert(!proj(InternalRow(
+      ArrayData.toArrayData(Array(1L, 2L, 3L)))).getBoolean(0))
+    assert(!proj(InternalRow(
+      ArrayData.toArrayData(Array.empty[Long]))).getBoolean(0))
+  }
 }

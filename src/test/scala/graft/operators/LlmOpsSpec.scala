@@ -168,6 +168,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.exists(_._2 == 101L))
   }
 
+  test("bloom decontamination is exact: sketch noise never reaches output") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // inside docs 0/1/2
+      (101L, "nothing like any corpus document at all whatsoever")
+    ).toDF("doc_id", "text")
+    // brute-force expected: distinct shared hashed 3-grams per doc
+    val docGrams = docs.select(col("doc_id"),
+      explode(Dedup.hashedShingles(col("text"), 3)).as("g"))
+    val benchGrams = bench
+      .select(explode(Dedup.hashedShingles(col("text"), 3)).as("g")).distinct()
+    val expected = docGrams.join(benchGrams, Seq("g"))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // a deliberately noisy sketch (fpp 0.5) floods the candidate set
+    // with false positives; the exact confirm must erase them all
+    for (fpp <- Seq(1e-3, 0.5)) {
+      val out = Dedup.bloomDecontaminate(docs, bench, "text", "doc_id",
+          n = 3, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(out.length == 8, s"one verdict per corpus doc (fpp=$fpp)")
+      out.foreach { case (id, matched, contaminated) =>
+        assert(matched == expected.getOrElse(id, 0L),
+          s"doc $id matched_grams (fpp=$fpp)")
+        assert(contaminated == (matched > 0))
+      }
+      // the leaked sentence flags docs 0/1/2; doc 3 is clean
+      val flagged = out.filter(_._3).map(_._1).toSet
+      assert(Set(0L, 1L, 2L).subsetOf(flagged))
+      assert(!flagged.contains(3L))
+    }
+  }
+
   test("incremental index dedupe == batch pairs involving new docs") {
     import spark.implicits._
     val newDocs = Seq(
