@@ -115,6 +115,78 @@ object Curation {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Exact global top-k heavy hitters over a key of UNBOUNDED
+    * cardinality — top tokens / n-grams / URLs of a web-scale corpus —
+    * without ever shuffling the full key space.
+    *
+    * The one-shuffle `groupBy(key).count().orderBy.limit(k)` form moves
+    * every distinct key through the exchange; at 100 TB the token/URL
+    * key space is billions of mostly-once strings and the shuffle IS
+    * the job. Here pass 1 runs a Misra–Gries summary per partition
+    * (`width` counters, classic frequent-items sketch — Misra & Gries
+    * 1982) so only ≤ width candidate keys per partition leave the
+    * executors; pass 2 recounts ONLY the candidate keys exactly (the
+    * broadcast candidate set filters map-side, so the exchange carries
+    * candidate keys alone, map-side pre-aggregated).
+    *
+    * Exactness: MG with `width` counters keeps every key whose
+    * partition frequency exceeds n_p/(width+1); summing over partitions,
+    * every key with GLOBAL count > N/(width+1) is a candidate. The
+    * returned `certified` column says whether that bound PROVES the
+    * result (k rows returned and the k-th count clears N/(width+1) — no
+    * non-candidate could displace a returned row); size `width` ≥ N/f_k
+    * to certify. Counts are exact either way (recount, not sketch
+    * estimates). Null keys are ignored. Ties at the cut break by key
+    * ascending, so the result is deterministic.
+    *
+    * `mapPartitions` is deliberate: the per-partition counter table is
+    * genuinely imperative state with data-dependent eviction — the
+    * carve-out the Dataset API exists for. Driver work is bounded by
+    * the ≤ width × partitions summary rows (cached; candidate set
+    * broadcasts). */
+  def heavyHitters(df: DataFrame, key: Column, k: Int,
+      width: Int = 4096): DataFrame = {
+    require(k > 0 && width > k, "need width > k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
+    // pass 1: per-partition MG survivors + one (null, n_p) size row —
+    // corpus size rides the same pass instead of a third scan
+    val summary = keys.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      it.foreach { s =>
+        np += 1L
+        val cur = counts.getOrElse(s, 0L)
+        if (cur > 0L || counts.size < width) counts.update(s, cur + 1L)
+        else {
+          // over capacity: decrement every counter, evict zeros
+          // (amortized O(1) per arrival — each decrement is charged
+          // against a previous increment)
+          counts.mapValuesInPlace((_, v) => v - 1L)
+          counts.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      Iterator.single((null: String, np)) ++ counts.keysIterator.map((_, 0L))
+    }.toDF("k", "np").cache()
+    val n = summary.filter(col("k").isNull)
+      .agg(coalesce(sum("np"), lit(0L)).as("n")).as[Long].head()
+    val candidates = summary.filter(col("k").isNotNull).select("k").distinct()
+    val topk = keys.toDF("k")
+      .join(broadcast(candidates), Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k"))
+      .limit(k)
+    // certificate over the ≤ k returned rows (integer arithmetic: the
+    // k-th count must strictly clear N/(width+1))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    topk.withColumn("certified",
+      count(lit(1)).over(w) === k &&
+        min(col("cnt")).over(w) * (width + 1) > n)
+  }
+
   /** Temperature-scaled mixture weights for corpus re-balancing (the
     * multilingual-sampling scheme of e.g. mBERT/XLM-R: raise per-source
     * token mass to `temperature` ∈ (0,1] and renormalize, so small

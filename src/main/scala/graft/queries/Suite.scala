@@ -2288,6 +2288,25 @@ object Suite {
              |FROM cg c LEFT JOIN hits h USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l60_heavy_hitters",
+      (s, d) => {
+        // top-50 corpus tokens via per-partition Misra–Gries candidates
+        // + exact recount — the key space never shuffles whole. Counts
+        // are exact, so the plain GROUP BY oracle replays them.
+        val docs = t(s, d, "documents")
+        Curation.heavyHitters(
+            docs.select(explode(Dedup.tokens(col("text"))).as("tok")),
+            col("tok"), k = 50, width = 8192)
+          .select(col("k").as("token"), col("cnt"))
+          .orderBy(desc("cnt"), col("token"))
+      },
+      Some("""WITH tok AS (SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS token FROM documents),
+             |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+             |SELECT token, cnt FROM c
+             |ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

@@ -243,6 +243,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("heavy hitters recounts candidates via broadcast; no key-space sort-merge") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(
+      operators.Dedup.tokens(col("text"))).as("tok"))
+    val df = operators.Curation.heavyHitters(toks, col("tok"),
+      k = 10, width = 512)
+    df.collect() // AQE finalizes the exchange plans
+    val plan = planOf(df)
+    // the exact recount joins the full token stream against the (tiny)
+    // MG candidate set by broadcast — the token key space never feeds
+    // a sort-merge exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("binary ANN reranks via broadcast-back; vectors never sort-merge") {
     val emb = core.Tables.load(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") < 3)

@@ -207,6 +207,35 @@ class CurationSpec extends SparkSpec {
     assert(gen.values.forall(_ == 1.0))
   }
 
+  test("heavyHitters: exact top-k with certificate; tiny width uncertified") {
+    // zipf-ish: key i appears (101 - i) times, i = 1..100 → top-10 is
+    // k001..k010 with counts 100..91; plenty of singleton tail noise
+    val rows = (1 to 100).flatMap(i => Seq.fill(101 - i)(f"k$i%03d")) ++
+      (1 to 500).map(i => f"tail$i%04d")
+    val df = rows.toDF("key").repartition(7)
+    val exact = df.groupBy("key").count()
+      .orderBy(desc("count"), col("key")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = Curation.heavyHitters(df, col("key"), k = 10, width = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == exact.toSeq)
+    // N ≈ 5550, width 512 → bound ~10.8 < 91 = 10th count: certified
+    assert(out.forall(_._3), "generous width must certify the result")
+
+    // width barely above k: the MG bound (N/12 ≈ 462) exceeds the k-th
+    // count, so the certificate must refuse even if the rows happen
+    // to be right — and returned counts stay exact recounts
+    val narrow = Curation.heavyHitters(df, col("key"), k = 10, width = 11)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(narrow.forall(!_._3), "width 11 cannot certify top-10 here")
+    val exactCounts = exact.toMap
+    narrow.foreach { case (key, cnt, _) =>
+      assert(exactCounts.get(key).forall(_ == cnt) ||
+        df.filter(col("key") === key).count() == cnt,
+        s"returned count for $key must be the exact frequency")
+    }
+  }
+
   test("quotaPerGroup caps each group at k with the lowest order values") {
     val out = Curation.quotaPerGroup(docs, Seq("source"), "doc_id", k = 10,
       salts = 4)
