@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering — the linear-classifier stage
+  * of web-corpus curation (the CCNet / GPT-3-style "looks like the
+  * target distribution" filter, trained on weak labels and applied to
+  * the whole crawl).
+  *
+  * The split that makes this 100 TB-shaped:
+  *  - [[train]] runs MLlib logistic regression on a SMALL labeled
+  *    sample (weak labels come free from e.g. [[TextFunctions]] gopher
+  *    rules or a trusted-corpus-vs-crawl contrast) and returns plain
+  *    (intercept, weights) — a dozen doubles on the driver.
+  *  - [[score]] applies those frozen weights as pure built-in column
+  *    algebra (sigmoid of a 5-feature dot product): map-only, no MLlib
+  *    on the scoring path, no UDF, fully inside whole-stage codegen,
+  *    and replayable by any SQL engine for verification.
+  *
+  * The 5 features are deliberately cheap single-pass text statistics
+  * (no vocabulary, no shuffle): log token count, mean token length,
+  * stopword fraction, non-alphanumeric fraction, duplicate-token
+  * fraction. Tokenization matches the rest of the engine
+  * (lower → trim → split on whitespace). */
+object QualityModel {
+
+  val featureNames: Seq[String] = Seq("log_tokens", "avg_token_len",
+    "stopword_frac", "nonalnum_frac", "dup_frac")
+
+  /** Tiny fixed English stopword list — a FEATURE definition (frozen so
+    * scores are reproducible and oracle-able), not a linguistic claim. */
+  val stopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "that")
+
+  /** Evaluate `value` once, reference it many times (same rationale as
+    * Dedup.letBind: higher-order fns run without CSE). */
+  private def letBind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** The 5-feature vector as `array<double>`, one map-side pass. */
+  def features(text: Column): Column =
+    letBind(lower(trim(text))) { cleaned =>
+      letBind(filter(split(cleaned, "\\s+"), t => length(t) > 0)) { toks =>
+        val n = size(toks).cast("double")
+        val nc = length(cleaned).cast("double")
+        val safeN = greatest(n, lit(1.0))
+        array(
+          log(n + 1),
+          nc / safeN,
+          size(filter(toks, t => t.isin(stopwords: _*))) / safeN,
+          (nc - length(regexp_replace(cleaned, "[^a-z0-9 ]", ""))) /
+            greatest(nc, lit(1.0)),
+          when(n === 0, lit(0.0))
+            .otherwise(lit(1.0) - size(array_distinct(toks)) / n))
+      }
+    }
+
+  /** sigmoid(intercept + w·features(text)) ∈ (0, 1). Frozen weights →
+    * deterministic, engine-portable scores. */
+  def score(text: Column, weights: Seq[Double], intercept: Double): Column = {
+    require(weights.length == featureNames.length,
+      s"expected ${featureNames.length} weights")
+    letBind(features(text)) { f =>
+      val z = weights.zipWithIndex
+        .map { case (w, i) => lit(w) * element_at(f, i + 1) }
+        .foldLeft(lit(intercept): Column)(_ + _)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+  }
+
+  /** Fit logistic regression over [[features]] on a labeled sample
+    * (`labelCol` ∈ {0, 1}) and return (intercept, weights) for
+    * [[score]]. MLlib runs HERE only — the sample is small by
+    * construction (weak labels over a held-out slice), and what leaves
+    * is six doubles, so the 100 TB scoring pass never touches the ML
+    * runtime. `regParam` defaults to light L2 to keep separable weak
+    * labels from diverging. */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      maxIter: Int = 100, regParam: Double = 0.01): (Double, Seq[Double]) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = df.select(col(labelCol).cast("double").as("label"),
+      array_to_vector(features(col(textCol))).as("features"))
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(data)
+    (model.intercept, model.coefficients.toArray.toSeq)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -2306,6 +2306,43 @@ object Suite {
              |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
              |SELECT token, cnt FROM c
              |ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+
+    Q("l61_quality_logit",
+      (s, d) => {
+        // frozen-weight logistic quality score: sigmoid over 5 cheap
+        // text features, pure map-side column algebra (training lives
+        // in QualityModel.train; scoring never touches MLlib)
+        val docs = t(s, d, "documents")
+        docs.select(col("doc_id"),
+          round(QualityModel.score(col("text"),
+            Seq(0.3, -0.1, 1.2, -2.0, -1.5), intercept = -0.5), 6)
+            .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, lower(trim(text)) AS cl
+             |  FROM documents),
+             |f AS (SELECT doc_id, cl, list_filter(
+             |    string_split_regex(cl, '\s+'), x -> len(x) > 0) AS toks
+             |  FROM c),
+             |g AS (SELECT doc_id,
+             |    CAST(len(toks) AS DOUBLE) AS n,
+             |    CAST(len(cl) AS DOUBLE) AS nc,
+             |    CAST(len(list_filter(toks, t -> list_contains(
+             |      ['the','of','and','to','in','a','is','for','on','that'],
+             |      t))) AS DOUBLE) AS nstop,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist,
+             |    CAST(len(regexp_replace(cl, '[^a-z0-9 ]', '', 'g'))
+             |      AS DOUBLE) AS nal
+             |  FROM f),
+             |z AS (SELECT doc_id, -0.5
+             |    + 0.3 * ln(n + 1)
+             |    - 0.1 * (nc / greatest(n, 1))
+             |    + 1.2 * (nstop / greatest(n, 1))
+             |    - 2.0 * ((nc - nal) / greatest(nc, 1))
+             |    - 1.5 * (CASE WHEN n = 0 THEN 0 ELSE 1 - ndist / n END)
+             |    AS zz FROM g)
+             |SELECT doc_id, round(1 / (1 + exp(-zz)), 6) AS quality
+             |FROM z ORDER BY doc_id""".stripMargin)),
 
     Q("l23_char_entropy",
       (s, d) => {

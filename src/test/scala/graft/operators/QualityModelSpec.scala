@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = {
+    val clean = Seq(
+      "the cat sat on the mat and looked out of the window for a while",
+      "a short story about the sea and the ships that sail on it",
+      "in the morning the town is quiet and the air is cold and clear",
+      "the engineers wrote a report on the state of the bridge for review",
+      "that evening the family sat down to a meal of bread and soup")
+    val junk = Seq(
+      "$$$ ### !!! %%% ^^^ &&& *** ((( ))) @@@ ~~~ ???",
+      "buy buy buy buy buy buy buy buy buy buy buy buy",
+      "xxxxxxxxxxxxxxxxxxx yyyyyyyyyyyyyyyy zzzzzzzzzzzz",
+      "!!!! click click click click here here here here !!!!",
+      "@@ ## $$ %% ^^ && ** (( )) __ ++ == ;; :: ,, .. //")
+    (clean.map((_, 1.0)) ++ junk.map((_, 0.0))).toDF("text", "label")
+  }
+
+  test("train separates weak labels; column score == MLlib probability") {
+    val (b, w) = QualityModel.train(sample, "text", "label")
+    val scored = sample
+      .withColumn("score", QualityModel.score(col("text"), w, b))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2))
+    val clean = scored.filter(_._1 == 1.0).map(_._2)
+    val junk = scored.filter(_._1 == 0.0).map(_._2)
+    // full separation on the training set: the features carry the signal
+    assert(clean.min > junk.max,
+      s"clean ${clean.min} must outscore junk ${junk.max}")
+
+    // the column-algebra sigmoid must reproduce MLlib's own probability
+    // (same weights, same features) — pins the scoring path to the model
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val data = sample.select(col("label"),
+      array_to_vector(QualityModel.features(col("text"))).as("features"))
+    val model = new LogisticRegression().setMaxIter(100).setRegParam(0.01)
+      .fit(data)
+    val both = model.transform(data)
+      .select(vector_to_array(col("probability")).getItem(1).as("p_ml"))
+      .collect().map(_.getDouble(0))
+      .zip(sample.select(
+        QualityModel.score(col("text"), w, b)).collect().map(_.getDouble(0)))
+    both.foreach { case (pMl, pCol) =>
+      assert(math.abs(pMl - pCol) < 1e-9, s"$pMl vs $pCol")
+    }
+  }
+
+  test("features are bounded and handle degenerate docs") {
+    val edge = Seq("", "   ", "word", "!!!", "a a a a a a").toDF("text")
+    val rows = edge.select(QualityModel.features(col("text")).as("f"))
+      .collect().map(_.getSeq[Double](0))
+    rows.foreach { f =>
+      assert(f.length == QualityModel.featureNames.length)
+      assert(f.forall(v => !v.isNaN && !v.isInfinite), f.mkString(","))
+      // the three fraction features stay in [0, 1]
+      assert(f(2) >= 0 && f(2) <= 1)
+      assert(f(3) >= 0 && f(3) <= 1)
+      assert(f(4) >= 0 && f(4) <= 1)
+    }
+    // empty doc: zero tokens -> log_tokens 0, fractions 0
+    assert(rows.head == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("scoring is map-only: no exchange in the physical plan") {
+    val docs = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    val plan = docs.select(col("doc_id"),
+        QualityModel.score(col("text"), Seq(0.3, -0.1, 1.2, -2.0, -1.5), -0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
