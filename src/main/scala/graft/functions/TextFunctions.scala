@@ -197,4 +197,53 @@ object TextFunctions {
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*))))
     }
+
+  /** Positional k-gram hash stream (token order preserved — winnowing
+    * needs window positions, so no distinct/sort here, unlike
+    * `Dedup.hashedShingles`). Sub-k documents collapse to one
+    * whole-stream gram. `h` maps the gram's tokens to its hash. */
+  private def orderedGramHashes(toks: Column, k: Int,
+      h: Seq[Column] => Column): Column =
+    when(size(toks) < k, array(h(Seq(concat_ws(" ", toks)))))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => h((0 until k).map(j => element_at(toks, i + j + 1)))))
+
+  /** Window minima → distinct fingerprint set. Streams shorter than the
+    * window select their single global min. */
+  private def winnowOver(grams: Column, w: Int): Column =
+    letBind(grams) { g =>
+      array_distinct(
+        when(size(g) <= w, array(array_min(g)))
+          .otherwise(transform(sequence(lit(0), size(g) - w),
+            j => array_min(slice(g, j + 1, lit(w))))))
+    }
+
+  /** FULL winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 §4 — the MOSS algorithm; [[rollingFingerprint]] is the
+    * single-global-min "lite" cousin): hash every word k-gram in
+    * order, slide a window of `w` consecutive gram hashes, record each
+    * window's MINIMUM; the distinct selected hashes are the
+    * fingerprint. The paper's guarantee carries over at token
+    * granularity: any shared run of ≥ w + k − 1 tokens between two
+    * documents shares at least one fingerprint, and expected density
+    * is 2/(w+1) of the grams — local, position-robust, and small.
+    * Per-row cost is O(grams · w) comparisons, pure column algebra. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    letBind(tokens(text)) { toks =>
+      winnowOver(orderedGramHashes(toks, k, parts => xxhash64(parts: _*)), w)
+    }
+
+  /** [[winnowFingerprints]] on a portable 60-bit md5 gram hash (first
+    * 15 hex chars of md5 over the space-joined gram — the same
+    * cross-engine trick as `Curation.hashSamplePortable`), so any SQL
+    * engine replays the exact fingerprint set. The xxhash64 fast path
+    * above stays the production default (one fused hash per gram vs
+    * md5 + string concat here). */
+  def winnowFingerprintsPortable(text: Column, k: Int = 3, w: Int = 4): Column =
+    letBind(tokens(text)) { toks =>
+      winnowOver(orderedGramHashes(toks, k,
+        parts => conv(substring(md5(concat_ws(" ", parts: _*)), 1, 15), 16, 10)
+          .cast("long")), w)
+    }
 }

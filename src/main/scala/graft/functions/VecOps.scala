@@ -85,6 +85,58 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ aᵢ·bᵢ over two int arrays, accumulated in LONG — the scoring
+  * kernel of the scalar-quantized ANN path
+  * ([[graft.operators.Similarity.int8TopK]]). Quantized codes are
+  * small integers (|q| ≤ 127), so the per-element product fits an int
+  * and the long accumulator is exact for any realistic dimension —
+  * unlike the double-accumulating [[VecDot]], integer scores compare
+  * with no rounding at all. Same fused zero-allocation loop; lengths
+  * zero-pad to the shorter side (zip_with semantics). */
+case class VecDotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "vec_dot_int"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> arguments, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** |A ∩ B| for two ASCENDING-sorted long arrays via a two-pointer
   * merge — the verification hot loop of the similarity joins. The
   * builtin `size(array_intersect(a, b))` builds a hash set per

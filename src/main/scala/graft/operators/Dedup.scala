@@ -727,8 +727,8 @@ object Dedup {
     * in PlanShapeSpec), and any exchanges above it move only the
     * compact (id, sig, block) rows, never text. The hot list is tiny
     * by construction, so all three of its uses broadcast. */
-  private def blockedHammingPairs(blocked: DataFrame, maxDistance: Int,
-      maxBlockBucket: Int): DataFrame = {
+  private[operators] def blockedHammingPairs(blocked: DataFrame,
+      maxDistance: Int, maxBlockBucket: Int): DataFrame = {
     val hot = blocked.groupBy(col("__b"), col("__bv"))
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
         min_by(col("__sig"), col("__id")).as("__hubsig"))
@@ -771,7 +771,7 @@ object Dedup {
     * session cache registry; long-running hosts drop it between
     * queries (Bench/Verify `clearCache()` per query — the round-4
     * accumulation fix). */
-  private def blockMembers(sigs: DataFrame, nBlocks: Int,
+  private[operators] def blockMembers(sigs: DataFrame, nBlocks: Int,
       blockBits: Int): DataFrame = {
     val mask = (1L << blockBits) - 1
     val par = sigs.sparkSession.sparkContext.defaultParallelism
@@ -1002,5 +1002,55 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         (col("__i").cast("double") /
           (size(col("l.__sh")) + size(col("r.__sh")) - col("__i"))).as("jaccard"))
+  }
+
+  // ---- winnowing overlap ---------------------------------------------
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints
+    * ([[graft.functions.TextFunctions.winnowFingerprints]] — the MOSS
+    * local-fingerprint scheme): the plagiarism/reuse detector that
+    * catches COPIED PASSAGES (any shared run of ≥ w+k−1 tokens is
+    * guaranteed a shared fingerprint) where whole-document Jaccard
+    * dilutes them below threshold.
+    *
+    * Scale shape: candidates come from an inverted index over
+    * fingerprints (explode → equi-join), so only (fingerprint, id)
+    * pairs shuffle — never text. Fingerprints present in more than
+    * `maxDf` documents are dropped BEFORE pairing — MOSS's own
+    * noise-suppression rule (a fingerprint shared corpus-wide is
+    * boilerplate, not reuse) doubling as the anti-quadratic guard: it
+    * bounds per-fingerprint join fan-out at maxDf², where the LSH
+    * operators need a star-edge degrade, because dropping is
+    * semantically principled here. The df census is a map-side-combined
+    * count over already-exploded rows; the over-cap list is tiny by
+    * construction and broadcasts.
+    *
+    * Output: (id_a, id_b, shared_fingerprints), id_a < id_b. */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 64,
+      portable: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions
+    val fp =
+      if (portable) TextFunctions.winnowFingerprintsPortable(col(textCol), k, w)
+      else TextFunctions.winnowFingerprints(col(textCol), k, w)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // repartition by id parallelizes the CPU-heavy fingerprint stage
+    // from a single-split source; cached because census + both join
+    // sides read it (the blockMembers fork-point rationale)
+    val fps = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"), explode(fp).as("__fp"))
+      .cache()
+    val hot = fps.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__fp"))
+    val cold = fps.join(broadcast(hot), Seq("__fp"), "left_anti")
+    cold.as("l")
+      .join(cold.as("r"),
+        col("l.__fp") === col("r.__fp") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
   }
 }

@@ -50,6 +50,29 @@ object Multimodal {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("media_md5"), col("dup_count"))
 
+  /** NEAR-duplicate media pairs by 60-bit perceptual-hash Hamming
+    * distance — re-encoded/resized variants of one asset land within a
+    * few bits where [[mediaDedupManifest]]'s exact content hash only
+    * catches byte-identical copies. The pairing machinery is the real
+    * part and is shared verbatim with the text SimHash path
+    * ([[Dedup.blockedHammingPairs]]): 4×15-bit pigeonhole blocks
+    * (complete to Hamming ≤ 3), hot-bucket census → star-edge degrade,
+    * only (id, sig, block) longs ever shuffle — the bytes stay at the
+    * scan. The HASH is the codec seam: here a deterministic 60-bit
+    * content hash (first 15 md5 hex chars — engine-replayable, so the
+    * whole pipeline oracles in SQL); a real deployment swaps a DCT
+    * pHash / chromaprint per mime at decode time without touching the
+    * join. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def mediaNearDupPairs(df: DataFrame, idCol: String, maxDistance: Int = 3,
+      maxBlockBucket: Int = 1024): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigs = df.select(col(idCol).as("__id"),
+      conv(substring(md5(col(s"$MediaCol.bytes")), 1, 15), 16, 10)
+        .cast("long").as("__sig"))
+    Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
+      maxDistance, maxBlockBucket)
+  }
+
   // ---- codec seam (STUBS — deterministic fakes, real signatures) -----
 
   /** The decode seam. Real deployments swap in imageio/ffmpeg-backed

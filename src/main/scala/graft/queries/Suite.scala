@@ -1467,6 +1467,52 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l64_int8_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.int8TopK(emb, queries, k = 5, rerank = 20)
+          .select(col("query_id"), col("vec_id"), col("qscore"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      // unit-norm int8 quantization (code = round(127·x/‖x‖)) + the
+      // exact LONG dot of the codes: every step is deterministic double
+      // math then integers, so candidate order AND scores replay
+      // bit-for-bit in any engine
+      Some("""WITH nr AS (SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      y -> y::DOUBLE * y::DOUBLE))) AS nrm FROM embeddings),
+             |cc AS (SELECT vec_id, embedding,
+             |    list_transform(embedding, x ->
+             |      round(x::DOUBLE / nrm * 127)::INT) AS c FROM nr),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe, c AS qc
+             |  FROM cc WHERE vec_id < 3),
+             |scored AS (SELECT q.query_id, c.vec_id,
+             |    list_sum(list_transform(range(1, len(q.qc) + 1),
+             |      i -> q.qc[i]::BIGINT * c.c[i]))::BIGINT AS qscore,
+             |    c.embedding AS ce, q.qe
+             |  FROM cc c CROSS JOIN q),
+             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qscore DESC, vec_id ASC) AS qr FROM scored),
+             |ex AS (SELECT query_id, vec_id, qscore,
+             |    list_sum(list_transform(range(1, len(qe) + 1),
+             |      i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+             |      i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+             |      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos
+             |  FROM cand WHERE qr <= 20),
+             |ranked AS (SELECT query_id, vec_id, qscore,
+             |    round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ex)
+             |SELECT query_id, vec_id, qscore, cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("l45_mean_pool",
       (s, d) => Similarity.meanPool(t(s, d, "embeddings"), "label")
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
@@ -1953,6 +1999,71 @@ object Suite {
           TextFunctions.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id"),
       None),
+
+    Q("l62_winnow",
+      // full winnowing fingerprint SET (SIGMOD'03 / MOSS) on the
+      // portable md5 gram hash — the xxhash64 fast path keeps spec
+      // coverage (WinnowSpec: guarantee + density + fast≡portable shape)
+      (s, d) => t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprintsPortable(col("text")))
+            .as("fingerprint"))
+        .orderBy("doc_id", "fingerprint"),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(toks) < 3
+             |    THEN [('0x' || substr(md5(array_to_string(toks, ' ')),
+             |      1, 15))::BIGINT]
+             |    ELSE list_transform(range(1, len(toks) - 1), i ->
+             |      ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] ||
+             |        ' ' || toks[i+2]), 1, 15))::BIGINT)
+             |    END AS gh FROM tok),
+             |wnd AS (SELECT doc_id, CASE WHEN len(gh) <= 4
+             |    THEN [list_min(gh)]
+             |    ELSE list_transform(range(1, len(gh) - 2),
+             |      j -> list_min(gh[j:j+3]))
+             |    END AS sel FROM g)
+             |SELECT doc_id, unnest(list_distinct(sel)) AS fingerprint
+             |FROM wnd ORDER BY doc_id, fingerprint""".stripMargin)),
+
+    Q("l63_winnow_overlap",
+      // passage-reuse pairs: inverted index over winnowed fingerprints,
+      // boilerplate fingerprints (df > 16) dropped before pairing
+      (s, d) => Dedup.winnowOverlapPairs(t(s, d, "documents"),
+          "text", "doc_id", k = 3, w = 4, minShared = 2, maxDf = 16,
+          portable = true)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(toks) < 3
+             |    THEN [('0x' || substr(md5(array_to_string(toks, ' ')),
+             |      1, 15))::BIGINT]
+             |    ELSE list_transform(range(1, len(toks) - 1), i ->
+             |      ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] ||
+             |        ' ' || toks[i+2]), 1, 15))::BIGINT)
+             |    END AS gh FROM tok),
+             |wnd AS (SELECT doc_id, CASE WHEN len(gh) <= 4
+             |    THEN [list_min(gh)]
+             |    ELSE list_transform(range(1, len(gh) - 2),
+             |      j -> list_min(gh[j:j+3]))
+             |    END AS sel FROM g),
+             |fp AS (SELECT doc_id, unnest(list_distinct(sel)) AS f
+             |  FROM wnd),
+             |keep AS (SELECT f FROM (SELECT f, count(*) AS df FROM fp
+             |    GROUP BY 1) WHERE df <= 16),
+             |cold AS (SELECT fp.doc_id, fp.f FROM fp
+             |  JOIN keep USING (f)),
+             |p AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |    count(*) AS shared_fingerprints
+             |  FROM cold l JOIN cold r
+             |    ON l.f = r.f AND l.doc_id < r.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared_fingerprints FROM p
+             |WHERE shared_fingerprints >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("l12_quota_per_group",
       (s, d) => Curation.quotaPerGroup(
@@ -2548,6 +2659,37 @@ object Suite {
              |    count(*) AS dup_count FROM h GROUP BY 1)
              |SELECT doc_id, media_md5, dup_count
              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    Q("m4_media_neardup",
+      (s, d) => {
+        // perceptual-hash Hamming pairs: the 60-bit md5 stand-in hash
+        // is the codec seam (a real deployment swaps DCT pHash at
+        // decode); the blocked join + hot-bucket degrade is the real
+        // machinery, shared with the text SimHash path — and the md5
+        // hash makes the WHOLE pipeline oracle-able (brute-force twin)
+        // docs have no byte-identical assets at sf0.01, so plant
+        // re-uploads: the first 10 assets again under shifted ids —
+        // the re-upload-detection scenario the operator exists for
+        val docs = t(s, d, "documents")
+          .withColumn("data", encode(col("text"), "UTF-8"))
+          .select(col("doc_id"), col("data"))
+        val store = docs.unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("data")))
+        Multimodal.mediaNearDupPairs(
+            Multimodal.attachMedia(store, "data", "text/plain"), "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH store AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id < 10),
+             |h AS (SELECT doc_id,
+             |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS sig
+             |  FROM store)
+             |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |  bit_count(xor(l.sig, r.sig))::INT AS hamming
+             |FROM h l JOIN h r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("m1_media_bytes",
       (s, d) => {

@@ -38,6 +38,22 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(out.getInt(0) == 2)
   }
 
+  test("vec_dot_int generated code compiles and accumulates in long") {
+    val arrT = ArrayType(IntegerType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(VecDotInt(
+      BoundReference(0, arrT, nullable = true),
+      BoundReference(1, arrT, nullable = true))))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(127, -127, 64)),
+      ArrayData.toArrayData(Array(127, 127, 2))))
+    assert(out.getLong(0) == 127L * 127 - 127L * 127 + 128L)
+    // int overflow territory: 2^15 elements of 127*127 > Int.MaxValue/2
+    val big = Array.fill(1 << 17)(127)
+    val sum = proj(InternalRow(
+      ArrayData.toArrayData(big), ArrayData.toArrayData(big))).getLong(0)
+    assert(sum == (1L << 17) * 127 * 127, "must not wrap at int range")
+  }
+
   test("simhash64 generated code compiles and matches the scalar kernel") {
     val arrT = ArrayType(StringType, containsNull = false)
     val proj = GenerateUnsafeProjection.generate(

@@ -708,4 +708,82 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.filter(col("id") === 1).count() == 4)
     assert(frames.filter(col("id") === 3).count() == 0)
   }
+
+  test("int8 codes are byte-ranged and unit-norm scaled; zero vec guarded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f, 0.0f)),          // norm 5 -> codes (76, 102, 0)
+      (1L, Array(0.0f, 0.0f, 0.0f)),          // zero vector -> zero codes
+      (2L, Array(-1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.int8Codes(vecs)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(76, 102, 0)) // round(127*3/5), round(127*4/5)
+    assert(codes(1L) == Seq(0, 0, 0))
+    assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
+  }
+
+  test("int8 ANN with a full rerank pool reproduces brute force exactly") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val q8 = Similarity.int8TopK(emb, queries, 10, rerank = n)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(q8 == exact)
+  }
+
+  test("int8 ANN served from a persisted code table is identical") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_i8")
+      .toString + "/codes"
+    Similarity.int8Codes(emb).write.parquet(dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity.int8TopK(emb, queries, 10, rerank = 30)
+    val served = Similarity.int8TopK(emb, queries, 10, rerank = 30,
+      codes = Some(spark.read.parquet(dir)))
+    assert(key(served) == key(inline))
+  }
+
+  test("int8 ANN recall beats 1-bit at the same 10% rerank pool") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(emb, queries, 10))
+    val q8 = topSets(Similarity.int8TopK(emb, queries, 10, rerank = 30))
+    val rs = exact.map { case (q, ex) =>
+      q8.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val recall = rs.sum / rs.size
+    // 8-bit codes keep ~7 bits of per-component signal — the candidate
+    // order is near-exact, unlike the 1-bit floor of 0.4 on this data
+    assert(recall >= 0.9, s"int8 recall@10 with 30/300 reranked: $recall")
+  }
+
+  test("media near-dup pairs: identical assets at hamming 0, no false pairs") {
+    import spark.implicits._
+    val bin = Seq(
+      (1L, "same payload bytes"), (2L, "same payload bytes"),
+      (3L, "a different asset"), (4L, "same payload bytes"),
+      (5L, "yet another one")
+    ).map { case (id, s) => (id, s.getBytes("UTF-8")) }.toDF("id", "data")
+    val pairs = Multimodal.mediaNearDupPairs(
+        Multimodal.attachMedia(bin, "data", "image/jpeg"), "id")
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
+  }
 }
