@@ -353,6 +353,46 @@ class PlanShapeSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("winnow overlap: boilerplate drop broadcasts off one cached fork") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Dedup.winnowOverlapPairs(docs, "text", "doc_id")
+    val plan = planOf(df)
+    // the df-census exclusion is a broadcast anti-join; census and both
+    // inverted-index join sides read ONE cached fingerprint
+    // materialization (text fingerprinted once, never re-exploded)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("int8 ANN: candidate scan reads only codes; rerank joins broadcast") {
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_i8p")
+      .toString + "/codes"
+    operators.Similarity.int8Codes(emb).write.parquet(dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val df = operators.Similarity.int8TopK(emb, queries, 5, rerank = 20,
+      codes = Some(spark.read.parquet(dir)))
+    val s = planOf(df)
+    // no sort-merge anywhere: candidates come off the code scan against
+    // a broadcast query set; the rerank fetch broadcasts the tiny
+    // candidate and query lists back onto the raw-vector table
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    // the full-precision embedding column is pruned OUT of the code
+    // scan — the serving path's 4x-bandwidth claim, enforced (string
+    // match: the scan nodes sit under an unfinalized AQE wrapper, so a
+    // collect() over executedPlan cannot reach them)
+    val codeScan = s.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("/codes"))
+      .toSeq
+    assert(codeScan.nonEmpty, s)
+    assert(codeScan.forall(
+      _.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>")), s)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
