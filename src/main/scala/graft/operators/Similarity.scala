@@ -359,4 +359,155 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("qscore"), col("cosine"),
         col("rank"))
   }
+
+  // ---- product quantization ------------------------------------------
+
+  /** x/‖x‖ as array<double> (zero vectors stay zero — the unguarded
+    * division would ANSI-overflow downstream casts). */
+  private def unitNorm(vec: Column): Column = {
+    val n = norm(vec)
+    transform(vec, x => when(n === 0, lit(0d)).otherwise(x / n))
+  }
+
+  /** (j, sub) subvector structs of a unit-normalized vector — the
+    * shared explode shape of the PQ train/encode/query paths. */
+  private def subspaceStructs(vec: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => struct(j.cast("int").as("j"),
+        slice(vec, j * dsub + 1, lit(dsub)).as("__sub")))
+
+  /** Reduced L2² argmin key: ‖c‖² − 2·a·c (the ‖a‖² term is constant
+    * per subvector, so it cannot change the argmin). */
+  private def reducedL2(sub: Column, cb: Column): Column =
+    dot(cb, cb) - lit(2) * dot(sub, cb)
+
+  /** Train a product-quantization codebook (Jégou/Douze/Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * split each unit-normalized vector into `m` subspaces of dim/m
+    * components; per subspace, `ksub` centroids. Seeding is the same
+    * deterministic stride rule as [[seedCentroids]] (each seed row
+    * contributes its j-th slice to sub-codebook j), optionally tightened
+    * by `iters` rounds of per-subspace Lloyd k-means — each round is
+    * one broadcast assign pass + one (j, c, position) mean shuffle,
+    * linear in corpus size. iters=0 keeps the whole pipeline
+    * replayable in plain SQL (the oracle path).
+    *
+    * Output: (j, c, __cb) — m·ksub rows, broadcast-sized by
+    * construction. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    var cb = seedCentroids(corpus, ksub, idCol, vecCol)
+      .select(col("centroid_id").cast("int").as("c"),
+        explode(subspaceStructs(unitNorm(col("__centroid")), m, dsub))
+          .as("__e"))
+      .select(col("__e.j").as("j"), col("c"), col("__e.__sub").as("__cb"))
+    for (_ <- 0 until iters) {
+      val subs = corpus
+        .select(col(idCol),
+          explode(subspaceStructs(unitNorm(col(vecCol)), m, dsub)).as("__e"))
+        .select(col(idCol), col("__e.j").as("j"), col("__e.__sub").as("__sub"))
+      val assigned = subs.join(broadcast(cb), Seq("j"))
+        .withColumn("__rd", reducedL2(col("__sub"), col("__cb")))
+        .groupBy(col(idCol), col("j"))
+        .agg(min_by(struct(col("c"), col("__sub")),
+          struct(col("__rd"), col("c"))).as("__a"))
+        .select(col("j"), col("__a.c").as("c"), col("__a.__sub").as("__sub"))
+      cb = assigned
+        .select(col("j"), col("c"), posexplode(col("__sub")).as(Seq("__p", "__x")))
+        .groupBy(col("j"), col("c"), col("__p"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("j"), col("c"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(col("j"), col("c"),
+          transform(col("__pm"), s => s.getField("__m")).as("__cb"))
+    }
+    cb
+  }
+
+  /** PQ-encode: per vector, per subspace, the L2-nearest sub-centroid
+    * (ties → lower centroid id). Output (id, codes) with codes an
+    * m-length array of centroid ids — m·log₂(ksub) BITS per vector at
+    * rest (8 B at m=8/ksub=256 against 256 B of fp32: a 32× scan-
+    * bandwidth cut, the tier below [[int8Codes]]' 4×). One broadcast
+    * join + one map-side-combined argmin aggregate; vectors shuffle
+    * once as (id, j, subvector) slices. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    val subs = corpus
+      .select(col(idCol),
+        explode(subspaceStructs(unitNorm(col(vecCol)), m, dsub)).as("__e"))
+      .select(col(idCol), col("__e.j").as("j"), col("__e.__sub").as("__sub"))
+    subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("__rd", reducedL2(col("__sub"), col("__cb")))
+      .groupBy(col(idCol), col("j"))
+      .agg(min_by(col("c"), struct(col("__rd"), col("c"))).as("__c"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("__c")))).as("__jc"))
+      .select(col(idCol), transform(col("__jc"), s => s.getField("__c"))
+        .as("codes"))
+  }
+
+  /** ANN top-k via PQ asymmetric distance computation (ADC): per query,
+    * precompute the m×ksub lookup table of dot contributions (query
+    * subvector · sub-centroid — on unit-normalized inputs the summed
+    * contributions approximate cosine), broadcast it, and score each
+    * encoded vector with m table lookups — no float vector is touched
+    * in the candidate scan. Top `rerank` per query then exact-cosine
+    * rerank, the same two-phase tail as [[int8TopK]]/[[binaryTopK]].
+    *
+    * Serving path: persist [[pqEncode]] output once and pass it as
+    * `codes` — the scan reads only (id, m small ints); the LUT build
+    * costs queries·m·ksub dot products of dim/m floats, negligible by
+    * construction. */
+  def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
+      k: Int, rerank: Int, m: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      codes: Option[DataFrame] = None): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank smaller than k=$k")
+    val dsub = dim / m
+    val enc = codes.getOrElse(pqEncode(corpus, codebook, m, dim, idCol, vecCol))
+    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      unitNorm(col(vecCol)).as("__nq"))
+    // LUT: (query, j, c) → dot(query subvector, sub-centroid), folded
+    // to one array<array<double>> row per query (row j, slot c)
+    val lut = qs
+      .select(col(queryIdCol),
+        explode(subspaceStructs(col("__nq"), m, dsub)).as("__e"))
+      .select(col(queryIdCol), col("__e.j").as("j"), col("__e.__sub").as("__sub"))
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("__contrib", dot(col("__sub"), col("__cb")))
+      .groupBy(col(queryIdCol), col("j"))
+      .agg(array_sort(collect_list(struct(col("c"), col("__contrib"))))
+        .as("__cc"))
+      .select(col(queryIdCol), col("j"),
+        transform(col("__cc"), s => s.getField("__contrib")).as("__row"))
+      .groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("__row")))).as("__jr"))
+      .select(col(queryIdCol),
+        transform(col("__jr"), s => s.getField("__row")).as("__lut"))
+    val scored = enc.crossJoin(broadcast(lut))
+      .withColumn("qscore",
+        aggregate(zip_with(col("codes"), col("__lut"),
+          (c, row) => element_at(row, c + 1)), lit(0d), (a, x) => a + x))
+    val wQ = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+    val cand = scored
+      .withColumn("__qr", row_number().over(wQ))
+      .filter(col("__qr") <= rerank)
+      .select(col(queryIdCol), col(idCol), col("qscore"))
+    val exact = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qs.select(col(queryIdCol), col("__qv"))), Seq(queryIdCol))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("qscore"), col("cosine"),
+        col("rank"))
+  }
 }

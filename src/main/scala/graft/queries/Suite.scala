@@ -1513,6 +1513,84 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l65_pq_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // stride-seeded codebook (iters=0) keeps the WHOLE train→encode
+        // →ADC→rerank pipeline SQL-replayable; production tightens it
+        // with iters>0 k-means (PqSpec pins distortion monotonicity)
+        val cb = Similarity.pqTrain(emb, m = 4, ksub = 16, dim = 64)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.pqTopK(emb, cb, queries, k = 5, rerank = 20,
+            m = 4, dim = 64)
+          .select(col("query_id"), col("vec_id"),
+            round(col("qscore"), 6).as("qscore"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH nr AS (SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      y -> y::DOUBLE * y::DOUBLE))) AS nrm FROM embeddings),
+             |nd AS (SELECT vec_id, embedding, list_transform(embedding,
+             |    x -> CASE WHEN nrm = 0 THEN 0 ELSE x::DOUBLE / nrm END)
+             |    AS nv FROM nr),
+             |cnt AS (SELECT greatest(1, count(*) // 16) AS st
+             |  FROM embeddings),
+             |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             |    nv FROM nd WHERE vec_id % (SELECT st FROM cnt) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |cb AS (SELECT t.j, sd.c, sd.nv[t.j*16+1 : t.j*16+16] AS cv
+             |  FROM sd CROSS JOIN range(4) t(j)),
+             |subs AS (SELECT vec_id, t.j, nd.nv[t.j*16+1 : t.j*16+16] AS s
+             |  FROM nd CROSS JOIN range(4) t(j)),
+             |enc0 AS (SELECT s.vec_id, s.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> cb.cv[i] * cb.cv[i])) -
+             |    2 * list_sum(list_transform(range(1, 17),
+             |      i -> s.s[i] * cb.cv[i])) AS rd
+             |  FROM subs s JOIN cb ON s.j = cb.j),
+             |enc AS (SELECT vec_id, j, c FROM (SELECT *, row_number()
+             |    OVER (PARTITION BY vec_id, j ORDER BY rd ASC, c ASC)
+             |    AS rn FROM enc0) WHERE rn = 1),
+             |co AS (SELECT vec_id, list(c ORDER BY j) AS cd FROM enc
+             |  GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe, nv AS qn
+             |  FROM nd WHERE vec_id < 3),
+             |lut0 AS (SELECT q.query_id, cb.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> q.qn[cb.j*16+i] * cb.cv[i])) AS contrib
+             |  FROM q CROSS JOIN cb),
+             |lutr AS (SELECT query_id, j, list(contrib ORDER BY c) AS rw
+             |  FROM lut0 GROUP BY 1, 2),
+             |lut AS (SELECT query_id, list(rw ORDER BY j) AS lt
+             |  FROM lutr GROUP BY 1),
+             |scored AS (SELECT l.query_id, co.vec_id,
+             |    list_sum(list_transform(range(1, 5),
+             |      j -> lt[j][co.cd[j] + 1])) AS qscore
+             |  FROM co CROSS JOIN lut l),
+             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qscore DESC, vec_id ASC) AS qr FROM scored),
+             |ex AS (SELECT c.query_id, c.vec_id, c.qscore,
+             |    list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1,
+             |        len(e.embedding) + 1),
+             |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+             |      AS cos
+             |  FROM cand c JOIN embeddings e USING (vec_id)
+             |  JOIN q ON c.query_id = q.query_id WHERE c.qr <= 20),
+             |ranked AS (SELECT query_id, vec_id,
+             |    round(qscore, 6) AS qscore, round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ex)
+             |SELECT query_id, vec_id, qscore, cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("l45_mean_pool",
       (s, d) => Similarity.meanPool(t(s, d, "embeddings"), "label")
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
