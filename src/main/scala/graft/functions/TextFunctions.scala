@@ -177,6 +177,40 @@ object TextFunctions {
     regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<PHONE>"))
   }
 
+  // ---- markup stripping ----------------------------------------------
+
+  /** HTML/markup → text: drop script/style blocks wholesale (their
+    * content is code, not prose), strip comments and tags, decode the
+    * common entities (`&amp;` LAST, so `&amp;lt;` decodes to the
+    * literal `&lt;` it denotes rather than double-decoding to `<`),
+    * and collapse whitespace. Map-only column algebra — the first
+    * stage of any web-corpus curation chain, before quality scoring
+    * and shingling (tag soup poisons both: `<div>` fragments dominate
+    * n-gram vocabularies and quality features count markup as punct).
+    *
+    * Deliberately RE2-safe regexes (no backreferences, no lookaround)
+    * so the exact transform replays in engines whose regex dialect is
+    * RE2 — the oracle story, same spirit as the portable md5 hashes.
+    * This is a curation-grade extractor, not a spec-complete HTML
+    * parser: CDATA, conditional comments and malformed nesting are out
+    * of scope (a production readability pass plugs in at the same
+    * column seam). */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      lit("(?is)<script\\b[^>]*>.*?</script\\s*>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style\\b[^>]*>.*?</style\\s*>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noComment, lit("(?s)<[^>]+>"), lit(" "))
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) =>
+        // entity strings contain no regex metacharacters — the same
+        // literal pattern string replays under both Java regex and RE2
+        regexp_replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(ent, lit("\\s+"), lit(" ")))
+  }
+
   // ---- fingerprinting ------------------------------------------------
 
   /** Whole-document content fingerprint (normalized token stream hash). */

@@ -472,10 +472,17 @@ object Similarity {
     val enc = codes.getOrElse(pqEncode(corpus, codebook, m, dim, idCol, vecCol))
     val qs = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
       unitNorm(col(vecCol)).as("__nq"))
-    // LUT: (query, j, c) → dot(query subvector, sub-centroid), folded
-    // to one array<array<double>> row per query (row j, slot c)
-    val lut = qs
-      .select(col(queryIdCol),
+    val scored = enc.crossJoin(broadcast(adcLut(qs, codebook, m, dsub, queryIdCol)))
+      .withColumn("qscore", adcScore(col("codes"), col("__lut")))
+    pqRerank(scored, corpus, qs, k, rerank, idCol, vecCol, queryIdCol)
+  }
+
+  /** ADC lookup tables: one (query, __lut) row, __lut an m×ksub
+    * array<array<double>> of dot(query subvector, sub-centroid) —
+    * row j, slot c. Broadcast-sized: queries·m·ksub doubles. */
+  private def adcLut(qs: DataFrame, codebook: DataFrame, m: Int,
+      dsub: Int, queryIdCol: String): DataFrame =
+    qs.select(col(queryIdCol),
         explode(subspaceStructs(col("__nq"), m, dsub)).as("__e"))
       .select(col(queryIdCol), col("__e.j").as("j"), col("__e.__sub").as("__sub"))
       .join(broadcast(codebook), Seq("j"))
@@ -489,10 +496,18 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("j"), col("__row")))).as("__jr"))
       .select(col(queryIdCol),
         transform(col("__jr"), s => s.getField("__row")).as("__lut"))
-    val scored = enc.crossJoin(broadcast(lut))
-      .withColumn("qscore",
-        aggregate(zip_with(col("codes"), col("__lut"),
-          (c, row) => element_at(row, c + 1)), lit(0d), (a, x) => a + x))
+
+  /** Σⱼ lut[j][codes[j]] — m table lookups, no vector math. */
+  private def adcScore(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, row) => element_at(row, c + 1)),
+      lit(0d), (a, x) => a + x)
+
+  /** Shared tail: top-`rerank` by ADC score per query, then exact-
+    * cosine rerank of that pool via broadcast-back to the raw-vector
+    * table. */
+  private def pqRerank(scored: DataFrame, corpus: DataFrame, qs: DataFrame,
+      k: Int, rerank: Int, idCol: String, vecCol: String,
+      queryIdCol: String): DataFrame = {
     val wQ = Window.partitionBy(col(queryIdCol))
       .orderBy(col("qscore").desc, col(idCol).asc)
     val cand = scored
@@ -509,5 +524,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("qscore"), col("cosine"),
         col("rank"))
+  }
+
+  /** IVF-PQ — the standard large-scale ANN architecture: IVF cells
+    * prune WHICH vectors are scored (nprobe/nlist of the corpus),
+    * PQ codes prune WHAT is read per scored vector (m small ints).
+    * `cells` is [[assignCells]] output; candidates are scored by ADC
+    * against the probed queries' lookup tables and the oversampled
+    * pool is exact-cosine reranked, so a miss costs recall, never a
+    * wrong score.
+    *
+    * Serving shape: persist the coded index ONCE — `pqEncode` joined
+    * with the (id, centroid_id) assignment, written partitioned by
+    * `centroid_id` (the [[IvfIndex]]/[[LshIndex]] pattern gives
+    * file-level pruning of unprobed cells) — and pass it as
+    * `codedCells`; the candidate scan then reads only (id, cell,
+    * m ints) for probed cells, touching neither raw vectors nor
+    * unprobed files. Inline (None), the encode costs one broadcast
+    * pass over `cells`. */
+  def ivfPqTopK(cells: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, k: Int, rerank: Int,
+      nprobe: Int, m: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      codedCells: Option[DataFrame] = None): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank smaller than k=$k")
+    val dsub = dim / m
+    val enc = codedCells.getOrElse(
+      pqEncode(cells, codebook, m, dim, idCol, vecCol)
+        .join(cells.select(col(idCol), col("centroid_id")), Seq(idCol)))
+    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      unitNorm(col(vecCol)).as("__nq"))
+    // nprobe nearest cells per query (same rule as ivfTopK), carrying
+    // the query's ADC table — the broadcast side is queries × nprobe
+    // rows of (cell, m·ksub doubles)
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = qs.select(col(queryIdCol), col("__qv"))
+      .join(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("centroid_id"))
+    val probeLut = probes
+      .join(adcLut(qs, codebook, m, dsub, queryIdCol), Seq(queryIdCol))
+    val scored = enc.join(broadcast(probeLut), Seq("centroid_id"))
+      .withColumn("qscore", adcScore(col("codes"), col("__lut")))
+    pqRerank(scored, cells, qs, k, rerank, idCol, vecCol, queryIdCol)
   }
 }

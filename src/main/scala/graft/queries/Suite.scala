@@ -1591,6 +1591,126 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l67_ivfpq_ann",
+      (s, d) => {
+        // IVF-PQ: cells prune WHICH vectors are scored, codes prune
+        // WHAT is read per vector; ADC + exact rerank. Every stage is
+        // deterministic, so the full composition replays in SQL.
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.seedCentroids(emb, 16)
+        val cells = Similarity.assignCells(emb, cents)
+        val cb = Similarity.pqTrain(emb, m = 4, ksub = 16, dim = 64)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfPqTopK(cells, cents, cb, queries, k = 5,
+            rerank = 20, nprobe = 4, m = 4, dim = 64)
+          .select(col("query_id"), col("vec_id"),
+            round(col("qscore"), 6).as("qscore"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1
+             |      AS centroid_id, embedding AS ce FROM embeddings
+             |  WHERE vec_id % greatest(1,
+             |    (SELECT count(*) FROM embeddings) // 16) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |asg AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT vec_id, centroid_id, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id
+             |      ASC) AS rn
+             |    FROM (SELECT c.vec_id, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(
+             |        range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+             |       * sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM embeddings c CROSS JOIN cent t))
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, centroid_id FROM (
+             |    SELECT query_id, centroid_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, centroid_id
+             |      ASC) AS rn
+             |    FROM (SELECT qq.vec_id AS query_id, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(qq.embedding) + 1),
+             |        i -> qq.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(
+             |        range(1, len(qq.embedding) + 1),
+             |        i -> qq.embedding[i]::DOUBLE *
+             |          qq.embedding[i]::DOUBLE))) *
+             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM embeddings qq CROSS JOIN cent t
+             |      WHERE qq.vec_id < 3))
+             |  WHERE rn <= 4),
+             |nr AS (SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      y -> y::DOUBLE * y::DOUBLE))) AS nrm FROM embeddings),
+             |nd AS (SELECT vec_id, embedding, list_transform(embedding,
+             |    x -> CASE WHEN nrm = 0 THEN 0 ELSE x::DOUBLE / nrm END)
+             |    AS nv FROM nr),
+             |cnt AS (SELECT greatest(1, count(*) // 16) AS st
+             |  FROM embeddings),
+             |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             |    nv FROM nd WHERE vec_id % (SELECT st FROM cnt) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |cb AS (SELECT t.j, sd.c, sd.nv[t.j*16+1 : t.j*16+16] AS cv
+             |  FROM sd CROSS JOIN range(4) t(j)),
+             |subs AS (SELECT vec_id, t.j, nd.nv[t.j*16+1 : t.j*16+16] AS s
+             |  FROM nd CROSS JOIN range(4) t(j)),
+             |enc0 AS (SELECT s.vec_id, s.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> cb.cv[i] * cb.cv[i])) -
+             |    2 * list_sum(list_transform(range(1, 17),
+             |      i -> s.s[i] * cb.cv[i])) AS rd
+             |  FROM subs s JOIN cb ON s.j = cb.j),
+             |enc AS (SELECT vec_id, j, c FROM (SELECT *, row_number()
+             |    OVER (PARTITION BY vec_id, j ORDER BY rd ASC, c ASC)
+             |    AS rn FROM enc0) WHERE rn = 1),
+             |co AS (SELECT vec_id, list(c ORDER BY j) AS cd FROM enc
+             |  GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe, nv AS qn
+             |  FROM nd WHERE vec_id < 3),
+             |lut0 AS (SELECT q.query_id, cb.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> q.qn[cb.j*16+i] * cb.cv[i])) AS contrib
+             |  FROM q CROSS JOIN cb),
+             |lutr AS (SELECT query_id, j, list(contrib ORDER BY c) AS rw
+             |  FROM lut0 GROUP BY 1, 2),
+             |lut AS (SELECT query_id, list(rw ORDER BY j) AS lt
+             |  FROM lutr GROUP BY 1),
+             |scored AS (SELECT p.query_id, a.vec_id,
+             |    list_sum(list_transform(range(1, 5),
+             |      j -> lt[j][co.cd[j] + 1])) AS qscore
+             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+             |  JOIN co ON co.vec_id = a.vec_id
+             |  JOIN lut l ON l.query_id = p.query_id),
+             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qscore DESC, vec_id ASC) AS qr FROM scored),
+             |ex AS (SELECT c.query_id, c.vec_id, c.qscore,
+             |    list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1,
+             |        len(e.embedding) + 1),
+             |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+             |      AS cos
+             |  FROM cand c JOIN embeddings e USING (vec_id)
+             |  JOIN q ON c.query_id = q.query_id WHERE c.qr <= 20),
+             |ranked AS (SELECT query_id, vec_id,
+             |    round(qscore, 6) AS qscore, round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ex)
+             |SELECT query_id, vec_id, qscore, cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("l45_mean_pool",
       (s, d) => Similarity.meanPool(t(s, d, "embeddings"), "label")
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
@@ -2142,6 +2262,50 @@ object Suite {
              |SELECT id_a, id_b, shared_fingerprints FROM p
              |WHERE shared_fingerprints >= 2
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("l66_strip_markup",
+      (s, d) => {
+        // documents carry no markup, so wrap each one in a synthetic
+        // page (style, script, comment, tags, entities) and strip it
+        // back out — the round trip exercises every rule against real
+        // corpus text. RE2-safe regexes make the transform replayable.
+        val wrapped = concat(
+          lit("<html><head><style>body{color:red}</style>" +
+            "<script>var x=1&&2;</script></head><body><p class=\"a\">"),
+          col("text"),
+          lit("</p><!-- footer --><div>&amp; &lt;tail&gt;</div>" +
+            "</body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.stripMarkup(wrapped).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    '<html><head><style>body{color:red}</style>' ||
+             |    '<script>var x=1&&2;</script></head><body><p class="a">'
+             |    || text ||
+             |    '</p><!-- footer --><div>&amp; &lt;tail&gt;</div>' ||
+             |    '</body></html>' AS h FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(h,
+             |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h
+             |  FROM w),
+             |s2 AS (SELECT doc_id, regexp_replace(h,
+             |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(h,
+             |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(h,
+             |    '(?s)<[^>]+>', ' ', 'g') AS h FROM s3),
+             |e AS (SELECT doc_id, regexp_replace(regexp_replace(
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_replace(h,
+             |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+             |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS h
+             |  FROM s4)
+             |SELECT doc_id,
+             |  trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+             |FROM e ORDER BY doc_id""".stripMargin)),
 
     Q("l12_quota_per_group",
       (s, d) => Curation.quotaPerGroup(

@@ -709,6 +709,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.filter(col("id") === 3).count() == 0)
   }
 
+  test("stripMarkup: tags/script/style/comments out, entities decoded once") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<html><body><p>Hello <b>world</b></p></body></html>", "Hello world"),
+      ("<script>var x = '<p>not text</p>';</script>after", "after"),
+      ("<style type=\"text/css\">p { color: red }</style>styled", "styled"),
+      ("before<!-- a > comment -->after", "before after"),
+      ("fish &amp; chips &lt;cheap&gt;", "fish & chips <cheap>"),
+      // &amp;lt; denotes the literal string "&lt;" — amp decodes LAST,
+      // and the result must NOT be decoded again
+      ("literal &amp;lt; stays", "literal &lt; stays"),
+      ("a\n\n  b\t c", "a b c"),
+      ("it&#39;s &quot;quoted&quot;&nbsp;here", "it's \"quoted\" here"))
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), graft.functions.TextFunctions.stripMarkup(col("t")))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("int8 codes are byte-ranged and unit-norm scaled; zero vec guarded") {
     import spark.implicits._
     val vecs = Seq(

@@ -74,6 +74,46 @@ class PqSpec extends SparkSpec {
     assert(key(served) == key(inline))
   }
 
+  test("IVF-PQ at full probe and full pool reproduces brute force exactly") {
+    val n = emb.count().toInt
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cells = Similarity.assignCells(emb, cents)
+    val cb = Similarity.pqTrain(emb, m = 4, ksub = 16, dim = 64)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.ivfPqTopK(cells, cents, cb, queries, 10,
+        rerank = n, nprobe = 16, m = 4, dim = 64)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("IVF-PQ served from a persisted coded index is identical") {
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cells = Similarity.assignCells(emb, cents)
+    val cb = Similarity.pqTrain(emb, m = 4, ksub = 16, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .toString + "/index"
+    // the serving layout: codes + cell assignment, partitioned by cell
+    Similarity.pqEncode(emb, cb, m = 4, dim = 64)
+      .join(cells.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .write.partitionBy("centroid_id").parquet(dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity.ivfPqTopK(cells, cents, cb, queries, 10,
+      rerank = 30, nprobe = 4, m = 4, dim = 64)
+    val served = Similarity.ivfPqTopK(cells, cents, cb, queries, 10,
+      rerank = 30, nprobe = 4, m = 4, dim = 64,
+      codedCells = Some(spark.read.parquet(dir)))
+    assert(key(served) == key(inline))
+  }
+
   test("k-means refinement lowers quantization distortion, keeps recall sane") {
     def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
       // total L2² of each subvector to its assigned centroid: the
