@@ -95,7 +95,14 @@ object Bench {
         "l46_epoch_shuffle", "l48_quality_band", "l49_dsir_topk",
         "l50_bpe_fertility",
         "l5_cosine_topk", "l6_ivf_ann", "l11_embedding_neardup",
-        "l40_binary_ann", "l45_mean_pool")
+        "l40_binary_ann", "l45_mean_pool",
+        // round-5 additions: winnow overlap (df-capped inverted index),
+        // markup strip (map-only), int8 + IVF-PQ ANN (both linear
+        // scans at fixed index params — candidate volume, not pair
+        // volume, so fixed-nlist 10x is the RIGHT rehearsal here,
+        // unlike the O(n²/nlist) semdedup/knn-graph family)
+        "l62_winnow", "l63_winnow_overlap", "l64_int8_ann",
+        "l66_strip_markup", "l67_ivfpq_ann")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

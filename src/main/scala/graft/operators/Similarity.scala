@@ -193,6 +193,57 @@ object Similarity {
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-label propagation over an undirected similarity graph (the
+    * iterative majority-vote scheme of Zhu & Ghahramani 2002 / Raghavan
+    * et al. 2007, unweighted): seed nodes keep their label; every other
+    * node adopts, each round, the MAJORITY label among its currently-
+    * labeled neighbors (ties → smallest label). The curation use:
+    * extend a small set of human quality/topic labels across the whole
+    * corpus along [[knnGraph]] edges — labels reach an r-hop
+    * neighborhood after r rounds; nodes still unreached stay null.
+    *
+    * Unweighted votes keep every round EXACT integer arithmetic (a
+    * cosine-weighted vote would make the winner depend on float
+    * summation order), so the full propagation replays in SQL.
+    *
+    * Scale shape: the edge list is symmetrized + distinct ONCE
+    * (localCheckpoint — every round reuses it without replay); each
+    * round is one (node, label) join + a map-side-combined count and
+    * an argmax agg — shuffles carry (node, label, count) triples,
+    * never vectors. Rounds checkpoint so iteration r's plan doesn't
+    * embed rounds 1..r-1 (the [[Dedup.components]] discipline). */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, iters: Int,
+      srcCol: String = "src_id", dstCol: String = "nbr_id",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+      // a mutual top-k edge appears in both directions — without the
+      // distinct it would vote twice
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("__a").as(idCol)).distinct()
+    val seed = seeds.select(col(idCol), col(labelCol).as("__seed"))
+    var cur = nodes.join(seed, Seq(idCol), "left")
+      .select(col(idCol), col("__seed").as("__lab"))
+    for (_ <- 0 until iters) {
+      val votes = sym
+        .join(cur.filter(col("__lab").isNotNull)
+          .select(col(idCol).as("__b"), col("__lab")), Seq("__b"))
+        .groupBy(col("__a"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+      // struct(-count, label) min = highest count, tie → smallest
+      // label; works for any orderable label type
+      val win = votes.groupBy(col("__a"))
+        .agg(min_by(col("__lab"),
+          struct((-col("__c")).as("__nc"), col("__lab"))).as("__w"))
+        .select(col("__a").as(idCol), col("__w"))
+      cur = nodes.join(seed, Seq(idCol), "left")
+        .join(win, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__seed"), col("__w")).as("__lab"))
+        .localCheckpoint()
+    }
+    cur.select(col(idCol), col("__lab").as(labelCol))
+  }
+
   /** Random-hyperplane LSH bit signature (cosine-preserving) packed into
     * a long; deterministic seeded planes (native codegen expression —
     * [[graft.functions.HyperplaneSig]]). Bucket-join docs sharing a

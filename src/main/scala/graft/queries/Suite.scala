@@ -1711,6 +1711,69 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l68_label_prop",
+      (s, d) => {
+        // spread sparse seed labels (every 10th vector keeps its true
+        // label) across the EXACT 3-NN graph for two majority rounds —
+        // unweighted votes keep every round integer-exact, so the
+        // whole propagation replays in SQL
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.seedCentroids(emb, nlist = 8)
+        val cells = Similarity.assignCells(emb, cents)
+        val graph = Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+        val seeds = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id"), col("label"))
+        Similarity.labelPropagate(graph, seeds, iters = 2,
+            idCol = "vec_id", labelCol = "label")
+          .select(col("vec_id"),
+            coalesce(col("label"), lit(-1)).cast("int").as("label"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH scored AS (SELECT a.vec_id AS src_id,
+             |    b.vec_id AS nbr_id,
+             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+             |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+             |    AS cos
+             |  FROM embeddings a CROSS JOIN embeddings b
+             |  WHERE a.vec_id <> b.vec_id),
+             |knn AS (SELECT src_id, nbr_id FROM (SELECT src_id, nbr_id,
+             |    row_number() OVER (PARTITION BY src_id
+             |      ORDER BY cos DESC, nbr_id ASC) AS rank FROM scored)
+             |  WHERE rank <= 3),
+             |sym AS (SELECT src_id AS a, nbr_id AS b FROM knn
+             |  UNION SELECT nbr_id, src_id FROM knn),
+             |nodes AS (SELECT DISTINCT a FROM sym),
+             |sd AS (SELECT vec_id, label FROM embeddings
+             |  WHERE vec_id % 10 = 0),
+             |c0 AS (SELECT n.a AS vec_id, s.label AS lab FROM nodes n
+             |  LEFT JOIN sd s ON s.vec_id = n.a),
+             |v1 AS (SELECT y.a, c.lab, count(*) AS c FROM sym y
+             |  JOIN c0 c ON y.b = c.vec_id WHERE c.lab IS NOT NULL
+             |  GROUP BY 1, 2),
+             |w1 AS (SELECT a, lab FROM (SELECT a, lab, row_number()
+             |    OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+             |  FROM v1) WHERE rn = 1),
+             |c1 AS (SELECT n.a AS vec_id, coalesce(s.label, w.lab)
+             |    AS lab FROM nodes n
+             |  LEFT JOIN sd s ON s.vec_id = n.a
+             |  LEFT JOIN w1 w ON w.a = n.a),
+             |v2 AS (SELECT y.a, c.lab, count(*) AS c FROM sym y
+             |  JOIN c1 c ON y.b = c.vec_id WHERE c.lab IS NOT NULL
+             |  GROUP BY 1, 2),
+             |w2 AS (SELECT a, lab FROM (SELECT a, lab, row_number()
+             |    OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+             |  FROM v2) WHERE rn = 1),
+             |c2 AS (SELECT n.a AS vec_id, coalesce(s.label, w.lab)
+             |    AS lab FROM nodes n
+             |  LEFT JOIN sd s ON s.vec_id = n.a
+             |  LEFT JOIN w2 w ON w.a = n.a)
+             |SELECT vec_id, coalesce(lab, -1)::INT AS label
+             |FROM c2 ORDER BY vec_id""".stripMargin)),
+
     Q("l45_mean_pool",
       (s, d) => Similarity.meanPool(t(s, d, "embeddings"), "label")
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))

@@ -793,6 +793,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall@10 with 30/300 reranked: $recall")
   }
 
+  test("label propagation: majority vote, tie to smallest, seeds immutable") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds at the ends
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src_id", "nbr_id")
+    val seeds = Seq((1L, 0), (5L, 1)).toDF("id", "label")
+    def labs(iters: Int) =
+      Similarity.labelPropagate(edges, seeds, iters)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val one = labs(1)
+    assert(one(2L).contains(0) && one(4L).contains(1))
+    assert(one(3L).isEmpty, "center is 2 hops from any seed")
+    val two = labs(2)
+    // round 2: node 3 sees 0 (from 2) and 1 (from 4) — tie → smallest
+    assert(two(3L).contains(0))
+    assert(two(1L).contains(0) && two(5L).contains(1), "seeds never move")
+
+    // majority beats minority; mutual (duplicated-direction) edges
+    // vote once
+    val star = Seq((10L, 11L), (11L, 10L), (10L, 12L), (10L, 13L))
+      .toDF("src_id", "nbr_id")
+    val sSeeds = Seq((11L, 1), (12L, 1), (13L, 0)).toDF("id", "label")
+    val got = Similarity.labelPropagate(star, sSeeds, 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(10L).contains(1), s"2:1 majority must win, got $got")
+  }
+
   test("media near-dup pairs: identical assets at hamming 0, no false pairs") {
     import spark.implicits._
     val bin = Seq(
