@@ -69,6 +69,41 @@ object QualityModel {
     }
   }
 
+  /** Exact ROC-AUC of a score against binary labels — the standard
+    * "did the quality filter actually separate good from bad" number,
+    * computed distributed via the Mann–Whitney rank identity:
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+    *     = Σₛ nPos(s)·(2·cumNeg(<s) + nNeg(s)) / (2·n₁·n₀).
+    * All sums are exact LONG arithmetic (order-free — no float
+    * accumulation), divided once at the end, so the value replays
+    * bit-for-bit in any engine.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus
+    * to one row per DISTINCT score before the prefix-sum window — pass
+    * a discretized score (e.g. micro-units, the engine's fixed-point
+    * convention) so distinct-score cardinality is bounded; the window
+    * then runs over a band-histogram, not the corpus. Output: one row
+    * (auc, n_pos, n_neg). Degenerate single-class inputs yield null. */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__np"),
+        sum(lit(1L) - col("__y")).as("__nn"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("__cumn",
+      coalesce(sum(col("__nn")).over(w), lit(0L)))
+    c.agg(
+        sum(col("__np") * (lit(2) * col("__cumn") + col("__nn"))).as("__u2"),
+        sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"))
+      .select(
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(col("__u2").cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg"))).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Fit logistic regression over [[features]] on a labeled sample
     * (`labelCol` ∈ {0, 1}) and return (intercept, weights) for
     * [[score]]. MLlib runs HERE only — the sample is small by

@@ -2760,6 +2760,56 @@ object Suite {
              |SELECT doc_id, round(1 / (1 + exp(-zz)), 6) AS quality
              |FROM z ORDER BY doc_id""".stripMargin)),
 
+    Q("l69_quality_auc",
+      (s, d) => {
+        // evaluate the frozen-weight quality filter: exact ROC-AUC of
+        // micro-unit scores against an English-language label. Long
+        // rank sums + one final division — engine-exact by design
+        val docs = t(s, d, "documents")
+        val micro = round(QualityModel.score(col("text"),
+          Seq(0.3, -0.1, 1.2, -2.0, -1.5), intercept = -0.5) * 1e6)
+          .cast("long")
+        QualityModel.rocAuc(docs, micro,
+            (col("lang") === "en").cast("int"))
+          .select(round(col("auc"), 6).as("auc"),
+            col("n_pos"), col("n_neg"))
+      },
+      Some("""WITH c AS (SELECT doc_id, lang, lower(trim(text)) AS cl
+             |  FROM documents),
+             |f AS (SELECT doc_id, lang, cl, list_filter(
+             |    string_split_regex(cl, '\s+'), x -> len(x) > 0) AS toks
+             |  FROM c),
+             |g AS (SELECT doc_id, lang,
+             |    CAST(len(toks) AS DOUBLE) AS n,
+             |    CAST(len(cl) AS DOUBLE) AS nc,
+             |    CAST(len(list_filter(toks, t -> list_contains(
+             |      ['the','of','and','to','in','a','is','for','on','that'],
+             |      t))) AS DOUBLE) AS nstop,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist,
+             |    CAST(len(regexp_replace(cl, '[^a-z0-9 ]', '', 'g'))
+             |      AS DOUBLE) AS nal
+             |  FROM f),
+             |z AS (SELECT doc_id, lang, -0.5
+             |    + 0.3 * ln(n + 1)
+             |    - 0.1 * (nc / greatest(n, 1))
+             |    + 1.2 * (nstop / greatest(n, 1))
+             |    - 2.0 * ((nc - nal) / greatest(nc, 1))
+             |    - 1.5 * (CASE WHEN n = 0 THEN 0 ELSE 1 - ndist / n END)
+             |    AS zz FROM g),
+             |m AS (SELECT round(1/(1+exp(-zz)) * 1000000)::BIGINT AS s,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM z),
+             |gg AS (SELECT s, sum(y)::BIGINT AS np,
+             |    sum(1 - y)::BIGINT AS nn FROM m GROUP BY s),
+             |cc AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY s
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0)::BIGINT AS cumn FROM gg)
+             |SELECT round(sum(np * (2*cumn + nn))::DOUBLE /
+             |    (2 * (SELECT sum(np) FROM gg) *
+             |     (SELECT sum(nn) FROM gg)), 6) AS auc,
+             |  (SELECT sum(np) FROM gg)::BIGINT AS n_pos,
+             |  (SELECT sum(nn) FROM gg)::BIGINT AS n_neg
+             |FROM cc""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

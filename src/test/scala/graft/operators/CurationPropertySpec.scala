@@ -37,6 +37,29 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee holds on arbitrary docs with planted shared runs") {
+    import graft.functions.TextFunctions
+    // random word soup around a shared run of exactly w+k-1 tokens
+    // planted at a random position in both docs — the paper's theorem:
+    // the run must produce >= 1 shared fingerprint, whatever surrounds it
+    val (k, w) = (3, 4)
+    val word = Gen.choose(0, 9999).map(i => s"w$i")
+    val run = (1 to (w + k - 1)).map(i => s"run$i").mkString(" ")
+    val pad = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val docPair = for {
+      a1 <- pad; a2 <- pad; b1 <- pad; b2 <- pad
+    } yield ((a1 :+ run) ++ a2).mkString(" ") ->
+      ((b1 :+ run) ++ b2).mkString(" ")
+    forSamples(docPair, n = 8) { case (da, db) =>
+      val fps = Seq((1L, da), (2L, db)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.winnowFingerprints(col("text"), k, w).as("fp"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty,
+        s"planted ${w + k - 1}-token run produced no shared fingerprint:\n$da\n$db")
+    }
+  }
+
   test("dedupLinesWithinDoc == quadratic first-occurrence definition; " +
       "50k-line doc stays in the fast path") {
     // equivalence: the sort-based plan must match the direct O(L²)

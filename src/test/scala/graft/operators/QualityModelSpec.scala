@@ -22,6 +22,26 @@ class QualityModelSpec extends SparkSpec {
     (clean.map((_, 1.0)) ++ junk.map((_, 0.0))).toDF("text", "label")
   }
 
+  test("rocAuc: perfect, inverted, all-tied, and brute-force cross-check") {
+    def auc(pairs: Seq[(Long, Int)]): Option[Double] = {
+      val r = QualityModel.rocAuc(pairs.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(auc(Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0))).contains(1.0))
+    assert(auc(Seq((1L, 1), (2L, 1), (8L, 0), (9L, 0))).contains(0.0))
+    assert(auc(Seq((5L, 1), (5L, 0), (5L, 1), (5L, 0))).contains(0.5))
+    assert(auc(Seq((1L, 1), (2L, 1))).isEmpty, "single class -> null")
+    // brute-force pair identity on a mixed case with ties
+    val data = Seq((3L, 1), (3L, 0), (7L, 1), (1L, 0), (5L, 0), (9L, 1),
+      (5L, 1), (1L, 1))
+    val pos = data.filter(_._2 == 1).map(_._1)
+    val neg = data.filter(_._2 == 0).map(_._1)
+    val expected = pos.flatMap(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum / (pos.size * neg.size)
+    assert(auc(data).contains(expected))
+  }
+
   test("train separates weak labels; column score == MLlib probability") {
     val (b, w) = QualityModel.train(sample, "text", "label")
     val scored = sample
