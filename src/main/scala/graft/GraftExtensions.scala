@@ -115,6 +115,17 @@ object GraftExtensions {
       val n = if (args.length > 1)
         intLit(args(1), "rolling_fingerprint", "n") else 3
       expression(TextFunctions.rollingFingerprint(column(args.head), n)) },
+    "strip_markup" ->
+      composed("strip_markup", 1)(c => TextFunctions.stripMarkup(c.head)),
+    "winnow_fingerprints" -> { args =>
+      arityIn("winnow_fingerprints", args, 1 to 3)
+      val k = if (args.length > 1)
+        intLit(args(1), "winnow_fingerprints", "k") else 3
+      val w = if (args.length > 2)
+        intLit(args(2), "winnow_fingerprints", "w") else 4
+      expression(TextFunctions.winnowFingerprints(column(args.head), k, w)) },
+    "vec_dot_int" -> { args =>
+      arity("vec_dot_int", args, 2); VecDotInt(args(0), args(1)) },
     "surrogate_key" -> { args =>
       require(args.nonEmpty, "surrogate_key expects at least 1 argument")
       expression(Keys.surrogateKey(args.map(column): _*)) },

@@ -63,6 +63,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql(2).getAs[String]("red").contains("<EMAIL>"))
   }
 
+  test("round-5 additions callable from SQL, equal to the Scala API") {
+    ready
+    import graft.functions.TextFunctions
+    val sql = spark.sql(
+      """SELECT id,
+        |  strip_markup('<p>' || text || '</p> &amp; tail') AS clean,
+        |  winnow_fingerprints(text) AS fp,
+        |  winnow_fingerprints(text, 2, 3) AS fp23,
+        |  vec_dot_int(array(1, 2, 3), array(4, 5, 6)) AS di
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val api = spark.table("ext_docs")
+      .select(col("id"),
+        TextFunctions.stripMarkup(
+          concat(lit("<p>"), col("text"), lit("</p> &amp; tail"))).as("clean"),
+        TextFunctions.winnowFingerprints(col("text")).as("fp"),
+        TextFunctions.winnowFingerprints(col("text"), 2, 3).as("fp23"),
+        lit(32L).as("di"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+    assert(sql.head.getAs[String]("clean").endsWith("& tail"))
+  }
+
   test("hyperplane_sig from SQL buckets identical vectors together") {
     ready
     val rows = spark.sql(
