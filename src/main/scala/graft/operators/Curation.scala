@@ -187,6 +187,111 @@ object Curation {
         min(col("cnt")).over(w) * (width + 1) > n)
   }
 
+  /** Per-source "data card" — the governance summary a corpus release
+    * ships (docs, token/char mass, language mix, mean quality,
+    * exact-duplicate rate), one row per source. All masses accumulate
+    * as exact LONGs (quality in its native micro-units, language via
+    * an en-indicator count) and each output ratio is a single final
+    * division — order-free, engine-replayable.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus
+    * for every metric except the duplicate rate, which needs distinct
+    * text hashes per source — a two-level (source, hash) → source
+    * aggregation whose first level collapses duplicates map-side, so
+    * the second shuffle carries one row per distinct text. Text never
+    * shuffles; the card is #sources rows. */
+  def dataCard(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum((TextFunctions.langId(col(textCol)) === "en").cast("long"))
+          .as("__n_en"),
+        sum(round(TextFunctions.qualityScore(col(textCol)) * 1e6)
+          .cast("long")).as("__q_micro"))
+    val distinctTexts = df
+      .select(col(groupCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy(col(groupCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_distinct"))
+    base.join(distinctTexts, Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        (col("__n_en").cast("double") / col("n_docs")).as("english_frac"),
+        (col("__q_micro").cast("double") / lit(1e6) / col("n_docs"))
+          .as("mean_quality"),
+        (lit(1.0) - col("__n_distinct").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020, JMLR §3.1.4): mask
+    * contiguous token spans with numbered sentinels and emit the
+    * (corrupted input, target) pair a denoising objective trains on —
+    * `"the <extra_id_0> sat on"` / `"<extra_id_0> cat"`.
+    *
+    * Span placement is PORTABLE pseudo-randomness (the engine-wide
+    * md5 trick, seeded per (seed, doc, position)): a position opens a
+    * span with probability density/spanLen, the span covers the next
+    * `spanLen` tokens, and overlapping spans merge — so the masked
+    * fraction approaches `density` and the whole draw replays in any
+    * engine, run-to-run identical (reproducible training data by
+    * construction). Sentinels number left to right from 0; documents
+    * with nothing masked emit an empty target.
+    *
+    * Scale shape: explode to (doc, pos, token), one hash per position
+    * map-side, then per-doc window functions (span widening = a
+    * rows-between max, run starts = lag, sentinel ids = running sum)
+    * over a single doc-keyed shuffle, and one groupBy to reassemble —
+    * no state grows with document count, and only (doc, pos, token)
+    * rows move. */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+      density: Double = 0.15, spanLen: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    import graft.functions.TextFunctions
+    require(density > 0 && density < 1, "density in (0,1)")
+    require(spanLen >= 1, "spanLen >= 1")
+    val cut = portableCut(density / spanLen)
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val hashed = toks.withColumn("__u",
+        conv(substring(md5(concat_ws(":", lit(seed), col(idCol),
+          col("__pos"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("__start", (col("__u") < lit(cut)).cast("int"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wSpan = wDoc.rowsBetween(-(spanLen - 1), 0)
+    val runs = hashed
+      .withColumn("__m", max(col("__start")).over(wSpan) === 1)
+      .withColumn("__rs",
+        col("__m") && !coalesce(lag(col("__m"), 1).over(wDoc), lit(false)))
+      .withColumn("__sid",
+        sum(col("__rs").cast("int"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    def assemble(pieces: DataFrame, out: String): DataFrame =
+      pieces.groupBy(col(idCol)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__piece")))),
+          s => s.getField("__piece")), " ").as(out))
+    val inputs = assemble(runs.filter(!col("__m") || col("__rs"))
+      .select(col(idCol), col("__pos"),
+        when(col("__rs"),
+          concat(lit("<extra_id_"), col("__sid"), lit(">")))
+          .otherwise(col("__tok")).as("__piece")), "corrupted")
+    val targets = assemble(runs.filter(col("__m"))
+      .select(col(idCol), col("__pos"),
+        when(col("__rs"),
+          concat(lit("<extra_id_"), col("__sid"), lit("> "), col("__tok")))
+          .otherwise(col("__tok")).as("__piece")), "target")
+    df.select(col(idCol))
+      .join(inputs, Seq(idCol), "left")
+      .join(targets, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("corrupted"), lit("")).as("corrupted"),
+        coalesce(col("target"), lit("")).as("target"))
+  }
+
   /** Temperature-scaled mixture weights for corpus re-balancing (the
     * multilingual-sampling scheme of e.g. mBERT/XLM-R: raise per-source
     * token mass to `temperature` ∈ (0,1] and renormalize, so small

@@ -2810,6 +2810,121 @@ object Suite {
              |  (SELECT sum(nn) FROM gg)::BIGINT AS n_neg
              |FROM cc""".stripMargin)),
 
+    Q("l70_data_card",
+      (s, d) => Curation.dataCard(t(s, d, "documents"), "source", "text")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          round(col("mean_tokens"), 6).as("mean_tokens"),
+          round(col("english_frac"), 6).as("english_frac"),
+          round(col("mean_quality"), 6).as("mean_quality"),
+          round(col("dup_rate"), 6).as("dup_rate"))
+        .orderBy("source"),
+      // masses accumulate as exact longs (quality in its native
+      // micro-units), ratios are single final divisions — the whole
+      // card replays in SQL; distinct-hash count == distinct texts
+      // absent 64-bit collisions (the engine-wide hashing convention)
+      Some("""WITH b AS (SELECT source, text, lower(trim(text)) AS cl
+             |  FROM documents),
+             |x AS (SELECT source, text, cl, list_filter(
+             |    string_split_regex(cl, '\s+'), t -> len(t) > 0) AS tks
+             |  FROM b),
+             |f AS (SELECT source, text,
+             |    len(tks)::BIGINT AS n_tok,
+             |    length(text)::BIGINT AS n_char,
+             |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT
+             |      AS punct,
+             |    len(list_filter(tks, t -> list_contains(['the','a','of',
+             |      'and','to','in','is','that','it','for'], t)))::BIGINT
+             |      AS stop_hits,
+             |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+             |      AS cjk,
+             |    len(list_filter(tks, t -> list_contains(['der','die',
+             |      'das','und','ist','nicht','ein','mit','zu','von'], t)))
+             |      AS de,
+             |    len(list_filter(tks, t -> list_contains(['le','la','les',
+             |      'et','est','une','que','pour','dans','des'], t))) AS fr,
+             |    len(list_filter(tks, t -> list_contains(['el','la','los',
+             |      'las','es','una','que','por','para','con'], t))) AS es
+             |  FROM x),
+             |s AS (SELECT source, n_tok, n_char,
+             |    least(n_tok * 1000000 // 64, 1000000) AS len_s,
+             |    1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |      1000000) AS punct_s,
+             |    least(stop_hits * 5000000 // greatest(n_tok, 1),
+             |      1000000) AS stop_s,
+             |    1000000 - least(abs(n_char - n_tok + 1 -
+             |      5 * greatest(n_tok, 1)) * 1000000 //
+             |      (5 * greatest(n_tok, 1)), 1000000) AS word_s,
+             |    CASE WHEN cjk > 0 THEN 'zh'
+             |      WHEN greatest(stop_hits, de, fr, es) = 0 THEN 'unknown'
+             |      WHEN stop_hits = greatest(stop_hits, de, fr, es)
+             |        THEN 'en'
+             |      WHEN de = greatest(stop_hits, de, fr, es) THEN 'de'
+             |      WHEN fr = greatest(stop_hits, de, fr, es) THEN 'fr'
+             |      ELSE 'es' END AS lp
+             |  FROM f),
+             |m AS (SELECT source, n_tok, n_char,
+             |    (len_s * 3 + punct_s * 3 + stop_s * 2 + word_s * 2) // 10
+             |      AS qm,
+             |    CASE WHEN lp = 'en' THEN 1 ELSE 0 END AS is_en FROM s),
+             |agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+             |    sum(n_tok)::BIGINT AS n_tokens,
+             |    sum(n_char)::BIGINT AS n_chars,
+             |    sum(is_en)::BIGINT AS n_en,
+             |    sum(qm)::BIGINT AS q_micro
+             |  FROM m GROUP BY source),
+             |dd AS (SELECT source, count(DISTINCT text)::BIGINT
+             |    AS n_distinct FROM documents GROUP BY source)
+             |SELECT a.source, a.n_docs, a.n_tokens, a.n_chars,
+             |  round(a.n_tokens::DOUBLE / a.n_docs, 6) AS mean_tokens,
+             |  round(a.n_en::DOUBLE / a.n_docs, 6) AS english_frac,
+             |  round(a.q_micro::DOUBLE / 1000000.0 / a.n_docs, 6)
+             |    AS mean_quality,
+             |  round(1.0 - d.n_distinct::DOUBLE / a.n_docs, 6) AS dup_rate
+             |FROM agg a JOIN dd d USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    Q("l71_span_corrupt",
+      // T5 denoising pairs with portable md5 span placement — the
+      // exact (corrupted, target) split replays in SQL, so training
+      // data generated here is auditable in any engine
+      (s, d) => Curation.spanCorrupt(t(s, d, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, list_filter(
+              |    string_split_regex(lower(trim(text)), '\\s+'),
+              |    t -> len(t) > 0) AS tks FROM documents),
+              |tok AS (SELECT doc_id, generate_subscripts(tks, 1) - 1
+              |    AS pos, unnest(tks) AS tok FROM x),
+              |h AS (SELECT doc_id, pos, tok,
+              |    CASE WHEN ('0x' || substr(md5('7:' || doc_id || ':'
+              |      || pos), 1, 15))::BIGINT <
+              |      ${Curation.portableCut(0.15 / 3)} THEN 1 ELSE 0 END
+              |      AS s FROM tok),
+              |m AS (SELECT *, max(s) OVER (PARTITION BY doc_id
+              |    ORDER BY pos ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              |    = 1 AS mk FROM h),
+              |r AS (SELECT *, mk AND NOT coalesce(lag(mk) OVER (
+              |    PARTITION BY doc_id ORDER BY pos), false) AS rs
+              |  FROM m),
+              |sid AS (SELECT *, sum(CASE WHEN rs THEN 1 ELSE 0 END)
+              |    OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    - 1 AS sid FROM r),
+              |inp AS (SELECT doc_id, array_to_string(list(
+              |    CASE WHEN rs THEN '<extra_id_' || sid || '>'
+              |      ELSE tok END ORDER BY pos), ' ') AS corrupted
+              |  FROM sid WHERE NOT mk OR rs GROUP BY doc_id),
+              |tgt AS (SELECT doc_id, array_to_string(list(
+              |    CASE WHEN rs THEN '<extra_id_' || sid || '> ' || tok
+              |      ELSE tok END ORDER BY pos), ' ') AS target
+              |  FROM sid WHERE mk GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(i.corrupted, '') AS corrupted,
+              |  coalesce(t.target, '') AS target
+              |FROM documents d LEFT JOIN inp i USING (doc_id)
+              |LEFT JOIN tgt t USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

@@ -362,4 +362,66 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("spanCorrupt: deterministic, sentinels sequential, round-trip exact") {
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "too short"), (3L, ""))
+      .toDF("doc_id", "text")
+    def run() = Curation.spanCorrupt(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val got = run()
+    assert(got == run(), "portable seeding must be run-to-run identical")
+    val (corrupted, target) = got(1L)
+    val sentinel = "<extra_id_(\\d+)>".r
+    // parse the target into span-id -> masked tokens
+    val spans = target.split("(?=<extra_id_\\d+>)").filter(_.nonEmpty)
+      .map { seg =>
+        val toks = seg.trim.split("\\s+").toSeq
+        sentinel.findFirstMatchIn(toks.head).get.group(1).toInt -> toks.tail
+      }.toMap
+    // sentinels number 0..n-1 in both streams
+    assert(spans.keySet == spans.keySet.min.to(spans.keySet.max).toSet
+      && spans.keySet.min == 0)
+    val inOrder = sentinel.findAllMatchIn(corrupted).map(_.group(1).toInt).toSeq
+    assert(inOrder == inOrder.sorted && inOrder.toSet == spans.keySet)
+    // substituting each sentinel's span back reproduces the original
+    val rebuilt = corrupted.split("\\s+").toSeq.flatMap { t =>
+      sentinel.findFirstMatchIn(t) match {
+        case Some(m) => spans(m.group(1).toInt)
+        case None => Seq(t)
+      }
+    }.mkString(" ")
+    assert(rebuilt == text, "corrupted+target must reconstruct the doc")
+    // masked fraction in a sane band around density=0.15
+    val maskedFrac = spans.values.map(_.size).sum / 400.0
+    assert(maskedFrac > 0.04 && maskedFrac < 0.35, s"masked $maskedFrac")
+    // degenerate docs: nothing masked -> empty target, empty doc -> ""
+    assert(got(3L) == ("", ""))
+    assert(got(2L)._1.nonEmpty)
+  }
+
+  test("dataCard: per-source masses, english mix, and exact dup rate") {
+    val docs = Seq(
+      ("web", "the cat sat on the mat for a while in the sun"),
+      ("web", "the cat sat on the mat for a while in the sun"), // dup
+      ("web", "der hund und die katze sind nicht zu hause"),
+      ("books", "a short story of the sea and the ships that sail it"))
+      .zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val card = Curation.dataCard(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val web = card("web")
+    assert(web.getAs[Long]("n_docs") == 3)
+    // 2 distinct texts of 3 docs -> dup rate 1/3
+    assert(math.abs(web.getAs[Double]("dup_rate") - 1.0 / 3) < 1e-12)
+    // two english docs (the duplicated pair), one german
+    assert(math.abs(web.getAs[Double]("english_frac") - 2.0 / 3) < 1e-12)
+    val books = card("books")
+    assert(books.getAs[Long]("n_docs") == 1)
+    assert(books.getAs[Double]("dup_rate") == 0.0)
+    assert(books.getAs[Long]("n_tokens") == 12)
+    assert(web.getAs[Double]("mean_quality") > 0
+      && web.getAs[Double]("mean_quality") <= 1.0)
+  }
 }
