@@ -102,7 +102,8 @@ object Bench {
         // volume, so fixed-nlist 10x is the RIGHT rehearsal here,
         // unlike the O(n²/nlist) semdedup/knn-graph family)
         "l62_winnow", "l63_winnow_overlap", "l64_int8_ann",
-        "l66_strip_markup", "l67_ivfpq_ann")
+        "l66_strip_markup", "l67_ivfpq_ann", "l69_quality_auc",
+        "l70_data_card", "l71_span_corrupt")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =
