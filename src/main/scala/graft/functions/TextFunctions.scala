@@ -177,6 +177,15 @@ object TextFunctions {
     regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<PHONE>"))
   }
 
+  /** Unicode NFC canonicalization (native codegen'd expression —
+    * [[NfcNormalize]]): run BEFORE exact/near dedup and hashing, so
+    * precomposed and combining-mark renditions of the same text
+    * collapse. Fast path skips already-normalized rows. */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(NfcNormalize(expression(text)))
+  }
+
   // ---- markup stripping ----------------------------------------------
 
   /** HTML/markup → text: drop script/style blocks wholesale (their

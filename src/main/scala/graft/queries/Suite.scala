@@ -2884,6 +2884,45 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("l72_nfc_dedup",
+      (s, d) => {
+        // the mojibake-dedup scenario: re-crawled copies of the first
+        // 50 docs arrive with the SAME visible text in decomposed form
+        // (base char + combining mark). Raw exact-dedup misses them;
+        // NFC-normalize-then-dedup collapses each copy onto its
+        // original (min id wins, so the planted ids all vanish)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val nfcTail = " caf\u00e9 r\u00e9sum\u00e9"
+        val nfdTail = " cafe\u0301 re\u0301sume\u0301"
+        val store = docs
+          .select(col("doc_id"), concat(col("text"), lit(nfcTail)).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(nfdTail)).as("text")))
+        Dedup.exact(
+            store.withColumn("text",
+              TextFunctions.nfcNormalize(col("text"))),
+            "text", "doc_id")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      // chr() builds the two renditions codepoint-exactly; NFC is a
+      // Unicode-defined transform, so DuckDB's nfc_normalize replays
+      // the engine expression byte-for-byte
+      Some("""WITH store AS (
+             |  SELECT doc_id, text || ' caf' || chr(233) || ' r' ||
+             |    chr(233) || 'sum' || chr(233) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' cafe' || chr(769) ||
+             |    ' re' || chr(769) || 'sume' || chr(769)
+             |  FROM documents WHERE doc_id < 50),
+             |n AS (SELECT doc_id, nfc_normalize(text) AS text
+             |  FROM store),
+             |keep AS (SELECT text, min(doc_id) AS doc_id FROM n
+             |  GROUP BY text)
+             |SELECT doc_id, md5(text) AS text_md5 FROM keep
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l71_span_corrupt",
       // T5 denoising pairs with portable md5 span placement — the
       // exact (corrupted, target) split replays in SQL, so training

@@ -38,6 +38,16 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(out.getInt(0) == 2)
   }
 
+  test("nfc_normalize generated code compiles; NFD recomposes, NFC passes through") {
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(NfcNormalize(BoundReference(0, StringType, nullable = true))))
+    val nfd = "cafe\u0301"   // e + combining acute (explicit escapes)
+    val out = proj(InternalRow(UTF8String.fromString(nfd)))
+    assert(out.getUTF8String(0).toString == "caf\u00e9")
+    val already = proj(InternalRow(UTF8String.fromString("caf\u00e9")))
+    assert(already.getUTF8String(0).toString == "caf\u00e9")
+  }
+
   test("vec_dot_int generated code compiles and accumulates in long") {
     val arrT = ArrayType(IntegerType, containsNull = false)
     val proj = GenerateUnsafeProjection.generate(Seq(VecDotInt(
