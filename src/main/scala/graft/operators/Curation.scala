@@ -77,6 +77,44 @@ object Curation {
     }.toSeq
   }
 
+  /** Leakage-safe train/val/test assignment: the split unit is the
+    * near-duplicate CLUSTER (connected component of `pairs`), not the
+    * document — so near-duplicates can never straddle a train/eval
+    * boundary (the contamination mechanism Lee et al. 2022 §6 measure:
+    * test-set twins in training data inflate eval scores). Documents in
+    * no pair are their own singleton cluster. Returns `df` plus
+    * (cluster, split) columns; assignment draws the portable md5 hash
+    * of the CLUSTER id against proportional cuts, so given the pair
+    * list the whole assignment — closure included — replays in SQL and
+    * is stable under re-runs, repartitioning, and corpus appends that
+    * don't touch the cluster.
+    *
+    * Scale shape: [[Dedup.components]]' O(log n) star rounds over the
+    * pair list, one left join back to the corpus, then a map-side
+    * hash-and-case — no extra shuffle beyond the closure itself. */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+      weights: Seq[Double], names: Seq[String],
+      seed: Long = 7L): DataFrame = {
+    require(weights.length == names.length && weights.forall(_ > 0)
+      && names.nonEmpty, "one positive weight per split name")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).map(c => portableCut(c / total))
+    val comp = Dedup.components(pairs)
+    val withCluster = df
+      .join(comp.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      col("cluster").cast("string"))), 1, 15), 16, 10).cast("long")
+    val split = cuts.zip(cuts.tail).zip(names)
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, ((lo, hi), name)) =>
+          when(h >= lit(lo) && h < lit(hi), lit(name)).otherwise(acc)
+      }
+    withCluster.withColumn("split", split)
+  }
+
   /** Keep at most `k` rows per group (lowest `orderCol` first) — the
     * per-domain quota cap of web-corpus curation.
     *

@@ -2884,6 +2884,53 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("l73_leak_split",
+      (s, d) => {
+        // split by near-dup CLUSTER: the ≥0.8 minhash pairs (l2
+        // certifies them exhaustive) close into components, each
+        // component draws one portable split — twins can't straddle
+        // train/eval
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+        Curation.leakageSafeSplit(docs, pairs, "doc_id",
+            Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+          .select(col("doc_id"), col("cluster"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
+              |    string_split_regex(lower(trim(text)), '\\s+'),
+              |    x -> len(x) > 0) AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+              |    THEN [array_to_string(toks, ' ')]
+              |    ELSE list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |    END) AS g FROM t),
+              |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a,
+              |    b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+              |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+              |    >= 0.8),
+              |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst
+              |  FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (SELECT src AS id, src AS r FROM edges
+              |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+              |    ON e.dst = re.id),
+              |comp AS (SELECT id, min(r) AS component FROM reach
+              |  GROUP BY id),
+              |wc AS (SELECT d.doc_id,
+              |    coalesce(c.component, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+              |h AS (SELECT doc_id, cluster,
+              |    ('0x' || substr(md5('7:' || cluster), 1, 15))::BIGINT
+              |      AS hv FROM wc)
+              |SELECT doc_id, cluster,
+              |  CASE WHEN hv < ${Curation.portableCut(0.8)} THEN 'train'
+              |    WHEN hv < ${Curation.portableCut(0.9)} THEN 'val'
+              |    ELSE 'test' END AS split
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("l72_nfc_dedup",
       (s, d) => {
         // the mojibake-dedup scenario: re-crawled copies of the first

@@ -401,6 +401,34 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1.nonEmpty)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons covered") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains: 1~2~3 and 10~11; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Curation.leakageSafeSplit(docs, pairs, "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 40, "every doc labeled exactly once")
+    assert(got.forall(_._3 != null))
+    val byId = got.map(r => r._1 -> r).toMap
+    // chain members share cluster AND split
+    assert(Set(byId(1L), byId(2L), byId(3L)).map(_._2).size == 1)
+    assert(Set(byId(1L), byId(2L), byId(3L)).map(_._3).size == 1)
+    assert(byId(10L)._3 == byId(11L)._3)
+    // singleton cluster = own id
+    assert(byId(20L)._2 == 20L)
+    // deterministic
+    val again = Curation.leakageSafeSplit(docs, pairs, "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSet == again.toSet)
+    // with a lot of singletons the majority split dominates
+    val trainFrac = got.count(_._3 == "train") / 40.0
+    assert(trainFrac > 0.5, s"train fraction $trainFrac")
+  }
+
   test("dataCard: per-source masses, english mix, and exact dup rate") {
     val docs = Seq(
       ("web", "the cat sat on the mat for a while in the sun"),
