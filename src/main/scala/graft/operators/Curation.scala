@@ -77,6 +77,43 @@ object Curation {
     }.toSeq
   }
 
+  /** Sentence-boundary chunking — the RAG/embedding variant of
+    * [[chunkDocuments]]: split on sentence enders and group CONSECUTIVE
+    * sentences into chunks by token budget, so no chunk cuts a
+    * sentence mid-thought. A sentence opens a new chunk when the
+    * running pre-sentence token count crosses the budget
+    * (chunk = ⌊tokens-before / maxTokens⌋), so a chunk may exceed the
+    * budget by at most its last sentence — the standard trade against
+    * splitting mid-sentence. Splitting is RE2-safe (ender-marking
+    * replace, no lookbehind), so the exact chunking replays in SQL.
+    *
+    * Output: (id, chunk_id, chunk_text, n_tokens, n_sentences).
+    * Scale shape: explode to sentences, one per-doc window cumsum, one
+    * reassembly groupBy — a single doc-keyed shuffle; only sentence
+    * rows move. */
+  def chunkBySentences(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens >= 1")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\n")
+    val sents = df.select(col(idCol),
+        posexplode(split(marked, "\n")).as(Seq("__sno", "__sent")))
+      .filter(trim(col("__sent")) =!= "")
+      .withColumn("__n",
+        size(graft.functions.TextFunctions.tokens(col("__sent"))).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sno"))
+    sents
+      .withColumn("__cumb", coalesce(sum(col("__n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", floor(col("__cumb") / lit(maxTokens)).cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sno"), col("__sent")))),
+          s => s.getField("__sent")), " ").as("chunk_text"),
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split unit is the
     * near-duplicate CLUSTER (connected component of `pairs`), not the
     * document — so near-duplicates can never straddle a train/eval

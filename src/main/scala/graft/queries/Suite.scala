@@ -2884,6 +2884,44 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("l74_sentence_chunks",
+      (s, d) => {
+        // corpus text has no punctuation — plant a sentence ender every
+        // 7 words (the l56 line-ization trick), then sentence-chunk at
+        // a 40-token budget
+        val docs = t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\w+ ){6}\\w+) ", "$1. "))
+        Curation.chunkBySentences(docs, "text", "doc_id", maxTokens = 40)
+          .select(col("doc_id"), col("chunk_id"),
+            md5(col("chunk_text")).as("chunk_md5"),
+            col("n_tokens"), col("n_sentences"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id, regexp_replace(text,
+             |    '((\w+ ){6}\w+) ', '\1. ', 'g') AS text
+             |  FROM documents),
+             |marked AS (SELECT doc_id, regexp_replace(text,
+             |    '([.!?])\s+', '\1' || chr(10), 'g') AS t FROM planted),
+             |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ss
+             |  FROM marked),
+             |sents AS (SELECT doc_id,
+             |    generate_subscripts(ss, 1) - 1 AS sno,
+             |    unnest(ss) AS sent FROM sp),
+             |ns AS (SELECT doc_id, sno, sent, len(list_filter(
+             |    string_split_regex(lower(trim(sent)), '\s+'),
+             |    x -> len(x) > 0))::BIGINT AS n FROM sents
+             |  WHERE trim(sent) <> ''),
+             |ck AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY doc_id
+             |    ORDER BY sno ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    1 PRECEDING), 0) // 40 AS chunk_id FROM ns)
+             |SELECT doc_id, chunk_id::INT AS chunk_id,
+             |  md5(array_to_string(list(sent ORDER BY sno), ' '))
+             |    AS chunk_md5,
+             |  sum(n)::BIGINT AS n_tokens,
+             |  count(*)::BIGINT AS n_sentences
+             |FROM ck GROUP BY doc_id, chunk_id
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("l73_leak_split",
       (s, d) => {
         // split by near-dup CLUSTER: the ≥0.8 minhash pairs (l2

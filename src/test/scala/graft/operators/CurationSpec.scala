@@ -401,6 +401,26 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1.nonEmpty)
   }
 
+  test("chunkBySentences: boundaries respected, budget overflows by <= 1 sentence") {
+    val text = "one two three. four five six seven! eight nine? " +
+      "ten eleven twelve thirteen. fourteen."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Curation.chunkBySentences(df, "text", "doc_id", maxTokens = 6)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_tokens", "n_sentences")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // cum-before: s1(3)->0, s2(4)->3, s3(2)->7, s4(4)->9, s5(1)->13
+    // chunks at budget 6: [s1 s2] [s3 s4] [s5]
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got(0)._2 == "one two three. four five six seven!")
+    assert(got(1)._2 == "eight nine? ten eleven twelve thirteen.")
+    assert(got(2)._2 == "fourteen.")
+    assert(got.map(_._3) == Seq(7L, 6L, 1L))
+    assert(got.map(_._4) == Seq(2L, 2L, 1L))
+    // reassembling all chunks in order reproduces the sentence stream
+    assert(got.map(_._2).mkString(" ") == text)
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; singletons covered") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two chains: 1~2~3 and 10~11; everything else singleton
