@@ -244,6 +244,33 @@ object Similarity {
     cur.select(col(idCol), col("__lab").as(labelCol))
   }
 
+  /** Per-group embedding health card — the numeric-side companion of
+    * `Curation.dataCard`, run before any ANN/dedup build: ragged
+    * dimensions (dim_min ≠ dim_max) silently zero-pad through every
+    * dot product, and zero vectors null out cosine — both are data
+    * bugs to catch at ingest, not debug inside an index. Norms
+    * accumulate as micro-unit LONGs (order-free exact sums); the p50
+    * interpolates between two micro values — deterministic, so the
+    * whole card replays in SQL. One map-side-combined aggregation. */
+  def embeddingCard(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val microNorm = round(norm(col(vecCol)) * 1e6).cast("long")
+    df.select(col(groupCol), size(col(vecCol)).as("__dim"),
+        microNorm.as("__mn"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__dim")).as("dim_min"),
+        max(col("__dim")).as("dim_max"),
+        sum((col("__mn") === 0).cast("long")).as("zero_vecs"),
+        sum(col("__mn")).as("__sum_mn"),
+        expr("percentile(__mn, 0.5)").as("__p50"))
+      .select(col(groupCol), col("n_vecs"), col("dim_min"),
+        col("dim_max"), col("zero_vecs"),
+        round(col("__sum_mn").cast("double") / lit(1e6) / col("n_vecs"), 6)
+          .as("mean_norm"),
+        round(col("__p50") / lit(1e6), 6).as("p50_norm"))
+  }
+
   /** Random-hyperplane LSH bit signature (cosine-preserving) packed into
     * a long; deterministic seeded planes (native codegen expression —
     * [[graft.functions.HyperplaneSig]]). Bucket-join docs sharing a

@@ -2884,6 +2884,22 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("l75_embedding_card",
+      (s, d) => Similarity.embeddingCard(t(s, d, "embeddings"), "label")
+        .orderBy("label"),
+      Some("""WITH n AS (SELECT label, len(embedding)::INT AS dim,
+             |    round(sqrt(list_sum(list_transform(embedding,
+             |      y -> y::DOUBLE * y::DOUBLE))) * 1000000)::BIGINT
+             |      AS mn FROM embeddings)
+             |SELECT label, count(*)::BIGINT AS n_vecs,
+             |  min(dim) AS dim_min, max(dim) AS dim_max,
+             |  sum(CASE WHEN mn = 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS zero_vecs,
+             |  round(sum(mn)::DOUBLE / 1000000.0 / count(*), 6)
+             |    AS mean_norm,
+             |  round(quantile_cont(mn, 0.5) / 1000000.0, 6) AS p50_norm
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+
     Q("l74_sentence_chunks",
       (s, d) => {
         // corpus text has no punctuation — plant a sentence ender every

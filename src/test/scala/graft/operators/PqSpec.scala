@@ -114,6 +114,25 @@ class PqSpec extends SparkSpec {
     assert(key(served) == key(inline))
   }
 
+  test("embeddingCard flags ragged dims and zero vectors") {
+    val vecs = Seq(
+      (0, Array(3.0f, 4.0f)),             // norm 5
+      (0, Array(0.0f, 0.0f)),             // zero vector
+      (1, Array(1.0f, 0.0f, 0.0f))        // ragged dim in group 1
+    ).toDF("label", "embedding")
+    val card = Similarity.embeddingCard(vecs, "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val g0 = card(0)
+    assert(g0.getAs[Long]("n_vecs") == 2)
+    assert(g0.getAs[Int]("dim_min") == 2 && g0.getAs[Int]("dim_max") == 2)
+    assert(g0.getAs[Long]("zero_vecs") == 1)
+    assert(math.abs(g0.getAs[Double]("mean_norm") - 2.5) < 1e-6)
+    val g1 = card(1)
+    assert(g1.getAs[Int]("dim_min") == 3)
+    assert(g1.getAs[Long]("zero_vecs") == 0)
+    assert(math.abs(g1.getAs[Double]("p50_norm") - 1.0) < 1e-6)
+  }
+
   test("k-means refinement lowers quantization distortion, keeps recall sane") {
     def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
       // total L2² of each subvector to its assigned centroid: the
