@@ -442,7 +442,7 @@ object Similarity {
 
   /** x/‖x‖ as array<double> (zero vectors stay zero — the unguarded
     * division would ANSI-overflow downstream casts). */
-  private def unitNorm(vec: Column): Column = {
+  private[operators] def unitNorm(vec: Column): Column = {
     val n = norm(vec)
     transform(vec, x => when(n === 0, lit(0d)).otherwise(x / n))
   }
@@ -558,7 +558,7 @@ object Similarity {
   /** ADC lookup tables: one (query, __lut) row, __lut an m×ksub
     * array<array<double>> of dot(query subvector, sub-centroid) —
     * row j, slot c. Broadcast-sized: queries·m·ksub doubles. */
-  private def adcLut(qs: DataFrame, codebook: DataFrame, m: Int,
+  private[operators] def adcLut(qs: DataFrame, codebook: DataFrame, m: Int,
       dsub: Int, queryIdCol: String): DataFrame =
     qs.select(col(queryIdCol),
         explode(subspaceStructs(col("__nq"), m, dsub)).as("__e"))
@@ -576,14 +576,14 @@ object Similarity {
         transform(col("__jr"), s => s.getField("__row")).as("__lut"))
 
   /** Σⱼ lut[j][codes[j]] — m table lookups, no vector math. */
-  private def adcScore(codes: Column, lut: Column): Column =
+  private[operators] def adcScore(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut, (c, row) => element_at(row, c + 1)),
       lit(0d), (a, x) => a + x)
 
   /** Shared tail: top-`rerank` by ADC score per query, then exact-
     * cosine rerank of that pool via broadcast-back to the raw-vector
     * table. */
-  private def pqRerank(scored: DataFrame, corpus: DataFrame, qs: DataFrame,
+  private[operators] def pqRerank(scored: DataFrame, corpus: DataFrame, qs: DataFrame,
       k: Int, rerank: Int, idCol: String, vecCol: String,
       queryIdCol: String): DataFrame = {
     val wQ = Window.partitionBy(col(queryIdCol))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -29,6 +29,11 @@ object Suite {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Built IVF-PQ index roots, one per corpus dir (l76: serving is
+    * build-once/query-many; bench reps should time the query path). */
+  private val ivfPqRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def epochS(c: Column): Column = unix_timestamp(c)
 
@@ -168,6 +173,113 @@ object Suite {
       |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by l67 (inline IVF-PQ) and l76 (persisted index): the
+    * served index must return EXACTLY the inline answer by
+    * construction, so both face the same SQL replay. */
+  private val ivfPqOracleSql: String =
+    """WITH cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1
+             |      AS centroid_id, embedding AS ce FROM embeddings
+             |  WHERE vec_id % greatest(1,
+             |    (SELECT count(*) FROM embeddings) // 16) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |asg AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT vec_id, centroid_id, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id
+             |      ASC) AS rn
+             |    FROM (SELECT c.vec_id, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(
+             |        range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+             |       * sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM embeddings c CROSS JOIN cent t))
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, centroid_id FROM (
+             |    SELECT query_id, centroid_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, centroid_id
+             |      ASC) AS rn
+             |    FROM (SELECT qq.vec_id AS query_id, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(qq.embedding) + 1),
+             |        i -> qq.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(
+             |        range(1, len(qq.embedding) + 1),
+             |        i -> qq.embedding[i]::DOUBLE *
+             |          qq.embedding[i]::DOUBLE))) *
+             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM embeddings qq CROSS JOIN cent t
+             |      WHERE qq.vec_id < 3))
+             |  WHERE rn <= 4),
+             |nr AS (SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      y -> y::DOUBLE * y::DOUBLE))) AS nrm FROM embeddings),
+             |nd AS (SELECT vec_id, embedding, list_transform(embedding,
+             |    x -> CASE WHEN nrm = 0 THEN 0 ELSE x::DOUBLE / nrm END)
+             |    AS nv FROM nr),
+             |cnt AS (SELECT greatest(1, count(*) // 16) AS st
+             |  FROM embeddings),
+             |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             |    nv FROM nd WHERE vec_id % (SELECT st FROM cnt) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |cb AS (SELECT t.j, sd.c, sd.nv[t.j*16+1 : t.j*16+16] AS cv
+             |  FROM sd CROSS JOIN range(4) t(j)),
+             |subs AS (SELECT vec_id, t.j, nd.nv[t.j*16+1 : t.j*16+16] AS s
+             |  FROM nd CROSS JOIN range(4) t(j)),
+             |enc0 AS (SELECT s.vec_id, s.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> cb.cv[i] * cb.cv[i])) -
+             |    2 * list_sum(list_transform(range(1, 17),
+             |      i -> s.s[i] * cb.cv[i])) AS rd
+             |  FROM subs s JOIN cb ON s.j = cb.j),
+             |enc AS (SELECT vec_id, j, c FROM (SELECT *, row_number()
+             |    OVER (PARTITION BY vec_id, j ORDER BY rd ASC, c ASC)
+             |    AS rn FROM enc0) WHERE rn = 1),
+             |co AS (SELECT vec_id, list(c ORDER BY j) AS cd FROM enc
+             |  GROUP BY 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe, nv AS qn
+             |  FROM nd WHERE vec_id < 3),
+             |lut0 AS (SELECT q.query_id, cb.j, cb.c,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> q.qn[cb.j*16+i] * cb.cv[i])) AS contrib
+             |  FROM q CROSS JOIN cb),
+             |lutr AS (SELECT query_id, j, list(contrib ORDER BY c) AS rw
+             |  FROM lut0 GROUP BY 1, 2),
+             |lut AS (SELECT query_id, list(rw ORDER BY j) AS lt
+             |  FROM lutr GROUP BY 1),
+             |scored AS (SELECT p.query_id, a.vec_id,
+             |    list_sum(list_transform(range(1, 5),
+             |      j -> lt[j][co.cd[j] + 1])) AS qscore
+             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+             |  JOIN co ON co.vec_id = a.vec_id
+             |  JOIN lut l ON l.query_id = p.query_id),
+             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qscore DESC, vec_id ASC) AS qr FROM scored),
+             |ex AS (SELECT c.query_id, c.vec_id, c.qscore,
+             |    list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1,
+             |        len(e.embedding) + 1),
+             |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+             |      AS cos
+             |  FROM cand c JOIN embeddings e USING (vec_id)
+             |  JOIN q ON c.query_id = q.query_id WHERE c.qr <= 20),
+             |ranked AS (SELECT query_id, vec_id,
+             |    round(qscore, 6) AS qscore, round(cos, 6) AS cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ex)
+             |SELECT query_id, vec_id, qscore, cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin
+
 
   /** Query set shared by l33 (in-memory BM25) and l37 (persisted
     * postings index): first 8 tokens of the first 3 documents. */
@@ -1609,107 +1721,35 @@ object Suite {
             round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH cent AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1
-             |      AS centroid_id, embedding AS ce FROM embeddings
-             |  WHERE vec_id % greatest(1,
-             |    (SELECT count(*) FROM embeddings) // 16) = 0
-             |  ORDER BY vec_id LIMIT 16),
-             |asg AS (
-             |  SELECT vec_id, centroid_id FROM (
-             |    SELECT vec_id, centroid_id, row_number() OVER (
-             |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id
-             |      ASC) AS rn
-             |    FROM (SELECT c.vec_id, t.centroid_id,
-             |      list_sum(list_transform(range(1, len(c.embedding) + 1),
-             |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
-             |      (sqrt(list_sum(list_transform(
-             |        range(1, len(c.embedding) + 1),
-             |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
-             |       * sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
-             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
-             |      FROM embeddings c CROSS JOIN cent t))
-             |  WHERE rn = 1),
-             |probes AS (
-             |  SELECT query_id, centroid_id FROM (
-             |    SELECT query_id, centroid_id, row_number() OVER (
-             |      PARTITION BY query_id ORDER BY cos DESC, centroid_id
-             |      ASC) AS rn
-             |    FROM (SELECT qq.vec_id AS query_id, t.centroid_id,
-             |      list_sum(list_transform(range(1, len(qq.embedding) + 1),
-             |        i -> qq.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
-             |      (sqrt(list_sum(list_transform(
-             |        range(1, len(qq.embedding) + 1),
-             |        i -> qq.embedding[i]::DOUBLE *
-             |          qq.embedding[i]::DOUBLE))) *
-             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
-             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
-             |      FROM embeddings qq CROSS JOIN cent t
-             |      WHERE qq.vec_id < 3))
-             |  WHERE rn <= 4),
-             |nr AS (SELECT vec_id, embedding,
-             |    sqrt(list_sum(list_transform(embedding,
-             |      y -> y::DOUBLE * y::DOUBLE))) AS nrm FROM embeddings),
-             |nd AS (SELECT vec_id, embedding, list_transform(embedding,
-             |    x -> CASE WHEN nrm = 0 THEN 0 ELSE x::DOUBLE / nrm END)
-             |    AS nv FROM nr),
-             |cnt AS (SELECT greatest(1, count(*) // 16) AS st
-             |  FROM embeddings),
-             |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
-             |    nv FROM nd WHERE vec_id % (SELECT st FROM cnt) = 0
-             |  ORDER BY vec_id LIMIT 16),
-             |cb AS (SELECT t.j, sd.c, sd.nv[t.j*16+1 : t.j*16+16] AS cv
-             |  FROM sd CROSS JOIN range(4) t(j)),
-             |subs AS (SELECT vec_id, t.j, nd.nv[t.j*16+1 : t.j*16+16] AS s
-             |  FROM nd CROSS JOIN range(4) t(j)),
-             |enc0 AS (SELECT s.vec_id, s.j, cb.c,
-             |    list_sum(list_transform(range(1, 17),
-             |      i -> cb.cv[i] * cb.cv[i])) -
-             |    2 * list_sum(list_transform(range(1, 17),
-             |      i -> s.s[i] * cb.cv[i])) AS rd
-             |  FROM subs s JOIN cb ON s.j = cb.j),
-             |enc AS (SELECT vec_id, j, c FROM (SELECT *, row_number()
-             |    OVER (PARTITION BY vec_id, j ORDER BY rd ASC, c ASC)
-             |    AS rn FROM enc0) WHERE rn = 1),
-             |co AS (SELECT vec_id, list(c ORDER BY j) AS cd FROM enc
-             |  GROUP BY 1),
-             |q AS (SELECT vec_id AS query_id, embedding AS qe, nv AS qn
-             |  FROM nd WHERE vec_id < 3),
-             |lut0 AS (SELECT q.query_id, cb.j, cb.c,
-             |    list_sum(list_transform(range(1, 17),
-             |      i -> q.qn[cb.j*16+i] * cb.cv[i])) AS contrib
-             |  FROM q CROSS JOIN cb),
-             |lutr AS (SELECT query_id, j, list(contrib ORDER BY c) AS rw
-             |  FROM lut0 GROUP BY 1, 2),
-             |lut AS (SELECT query_id, list(rw ORDER BY j) AS lt
-             |  FROM lutr GROUP BY 1),
-             |scored AS (SELECT p.query_id, a.vec_id,
-             |    list_sum(list_transform(range(1, 5),
-             |      j -> lt[j][co.cd[j] + 1])) AS qscore
-             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
-             |  JOIN co ON co.vec_id = a.vec_id
-             |  JOIN lut l ON l.query_id = p.query_id),
-             |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY qscore DESC, vec_id ASC) AS qr FROM scored),
-             |ex AS (SELECT c.query_id, c.vec_id, c.qscore,
-             |    list_sum(list_transform(range(1, len(q.qe) + 1),
-             |      i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
-             |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
-             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
-             |     sqrt(list_sum(list_transform(range(1,
-             |        len(e.embedding) + 1),
-             |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
-             |      AS cos
-             |  FROM cand c JOIN embeddings e USING (vec_id)
-             |  JOIN q ON c.query_id = q.query_id WHERE c.qr <= 20),
-             |ranked AS (SELECT query_id, vec_id,
-             |    round(qscore, 6) AS qscore, round(cos, 6) AS cosine,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ex)
-             |SELECT query_id, vec_id, qscore, cosine,
-             |  CAST(rank AS INT) AS rank
-             |FROM ranked WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfPqOracleSql)),
+
+    Q("l76_ivfpq_index",
+      (s, d) => {
+        // same artifacts and parameters as l67, served from the
+        // persisted cell-partitioned code index — must return EXACTLY
+        // the inline answer, so it faces the identical oracle. The
+        // build is memoized per corpus dir: serving semantics are
+        // build-once/query-many, so bench reps time the QUERY path
+        // (probe → pruned compressed scan → ADC → rerank), not a
+        // rebuild of the index per repetition.
+        val emb = t(s, d, "embeddings")
+        val root = ivfPqRoots.computeIfAbsent(d, { dir =>
+          val r = java.nio.file.Files
+            .createTempDirectory("graft_ivfpq_suite").toString + "/idx"
+          IvfPqIndex.build(t(s, dir, "embeddings"), r, nlist = 16,
+            m = 4, ksub = 16, dim = 64)
+          r
+        })
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        IvfPqIndex.query(s, root, emb, queries, k = 5, rerank = 20,
+            nprobe = 4)
+          .select(col("query_id"), col("vec_id"),
+            round(col("qscore"), 6).as("qscore"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracleSql)),
 
     Q("l68_label_prop",
       (s, d) => {
