@@ -77,6 +77,58 @@ object Curation {
     }.toSeq
   }
 
+  /** Phrase (collocation) mining — the word2vec phrase-detection score
+    * (Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases…" §4): adjacent token pairs scored
+    * (count(ab) − δ)·N / (count(a)·count(b)); high scorers are
+    * phrases worth merging into single tokens before embedding
+    * training ("new york" → "new_york"). δ discounts rare pairs.
+    *
+    * Exactness: all counts are map-side-combined LONGs and the score
+    * is one integer-numerator division — deterministic, so the top-k
+    * replays in SQL. Output: (a, b, pair_count, score) — top `k` by
+    * (score desc, a, b).
+    *
+    * Scale shape: two count aggregations (bigram, unigram) whose
+    * shuffles carry (token(s), count); unigram counts join the bigram
+    * table twice by token — broadcast when the vocabulary fits,
+    * shuffle-hash otherwise, either way never the corpus. Top-k is a
+    * TakeOrdered, not a global sort. */
+  def minePhrases(df: DataFrame, textCol: String, minCount: Long = 5L,
+      delta: Long = 5L, k: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions
+    // cached fork: the token arrays feed the bigram AND unigram counts
+    // (uncached, the corpus tokenizes once per branch); lifetime is the
+    // session cache registry, cleared per query by Bench/Verify
+    val toks = df.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .cache()
+    val bigrams = toks
+      .select(explode(when(size(col("__t")) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("a"),
+            element_at(col("__t"), i + 2).as("b"))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val uni = toks.select(explode(col("__t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .cache()
+    // N rides a broadcast 1-row crossJoin (the drift-totals pattern) —
+    // no separate driver job, one plan end to end
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    bigrams
+      .join(uni.select(col("tok").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("__c").as("__cb")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        ((col("pair_count") - lit(delta)) * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")))
+      .select(col("a"), col("b"), col("pair_count"), col("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Sentence-boundary chunking — the RAG/embedding variant of
     * [[chunkDocuments]]: split on sentence enders and group CONSECUTIVE
     * sentences into chunks by token budget, so no chunk cuts a

@@ -2924,6 +2924,36 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("l77_phrases",
+      (s, d) => Curation.minePhrases(t(s, d, "documents"), "text",
+          minCount = 10, delta = 5, k = 30)
+        .select(col("a"), col("b"), col("pair_count"),
+          round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("a"), col("b")),
+      // long counts + one integer-numerator division — score order and
+      // values replay exactly
+      Some("""WITH toks AS (SELECT list_filter(string_split_regex(
+             |    lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |bg AS (SELECT p[1] AS a, p[2] AS b FROM (SELECT
+             |    unnest(CASE WHEN len(t) < 2 THEN []
+             |      ELSE list_transform(range(1, len(t)),
+             |        i -> [t[i], t[i+1]]) END) AS p FROM toks)),
+             |bc AS (SELECT a, b, count(*)::BIGINT AS pair_count
+             |  FROM bg GROUP BY a, b HAVING count(*) >= 10),
+             |uni AS (SELECT unnest(t) AS tok FROM toks),
+             |uc AS (SELECT tok, count(*)::BIGINT AS c FROM uni
+             |  GROUP BY tok),
+             |n AS (SELECT sum(c)::BIGINT AS n FROM uc),
+             |scored AS (SELECT bc.a, bc.b, bc.pair_count,
+             |    ((bc.pair_count - 5) * (SELECT n FROM n))::DOUBLE /
+             |      (ca.c * cb.c) AS score
+             |  FROM bc JOIN uc ca ON ca.tok = bc.a
+             |  JOIN uc cb ON cb.tok = bc.b)
+             |SELECT a, b, pair_count, round(score, 6) AS score
+             |FROM scored ORDER BY score DESC, a, b
+             |LIMIT 30""".stripMargin)),
+
     Q("l75_embedding_card",
       (s, d) => Similarity.embeddingCard(t(s, d, "embeddings"), "label")
         .orderBy("label"),

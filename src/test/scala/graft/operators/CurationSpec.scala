@@ -401,6 +401,30 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1.nonEmpty)
   }
 
+  test("minePhrases equals a driver-side brute force; delta discounts rare pairs") {
+    val texts = Seq.fill(12)("visit new york soon") ++
+      Seq.fill(12)("a new day") ++ Seq.fill(12)("york minster tour") ++
+      Seq.fill(3)("rare pair here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (minCount, delta, k) = (5L, 5L, 10)
+    // independent restatement of the score over the same tokenization
+    val docsToks = texts.map(_.toLowerCase.split("\\s+").toSeq)
+    val uni = docsToks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val n = docsToks.map(_.size).sum.toLong
+    val big = docsToks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount)
+    val expected = big.map { case ((a, b), cab) =>
+      (a, b, cab, ((cab - delta) * n).toDouble / (uni(a) * uni(b)))
+    }.toSeq.sortBy { case (a, b, _, s) => (-s, a, b) }.take(k)
+    val got = Curation.minePhrases(df, "text", minCount, delta, k)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+    // "rare pair" (count 3) is excluded by minCount
+    assert(!got.exists(r => r._1 == "rare" && r._2 == "pair"))
+  }
+
   test("chunkBySentences: boundaries respected, budget overflows by <= 1 sentence") {
     val text = "one two three. four five six seven! eight nine? " +
       "ten eleven twelve thirteen. fourteen."
