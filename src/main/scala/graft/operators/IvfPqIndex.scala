@@ -105,6 +105,16 @@ object IvfPqIndex {
     appendEncoded(newVecs, root, batchId, idCol, vecCol)
   }
 
+  /** Replay path for the streaming twin ([[graft.streaming.AnnStream]]):
+    * an at-least-once re-delivery of the BUILD batch (id 0) must
+    * re-encode under the already-frozen artifacts and overwrite its
+    * own partitions — not re-train. */
+  private[graft] def replayAppend(vecs: DataFrame, root: String,
+      batchId: Long, idCol: String, vecCol: String): Unit = {
+    readMeta(vecs.sparkSession, root)
+    appendEncoded(vecs, root, batchId, idCol, vecCol)
+  }
+
   private def appendEncoded(vecs: DataFrame, root: String, batchId: Long,
       idCol: String, vecCol: String): Unit = {
     val spark = vecs.sparkSession

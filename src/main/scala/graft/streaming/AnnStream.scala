@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.BatchCompaction
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, IvfPqIndex}
 
 /** Continuous embedding ingestion into the persisted ANN index — the
   * similarity-search twin of [[DedupStream]]: each micro-batch of
@@ -65,6 +65,40 @@ object AnnStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath, nlist, kmeansIters,
           idCol, vecCol)
+      }
+      .start()
+
+  /** Compressed-index twin: same train-on-first / encode-on-rest
+    * contract against [[IvfPqIndex]] — the streamed store is codes-only
+    * (m small ints per vector), so continuous ingestion writes the
+    * 32×-smaller serving layout directly. Replay discipline is
+    * identical (batch-partitioned dynamic overwrite; a re-delivered
+    * build batch re-encodes under frozen artifacts). */
+  def processBatchPq(batch: DataFrame, batchId: Long, indexPath: String,
+      nlist: Int, m: Int, ksub: Int, dim: Int, kmeansIters: Int = 0,
+      pqIters: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    if (!IvfPqIndex.exists(spark, indexPath))
+      IvfPqIndex.build(batch, indexPath, nlist, m, ksub, dim,
+        kmeansIters, pqIters, idCol, vecCol)
+    else if (batchId == 0L)
+      IvfPqIndex.replayAppend(batch, indexPath, 0L, idCol, vecCol)
+    else
+      IvfPqIndex.append(batch, indexPath, batchId, idCol, vecCol)
+  }
+
+  def startPq(vectors: DataFrame, indexPath: String, checkpointDir: String,
+      nlist: Int, m: Int, ksub: Int, dim: Int, kmeansIters: Int = 0,
+      pqIters: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchPq(batch, batchId, indexPath, nlist, m, ksub, dim,
+          kmeansIters, pqIters, idCol, vecCol)
       }
       .start()
 }

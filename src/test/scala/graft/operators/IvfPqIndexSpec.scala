@@ -72,6 +72,31 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(!schema.contains("embedding"), schema.mkString(","))
   }
 
+  test("streaming twin: processBatchPq == batch build+append; build replay inert") {
+    val root = tmp("graft_ivfpqstream")
+    graft.streaming.AnnStream.processBatchPq(corpus(0 until 100), 0L,
+      root, nlist = 8, m = 4, ksub = 8, dim = 8)
+    graft.streaming.AnnStream.processBatchPq(corpus(100 until 150), 1L,
+      root, nlist = 8, m = 4, ksub = 8, dim = 8)
+    val all = corpus(0 until 150)
+    val q = queriesDF(3)
+    val streamed = resultSet(IvfPqIndex.query(spark, root, all, q,
+      k = 5, rerank = 30, nprobe = 8))
+    val batchRoot = tmp("graft_ivfpqbatch2")
+    IvfPqIndex.build(corpus(0 until 100), batchRoot, nlist = 8, m = 4,
+      ksub = 8, dim = 8)
+    IvfPqIndex.append(corpus(100 until 150), batchRoot, 1L)
+    val batch = resultSet(IvfPqIndex.query(spark, batchRoot, all, q,
+      k = 5, rerank = 30, nprobe = 8))
+    assert(streamed == batch)
+    // an at-least-once redelivery of the BUILD batch re-encodes under
+    // the frozen artifacts instead of retraining — results unchanged
+    graft.streaming.AnnStream.processBatchPq(corpus(0 until 100), 0L,
+      root, nlist = 8, m = 4, ksub = 8, dim = 8)
+    assert(resultSet(IvfPqIndex.query(spark, root, all, q,
+      k = 5, rerank = 30, nprobe = 8)) == streamed)
+  }
+
   test("append under frozen artifacts; batch replay is idempotent") {
     val root = tmp("graft_ivfpqappend")
     IvfPqIndex.build(corpus(0 until 100), root, nlist = 8, m = 4,
