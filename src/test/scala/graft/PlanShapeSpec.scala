@@ -393,6 +393,30 @@ class PlanShapeSpec extends SparkSpec {
       _.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>")), s)
   }
 
+  test("phrase mining: one cached token fork, broadcast 1-row total, top-k heap") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.minePhrases(docs, "text")
+    val plan = planOf(df)
+    // token arrays tokenize once (cached fork feeds bigram + unigram
+    // branches); N joins back as a broadcast single row, and the top-k
+    // is a TakeOrdered, never a global sort
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("data card: masses aggregate with map-side partial combine") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val df = operators.Curation.dataCard(docs, "source", "text")
+    val plan = planOf(df)
+    // both aggregation levels show partial/final HashAggregate pairs —
+    // duplicates and per-source masses collapse before the shuffle
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("gold window scan prunes bronze date partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
