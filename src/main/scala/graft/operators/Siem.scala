@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Detection analytics over the event stream — the layer a SIEM user
+  * runs ON TOP of the reference's star schema (its example queries
+  * stop at counts/top-k; these are the two standard behavioral
+  * detections, kept engine-exact so alerts replay in any engine).
+  *
+  * Both are EXACT-integer formulations: second-granularity gaps and
+  * counts accumulate as longs, and each score is one final division —
+  * no float summation order anywhere (an alert that flips between
+  * runs on FP noise is an on-call incident, not a detection).
+  */
+object Siem {
+
+  /** Beaconing candidates: (key) groups whose inter-arrival gaps are
+    * suspiciously REGULAR — the C2-heartbeat shape (malware checking
+    * in every N seconds shows near-zero gap variance; human activity
+    * is bursty). Regularity is the squared coefficient of variation
+    * of the gaps, computed exactly from long sums:
+    * cv² = (n·Σg² − (Σg)²) / (Σg)² — 0 for a perfect beacon, ~1 for
+    * Poisson arrivals. Flag cv² ≤ maxCv2 with ≥ minGaps gaps.
+    *
+    * Output: key cols + (n_gaps, mean_gap_s, cv2). Scale shape: one
+    * window pass for lags (key-partitioned shuffle), one map-side-
+    * combined agg of (g, g²) longs; group cardinality rows out.
+    * Long-range bound: second gaps over a multi-year key still keep
+    * n·Σg² < 2⁶³ for any realistic event density. */
+  def beaconCandidates(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, orderCol: String, minGaps: Long = 10L,
+      maxCv2: Double = 0.2): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(tsCol), col(orderCol))
+    val gaps = events
+      .withColumn("__e", unix_timestamp(col(tsCol)))
+      .withColumn("__g", col("__e") - lag(col("__e"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    gaps.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sg2"))
+      .filter(col("n_gaps") >= minGaps && col("__sg") > 0)
+      .withColumn("mean_gap_s",
+        col("__sg").cast("double") / col("n_gaps"))
+      .withColumn("cv2",
+        (col("n_gaps") * col("__sg2") - col("__sg") * col("__sg"))
+          .cast("double") / (col("__sg") * col("__sg")))
+      .filter(col("cv2") <= maxCv2)
+      .select(keys :+ col("n_gaps") :+ col("mean_gap_s") :+ col("cv2"): _*)
+  }
+
+  /** Volume-spike buckets: time buckets whose event count clears
+    * `factorMicro`/1e6 × the trailing mean of the previous `lookback`
+    * buckets. The comparison is pure long arithmetic
+    * (n · wcount · 1e6 ≥ factorMicro · Σprev), so the flag set is
+    * engine-exact; buckets with fewer than `minPrev` predecessors
+    * don't alert (cold start). Missing (zero-event) buckets are
+    * treated as absent, the same trade as any bucket-sparse
+    * monitoring table — a total silence before a burst shortens the
+    * baseline rather than zero-filling it.
+    *
+    * Output: (group, bucket, n, prev_sum, prev_buckets). One bucketed
+    * agg + one group-partitioned window. */
+  def volumeSpikes(events: DataFrame, groupCol: String, tsCol: String,
+      bucketSec: Long, factorMicro: Long, lookback: Int = 6,
+      minPrev: Int = 3): DataFrame = {
+    val bucket = (floor(unix_timestamp(col(tsCol)) / bucketSec) *
+      bucketSec).cast("long")
+    val counts = events
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("prev_buckets", count(col("n")).over(w))
+      .filter(col("prev_buckets") >= minPrev &&
+        col("n") * col("prev_buckets") * 1000000L >=
+          lit(factorMicro) * col("prev_sum"))
+  }
+}

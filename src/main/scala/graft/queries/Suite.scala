@@ -2924,6 +2924,57 @@ object Suite {
              |FROM agg a JOIN dd d USING (source)
              |ORDER BY source""".stripMargin)),
 
+    Q("h5_beaconing",
+      (s, d) => graft.operators.Siem.beaconCandidates(t(s, d, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id",
+          minGaps = 5, maxCv2 = 0.5)
+        .select(col("user_id"), col("event_type"), col("n_gaps"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("cv2"), 6).as("cv2"))
+        .orderBy("user_id", "event_type"),
+      // gap sums are exact longs; cv² is one final division — the
+      // flagged set and scores replay in any engine
+      Some("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+             |    floor(epoch(ts))::BIGINT AS es FROM events),
+             |g AS (SELECT user_id, event_type, es - lag(es) OVER (
+             |    PARTITION BY user_id, event_type
+             |    ORDER BY ts, event_id) AS g FROM e),
+             |a AS (SELECT user_id, event_type, count(*) AS n_gaps,
+             |    sum(g)::BIGINT AS sg, sum(g*g)::BIGINT AS sg2
+             |  FROM g WHERE g IS NOT NULL GROUP BY 1, 2)
+             |SELECT user_id, event_type, n_gaps,
+             |  round(sg::DOUBLE / n_gaps, 6) AS mean_gap_s,
+             |  round((n_gaps*sg2 - sg*sg)::DOUBLE / (sg*sg), 6) AS cv2
+             |FROM a WHERE n_gaps >= 5 AND sg > 0
+             |  AND (n_gaps*sg2 - sg*sg)::DOUBLE / (sg*sg) <= 0.5
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("h6_volume_spikes",
+      (s, d) => graft.operators.Siem.volumeSpikes(t(s, d, "events"),
+          "event_type", "ts", bucketSec = 3600L,
+          factorMicro = 1500000L, lookback = 6, minPrev = 3)
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("prev_sum"), col("prev_buckets"))
+        .orderBy("event_type", "bucket"),
+      // the spike predicate is pure long arithmetic — flag-for-flag
+      // identical across engines
+      Some("""WITH c AS (SELECT event_type,
+             |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |w AS (SELECT *, coalesce(sum(n) OVER (
+             |    PARTITION BY event_type ORDER BY bucket
+             |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)
+             |    AS prev_sum,
+             |  count(n) OVER (PARTITION BY event_type ORDER BY bucket
+             |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+             |    AS prev_buckets FROM c)
+             |SELECT event_type, bucket, n::BIGINT AS n,
+             |  prev_sum::BIGINT AS prev_sum,
+             |  prev_buckets::BIGINT AS prev_buckets
+             |FROM w WHERE prev_buckets >= 3
+             |  AND n * prev_buckets * 1000000 >= 1500000 * prev_sum
+             |ORDER BY event_type, bucket""".stripMargin)),
+
     Q("l77_phrases",
       (s, d) => Curation.minePhrases(t(s, d, "documents"), "text",
           minCount = 10, delta = 5, k = 30)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral detections over the event stream: beaconing regularity
+  * and volume spikes, both exact-integer formulations. */
+class SiemSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Long)]) =
+    rows.zipWithIndex.map { case ((u, t, es), i) =>
+      (i.toLong, u, t, new java.sql.Timestamp(es * 1000L)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+  test("beaconing: a perfect heartbeat flags, bursty traffic does not") {
+    val base = 1700000000L
+    val beacon = (0 until 20).map(i => (1L, "dns", base + i * 60L))
+    // bursty: clustered pairs separated by long silences
+    val bursty = Seq(0L, 5L, 3600L, 3610L, 7200L, 7212L, 10800L, 10807L,
+      14400L, 14420L, 18000L, 18003L).map(o => (2L, "dns", base + o))
+    val got = Siem.beaconCandidates(ev(beacon ++ bursty),
+        Seq("user_id", "event_type"), "ts", "event_id",
+        minGaps = 5, maxCv2 = 0.2)
+      .select("user_id", "n_gaps", "mean_gap_s", "cv2")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L), s"only the beacon flags: ${got.toSeq}")
+    assert(got.head._2 == 19L)
+    assert(got.head._3 == 60.0)
+    assert(got.head._4 == 0.0, "perfect regularity is exactly zero")
+  }
+
+  test("beaconing: exact cv2 against a hand computation") {
+    val base = 1700000000L
+    // gaps 10, 20, 10, 20 -> n=4, sg=60, sg2=1000
+    // cv2 = (4*1000 - 3600)/3600 = 400/3600 = 1/9
+    val rows = Seq(0L, 10L, 30L, 40L, 60L).map(o => (7L, "x", base + o))
+    val got = Siem.beaconCandidates(ev(rows), Seq("user_id", "event_type"),
+        "ts", "event_id", minGaps = 3, maxCv2 = 1.0)
+      .select("n_gaps", "cv2").as[(Long, Double)].collect().head
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - 400.0 / 3600.0) < 1e-15)
+  }
+
+  test("volume spikes: burst over steady baseline flags; cold start silent") {
+    val base = 1700000000L
+    // 8 steady hourly buckets of 4 events, then one 20-event burst
+    val steady = for {
+      b <- 0 until 8; i <- 0 until 4
+    } yield (1L, "login", base + b * 3600L + i * 10L)
+    val burst = (0 until 20).map(i => (1L, "login", base + 8 * 3600L + i.toLong))
+    val got = Siem.volumeSpikes(ev(steady ++ burst), "event_type", "ts",
+        bucketSec = 3600L, factorMicro = 2000000L)
+      .select("bucket", "n").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((base / 3600 * 3600 + 8 * 3600, 20L)),
+      s"only the burst bucket flags: $got")
+    // first buckets (cold start, < minPrev predecessors) never alert
+    assert(!got.exists(_._1 < base / 3600 * 3600 + 3 * 3600))
+  }
+}
