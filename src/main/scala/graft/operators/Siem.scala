@@ -53,6 +53,38 @@ object Siem {
       .select(keys :+ col("n_gaps") :+ col("mean_gap_s") :+ col("cv2"): _*)
   }
 
+  /** Cardinality-spike buckets: entities whose DISTINCT-value count in
+    * a bucket clears the trailing baseline — the DGA/scanning shape
+    * (a host suddenly resolving 50× more distinct domains, a user
+    * suddenly touching 50× more distinct endpoints) that total-volume
+    * alerting misses when each value appears once. Distinct counts are
+    * exact (two-level agg: (entity, bucket, value) collapses
+    * duplicates map-side, then a count per (entity, bucket)); the
+    * spike predicate is the same pure long arithmetic as
+    * [[volumeSpikes]]. Output: (entity, bucket, n_distinct, prev_sum,
+    * prev_buckets). */
+  def cardinalitySpikes(events: DataFrame, entityCol: String,
+      valueCol: String, tsCol: String, bucketSec: Long,
+      factorMicro: Long, lookback: Int = 6, minPrev: Int = 3): DataFrame = {
+    val bucket = (floor(unix_timestamp(col(tsCol)) / bucketSec) *
+      bucketSec).cast("long")
+    val distincts = events
+      .select(col(entityCol), bucket.as("bucket"), col(valueCol).as("__v"))
+      .groupBy(col(entityCol), col("bucket"), col("__v"))
+      .agg(count(lit(1)).as("__dup"))
+      .groupBy(col(entityCol), col("bucket"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    distincts
+      .withColumn("prev_sum",
+        coalesce(sum(col("n_distinct")).over(w), lit(0L)))
+      .withColumn("prev_buckets", count(col("n_distinct")).over(w))
+      .filter(col("prev_buckets") >= minPrev &&
+        col("n_distinct") * col("prev_buckets") * 1000000L >=
+          lit(factorMicro) * col("prev_sum"))
+  }
+
   /** Volume-spike buckets: time buckets whose event count clears
     * `factorMicro`/1e6 × the trailing mean of the previous `lookback`
     * buckets. The comparison is pure long arithmetic

@@ -2975,6 +2975,35 @@ object Suite {
              |  AND n * prev_buckets * 1000000 >= 1500000 * prev_sum
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    Q("h7_cardinality_spike",
+      (s, d) => graft.operators.Siem.cardinalitySpikes(t(s, d, "events"),
+          "user_id", "event_type", "ts", bucketSec = 21600L,
+          factorMicro = 2000000L, lookback = 6, minPrev = 3)
+        .select(col("user_id"), col("bucket"), col("n_distinct"),
+          col("prev_sum"), col("prev_buckets"))
+        .orderBy("user_id", "bucket"),
+      // exact distinct counts (two-level agg) + the long-arithmetic
+      // spike predicate — flag-for-flag engine-identical
+      Some("""WITH d AS (SELECT user_id,
+             |    (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bucket,
+             |    count(DISTINCT event_type) AS n_distinct
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT *, coalesce(sum(n_distinct) OVER (
+             |    PARTITION BY user_id ORDER BY bucket
+             |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)
+             |    AS prev_sum,
+             |  count(n_distinct) OVER (PARTITION BY user_id
+             |    ORDER BY bucket
+             |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+             |    AS prev_buckets FROM d)
+             |SELECT user_id, bucket, n_distinct::BIGINT AS n_distinct,
+             |  prev_sum::BIGINT AS prev_sum,
+             |  prev_buckets::BIGINT AS prev_buckets
+             |FROM w WHERE prev_buckets >= 3
+             |  AND n_distinct * prev_buckets * 1000000 >=
+             |    2000000 * prev_sum
+             |ORDER BY user_id, bucket""".stripMargin)),
+
     Q("l77_phrases",
       (s, d) => Curation.minePhrases(t(s, d, "documents"), "text",
           minCount = 10, delta = 5, k = 30)

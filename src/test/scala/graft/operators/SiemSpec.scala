@@ -42,6 +42,28 @@ class SiemSpec extends SparkSpec {
     assert(math.abs(got._2 - 400.0 / 3600.0) < 1e-15)
   }
 
+  test("cardinality spike: distinct blow-up flags where volume stays flat") {
+    val base = 1700000000L
+    // 8 steady hourly buckets: 6 events but only 2 DISTINCT types;
+    // burst bucket: the same 6 events hit 6 distinct types — volume
+    // identical, cardinality 3x
+    val steady = for {
+      b <- 0 until 8; i <- 0 until 6
+    } yield (1L, s"t${i % 2}", base + b * 3600L + i * 10L)
+    val burst = (0 until 6).map(i => (1L, s"t$i", base + 8 * 3600L + i.toLong))
+    val all = ev(steady ++ burst)
+    val card = Siem.cardinalitySpikes(all, "user_id", "event_type", "ts",
+        bucketSec = 3600L, factorMicro = 2000000L)
+      .select("bucket", "n_distinct").as[(Long, Long)].collect().toSeq
+    assert(card == Seq((base / 3600 * 3600 + 8 * 3600, 6L)),
+      s"only the distinct burst flags: $card")
+    // total-volume alerting is blind to this burst at the same factor
+    val vol = Siem.volumeSpikes(all, "user_id", "ts",
+        bucketSec = 3600L, factorMicro = 2000000L)
+      .select("bucket").as[Long].collect().toSeq
+    assert(vol.isEmpty, s"volume path must stay silent: $vol")
+  }
+
   test("volume spikes: burst over steady baseline flags; cold start silent") {
     val base = 1700000000L
     // 8 steady hourly buckets of 4 events, then one 20-event burst
