@@ -77,6 +77,25 @@ object Curation {
     }.toSeq
   }
 
+  /** Corpus snapshot diff — the release-to-release audit every dataset
+    * version bump ships: which documents were added, removed, changed
+    * (same id, different content), or carried unchanged. One
+    * full-outer join on id over (id, content-hash) pairs — text never
+    * shuffles, and the hash only mediates equality (statuses are the
+    * output), so any engine replays the diff by its own comparison.
+    * Output: (id, status ∈ added|removed|changed|unchanged). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), xxhash64(col(textCol)).as("__ho"))
+    val n = newDf.select(col(idCol), xxhash64(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Phrase (collocation) mining — the word2vec phrase-detection score
     * (Mikolov et al. 2013, "Distributed Representations of Words and
     * Phrases…" §4): adjacent token pairs scored

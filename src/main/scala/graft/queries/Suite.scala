@@ -3004,6 +3004,35 @@ object Suite {
              |    2000000 * prev_sum
              |ORDER BY user_id, bucket""".stripMargin)),
 
+    Q("l78_snapshot_diff",
+      (s, d) => {
+        // fabricate release v2 from the corpus: first 10 docs dropped,
+        // next 10 edited, 5 brand-new ids appended — the diff must
+        // label every id across both snapshots
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val v2 = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"),
+            when(col("doc_id") < 20, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        Curation.snapshotDiff(docs, v2, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, text FROM documents),
+             |v2 AS (SELECT doc_id, CASE WHEN doc_id < 20
+             |    THEN text || ' v2' ELSE text END AS text
+             |  FROM documents WHERE doc_id >= 10
+             |  UNION ALL SELECT doc_id + 200000, text FROM documents
+             |  WHERE doc_id < 5)
+             |SELECT coalesce(o.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |    WHEN v2.doc_id IS NULL THEN 'removed'
+             |    WHEN o.text = v2.text THEN 'unchanged'
+             |    ELSE 'changed' END AS status
+             |FROM o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l77_phrases",
       (s, d) => Curation.minePhrases(t(s, d, "documents"), "text",
           minCount = 10, delta = 5, k = 30)

@@ -401,6 +401,15 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1.nonEmpty)
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged exactly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("minePhrases equals a driver-side brute force; delta discounts rare pairs") {
     val texts = Seq.fill(12)("visit new york soon") ++
       Seq.fill(12)("a new day") ++ Seq.fill(12)("york minster tour") ++
