@@ -37,6 +37,26 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: no pair straddles a split on random graphs") {
+    val edge = for {
+      a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graph = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, edge))
+    forSamples(graph, n = 6) { edges =>
+      val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = (if (edges.isEmpty) Seq((1L, 1L)) else edges)
+        .toDF("id_a", "id_b")
+      val split = Curation.leakageSafeSplit(docs, pairs, "doc_id",
+          Seq(0.6, 0.2, 0.2), Seq("train", "val", "test"))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(split.size == 30 && split.values.forall(_ != null))
+      edges.foreach { case (a, b) =>
+        assert(split(a) == split(b),
+          s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+      }
+    }
+  }
+
   test("winnowing guarantee holds on arbitrary docs with planted shared runs") {
     import graft.functions.TextFunctions
     // random word soup around a shared run of exactly w+k-1 tokens

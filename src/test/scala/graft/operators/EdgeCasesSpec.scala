@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input sweep over the round-5 operators: empty corpora
+  * and token-free documents must yield empty/sane results, never an
+  * ANSI arithmetic error or a null-pointer plan — the failure mode a
+  * driver-run batch job cannot tolerate at 3am. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def blankDocs: DataFrame =
+    Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+  private def emptyVecs: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("text operators: empty and token-free corpora") {
+    assert(Dedup.winnowOverlapPairs(emptyDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.winnowOverlapPairs(blankDocs, "text", "doc_id",
+      minShared = 2).isEmpty)
+    assert(Curation.minePhrases(emptyDocs, "text").isEmpty)
+    assert(Curation.minePhrases(blankDocs, "text").isEmpty)
+    assert(Curation.dataCard(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Curation.chunkBySentences(emptyDocs, "text", "doc_id", 10).isEmpty)
+    assert(Curation.chunkBySentences(blankDocs, "text", "doc_id", 10).isEmpty)
+    // span corruption keeps one row per doc, empty streams for blanks
+    val sc = Curation.spanCorrupt(blankDocs, "text", "doc_id")
+      .as[(Long, String, String)].collect().toSet
+    assert(sc == Set((1L, "", ""), (2L, "", "")))
+    assert(Curation.snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").isEmpty)
+    val card = Curation.dataCard(blankDocs, "doc_id", "text")
+    assert(card.count() == 2) // token-free rows still summarize
+  }
+
+  test("vector operators: empty corpora and empty query sets") {
+    val q = emptyVecs.select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.int8TopK(emptyVecs, q, 5, rerank = 10).isEmpty)
+    assert(Similarity.int8Codes(emptyVecs).isEmpty)
+    assert(Similarity.embeddingCard(emptyVecs, "vec_id").isEmpty)
+    val someVecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // empty QUERY set against a real corpus: no candidates, no error
+    assert(Similarity.int8TopK(someVecs, q, 1, rerank = 1).isEmpty)
+    assert(Similarity.labelPropagate(
+      Seq.empty[(Long, Long)].toDF("src_id", "nbr_id"),
+      Seq((1L, 0)).toDF("id", "label"), 2).isEmpty)
+  }
+
+  test("siem operators: empty and single-event streams never alert") {
+    val empty = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Siem.beaconCandidates(empty, Seq("user_id"), "ts", "event_id")
+      .isEmpty)
+    assert(Siem.volumeSpikes(empty, "user_id", "ts", 3600L, 2000000L)
+      .isEmpty)
+    assert(Siem.cardinalitySpikes(empty, "user_id", "event_type", "ts",
+      3600L, 2000000L).isEmpty)
+    val one = Seq((1L, 1L, "x", new java.sql.Timestamp(1700000000000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Siem.beaconCandidates(one, Seq("user_id"), "ts", "event_id")
+      .isEmpty, "a single event has no gaps")
+  }
+}
