@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   *    centroid cells; a query scores only its nprobe nearest cells.
   *    At 100 TB the assignment is a one-off batch job and each query
   *    touches nprobe/nlist of the data.
+  *
+  * Quantization tiers below trade scan bytes for rerank work:
+  * [[signBits]] (1-bit, 32×), [[int8Codes]] (8-bit, 4×), and
+  * [[pqEncode]]/[[ivfPqTopK]] (PQ, up to 32× with cell pruning on
+  * top). Graph-traversal ANN (HNSW et al.) is deliberately absent:
+  * its pointer-chasing, per-query sequential walk is antithetical to
+  * a scan-based distributed engine — IVF-PQ is the cluster-native
+  * equivalent (prune files, scan codes, rerank exactly), and it
+  * keeps every step a DataFrame the optimizer can see.
   */
 object Similarity {
 
