@@ -88,6 +88,14 @@ object AnnStream {
       IvfPqIndex.append(batch, indexPath, batchId, idCol, vecCol)
   }
 
+  /** Fold old code partitions of a streamed [[IvfPqIndex]], keeping
+    * the newest `keepRecent` batches live for replay. */
+  def compactSinksPq(spark: SparkSession, indexPath: String,
+      keepRecent: Int = 2): Unit = {
+    BatchCompaction.compact(spark, s"$indexPath/codes", keepRecent)
+    ()
+  }
+
   def startPq(vectors: DataFrame, indexPath: String, checkpointDir: String,
       nlist: Int, m: Int, ksub: Int, dim: Int, kmeansIters: Int = 0,
       pqIters: Int = 0, idCol: String = "vec_id",

@@ -95,6 +95,10 @@ class IvfPqIndexSpec extends SparkSpec {
       root, nlist = 8, m = 4, ksub = 8, dim = 8)
     assert(resultSet(IvfPqIndex.query(spark, root, all, q,
       k = 5, rerank = 30, nprobe = 8)) == streamed)
+    // compaction folds batch partitions without changing any answer
+    graft.streaming.AnnStream.compactSinksPq(spark, root, keepRecent = 1)
+    assert(resultSet(IvfPqIndex.query(spark, root, all, q,
+      k = 5, rerank = 30, nprobe = 8)) == streamed)
   }
 
   test("append under frozen artifacts; batch replay is idempotent") {
