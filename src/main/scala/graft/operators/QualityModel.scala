@@ -104,6 +104,29 @@ object QualityModel {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Reliability (calibration) bins — the companion diagnostic to
+    * [[rocAuc]]: AUC says the filter RANKS well; calibration says its
+    * probabilities MEAN something (a 0.8 bucket should be ~80%
+    * positive before anyone thresholds on "quality ≥ 0.8"). Scores
+    * land in `bins` equal-width buckets (top edge closed); per bin:
+    * exact LONG count, positive count, and micro-unit score mass,
+    * with rates as single final divisions — engine-replayable like
+    * the rest of the eval family. One map-side-combined agg. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val b = least(floor(score * bins).cast("int"), lit(bins - 1))
+    df.select(b.as("bin"), label.cast("long").as("__y"),
+        round(score * 1e6).cast("long").as("__sm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"),
+        sum(col("__sm")).as("__smsum"))
+      .select(col("bin"), col("n"),
+        (col("__smsum").cast("double") / lit(1e6) / col("n"))
+          .as("mean_score"),
+        (col("__pos").cast("double") / col("n")).as("pos_rate"))
+  }
+
   /** Fit logistic regression over [[features]] on a labeled sample
     * (`labelCol` ∈ {0, 1}) and return (intercept, weights) for
     * [[score]]. MLlib runs HERE only — the sample is small by

@@ -3244,6 +3244,51 @@ object Suite {
               |LEFT JOIN tgt t USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("l79_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val score = QualityModel.score(col("text"),
+          Seq(0.3, -0.1, 1.2, -2.0, -1.5), intercept = -0.5)
+        QualityModel.calibrationBins(docs, score,
+            (col("lang") === "en").cast("int"), bins = 10)
+          .select(col("bin"), col("n"),
+            round(col("mean_score"), 6).as("mean_score"),
+            round(col("pos_rate"), 6).as("pos_rate"))
+          .orderBy("bin")
+      },
+      Some("""WITH c AS (SELECT doc_id, lang, lower(trim(text)) AS cl
+             |  FROM documents),
+             |f AS (SELECT doc_id, lang, cl, list_filter(
+             |    string_split_regex(cl, '\s+'), x -> len(x) > 0) AS toks
+             |  FROM c),
+             |g AS (SELECT doc_id, lang,
+             |    CAST(len(toks) AS DOUBLE) AS n,
+             |    CAST(len(cl) AS DOUBLE) AS nc,
+             |    CAST(len(list_filter(toks, t -> list_contains(
+             |      ['the','of','and','to','in','a','is','for','on','that'],
+             |      t))) AS DOUBLE) AS nstop,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist,
+             |    CAST(len(regexp_replace(cl, '[^a-z0-9 ]', '', 'g'))
+             |      AS DOUBLE) AS nal
+             |  FROM f),
+             |z AS (SELECT doc_id, lang, -0.5
+             |    + 0.3 * ln(n + 1)
+             |    - 0.1 * (nc / greatest(n, 1))
+             |    + 1.2 * (nstop / greatest(n, 1))
+             |    - 2.0 * ((nc - nal) / greatest(nc, 1))
+             |    - 1.5 * (CASE WHEN n = 0 THEN 0 ELSE 1 - ndist / n END)
+             |    AS zz FROM g),
+             |m AS (SELECT least(floor((1/(1+exp(-zz))) * 10)::INT, 9)
+             |      AS bin,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    round((1/(1+exp(-zz))) * 1000000)::BIGINT AS sm
+             |  FROM z)
+             |SELECT bin, count(*)::BIGINT AS n,
+             |  round(sum(sm)::DOUBLE / 1000000.0 / count(*), 6)
+             |    AS mean_score,
+             |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
+             |FROM m GROUP BY bin ORDER BY bin""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

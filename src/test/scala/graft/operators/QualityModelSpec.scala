@@ -42,6 +42,22 @@ class QualityModelSpec extends SparkSpec {
     assert(auc(data).contains(expected))
   }
 
+  test("calibrationBins: exact counts, rates, and top-edge clamping") {
+    val rows = Seq(
+      (0.05, 0), (0.08, 0), (0.15, 0), (0.18, 1),
+      (0.95, 1), (0.99, 1), (1.0, 1)) // 1.0 clamps into bin 9
+      .toDF("s", "y")
+    val got = QualityModel.calibrationBins(rows, col("s"), col("y"),
+        bins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "pos_rate")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 0.0), (1, 2L, 0.5), (9, 3L, 1.0)))
+    val means = QualityModel.calibrationBins(rows, col("s"), col("y"), 10)
+      .orderBy("bin").select("mean_score").as[Double].collect()
+    assert(math.abs(means(0) - 0.065) < 1e-9)
+  }
+
   test("train separates weak labels; column score == MLlib probability") {
     val (b, w) = QualityModel.train(sample, "text", "label")
     val scored = sample
