@@ -252,7 +252,7 @@ object Curation {
     // made of >k·salts copies of ONE identical row, which phase 2's
     // ≤ k·salts input bound tolerates by construction.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     val w1 = Window.partitionBy(gcols :+ col("__salt"): _*).orderBy(col(orderCol))
     val pre = salted.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k).drop("__rn", "__salt")

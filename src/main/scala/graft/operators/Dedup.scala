@@ -931,7 +931,7 @@ object Dedup {
         col("dup_group_size").as("__sz"))
     df.join(annotated, Seq(idCol), "left")
       .filter(col("component").isNull || col(idCol) === col("component"))
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         coalesce(col("__sz"), lit(1L)).as("dup_group_size"): _*)
   }
 
@@ -964,7 +964,7 @@ object Dedup {
       .select(col(idCol), col("__keep"), col("dup_group_size").as("__sz"))
     df.join(annotated, Seq(idCol), "left")
       .filter(col("__keep").isNull || col(idCol) === col("__keep"))
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         coalesce(col("__sz"), lit(1L)).as("dup_group_size"): _*)
   }
 

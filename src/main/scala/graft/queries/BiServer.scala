@@ -77,6 +77,6 @@ object BiServer {
     conf.set("hive.server2.idle.operation.timeout",
       operationTimeoutMs.toString)
     conf.set("hive.server2.idle.session.timeout", "3600000")
-    HiveThriftServer2.startWithContext(ctx.spark.sqlContext)
+    HiveThriftServer2.startWithSparkSession(ctx.spark, exitOnError = false)
   }
 }
