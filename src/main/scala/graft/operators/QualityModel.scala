@@ -127,6 +127,42 @@ object QualityModel {
         (col("__pos").cast("double") / col("n")).as("pos_rate"))
   }
 
+  /** Population stability index between two score distributions —
+    * the model-monitoring companion of `Curation.unigramDrift`'s
+    * vocabulary JS: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) over
+    * equal-width [0,1) bins (rule of thumb: < 0.1 stable, > 0.25
+    * shifted — retrain/recalibrate). Add-one smoothing keeps empty
+    * bins finite; per-bin contributions round to micro-units BEFORE
+    * the final sum, so the sum is exact long arithmetic — the same
+    * fixed-point discipline as every monitoring number here (a drift
+    * alert that flickers on float summation order is noise, not
+    * signal). Output: one row (psi, n_a, n_b). */
+  def psi(a: DataFrame, b: DataFrame, score: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    def binned(df: DataFrame, n: String) =
+      df.select(least(floor(score * bins).cast("int"), lit(bins - 1))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val joined = binned(a, "__ca").join(binned(b, "__cb"), Seq("bin"),
+        "full_outer")
+      .select(col("bin"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // totals ride a broadcast 1-row crossJoin (drift-totals pattern)
+    val totals = joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__pa", (col("__ca") + 1).cast("double") /
+        (col("__na") + bins))
+      .withColumn("__pb", (col("__cb") + 1).cast("double") /
+        (col("__nb") + bins))
+      .withColumn("__contrib",
+        round((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+          * 1e6).cast("long"))
+      .agg((sum(col("__contrib")).cast("double") / lit(1e6)).as("psi"),
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
+  }
+
   /** Fit logistic regression over [[features]] on a labeled sample
     * (`labelCol` ∈ {0, 1}) and return (intercept, weights) for
     * [[score]]. MLlib runs HERE only — the sample is small by

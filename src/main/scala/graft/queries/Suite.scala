@@ -3289,6 +3289,64 @@ object Suite {
              |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
              |FROM m GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    Q("l80_quality_psi",
+      (s, d) => {
+        // PSI of the quality-score distribution: English vs
+        // non-English documents — the "did the scoring population
+        // shift" monitor between two corpus slices
+        val docs = t(s, d, "documents")
+        val score = QualityModel.score(col("text"),
+          Seq(0.3, -0.1, 1.2, -2.0, -1.5), intercept = -0.5)
+        QualityModel.psi(docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"), score, bins = 10)
+          .select(round(col("psi"), 6).as("psi"), col("n_a"), col("n_b"))
+      },
+      // per-bin contributions round to micro-units BEFORE the final
+      // sum — exact long arithmetic, so psi replays to the digit
+      Some("""WITH c AS (SELECT doc_id, lang, lower(trim(text)) AS cl
+             |  FROM documents),
+             |f AS (SELECT doc_id, lang, cl, list_filter(
+             |    string_split_regex(cl, '\s+'), x -> len(x) > 0) AS toks
+             |  FROM c),
+             |g AS (SELECT doc_id, lang,
+             |    CAST(len(toks) AS DOUBLE) AS n,
+             |    CAST(len(cl) AS DOUBLE) AS nc,
+             |    CAST(len(list_filter(toks, t -> list_contains(
+             |      ['the','of','and','to','in','a','is','for','on','that'],
+             |      t))) AS DOUBLE) AS nstop,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist,
+             |    CAST(len(regexp_replace(cl, '[^a-z0-9 ]', '', 'g'))
+             |      AS DOUBLE) AS nal
+             |  FROM f),
+             |z AS (SELECT doc_id, lang, -0.5
+             |    + 0.3 * ln(n + 1)
+             |    - 0.1 * (nc / greatest(n, 1))
+             |    + 1.2 * (nstop / greatest(n, 1))
+             |    - 2.0 * ((nc - nal) / greatest(nc, 1))
+             |    - 1.5 * (CASE WHEN n = 0 THEN 0 ELSE 1 - ndist / n END)
+             |    AS zz FROM g),
+             |m AS (SELECT lang,
+             |    least(floor((1/(1+exp(-zz))) * 10)::INT, 9) AS bin
+             |  FROM z),
+             |ca AS (SELECT bin, count(*)::BIGINT AS c FROM m
+             |  WHERE lang = 'en' GROUP BY bin),
+             |cb AS (SELECT bin, count(*)::BIGINT AS c FROM m
+             |  WHERE lang <> 'en' GROUP BY bin),
+             |j AS (SELECT coalesce(ca.bin, cb.bin) AS bin,
+             |    coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+             |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+             |t AS (SELECT sum(cca)::BIGINT AS na, sum(ccb)::BIGINT AS nb
+             |  FROM j),
+             |k AS (SELECT
+             |    round(((cca + 1)::DOUBLE / ((SELECT na FROM t) + 10) -
+             |      (ccb + 1)::DOUBLE / ((SELECT nb FROM t) + 10)) *
+             |      ln(((cca + 1)::DOUBLE / ((SELECT na FROM t) + 10)) /
+             |        ((ccb + 1)::DOUBLE / ((SELECT nb FROM t) + 10))) *
+             |      1000000)::BIGINT AS contrib FROM j)
+             |SELECT round(sum(contrib)::DOUBLE / 1000000.0, 6) AS psi,
+             |  (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b
+             |FROM k""".stripMargin)),
+
     Q("l23_char_entropy",
       (s, d) => {
         // Shannon entropy of the character distribution — low entropy

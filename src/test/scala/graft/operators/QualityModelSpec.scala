@@ -58,6 +58,20 @@ class QualityModelSpec extends SparkSpec {
     assert(math.abs(means(0) - 0.065) < 1e-9)
   }
 
+  test("psi: identical distributions score 0; a shifted one scores large") {
+    val a = (1 to 100).map(i => (i % 10) / 10.0 + 0.05).toDF("s")
+    val same = QualityModel.psi(a, a, col("s")).collect().head
+    assert(same.getDouble(0) == 0.0, "identical slices: exactly zero")
+    assert(same.getLong(1) == 100L && same.getLong(2) == 100L)
+    // b concentrates all mass in the top bin
+    val b = (1 to 100).map(_ => 0.95).toDF("s")
+    val shifted = QualityModel.psi(a, b, col("s")).collect().head.getDouble(0)
+    assert(shifted > 0.25, s"gross shift must clear the alert bar: $shifted")
+    // symmetric by construction: psi(a,b) == psi(b,a)
+    val rev = QualityModel.psi(b, a, col("s")).collect().head.getDouble(0)
+    assert(math.abs(shifted - rev) < 1e-9)
+  }
+
   test("train separates weak labels; column score == MLlib probability") {
     val (b, w) = QualityModel.train(sample, "text", "label")
     val scored = sample
