@@ -103,7 +103,9 @@ object Bench {
         // unlike the O(n²/nlist) semdedup/knn-graph family)
         "l62_winnow", "l63_winnow_overlap", "l64_int8_ann",
         "l66_strip_markup", "l67_ivfpq_ann", "l69_quality_auc",
-        "l70_data_card", "l71_span_corrupt")
+        "l70_data_card", "l71_span_corrupt", "l72_nfc_dedup",
+        "l74_sentence_chunks", "l77_phrases", "l78_snapshot_diff",
+        "l80_quality_psi")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =
