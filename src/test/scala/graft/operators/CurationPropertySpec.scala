@@ -57,6 +57,51 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: self-diff is all unchanged; statuses partition both id sets") {
+    val doc = Gen.zip(Gen.choose(1L, 40L), Gen.oneOf("a", "b", "c", "dd"))
+    val corpus = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.distinctBy(_._1))
+    forSamples(Gen.zip(corpus, corpus), n = 6) { case (o, nn) =>
+      val od = o.toDF("doc_id", "text")
+      val nd = nn.toDF("doc_id", "text")
+      val self = Curation.snapshotDiff(od, od, "doc_id", "text")
+        .select("status").distinct().as[String].collect().toSet
+      assert(self.subsetOf(Set("unchanged")))
+      val diff = Curation.snapshotDiff(od, nd, "doc_id", "text")
+        .as[(Long, String)].collect()
+      assert(diff.map(_._1).distinct.length == diff.length, "one row per id")
+      val byId = diff.toMap
+      val (oIds, nIds) = (o.map(_._1).toSet, nn.map(_._1).toSet)
+      assert(byId.keySet == oIds ++ nIds)
+      oIds.diff(nIds).foreach(i => assert(byId(i) == "removed"))
+      nIds.diff(oIds).foreach(i => assert(byId(i) == "added"))
+      val (om, nm) = (o.toMap, nn.toMap)
+      oIds.intersect(nIds).foreach { i =>
+        assert(byId(i) == (if (om(i) == nm(i)) "unchanged" else "changed"))
+      }
+    }
+  }
+
+  test("chunkBySentences reassembles the sentence stream on arbitrary docs") {
+    val sentence = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 99).map(i => s"w$i")))
+      .map(_.mkString(" ") + ".")
+    val doc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, sentence))
+      .map(_.mkString(" "))
+    forSamples(Gen.listOfN(3, doc), n = 6) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Curation.chunkBySentences(df, "text", "doc_id", 7)
+        .orderBy("doc_id", "chunk_id")
+        .select("doc_id", "chunk_text")
+        .as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).mkString(" ")).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == t, s"doc $i must reassemble exactly")
+      }
+    }
+  }
+
   test("winnowing guarantee holds on arbitrary docs with planted shared runs") {
     import graft.functions.TextFunctions
     // random word soup around a shared run of exactly w+k-1 tokens
