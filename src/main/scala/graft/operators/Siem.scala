@@ -53,6 +53,26 @@ object Siem {
       .select(keys :+ col("n_gaps") :+ col("mean_gap_s") :+ col("cv2"): _*)
   }
 
+  /** First-seen (novelty) detections: (entity, value) pairs observed
+    * in the window that NEVER occurred before it — new process hash on
+    * a host, first login from a country, first destination for a
+    * service. The history side collapses to DISTINCT pairs before the
+    * anti-join (duplicates die map-side; values and entities shuffle
+    * as pairs, nothing else), and both sides co-key on (entity,
+    * value), so the join adds no extra exchange beyond the two
+    * aggregations. Output: (entity, value, first_ts, n_events) per
+    * novel pair. */
+  def firstSeen(events: DataFrame, entityCol: String, valueCol: String,
+      tsCol: String, windowStart: Column, windowEnd: Column): DataFrame = {
+    val hist = events.filter(col(tsCol) < windowStart)
+      .select(col(entityCol), col(valueCol)).distinct()
+    events
+      .filter(col(tsCol) >= windowStart && col(tsCol) < windowEnd)
+      .groupBy(col(entityCol), col(valueCol))
+      .agg(min(col(tsCol)).as("first_ts"), count(lit(1)).as("n_events"))
+      .join(hist, Seq(entityCol, valueCol), "left_anti")
+  }
+
   /** Cardinality-spike buckets: entities whose DISTINCT-value count in
     * a bucket clears the trailing baseline — the DGA/scanning shape
     * (a host suddenly resolving 50× more distinct domains, a user

@@ -2975,6 +2975,27 @@ object Suite {
              |  AND n * prev_buckets * 1000000 >= 1500000 * prev_sum
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    Q("h8_first_seen",
+      (s, d) => graft.operators.Siem.firstSeen(t(s, d, "events"),
+          "user_id", "event_type", "ts",
+          lit("2024-01-02 00:00:00").cast("timestamp"),
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("first_ts")).as("first_s"), col("n_events"))
+        .orderBy("user_id", "event_type"),
+      Some("""WITH hist AS (SELECT DISTINCT user_id, event_type
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+             |w AS (SELECT user_id, event_type,
+             |    min(ts) AS first_ts, count(*)::BIGINT AS n_events
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-10 00:00:00'
+             |  GROUP BY 1, 2)
+             |SELECT w.user_id, w.event_type,
+             |  floor(epoch(w.first_ts))::BIGINT AS first_s, w.n_events
+             |FROM w LEFT JOIN hist USING (user_id, event_type)
+             |WHERE hist.user_id IS NULL
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     Q("h7_cardinality_spike",
       (s, d) => graft.operators.Siem.cardinalitySpikes(t(s, d, "events"),
           "user_id", "event_type", "ts", bucketSec = 21600L,

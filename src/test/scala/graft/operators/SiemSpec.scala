@@ -64,6 +64,25 @@ class SiemSpec extends SparkSpec {
     assert(vol.isEmpty, s"volume path must stay silent: $vol")
   }
 
+  test("firstSeen: only never-before pairs flag, with first ts and count") {
+    val base = 1700000000L
+    val cut = base + 1000L
+    val rows = Seq(
+      (1L, "ssh", base + 10L),          // history
+      (1L, "ssh", cut + 50L),           // re-occurrence: NOT novel
+      (1L, "rdp", cut + 20L),           // novel for user 1
+      (1L, "rdp", cut + 90L),
+      (2L, "ssh", cut + 30L),           // user 2 never seen ssh: novel
+      (2L, "ssh", cut + 5000L))         // beyond window end: excluded
+    val got = Siem.firstSeen(ev(rows), "user_id", "event_type", "ts",
+        lit(new java.sql.Timestamp(cut * 1000L)),
+        lit(new java.sql.Timestamp((cut + 1000L) * 1000L)))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("first_ts")), col("n_events"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((1L, "rdp", cut + 20L, 2L), (2L, "ssh", cut + 30L, 1L)))
+  }
+
   test("volume spikes: burst over steady baseline flags; cold start silent") {
     val base = 1700000000L
     // 8 steady hourly buckets of 4 events, then one 20-event burst
