@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential-behavior analytics over the event stream: funnel depth,
+  * cohort retention, and ordered-pair sequence matching — the three
+  * ClickHouse-signature behavioral aggregates (`windowFunnel`,
+  * `retention`, `sequenceMatch`) a user of the reference stack
+  * (ClickHouse + Superset, reference `clickhouse/init/03_gold_tables
+  * .sql`, `superset/bootstrap/`) reaches for next after the
+  * counts/top-k its example dashboards stop at.
+  *
+  * All three are EXACT formulations over epoch-second longs: no float
+  * arithmetic anywhere, every tie broken by an explicit order column,
+  * so funnel levels and retention flags replay bit-identically across
+  * engines (the DuckDB oracle runs the same algebra).
+  *
+  * Scale shape (100 TB): every shuffle in this file is keyed on the
+  * funnel/cohort key. [[windowFunnel]] is one aggregation round per
+  * step — k steps = k key-partitioned shuffles over rows that already
+  * matched the previous step (monotonically shrinking), never a
+  * per-key array. [[retention]] and [[sequenceMatch]] are a single
+  * aggregation / single window pass. Nothing collects to the driver.
+  */
+object Funnel {
+
+  /** Earliest-first sequential funnel (the `windowFunnel(window)(ts,
+    * cond1, …, condK)` shape): per key, step 1 anchors at the EARLIEST
+    * step-1 event; each later step matches the earliest qualifying
+    * event strictly after the previous step's match and within
+    * `windowSec` of the anchor. Earliest-first is deterministic and
+    * matches ClickHouse's greedy scan on the common monotone case.
+    *
+    * Returns one row per key that completed step 1:
+    * key, level (1..K), t1..tK epoch seconds (null beyond `level`).
+    *
+    * Implementation: K aggregation rounds, NOT a per-key sorted array
+    * — `groupBy(key).agg(min(ts))` per step, each joined back on the
+    * key. All K shuffles hash on the same key so AQE coalesces them,
+    * and the candidate set shrinks every round (only keys that
+    * reached step i-1 are joined). A million-event key costs the same
+    * as anywhere else in the engine: its rows hash-aggregate map-side. */
+  def windowFunnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      steps: Seq[Column],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    // no tiebreak column needed: every step match is a min over epoch
+    // seconds, which is order-free
+    val ev = events
+      .withColumn("__s", unix_timestamp(col(tsCol)))
+      .select(Seq(col(keyCol), col("__s")) ++ steps.zipWithIndex
+        .map { case (c, i) => c.as(s"__c${i + 1}") }: _*)
+
+    // step 1: earliest matching event per key anchors the window
+    var res = ev.filter(col("__c1"))
+      .groupBy(col(keyCol)).agg(min(col("__s")).as("t1"))
+
+    for (i <- 2 to steps.size) {
+      val prev = s"t${i - 1}"
+      // candidates: step-i events of keys that reached step i-1,
+      // strictly after the previous match, inside the anchor window
+      val cand = ev.filter(col(s"__c$i"))
+        .join(res.filter(col(prev).isNotNull)
+          .select(col(keyCol), col("t1"), col(prev).as("__p")), Seq(keyCol))
+        .filter(col("__s") > col("__p") &&
+          col("__s") <= col("t1") + lit(windowSec))
+        .groupBy(col(keyCol)).agg(min(col("__s")).as(s"t$i"))
+      res = res.join(cand, Seq(keyCol), "left")
+    }
+    // t_i is non-null only if t_{i-1} is (inner-join chain), so the
+    // level is just the count of non-null step timestamps
+    val level = (1 to steps.size)
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    res.withColumn("level", level)
+  }
+
+  /** Cohort retention (the `retention(cond1, …, condK)` shape): per
+    * key, flag r1 = "cond1 ever held" and r_i = "cond1 AND cond_i both
+    * ever held" — the standard day-0/day-N comeback matrix when the
+    * conditions are date-window predicates. One map-side-combined
+    * aggregation; flags are 0/1 ints, never floats.
+    *
+    * Returns key, r1..rK. Callers sum the flag columns for cohort
+    * totals (see the h10 suite query). */
+  def retention(
+      events: DataFrame,
+      keyCol: String,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1).otherwise(0)).as(s"__f${i + 1}")
+    }
+    val agg = events.groupBy(col(keyCol))
+      .agg(flags.head, flags.tail: _*)
+    val out = (1 to conds.size).map { i =>
+      (if (i == 1) col("__f1")
+       else col("__f1") * col(s"__f$i")).as(s"r$i")
+    }
+    agg.select(col(keyCol) +: out: _*)
+  }
+
+  /** Ordered-pair sequence match (the `sequenceMatch('(?1)(?t<=w)(?2)')`
+    * shape): per key, does a `cond1` event precede a `cond2` event with
+    * gap in (0, maxGapSec]? Single window pass — a running "latest
+    * cond1 timestamp so far" (conditional max over the key-ordered
+    * frame) turns the pair search into a per-row predicate, so there
+    * is NO self-join: one key-partitioned sort, one aggregation.
+    *
+    * Returns matching keys only: key, first epoch second at which the
+    * pattern completed (`matched_s`), and how many events completed it
+    * (`n_matches`). Ties at the same second are ordered by `orderCol`,
+    * so the running max is deterministic on both engines. */
+  def sequenceMatch(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      orderCol: String,
+      cond1: Column,
+      cond2: Column,
+      maxGapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = events
+      .withColumn("__s", unix_timestamp(col(tsCol)))
+      .withColumn("__p1",
+        max(when(cond1, unix_timestamp(col(tsCol)))).over(w))
+      .withColumn("__hit",
+        cond2 && col("__p1").isNotNull &&
+          col("__s") - col("__p1") > 0 &&
+          col("__s") - col("__p1") <= maxGapSec)
+    scanned.groupBy(col(keyCol))
+      .agg(min(when(col("__hit"), col("__s"))).as("matched_s"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matches"))
+      .filter(col("matched_s").isNotNull)
+  }
+}

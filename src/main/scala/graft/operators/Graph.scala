@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph iterative analytics. The engine already has the
+  * clustering side of graph work (connected components in
+  * `Dedup.scala`, kNN-graph label propagation in `Similarity.scala`);
+  * this file adds the centrality side — PageRank over an edge list —
+  * which a SIEM deployment runs on its communication graph (which
+  * hosts/accounts are structurally central; reference's Zeek conn
+  * events are exactly such an edge stream,
+  * `clickhouse/init/02_kafka_ingest.sql.tmpl:131-262`) and a data
+  * pipeline runs on its crawl/link graph for source authority.
+  *
+  * Exactness: the damped update is pure long arithmetic —
+  * `rank' = base + (dampMicro · Σ incoming) div 10⁶` with per-edge
+  * contribution `rank div out_degree` — so iterate-for-iterate the
+  * ranks replay bit-identically in any engine (the DuckDB oracle
+  * unrolls the same rounds as CTEs). Truncation-toward-zero and
+  * floor division agree because every operand is non-negative.
+  */
+object Graph {
+
+  /** Integer-exact damped PageRank over an edge list (`src`, `dst`
+    * columns; parallel edges count as weight). Ranks live in `scale`
+    * units (default 10¹²) so the per-edge integer division
+    * `rank div deg` loses < 1 part in 10⁶ per round even on
+    * million-out-degree hubs.
+    *
+    * Dangling nodes (no out-edges) keep receiving rank but their own
+    * mass is NOT redistributed — it decays, identically in every
+    * engine. That keeps the update one join + one aggregation; the
+    * redistribute variant needs a global sum per round and changes no
+    * ordering at realistic damping.
+    *
+    * Scale shape (100 TB graph): per round, only (node, long) pairs
+    * move — the rank table joins the out-degree-annotated edge list on
+    * `src` (both hash-partitioned on the same key; edges are
+    * repartitioned once and cached, so each round re-shuffles ONLY the
+    * rank side, which is |V| longs, not |E| edges) and contributions
+    * hash-aggregate map-side onto `dst`. Driver holds two scalars
+    * (|V|, base). Lineage grows linearly in `iters`; past ~15 rounds
+    * callers should insert a localCheckpoint — at the 3-8 rounds
+    * centrality ranking needs, plain lineage is cheaper. */
+  def pageRankInt(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1, "pageRankInt needs at least one iteration")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+
+    // out-degree-annotated edges, partitioned once on the join key so
+    // every round's rank join reuses this layout instead of
+    // re-shuffling |E| rows
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val edgesD = edges.join(deg, Seq("src"))
+      .repartition(shufflePartitions, col("src"))
+      .cache()
+
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRankInt: empty graph")
+      // base = (1 - damp) · scale / n, computed in the overflow-safe
+      // order (scale ≤ 10¹² keeps scale·(10⁶−damp) < 2⁶³)
+      val base = scale * (1000000L - dampMicro) / n / 1000000L
+
+      var rank = nodes.withColumn("rank", lit(scale / n))
+      for (_ <- 1 to iters) {
+        val contrib = edgesD
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst"), expr("rank div __deg").as("__c"))
+        val incoming = contrib.groupBy(col("dst"))
+          .agg(sum(col("__c")).as("__inc"))
+          .withColumnRenamed("dst", "node")
+        rank = nodes.join(incoming, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(
+              s"($dampMicro * coalesce(__inc, 0L)) div 1000000")
+              ).as("rank"))
+      }
+      // materialize the final ranks (|V| longs — bounded) so the
+      // edge cache can be dropped eagerly instead of leaking for the
+      // session, and the per-round lineage is truncated in one step
+      rank.localCheckpoint(eager = true)
+    } finally edgesD.unpersist()
+  }
+}

@@ -3617,7 +3617,173 @@ object Suite {
       },
       Some("""SELECT source, CAST(sum(octet_length(ENCODE(text))) AS BIGINT)
              |  AS sum_bytes, count(*) AS n
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("h9_funnel",
+      (s, d) => graft.operators.Funnel.windowFunnel(t(s, d, "events"),
+          "user_id", "ts",
+          Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"),
+          windowSec = 604800L)
+        .select(col("user_id"), col("level"),
+          col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id"),
+      // earliest-first chain in pure epoch-second longs: each step is
+      // a min over events strictly after the previous match and inside
+      // the step-1 anchor window — level-for-level engine-identical
+      Some("""WITH s1 AS (SELECT user_id,
+             |    min(floor(epoch(ts))::BIGINT) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click'
+             |    AND floor(epoch(e.ts))::BIGINT > s1.t1
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |    JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND floor(epoch(e.ts))::BIGINT > s2.t2
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1)
+             |SELECT s1.user_id,
+             |  1 + (s2.user_id IS NOT NULL)::INT
+             |    + (s3.user_id IS NOT NULL)::INT AS level,
+             |  s1.t1, s2.t2, s3.t3
+             |FROM s1 LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("h10_retention",
+      (s, d) => graft.operators.Funnel.retention(t(s, d, "events"),
+          "user_id", Seq(
+            col("event_type") === "signup" &&
+              col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"),
+            col("event_type") === "purchase" &&
+              col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"),
+            col("event_type") === "purchase" &&
+              col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"),
+            col("event_type") === "error" &&
+              col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp")))
+        .orderBy("user_id"),
+      // 0/1 integer flags, one aggregation — r_i = cohort AND cond_i
+      Some("""WITH f AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f1,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f2,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-22 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f3,
+             |    max(CASE WHEN event_type = 'error'
+             |      AND ts >= TIMESTAMP '2024-01-22 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f4
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, f1 AS r1, f1 * f2 AS r2,
+             |  f1 * f3 AS r3, f1 * f4 AS r4
+             |FROM f ORDER BY user_id""".stripMargin)),
+
+    Q("h11_seq_match",
+      (s, d) => graft.operators.Funnel.sequenceMatch(t(s, d, "events"),
+          "user_id", "ts", "event_id",
+          col("event_type") === "error",
+          col("event_type") === "purchase",
+          maxGapSec = 1800L)
+        .orderBy("user_id"),
+      // running conditional max turns the ordered-pair search into a
+      // per-row predicate — no self-join on either engine
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |    floor(epoch(ts))::BIGINT AS sec,
+             |    max(CASE WHEN event_type = 'error'
+             |      THEN floor(epoch(ts))::BIGINT END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS p1
+             |  FROM events),
+             |h AS (SELECT user_id, sec,
+             |    (event_type = 'purchase' AND p1 IS NOT NULL
+             |      AND sec - p1 > 0 AND sec - p1 <= 1800) AS hit
+             |  FROM s)
+             |SELECT user_id,
+             |  min(CASE WHEN hit THEN sec END) AS matched_s,
+             |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_matches
+             |FROM h GROUP BY 1
+             |HAVING min(CASE WHEN hit THEN sec END) IS NOT NULL
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("l81_pagerank",
+      (s, d) => {
+        // communication graph from the event stream: per-user ordered
+        // k→k transitions (the Zeek-conn src→dst shape); parallel
+        // edges weight naturally
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .select(col("src"), col("k").as("dst"))
+        graft.operators.Graph.pageRankInt(edges, iters = 3)
+          .orderBy("node")
+      },
+      // 3 damped rounds unrolled as CTEs; every operand is a
+      // non-negative long, so truncating and floor division agree and
+      // the ranks replay bit-for-bit
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |ed AS (SELECT lag(k) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS src, k AS dst FROM ev),
+             |edges AS (SELECT src, dst FROM ed WHERE src IS NOT NULL),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM edges
+             |    UNION ALL SELECT dst FROM edges)),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+             |deg AS (SELECT src, count(*)::BIGINT AS deg
+             |  FROM edges GROUP BY 1),
+             |r0 AS (SELECT node,
+             |    (1000000000000 // n)::BIGINT AS rank
+             |  FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r0 r ON r.node = e.src GROUP BY 1),
+             |r1 AS (SELECT nodes.node,
+             |    ((1000000000000 * 150000) // n // 1000000
+             |     + (850000 * coalesce(c1.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c1 USING (node)),
+             |c2 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r1 r ON r.node = e.src GROUP BY 1),
+             |r2 AS (SELECT nodes.node,
+             |    ((1000000000000 * 150000) // n // 1000000
+             |     + (850000 * coalesce(c2.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c2 USING (node)),
+             |c3 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r2 r ON r.node = e.src GROUP BY 1),
+             |r3 AS (SELECT nodes.node,
+             |    ((1000000000000 * 150000) // n // 1000000
+             |     + (850000 * coalesce(c3.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
+             |SELECT node, rank FROM r3
+             |ORDER BY node""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

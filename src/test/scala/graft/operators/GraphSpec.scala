@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank: checked against an in-test scalar
+  * re-implementation of the same long arithmetic (the strongest
+  * oracle a deterministic formulation allows), plus structural
+  * properties. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+  private val Damp = 850000L
+
+  /** Driver-side mirror of [[Graph.pageRankInt]]'s long arithmetic. */
+  private def refRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = Scale * (1000000L - Damp) / n / 1000000L
+    var rank = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (base + Damp * inc.getOrElse(v, 0L) / 1000000L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankInt(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("ranks equal the scalar long-arithmetic mirror on a mixed graph") {
+    // hub, cycle, dangling node and a parallel edge all at once
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 5),
+      (5, 2), (2, 5), (2, 5), // parallel edge weights dst 5
+      (6, 1)) // 6 is a source-only node; 5->... keeps 5 non-dangling
+    for (iters <- Seq(1, 3, 5))
+      assert(run(edges, iters) == refRank(edges, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("a symmetric cycle stays exactly uniform") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1))
+    val got = run(edges, 4)
+    assert(got.values.toSet.size == 1, s"cycle ranks must be equal: $got")
+    // deg=1 everywhere: r' = base + 0.85*r exactly, in longs
+    val expected = Iterator.iterate(Scale / 3)(r =>
+      Scale * 150000L / 3L / 1000000L + Damp * r / 1000000L)
+      .drop(4).next()
+    assert(got(1L) == expected)
+  }
+
+  test("the sink of a star outranks the leaves; dangling mass decays") {
+    // 5 leaves all pointing at node 0 (which points nowhere)
+    val edges = (1L to 5L).map(i => (i, 0L))
+    val got = run(edges, 3)
+    assert(got(0L) > got(1L) * 3, s"star center dominates: $got")
+    assert((1L to 5L).map(got).toSet.size == 1, "leaves tie exactly")
+    assert(got == refRank(edges, 3))
+  }
+}
