@@ -113,17 +113,7 @@ object PartitionedWriter {
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
 
-    // heal a crash from a previous run: live partition gone, bak present
-    if (fs.exists(staging)) fs.listStatus(staging).toSeq
-      .filter(_.getPath.getName.endsWith(".bak"))
-      .foreach { b =>
-        val live = new Path(root, b.getPath.getName.stripSuffix(".bak"))
-        if (!fs.exists(live)) fs.rename(b.getPath, live)
-      }
-
-    def mustRename(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"rename $from -> $to failed")
+    healStaging(fs, root, staging)
 
     val stats = parts.flatMap { p =>
       val dataFiles = fs.listStatus(p.getPath)
@@ -138,23 +128,111 @@ object PartitionedWriter {
             part.repartitionByRange(files, orderCols.map(col).toIndexedSeq: _*)
               .sortWithinPartitions(orderCols.map(col).toIndexedSeq: _*)
           else part.repartition(files)
-        val tmp = new Path(staging, p.getPath.getName + ".tmp")
-        val bak = new Path(staging, p.getPath.getName + ".bak")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        if (fs.exists(bak)) fs.delete(bak, true)
-        shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        mustRename(p.getPath, bak)
-        try mustRename(tmp, p.getPath)
-        catch {
-          case e: java.io.IOException =>
-            if (!fs.exists(p.getPath)) fs.rename(bak, p.getPath)
-            throw e
+        swapPartition(fs, staging, p.getPath) { tmp =>
+          shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         }
-        fs.delete(bak, true)
         val after = fs.listStatus(p.getPath)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         Some(CompactStats(p.getPath.getName, dataFiles.length, after))
       }
+    }
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
+    stats
+  }
+
+  /** Heal a crash from a previous swap: live partition gone, bak
+    * present → restore the bak. */
+  private def healStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(staging)) fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".bak"))
+      .foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          b.getPath.getName.stripSuffix(".bak"))
+        if (!fs.exists(live)) fs.rename(b.getPath, live)
+      }
+
+  /** Atomic-ish partition replacement: stage the rewrite OUTSIDE the
+    * table root, rename live → bak, staged → live, drop bak. A crash
+    * between the renames is healed by [[healStaging]] on the next
+    * call; readers see the partition missing only between two
+    * metadata-speed renames. */
+  private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path)(
+      write: org.apache.hadoop.fs.Path => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+    val tmp = new Path(staging, live.getName + ".tmp")
+    val bak = new Path(staging, live.getName + ".bak")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    write(tmp)
+    mustRename(live, bak)
+    try mustRename(tmp, live)
+    catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(live)) fs.rename(bak, live)
+        throw e
+    }
+    fs.delete(bak, true)
+  }
+
+  case class PurgeStats(partition: String, rowsBefore: Long, rowsRemoved: Long)
+
+  /** Right-to-be-forgotten: delete every row whose `keyCol` appears in
+    * `keys`, rewriting ONLY the date partitions that actually contain a
+    * match (reference has no erasure story beyond ALTER TABLE DELETE
+    * mutations, `clickhouse/init/03_gold_tables.sql` tables are
+    * append-only; a lakehouse needs an explicit one for GDPR/CCPA).
+    *
+    * Two passes, both bounded:
+    *  1. locate — a column-pruned scan of (keyCol, partition col) only,
+    *     semi-joined against the broadcast deletion set (deletion
+    *     requests are small by nature; a million keys is ~8 MB). At
+    *     100 TB this reads one column's pages, not the table.
+    *  2. rewrite — per affected partition, anti-join out the keys and
+    *     swap via the same staged-rename discipline as
+    *     [[compactPartitions]] (crash-healed, reader-safe). Untouched
+    *     partitions are never opened, let alone rewritten — the specs
+    *     pin that their files are byte-identical afterwards.
+    *
+    * A partition whose every row is purged is dropped entirely. The
+    * returned receipts (partition, rowsBefore, rowsRemoved) are the
+    * audit evidence an erasure request requires; re-running the same
+    * purge removes 0 rows (idempotent). */
+  def purgeKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Seq[PurgeStats] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val staging = new Path(path + "__purge")
+    healStaging(fs, root, staging)
+
+    val del = keys.select(col(keyCol)).distinct()
+    val affected = spark.read.parquet(path)
+      .select(col(keyCol), col(DateCol))
+      .join(broadcast(del), Seq(keyCol), "left_semi")
+      .select(col(DateCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val stats = affected.toSeq.map { d =>
+      val live = new Path(root, s"$DateCol=$d")
+      val part = spark.read.parquet(live.toString)
+      val kept = part.join(broadcast(del), Seq(keyCol), "left_anti").cache()
+      try {
+        val before = part.count()
+        val after = kept.count()
+        if (after == 0L) fs.delete(live, true)
+        else swapPartition(fs, staging, live) { tmp =>
+          kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        }
+        PurgeStats(live.getName, before, before - after)
+      } finally kept.unpersist()
     }
     if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
       fs.delete(staging, true)

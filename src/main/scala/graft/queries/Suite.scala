@@ -3783,7 +3783,37 @@ object Suite {
              |    )::BIGINT AS rank
              |  FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
              |SELECT node, rank FROM r3
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    Q("l82_forget",
+      (s, d) => {
+        // the full erasure path per call: land events date-partitioned
+        // in a scratch table, purge every 17th user (locate →
+        // partition-pruned rewrite → receipt), read back survivors
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_forget_").toString
+        val root = tmp + "/events"
+        val ev = t(s, d, "events")
+        graft.core.PartitionedWriter.append(ev, root, "ts", Seq("event_id"))
+        val del = ev.select(col("user_id"))
+          .filter(col("user_id") % 17 === 0).distinct()
+        graft.core.PartitionedWriter.purgeKeys(s, root, "user_id", del)
+        val res = s.read.parquet(root).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("user_id")).cast("long").as("sum_uid"))
+          .orderBy("event_type")
+          // materialize so the scratch table can be deleted eagerly
+          .localCheckpoint(true)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        res
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  sum(user_id)::BIGINT AS sum_uid
+             |FROM events WHERE user_id % 17 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
