@@ -3813,6 +3813,39 @@ object Suite {
              |  count(DISTINCT user_id) AS n_users,
              |  sum(user_id)::BIGINT AS sum_uid
              |FROM events WHERE user_id % 17 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("l83_zorder_scan",
+      (s, d) => {
+        // rewrite events Morton-clustered on (user_id, props.k), then
+        // run a 2-D box predicate through the pushed-down parquet read
+        // — the multi-dimensional layout path end-to-end; layout never
+        // changes query results, which is exactly what the oracle pins
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_zorder_").toString
+        val ev = t(s, d, "events").withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        graft.core.ZOrder.writeZOrdered(ev, tmp + "/z",
+          Seq(graft.core.ZOrder.quantize(col("user_id"), 0, 1 << 20, 10),
+            graft.core.ZOrder.quantize(col("k"), 0, 100, 7)),
+          files = 16)
+        val res = s.read.parquet(tmp + "/z")
+          .filter(col("user_id").between(10, 60) &&
+            col("k").between(20, 40))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+          .orderBy("k")
+          .localCheckpoint(true)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        res
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |    AS k, count(*) AS n, sum(user_id)::BIGINT AS sum_uid
+             |FROM events
+             |WHERE user_id BETWEEN 10 AND 60
+             |  AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |    BETWEEN 20 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
