@@ -215,10 +215,7 @@ object PartitionedWriter {
     healStaging(fs, root, staging)
 
     val del = keys.select(col(keyCol)).distinct()
-    val affected = spark.read.parquet(path)
-      .select(col(keyCol), col(DateCol))
-      .join(broadcast(del), Seq(keyCol), "left_semi")
-      .select(col(DateCol).cast("string")).distinct()
+    val affected = locateAffected(spark, path, keyCol, del)
       .collect().map(_.getString(0)).sorted
     val stats = affected.toSeq.map { d =>
       val live = new Path(root, s"$DateCol=$d")
@@ -238,6 +235,17 @@ object PartitionedWriter {
       fs.delete(staging, true)
     stats
   }
+
+  /** Purge pass 1: the partitions containing any deletion key — a
+    * column-pruned (keyCol + partition col only) scan semi-joined
+    * against the broadcast deletion set. Package-visible so the plan
+    * shape (broadcast semi, two-column ReadSchema) is CI-asserted. */
+  private[graft] def locateAffected(spark: SparkSession, path: String,
+      keyCol: String, del: DataFrame): DataFrame =
+    spark.read.parquet(path)
+      .select(col(keyCol), col(DateCol))
+      .join(broadcast(del), Seq(keyCol), "left_semi")
+      .select(col(DateCol).cast("string")).distinct()
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -441,4 +441,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.head.relation.location.listFiles(
       scans.head.partitionFilters, scans.head.dataFilters).map(_.files.size).sum == 1)
   }
+
+  test("sequenceMatch is one window pass — no join anywhere") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val plan = planOf(operators.Funnel.sequenceMatch(ev, "user_id",
+      "ts", "event_id", col("event_type") === "error",
+      col("event_type") === "purchase", maxGapSec = 1800L))
+    assert(!plan.contains("Join"), "ordered-pair search must not self-join")
+    assert(plan.contains("Window"))
+  }
+
+  test("funnel steps join on the funnel key only — never cartesian") {
+    val plan = planOf(queries.Suite.queries("h9_funnel")(spark, sf))
+    assert(!plan.contains("Cartesian"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("purge locate reads only (key, partition) and broadcasts the deletion set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_plan").toString
+    val rows = Seq((1L, 7L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "pad"))
+      .toDF("event_id", "user_id", "event_ts", "payload")
+    core.PartitionedWriter.append(rows, dir, "event_ts")
+    val plan = planOf(core.PartitionedWriter.locateAffected(
+      spark, dir, "user_id", Seq(7L).toDF("user_id")))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
+    // column pruning: the wide payload column is never read in pass 1
+    assert(plan.contains("ReadSchema: struct<user_id:bigint>"), plan)
+    assert(!plan.contains("payload"))
+  }
 }
