@@ -3846,7 +3846,95 @@ object Suite {
              |WHERE user_id BETWEEN 10 AND 60
              |  AND CAST(json_extract_string(props, '$.k') AS BIGINT)
              |    BETWEEN 20 AND 40
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("e7_pivot",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        // pivot leaves empty cells null; the matrix wants zeros
+        .select(col("user_id") +: Seq("click", "error", "purchase",
+          "signup", "view").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |    ::BIGINT AS click,
+             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |    ::BIGINT AS error,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    ::BIGINT AS purchase,
+             |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |    ::BIGINT AS signup,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |    ::BIGINT AS view
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    Q("e8_gap_fill",
+      (s, d) => {
+        // resample to an hourly grid per user and carry the last
+        // observed bucket-max forward (LOCF) — the time-series
+        // densification every monitoring dashboard needs. The grid is
+        // generated map-side (sequence+explode, no join to build it);
+        // the fill is one key-partitioned window pass.
+        val ev = t(s, d, "events")
+        val obs = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"), max(col("value")).as("__v"))
+        val grid = ev.select(col("user_id")).distinct()
+          .select(col("user_id"), explode(sequence(
+            lit("2024-01-01 00:00:00").cast("timestamp"),
+            lit("2024-01-31 00:00:00").cast("timestamp"),
+            expr("interval 1 hour"))).as("bucket"))
+        val w = Window.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), unix_timestamp(col("bucket")).as("bucket_s"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            round(last(col("__v"), ignoreNulls = true).over(w), 6)
+              .as("v_fill"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some("""WITH grid AS (SELECT user_id,
+             |    unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+             |      TIMESTAMP '2024-01-31 00:00:00',
+             |      INTERVAL 1 HOUR)) AS bucket
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |obs AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+             |    count(*) AS n, max(value) AS v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT g.user_id,
+             |  floor(epoch(g.bucket))::BIGINT AS bucket_s,
+             |  coalesce(o.n, 0)::BIGINT AS n,
+             |  round(last_value(o.v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS v_fill
+             |FROM grid g LEFT JOIN obs o
+             |  ON g.user_id = o.user_id AND g.bucket = o.bucket
+             |ORDER BY g.user_id, bucket_s""".stripMargin)),
+
+    Q("e9_rollup",
+      (s, d) => t(s, d, "events")
+        .withColumn("d", to_date(col("ts")).cast("string"))
+        // micro-unit floor BEFORE summing: long addition is
+        // associative, so subtotal rows hash-match however either
+        // engine orders the aggregation
+        .withColumn("__m", floor(col("value") * 1000000).cast("long"))
+        .rollup(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("__m")).as("sum_micro"))
+        .select(coalesce(col("event_type"), lit("_all_")).as("event_type"),
+          coalesce(col("d"), lit("_all_")).as("d"),
+          col("n"), col("sum_micro"))
+        .orderBy("event_type", "d"),
+      Some("""SELECT coalesce(event_type, '_all_') AS event_type,
+             |  coalesce(strftime(ts, '%Y-%m-%d'), '_all_') AS d,
+             |  count(*) AS n,
+             |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_micro
+             |FROM events
+             |GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+             |ORDER BY event_type, d""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
