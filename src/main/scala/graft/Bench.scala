@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs the full query suite against
   * SPARK_GRAFT_SF_DIR (default sf0.1), fully materializing each result
@@ -325,7 +326,72 @@ object Bench {
         ""
       }
 
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream}""")
+    // sequential-analytics growth rehearsal: funnel, sequence match
+    // and PageRank are linear in events/edges (funnel: one shrinking
+    // aggregation per step; sequence match: one window pass; pagerank:
+    // |E| contributions per round over a cached edge list) — rehearse
+    // that claim at factor× deterministic synthetic events, output
+    // cardinality recorded next to wall time.
+    val synthEvFactor =
+      sys.env.getOrElse("SPARK_GRAFT_SYNTHEV_FACTOR", "10").toInt
+    val synthEv: String =
+      if (only.isDefined || synthEvFactor <= 1) ""
+      else try {
+        val baseN = core.Tables.load(spark, sfDir, "events").count()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_synth_ev").toString
+        val n = baseN * synthEvFactor
+        // user count scales with volume (same events-per-user density
+        // as the driver tables), so per-key state doesn't thin out
+        val users = math.max(1L, n / 67L)
+        spark.range(n).select(
+          col("id").as("event_id"),
+          to_timestamp(from_unixtime(lit(1704067200L) +
+            pmod(hash(col("id")), lit(2592000)))).as("ts"),
+          pmod(hash(col("id") * 13L), lit(users)).cast("long").as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error")),
+            (pmod(hash(col("id") * 7L), lit(5)) + 1).cast("int"))
+            .as("event_type"),
+          (pmod(hash(col("id") * 3L), lit(10000)).cast("double") / 100.0)
+            .as("value"),
+          format_string("{\"k\": %d}",
+            pmod(hash(col("id") * 31L), lit(100))).as("props"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        def countTimed(label: String, q: String, d: String)
+            : Option[(Long, Double)] = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try Some((SparkEntry.queries(q)(spark, d).count(),
+            (System.nanoTime() - t0) / 1e9))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val entries = Seq(
+          ("h9g_funnel", "h9_funnel"),
+          ("h11g_seq_match", "h11_seq_match"),
+          ("l81g_pagerank", "l81_pagerank"))
+          .flatMap { case (nm, q) =>
+            for {
+              (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
+              (ng, tg) <- countTimed(s"synthE:$nm(x$synthEvFactor)", q, dir)
+            } yield {
+              System.err.println(f"[bench] synthE x$synthEvFactor $nm%-18s " +
+                f"base $nb%7d rows/$tb%5.2f s -> grown $ng%8d rows/" +
+                f"$tg%5.2f s (ratio ${tg / tb}%.1fx)")
+              f""""$nm":{"base_rows":$nb,"base":$tb%.3f,"grown_rows":$ng,"grown":$tg%.3f}"""
+            }
+          }
+        if (entries.isEmpty) ""
+        else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${entries.mkString(",")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] synthE rehearsal FAILED: ${e.getMessage}")
+        ""
+      }
+
+    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$synthEv}""")
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

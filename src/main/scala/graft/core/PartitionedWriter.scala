@@ -190,16 +190,24 @@ object PartitionedWriter {
     * mutations, `clickhouse/init/03_gold_tables.sql` tables are
     * append-only; a lakehouse needs an explicit one for GDPR/CCPA).
     *
-    * Two passes, both bounded:
+    * Three fixed-size passes — cost scales with the DATA touched,
+    * never with the partition count (a driver loop over partitions
+    * would serialize thousands of fixed-overhead jobs on a year-long
+    * 100 TB table):
     *  1. locate — a column-pruned scan of (keyCol, partition col) only,
     *     semi-joined against the broadcast deletion set (deletion
     *     requests are small by nature; a million keys is ~8 MB). At
     *     100 TB this reads one column's pages, not the table.
-    *  2. rewrite — per affected partition, anti-join out the keys and
-    *     swap via the same staged-rename discipline as
-    *     [[compactPartitions]] (crash-healed, reader-safe). Untouched
-    *     partitions are never opened, let alone rewritten — the specs
-    *     pin that their files are byte-identical afterwards.
+    *  2. receipt — one aggregation over the affected partitions
+    *     (partition-pruned IN filter) counting rows and matches per
+    *     partition.
+    *  3. rewrite — ONE anti-join job writes every surviving row of
+    *     the affected partitions into a staged partitioned layout;
+    *     live partitions are then replaced by metadata-speed renames
+    *     (live → bak, staged → live, drop bak — crash-healed by
+    *     [[healStaging]]). Untouched partitions are never opened, let
+    *     alone rewritten — the specs pin that their files are
+    *     byte-identical afterwards.
     *
     * A partition whose every row is purged is dropped entirely. The
     * returned receipts (partition, rowsBefore, rowsRemoved) are the
@@ -217,23 +225,70 @@ object PartitionedWriter {
     val del = keys.select(col(keyCol)).distinct()
     val affected = locateAffected(spark, path, keyCol, del)
       .collect().map(_.getString(0)).sorted
-    val stats = affected.toSeq.map { d =>
-      val live = new Path(root, s"$DateCol=$d")
-      val part = spark.read.parquet(live.toString)
-      val kept = part.join(broadcast(del), Seq(keyCol), "left_anti").cache()
-      try {
-        val before = part.count()
-        val after = kept.count()
-        if (after == 0L) fs.delete(live, true)
-        else swapPartition(fs, staging, live) { tmp =>
-          kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (affected.isEmpty) return Nil
+    val affectedDates = affected.map(java.sql.Date.valueOf).toSeq
+
+    val tbl = spark.read.parquet(path)
+      .filter(col(DateCol).isin(affectedDates: _*))
+    val marked = tbl.join(
+      broadcast(del.withColumn("__del", lit(1))), Seq(keyCol), "left")
+
+    val stats = marked.groupBy(col(DateCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__before"),
+        sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("__removed"))
+      .collect()
+      .map(r => PurgeStats(s"$DateCol=${r.getString(0)}",
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_.partition)
+
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+
+    // one job stages every survivor partition's rewrite; the staged
+    // output is partitioned identically to the live table
+    val survivors = stats.filter(s => s.rowsRemoved < s.rowsBefore)
+    if (survivors.nonEmpty) {
+      val stagedOut = new Path(staging, "out")
+      if (fs.exists(stagedOut)) fs.delete(stagedOut, true)
+      marked.filter(col("__del").isNull).drop("__del")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(DateCol).parquet(stagedOut.toString)
+      survivors.foreach { s =>
+        val live = new Path(root, s.partition)
+        val bak = new Path(staging, s.partition + ".bak")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        mustRename(live, bak)
+        try mustRename(new Path(stagedOut, s.partition), live)
+        catch {
+          case e: java.io.IOException =>
+            if (!fs.exists(live)) fs.rename(bak, live)
+            throw e
         }
-        PurgeStats(live.getName, before, before - after)
-      } finally kept.unpersist()
+        fs.delete(bak, true)
+      }
+      fs.delete(stagedOut, true)
     }
+    stats.filter(s => s.rowsRemoved == s.rowsBefore)
+      .foreach(s => fs.delete(new Path(root, s.partition), true))
     if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
       fs.delete(staging, true)
-    stats
+    stats.toSeq
+  }
+
+  /** Staged-rename replacement of one live partition directory for
+    * external merge-style rewrites (e.g. Summing folds): same staging
+    * conventions and crash healing as compaction/purge. */
+  private[graft] def swapPartitionIn(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path)(
+      write: org.apache.hadoop.fs.Path => Unit): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root.toString + "__merge")
+    healStaging(fs, root, staging)
+    swapPartition(fs, staging, live)(write)
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
   }
 
   /** Purge pass 1: the partitions containing any deletion key — a

@@ -117,6 +117,38 @@ object Siem {
     *
     * Output: (group, bucket, n, prev_sum, prev_buckets). One bucketed
     * agg + one group-partitioned window. */
+  /** Seasonal (hour-of-week) baseline spikes: like [[volumeSpikes]]
+    * but the trailing baseline is the SAME SLOT of previous weeks —
+    * Monday 09:00 compares against past Mondays 09:00, so the daily
+    * and weekly rhythm that defeats a flat trailing window (every
+    * morning "spikes" vs the night before) is the baseline itself.
+    * Slot = `(epoch div bucketSec) mod slotsPerWeek` — pure integer
+    * arithmetic, flag-for-flag engine-identical; slot 0 is the epoch
+    * anchor (Thursday 00:00 UTC), which only labels, never reorders.
+    *
+    * Same scale shape as the flat variant: one map-side-combined count
+    * aggregation, one (group, slot)-partitioned window pass. */
+  def seasonalSpikes(events: DataFrame, groupCol: String, tsCol: String,
+      bucketSec: Long, factorMicro: Long, lookback: Int = 4,
+      minPrev: Int = 2): DataFrame = {
+    val slotsPerWeek = 604800L / bucketSec
+    val bucket = (floor(unix_timestamp(col(tsCol)) / bucketSec) *
+      bucketSec).cast("long")
+    val counts = events
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("slot",
+        pmod(expr(s"bucket div $bucketSec"), lit(slotsPerWeek)))
+    val w = Window.partitionBy(col(groupCol), col("slot"))
+      .orderBy(col("bucket")).rowsBetween(-lookback, -1)
+    counts
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("prev_buckets", count(col("n")).over(w))
+      .filter(col("prev_buckets") >= minPrev &&
+        col("n") * col("prev_buckets") * 1000000L >=
+          lit(factorMicro) * col("prev_sum"))
+  }
+
   def volumeSpikes(events: DataFrame, groupCol: String, tsCol: String,
       bucketSec: Long, factorMicro: Long, lookback: Int = 6,
       minPrev: Int = 3): DataFrame = {

@@ -3848,6 +3848,68 @@ object Suite {
              |    BETWEEN 20 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("h12_seasonal_spike",
+      (s, d) => graft.operators.Siem.seasonalSpikes(t(s, d, "events"),
+          "event_type", "ts", bucketSec = 21600L,
+          factorMicro = 1500000L, lookback = 4, minPrev = 2)
+        .select(col("event_type"), col("bucket"), col("slot"),
+          col("n"), col("prev_sum"), col("prev_buckets"))
+        .orderBy("event_type", "bucket"),
+      // same-slot-of-week baseline, pure long arithmetic throughout
+      Some("""WITH c AS (SELECT event_type,
+             |    (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bucket,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |sl AS (SELECT *, (bucket // 21600) % 28 AS slot FROM c),
+             |w AS (SELECT *, coalesce(sum(n) OVER (
+             |    PARTITION BY event_type, slot ORDER BY bucket
+             |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0)
+             |    AS prev_sum,
+             |  count(n) OVER (PARTITION BY event_type, slot
+             |    ORDER BY bucket
+             |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+             |    AS prev_buckets FROM sl)
+             |SELECT event_type, bucket, slot, n::BIGINT AS n,
+             |  prev_sum::BIGINT AS prev_sum,
+             |  prev_buckets::BIGINT AS prev_buckets
+             |FROM w WHERE prev_buckets >= 2
+             |  AND n * prev_buckets * 1000000 >= 1500000 * prev_sum
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    Q("d8_summing",
+      (s, d) => {
+        // SummingMergeTree path end-to-end: two overlapping partial-
+        // count appends, a background merge fold, then the reader view
+        // — which must equal the plain aggregate regardless of merge
+        // state (the oracle pins exactly that)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_summing_").toString
+        val root = tmp + "/counters"
+        val ev = t(s, d, "events")
+          .withColumn("day_ts", to_date(col("ts")).cast("timestamp"))
+        def partial(pred: Column) = ev.filter(pred)
+          .groupBy(col("user_id"), col("event_type"), col("day_ts"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Summing.appendPartials(
+          partial(col("event_id") % 2 === 0), root, "day_ts")
+        graft.operators.Summing.appendPartials(
+          partial(col("event_id") % 2 === 1), root, "day_ts")
+        graft.operators.Summing.merge(s, root,
+          Seq("user_id", "event_type"), Seq("n"), "day_ts")
+        val res = graft.operators.Summing.summedView(
+            s.read.parquet(root)
+              .withColumn("day", col("day_ts").cast("date").cast("string")),
+            Seq("user_id", "event_type", "day"), Seq("n"))
+          .orderBy("user_id", "event_type", "day")
+          .localCheckpoint(true)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        res
+      },
+      Some("""SELECT user_id, event_type,
+             |  strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY user_id, event_type, day""".stripMargin)),
+
     Q("e7_pivot",
       (s, d) => t(s, d, "events")
         .groupBy(col("user_id"))

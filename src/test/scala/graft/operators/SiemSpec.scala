@@ -98,4 +98,25 @@ class SiemSpec extends SparkSpec {
     // first buckets (cold start, < minPrev predecessors) never alert
     assert(!got.exists(_._1 < base / 3600 * 3600 + 3 * 3600))
   }
+
+  test("seasonal spikes: weekly rhythm is baseline, not alert") {
+    val week = 604800L
+    val base = 1700000000L / week * week // align to a slot boundary
+    // 10 events every Monday-ish slot for 4 weeks, 1 event in every
+    // other daily slot: a flat trailing baseline would flag each weekly
+    // peak; the same-slot baseline must not
+    val rhythmic = for {
+      wk <- 0 until 5; slot <- 0 until 7
+      n = if (slot == 2) 10 else 1; i <- 0 until n
+    } yield (1L, "login", base + wk * week + slot * 86400L + i * 10L)
+    // week 5's peak slot triples its own seasonal baseline -> flags
+    val anomaly = (0 until 30).map(i =>
+      (1L, "login", base + 5L * week + 2 * 86400L + i * 10L))
+    val got = Siem.seasonalSpikes(ev(rhythmic ++ anomaly), "event_type",
+        "ts", bucketSec = 86400L, factorMicro = 2000000L,
+        lookback = 4, minPrev = 2)
+      .select("bucket", "n").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((base + 5 * week + 2 * 86400L, 30L)),
+      s"only the true anomaly flags, not the weekly rhythm: $got")
+  }
 }

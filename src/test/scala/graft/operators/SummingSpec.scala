@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SummingMergeTree semantics: blind partial appends, reader-side
+  * folding, and a background merge that shrinks storage without
+  * changing a single answer. */
+class SummingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partials(rows: Seq[(Long, String, Long)]) =
+    rows.map { case (k, day, n) =>
+      (k, java.sql.Timestamp.valueOf(s"2024-01-0$day 00:00:00"), n)
+    }.toDF("key", "day_ts", "n")
+
+  test("view sums overlapping partial appends exactly") {
+    val root = Files.createTempDirectory("summing_").toString + "/t"
+    Summing.appendPartials(
+      partials(Seq((1L, "1", 3L), (2L, "1", 5L), (1L, "2", 7L))),
+      root, "day_ts")
+    Summing.appendPartials(
+      partials(Seq((1L, "1", 4L), (2L, "2", 1L))), root, "day_ts")
+    val got = Summing.summedView(spark.read.parquet(root)
+        .withColumn("day", col("day_ts").cast("date").cast("string")),
+        Seq("key", "day"), Seq("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "2024-01-01", 7L), (2L, "2024-01-01", 5L),
+      (1L, "2024-01-02", 7L), (2L, "2024-01-02", 1L)))
+  }
+
+  test("merge shrinks storage to one row per key-partition; answers identical") {
+    val root = Files.createTempDirectory("summing_").toString + "/t"
+    // three appends, all landing in the same two date partitions
+    for (_ <- 1 to 3)
+      Summing.appendPartials(
+        partials(Seq((1L, "1", 1L), (2L, "1", 2L), (1L, "2", 10L))),
+        root, "day_ts")
+    def view = Summing.summedView(spark.read.parquet(root)
+        .withColumn("day", col("day_ts").cast("date").cast("string")),
+        Seq("key", "day"), Seq("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val before = view
+    val stats = Summing.merge(spark, root, Seq("key"), Seq("n"), "day_ts")
+    assert(stats.map(s => (s.partition, s.rowsBefore, s.rowsAfter)).toSet ==
+      Set(("event_date=2024-01-01", 6L, 2L), ("event_date=2024-01-02", 3L, 1L)))
+    assert(view == before, "merge must never change reader answers")
+    assert(before == Set((1L, "2024-01-01", 3L), (2L, "2024-01-01", 6L),
+      (1L, "2024-01-02", 30L)))
+    // a second merge finds nothing foldable and rewrites nothing
+    val again = Summing.merge(spark, root, Seq("key"), Seq("n"), "day_ts")
+    assert(again.forall(s => s.rowsBefore == s.rowsAfter))
+  }
+}
