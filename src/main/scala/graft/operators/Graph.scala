@@ -52,9 +52,12 @@ object Graph {
     val spark = edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // node set is joined every round — cache it (|V| single-column
+    // rows), or each round re-unions and re-distincts the edge list
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
+      .cache()
 
     // out-degree-annotated edges, partitioned once on the join key so
     // every round's rank join reuses this layout instead of
@@ -84,11 +87,14 @@ object Graph {
             (lit(base) + expr(
               s"($dampMicro * coalesce(__inc, 0L)) div 1000000")
               ).as("rank"))
+          // materialize each round (|V| longs — bounded): without
+          // this, round k's plan nests rounds 1..k-1 and every action
+          // recomputes the whole chain; with it, a round costs one
+          // join + one aggregation regardless of k. Also what lets
+          // the caches drop eagerly below instead of leaking.
+          .localCheckpoint(eager = true)
       }
-      // materialize the final ranks (|V| longs — bounded) so the
-      // edge cache can be dropped eagerly instead of leaking for the
-      // session, and the per-round lineage is truncated in one step
-      rank.localCheckpoint(eager = true)
-    } finally edgesD.unpersist()
+      rank
+    } finally { edgesD.unpersist(); nodes.unpersist() }
   }
 }
