@@ -143,7 +143,7 @@ object PartitionedWriter {
 
   /** Heal a crash from a previous swap: live partition gone, bak
     * present → restore the bak. */
-  private def healStaging(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def healStaging(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(staging)) fs.listStatus(staging).toSeq
@@ -241,10 +241,6 @@ object PartitionedWriter {
         r.getLong(1), r.getLong(2)))
       .sortBy(_.partition)
 
-    def mustRename(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"rename $from -> $to failed")
-
     // one job stages every survivor partition's rewrite; the staged
     // output is partitioned identically to the live table
     val survivors = stats.filter(s => s.rowsRemoved < s.rowsBefore)
@@ -254,20 +250,8 @@ object PartitionedWriter {
       marked.filter(col("__del").isNull).drop("__del")
         .write.mode(SaveMode.Overwrite)
         .partitionBy(DateCol).parquet(stagedOut.toString)
-      survivors.foreach { s =>
-        val live = new Path(root, s.partition)
-        val bak = new Path(staging, s.partition + ".bak")
-        if (fs.exists(bak)) fs.delete(bak, true)
-        mustRename(live, bak)
-        try mustRename(new Path(stagedOut, s.partition), live)
-        catch {
-          case e: java.io.IOException =>
-            if (!fs.exists(live)) fs.rename(bak, live)
-            throw e
-        }
-        fs.delete(bak, true)
-      }
-      fs.delete(stagedOut, true)
+      swapStagedPartitions(fs, root, staging, stagedOut,
+        survivors.map(_.partition).toSeq)
     }
     stats.filter(s => s.rowsRemoved == s.rowsBefore)
       .foreach(s => fs.delete(new Path(root, s.partition), true))
@@ -276,19 +260,66 @@ object PartitionedWriter {
     stats.toSeq
   }
 
-  /** Staged-rename replacement of one live partition directory for
-    * external merge-style rewrites (e.g. Summing folds): same staging
-    * conventions and crash healing as compaction/purge. */
-  private[graft] def swapPartitionIn(spark: SparkSession,
+  /** Swap a set of pre-staged partition directories into the live
+    * table by metadata-speed renames (live → bak, staged → live, drop
+    * bak), then drop the staging output. Crash between renames is
+    * healed by [[healStaging]] on the next lifecycle call. */
+  private[graft] def swapStagedPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      live: org.apache.hadoop.fs.Path)(
-      write: org.apache.hadoop.fs.Path => Unit): Unit = {
+      staging: org.apache.hadoop.fs.Path,
+      stagedOut: org.apache.hadoop.fs.Path,
+      partitions: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+    partitions.foreach { p =>
+      val live = new Path(root, p)
+      val bak = new Path(staging, p + ".bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      mustRename(live, bak)
+      try mustRename(new Path(stagedOut, p), live)
+      catch {
+        case e: java.io.IOException =>
+          if (!fs.exists(live)) fs.rename(bak, live)
+          throw e
+      }
+      fs.delete(bak, true)
+    }
+    fs.delete(stagedOut, true)
+  }
+
+  case class ExpireStats(partition: String, files: Int, bytes: Long)
+
+  /** TTL retention (the engine family's `TTL event_ts + INTERVAL n DAY
+    * DELETE`, applied at partition granularity like its
+    * `ttl_only_drop_parts` fast path): drop every date partition
+    * strictly OLDER than `cutoff`. Pure metadata work — directories
+    * are listed and deleted, no file is ever opened, so expiring a
+    * year costs the same on a 100 TB table as on a test fixture.
+    * Returns per-partition receipts (files/bytes freed) for the
+    * retention audit trail. */
+  def expirePartitions(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate): Seq[ExpireStats] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(root.toString + "__merge")
-    healStaging(fs, root, staging)
-    swapPartition(fs, staging, live)(write)
-    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
-      fs.delete(staging, true)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix(s"$DateCol=")
+        java.time.LocalDate.parse(d).isBefore(cutoff)
+      }
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val files = fs.listStatus(s.getPath).filter(_.isFile)
+        val stats = ExpireStats(s.getPath.getName,
+          files.length, files.map(_.getLen).sum)
+        fs.delete(s.getPath, true)
+        stats
+      }
   }
 
   /** Purge pass 1: the partitions containing any deletion key — a

@@ -43,39 +43,56 @@ object Summing {
 
   case class MergeStats(partition: String, rowsBefore: Long, rowsAfter: Long)
 
-  /** The explicit background merge: rewrite each date partition with
+  /** The explicit background merge: rewrite date partitions with
     * equal-key rows folded — measures summed, the timestamp carried as
     * the per-key max (deterministic; stays inside the partition's
     * date). [[summedView]] answers are identical before, during and
     * after (the fold only re-associates long additions); the stored
-    * row count shrinks to one per (key, date partition). Partition-
-    * at-a-time via the staged-rename swap compaction uses —
-    * crash-healed, reader-safe. */
+    * row count shrinks to one per (key, date partition).
+    *
+    * Two fixed-size jobs — cost scales with the data, never with the
+    * partition count: one aggregation produces both the receipts and
+    * the foldable set, one staged partitioned write rewrites every
+    * foldable partition, and the swap is metadata-speed renames
+    * (crash-healed like compaction/purge). Already-folded partitions
+    * are never rewritten. */
   def merge(spark: SparkSession, path: String, keyCols: Seq[String],
       measureCols: Seq[String], tsCol: String): Seq[MergeStats] = {
     import org.apache.hadoop.fs.Path
+    val DateCol = PartitionedWriter.DateCol
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
-    val parts = fs.listStatus(root).toSeq.filter(s =>
-      s.isDirectory &&
-        s.getPath.getName.startsWith(s"${PartitionedWriter.DateCol}="))
-    parts.map { p =>
-      val part = spark.read.parquet(p.getPath.toString)
-      val before = part.count()
-      val folded = part.groupBy(keyCols.map(col): _*)
+    val staging = new Path(path + "__merge")
+    PartitionedWriter.healStaging(fs, root, staging)
+
+    val tbl = spark.read.parquet(path)
+    val grouped = tbl.groupBy((DateCol +: keyCols).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val stats = grouped.groupBy(col(DateCol).cast("string").as("__d"))
+      .agg(sum(col("__n")).as("__before"), count(lit(1)).as("__after"))
+      .collect()
+      .map(r => MergeStats(s"$DateCol=${r.getString(0)}",
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_.partition)
+
+    val foldable = stats.filter(s => s.rowsAfter < s.rowsBefore)
+    if (foldable.nonEmpty) {
+      val dates = foldable.map(s =>
+        java.sql.Date.valueOf(s.partition.stripPrefix(s"$DateCol=")))
+      val folded = tbl.filter(col(DateCol).isin(dates: _*))
+        .groupBy((DateCol +: keyCols).map(col): _*)
         .agg(max(col(tsCol)).as(tsCol),
           measureCols.map(m => sum(col(m)).as(m)): _*)
-        .select(part.columns.map(col).toIndexedSeq: _*) // original order
-        .cache()
-      try {
-        val after = folded.count()
-        if (after < before)
-          PartitionedWriter.swapPartitionIn(spark, root, p.getPath) { tmp =>
-            folded.write.parquet(tmp.toString)
-          }
-        MergeStats(p.getPath.getName, before, after)
-      } finally folded.unpersist()
+        .select(tbl.columns.map(col).toIndexedSeq: _*) // original order
+      val stagedOut = new Path(staging, "out")
+      if (fs.exists(stagedOut)) fs.delete(stagedOut, true)
+      folded.write.partitionBy(DateCol).parquet(stagedOut.toString)
+      PartitionedWriter.swapStagedPartitions(fs, root, staging, stagedOut,
+        foldable.map(_.partition).toSeq)
     }
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
+    stats.toSeq
   }
 }

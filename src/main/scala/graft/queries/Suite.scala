@@ -3910,6 +3910,54 @@ object Suite {
              |FROM events GROUP BY 1, 2, 3
              |ORDER BY user_id, event_type, day""".stripMargin)),
 
+    Q("d9_ttl_expire",
+      (s, d) => {
+        // retention enforcement end-to-end: land date-partitioned,
+        // expire everything before the cutoff (metadata-only partition
+        // drops), read back what the TTL left standing
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ttl_").toString
+        val root = tmp + "/events"
+        graft.core.PartitionedWriter.append(
+          t(s, d, "events"), root, "ts", Seq("event_id"))
+        graft.core.PartitionedWriter.expirePartitions(s, root,
+          java.time.LocalDate.parse("2024-01-15"))
+        val res = s.read.parquet(root).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            unix_timestamp(min(col("ts"))).as("min_s"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        res
+      },
+      // partition grain == day, so the TTL boundary is exactly the
+      // cutoff midnight
+      Some("""SELECT event_type, count(*) AS n,
+             |  min(floor(epoch(ts))::BIGINT) AS min_s
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e10_hop_windows",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("start_s"), col("n"))
+        .orderBy("event_type", "start_s"),
+      // sliding windows = each event in size/slide = 4 overlapping
+      // epoch-aligned windows; replayed by a 4-row cross join
+      Some("""WITH k AS (SELECT unnest(range(0, 4)) AS k),
+             |w AS (SELECT event_type,
+             |    ((floor(epoch(ts))::BIGINT // 900) - k.k) * 900
+             |      AS start_s,
+             |    floor(epoch(ts))::BIGINT AS sec
+             |  FROM events CROSS JOIN k)
+             |SELECT event_type, start_s, count(*) AS n
+             |FROM w WHERE sec >= start_s AND sec < start_s + 3600
+             |GROUP BY 1, 2 ORDER BY event_type, start_s""".stripMargin)),
+
     Q("e7_pivot",
       (s, d) => t(s, d, "events")
         .groupBy(col("user_id"))

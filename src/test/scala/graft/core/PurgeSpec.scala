@@ -77,6 +77,21 @@ class PurgeSpec extends SparkSpec {
       Set(6L))
   }
 
+  test("TTL expiry drops only partitions strictly before the cutoff") {
+    val root = freshTable()
+    val stats = PartitionedWriter.expirePartitions(spark, root,
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(stats.map(_.partition) ==
+      Seq("event_date=2024-01-01", "event_date=2024-01-02"))
+    assert(stats.forall(s => s.files > 0 && s.bytes > 0),
+      "receipts record freed files and bytes")
+    val left = spark.read.parquet(root)
+    assert(left.count() == 8, "only day 3 survives")
+    // future cutoff removes nothing more; past cutoff is a no-op
+    assert(PartitionedWriter.expirePartitions(spark, root,
+      java.time.LocalDate.parse("2024-01-03")).isEmpty)
+  }
+
   test("purging again removes nothing (idempotent erasure)") {
     val root = freshTable()
     val del = Seq(1L).toDF("user_id")
