@@ -132,7 +132,14 @@ object GraftExtensions {
       require(args.nonEmpty, "surrogate_key expects at least 1 argument")
       expression(Keys.surrogateKey(args.map(column): _*)) },
     "date_key" -> composed("date_key", 1)(c => Keys.dateKey(c.head)),
-    "time_key" -> composed("time_key", 1)(c => Keys.timeKey(c.head))
+    "time_key" -> composed("time_key", 1)(c => Keys.timeKey(c.head)),
+    // aggregate function: window_funnel(window_sec, ts, cond1, …)
+    "window_funnel" -> { args =>
+      require(args.length >= 3,
+        s"window_funnel expects at least 3 arguments, got ${args.length}")
+      val w = longLit(args.head, "window_funnel", "window_sec")
+      WindowFunnel(w, args(1), args.drop(2)).toAggregateExpression()
+    }
   )
 
   /** The injectFunction descriptions (identifier, info, builder). */

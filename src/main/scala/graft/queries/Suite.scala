@@ -3875,6 +3875,48 @@ object Suite {
              |  AND n * prev_buckets * 1000000 >= 1500000 * prev_sum
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    Q("h13_funnel_sql",
+      (s, d) => {
+        // the funnel as an AGGREGATE function on the SQL surface (the
+        // engine family's native windowFunnel shape) — same
+        // earliest-first semantics as the h9 operator, exercised
+        // through the extension registry and a real partial-agg plan
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id,
+                 |  window_funnel(604800L, ts,
+                 |    event_type = 'view',
+                 |    event_type = 'click',
+                 |    event_type = 'purchase') AS level
+                 |FROM events GROUP BY user_id
+                 |HAVING level >= 1
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH s1 AS (SELECT user_id,
+             |    min(floor(epoch(ts))::BIGINT) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click'
+             |    AND floor(epoch(e.ts))::BIGINT > s1.t1
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |    JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND floor(epoch(e.ts))::BIGINT > s2.t2
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1)
+             |SELECT s1.user_id,
+             |  1 + (s2.user_id IS NOT NULL)::INT
+             |    + (s3.user_id IS NOT NULL)::INT AS level
+             |FROM s1 LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     Q("d8_summing",
       (s, d) => {
         // SummingMergeTree path end-to-end: two overlapping partial-

