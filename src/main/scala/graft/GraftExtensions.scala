@@ -133,12 +133,23 @@ object GraftExtensions {
       expression(Keys.surrogateKey(args.map(column): _*)) },
     "date_key" -> composed("date_key", 1)(c => Keys.dateKey(c.head)),
     "time_key" -> composed("time_key", 1)(c => Keys.timeKey(c.head)),
-    // aggregate function: window_funnel(window_sec, ts, cond1, …)
+    // aggregate functions: the engine family's sequential-analytics
+    // shapes — window_funnel(window_sec, ts, cond1, …),
+    // retention(cond1, …), sequence_match(max_gap_sec, ts, cond1, cond2)
     "window_funnel" -> { args =>
       require(args.length >= 3,
         s"window_funnel expects at least 3 arguments, got ${args.length}")
       val w = longLit(args.head, "window_funnel", "window_sec")
       WindowFunnel(w, args(1), args.drop(2)).toAggregateExpression()
+    },
+    "retention" -> { args =>
+      require(args.nonEmpty, "retention expects at least 1 argument")
+      Retention(args).toAggregateExpression()
+    },
+    "sequence_match" -> { args =>
+      arity("sequence_match", args, 4)
+      val g = longLit(args.head, "sequence_match", "max_gap_sec")
+      SequenceMatch(g, args(1), args(2), args(3)).toAggregateExpression()
     }
   )
 

@@ -1,0 +1,160 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `retention(cond1, …, condK)` — the cohort-retention aggregate in
+  * the reference engine family's native shape: returns an int array
+  * where r(1) = "cond1 ever held in the group" and r(i) = "cond1 AND
+  * cond_i both ever held". Same algebra as
+  * [[graft.operators.Funnel.retention]], but as a SQL aggregate whose
+  * whole state is ONE long bitmask — the cheapest distributed
+  * aggregate there is: map-side partials OR together. */
+case class Retention(
+    conds: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(conds.nonEmpty && conds.size <= 63,
+    "retention supports 1..63 conditions")
+
+  override def children: Seq[Expression] = conds
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "retention"
+
+  // single-cell array: a mutable box for the bitmask
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    var i = 0
+    while (i < conds.length) {
+      val c = conds(i).eval(input)
+      if (c != null && c.asInstanceOf[Boolean]) buf(0) |= (1L << i)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    b1(0) |= b2(0); b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val m = buf(0)
+    val first = (m & 1L) != 0L
+    val out = new Array[Int](conds.length)
+    var i = 0
+    while (i < conds.length) {
+      out(i) = if (i == 0) (if (first) 1 else 0)
+        else if (first && (m & (1L << i)) != 0L) 1 else 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(buf(0)).array()
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(java.nio.ByteBuffer.wrap(bytes).getLong)
+
+  override def withNewMutableAggBufferOffset(n: Int): Retention =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): Retention =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Retention = copy(conds = c)
+}
+
+/** `sequence_match(max_gap_sec, ts, cond1, cond2)` — existential
+  * ordered-pair aggregate: did ANY cond1 event precede ANY cond2 event
+  * with gap in (0, max_gap_sec]? (The windowed OPERATOR twin,
+  * [[graft.operators.Funnel.sequenceMatch]], answers the latest-
+  * predecessor variant with per-event match counts; the aggregate is
+  * the existential form, the one a `HAVING sequence_match(...)` filter
+  * wants.) State buffers only matching events' seconds, partials
+  * concat; eval sorts each side once and walks a two-pointer scan —
+  * O(n log n) in the group's MATCHED events only. */
+case class SequenceMatch(
+    maxGapSec: Long,
+    ts: Expression,
+    cond1: Expression,
+    cond2: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def children: Seq[Expression] = Seq(ts, cond1, cond2)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sequence_match"
+
+  private val SecMask = (1L << 48) - 1
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow)
+      : ArrayBuffer[Long] = {
+    val t = ts.eval(input)
+    if (t != null) {
+      val sec = (t.asInstanceOf[Long] / 1000000L) & SecMask
+      val c1 = cond1.eval(input)
+      if (c1 != null && c1.asInstanceOf[Boolean]) buf += (1L << 48) | sec
+      val c2 = cond2.eval(input)
+      if (c2 != null && c2.asInstanceOf[Boolean]) buf += (2L << 48) | sec
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
+      : ArrayBuffer[Long] = { b1 ++= b2; b1 }
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    val firsts = buf.collect { case e if (e >>> 48) == 1L => e & SecMask }
+      .sorted
+    val seconds = buf.collect { case e if (e >>> 48) == 2L => e & SecMask }
+      .sorted
+    // two-pointer: for each second-side sec ascending, advance the
+    // first-side pointer to the latest first < sec; any first in
+    // [sec - maxGap, sec - 1] completes the pattern
+    var i = 0
+    var best = Long.MinValue // largest first strictly below current sec
+    var j = 0
+    while (j < seconds.length) {
+      val sec = seconds(j)
+      while (i < firsts.length && firsts(i) < sec) {
+        best = firsts(i); i += 1
+      }
+      if (best != Long.MinValue && sec - best <= maxGapSec) return true
+      j += 1
+    }
+    false
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SequenceMatch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SequenceMatch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SequenceMatch =
+    copy(ts = c(0), cond1 = c(1), cond2 = c(2))
+}

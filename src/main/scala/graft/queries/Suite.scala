@@ -3917,6 +3917,71 @@ object Suite {
              |  LEFT JOIN s3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    Q("h14_retention_sql",
+      (s, d) => {
+        // retention as a one-long-bitmask SQL aggregate; flags
+        // unpacked to columns so the gate compares plain ints
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id, r[0] AS r1, r[1] AS r2,
+                 |  r[2] AS r3, r[3] AS r4 FROM (
+                 |  SELECT user_id, retention(
+                 |    event_type = 'signup'
+                 |      AND ts < TIMESTAMP '2024-01-08 00:00:00',
+                 |    event_type = 'purchase'
+                 |      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+                 |      AND ts < TIMESTAMP '2024-01-15 00:00:00',
+                 |    event_type = 'purchase'
+                 |      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 |      AND ts < TIMESTAMP '2024-01-22 00:00:00',
+                 |    event_type = 'error'
+                 |      AND ts >= TIMESTAMP '2024-01-22 00:00:00') AS r
+                 |  FROM events GROUP BY user_id)
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f1,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f2,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-22 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f3,
+             |    max(CASE WHEN event_type = 'error'
+             |      AND ts >= TIMESTAMP '2024-01-22 00:00:00'
+             |      THEN 1 ELSE 0 END) AS f4
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, f1 AS r1, f1 * f2 AS r2,
+             |  f1 * f3 AS r3, f1 * f4 AS r4
+             |FROM f ORDER BY user_id""".stripMargin)),
+
+    Q("h15_seq_match_sql",
+      (s, d) => {
+        // existential ordered-pair aggregate (the HAVING-filter form;
+        // the h11 operator is the latest-predecessor counting form)
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id,
+                 |  CAST(sequence_match(1800L, ts,
+                 |    event_type = 'error',
+                 |    event_type = 'purchase') AS INT) AS matched
+                 |FROM events GROUP BY user_id
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH m AS (SELECT DISTINCT a.user_id
+             |  FROM events a JOIN events b USING (user_id)
+             |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+             |    AND floor(epoch(b.ts))::BIGINT
+             |      - floor(epoch(a.ts))::BIGINT BETWEEN 1 AND 1800)
+             |SELECT u.user_id, (m.user_id IS NOT NULL)::INT AS matched
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN m ON u.user_id = m.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
     Q("d8_summing",
       (s, d) => {
         // SummingMergeTree path end-to-end: two overlapping partial-
