@@ -3917,6 +3917,50 @@ object Suite {
              |  LEFT JOIN s3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    Q("l84_distinct_n",
+      (s, d) => {
+        // corpus diversity (distinct-n): unique-fraction of word
+        // 1-grams and 2-grams per source — the standard repetitiveness
+        // signal for generated-or-boilerplate-heavy sources. Two
+        // map-side-combined aggregations over exploded grams; text
+        // itself never shuffles (grams do)
+        val docs = t(s, d, "documents")
+        def stats(n: Int, tag: String) = docs
+          .select(col("source"),
+            explode(Dedup.shingles(col("text"), n)).as("g"))
+          .groupBy("source")
+          .agg(count(lit(1)).as(s"n_grams_$tag"),
+            countDistinct(col("g")).as(s"n_distinct_$tag"))
+        stats(1, "1").join(stats(2, "2"), Seq("source"))
+          .select(col("source"),
+            col("n_grams_1"), col("n_distinct_1"),
+            col("n_grams_2"), col("n_distinct_2"),
+            round(col("n_distinct_1").cast("double") / col("n_grams_1"), 6)
+              .as("distinct_1"),
+            round(col("n_distinct_2").cast("double") / col("n_grams_2"), 6)
+              .as("distinct_2"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0) AS toks FROM documents),
+             |u AS (SELECT source, unnest(CASE WHEN len(toks) < 1
+             |    THEN [''] ELSE toks END) AS g FROM t),
+             |b AS (SELECT source, unnest(CASE WHEN len(toks) < 2
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1]) END) AS g FROM t),
+             |s1 AS (SELECT source, count(*) AS n_grams_1,
+             |    count(DISTINCT g) AS n_distinct_1 FROM u GROUP BY 1),
+             |s2 AS (SELECT source, count(*) AS n_grams_2,
+             |    count(DISTINCT g) AS n_distinct_2 FROM b GROUP BY 1)
+             |SELECT s1.source, n_grams_1, n_distinct_1,
+             |  n_grams_2, n_distinct_2,
+             |  round(n_distinct_1::DOUBLE / n_grams_1, 6) AS distinct_1,
+             |  round(n_distinct_2::DOUBLE / n_grams_2, 6) AS distinct_2
+             |FROM s1 JOIN s2 USING (source)
+             |ORDER BY s1.source""".stripMargin)),
+
     Q("h14_retention_sql",
       (s, d) => {
         // retention as a one-long-bitmask SQL aggregate; flags

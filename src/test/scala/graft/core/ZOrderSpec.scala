@@ -64,4 +64,13 @@ class ZOrderSpec extends SparkSpec {
     val zx = touched(s"$root/z", col("x").between(96, 111))
     assert(zx <= 8L, s"z-layout confines the x-slab too: $zx")
   }
+
+  test("the interleave stays inside whole-stage codegen") {
+    val df = spark.range(1000)
+      .select((col("id") % 32).as("x"), (col("id") / 32).as("y"))
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 8).as("z"))
+    df.collect() // AQE finalizes codegen on execution
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "shift/mask interleave must not break the WSCG span")
+  }
 }
