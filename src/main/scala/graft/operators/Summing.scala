@@ -55,9 +55,15 @@ object Summing {
     * the foldable set, one staged partitioned write rewrites every
     * foldable partition, and the swap is metadata-speed renames
     * (crash-healed like compaction/purge). Already-folded partitions
-    * are never rewritten. */
+    * are never rewritten.
+    *
+    * `sinceDate` scopes the scan: a cadenced merge only re-reads the
+    * partitions appends could have touched since the last run —
+    * without it, a daily merge of a year-long counter table would
+    * re-scan the cold 99% every day. */
   def merge(spark: SparkSession, path: String, keyCols: Seq[String],
-      measureCols: Seq[String], tsCol: String): Seq[MergeStats] = {
+      measureCols: Seq[String], tsCol: String,
+      sinceDate: Option[java.time.LocalDate] = None): Seq[MergeStats] = {
     import org.apache.hadoop.fs.Path
     val DateCol = PartitionedWriter.DateCol
     val root = new Path(path)
@@ -66,7 +72,9 @@ object Summing {
     val staging = new Path(path + "__merge")
     PartitionedWriter.healStaging(fs, root, staging)
 
-    val tbl = spark.read.parquet(path)
+    val tbl0 = spark.read.parquet(path)
+    val tbl = sinceDate.fold(tbl0)(since => tbl0.filter(
+      col(DateCol) >= lit(java.sql.Date.valueOf(since))))
     val grouped = tbl.groupBy((DateCol +: keyCols).map(col): _*)
       .agg(count(lit(1)).as("__n"))
     val stats = grouped.groupBy(col(DateCol).cast("string").as("__d"))

@@ -53,4 +53,22 @@ class SummingSpec extends SparkSpec {
     val again = Summing.merge(spark, root, Seq("key"), Seq("n"), "day_ts")
     assert(again.forall(s => s.rowsBefore == s.rowsAfter))
   }
+
+  test("a scoped merge never opens partitions before sinceDate") {
+    val root = Files.createTempDirectory("summing_").toString + "/t"
+    for (_ <- 1 to 2)
+      Summing.appendPartials(
+        partials(Seq((1L, "1", 1L), (1L, "2", 5L))), root, "day_ts")
+    val stats = Summing.merge(spark, root, Seq("key"), Seq("n"), "day_ts",
+      sinceDate = Some(java.time.LocalDate.parse("2024-01-02")))
+    assert(stats.map(_.partition) == Seq("event_date=2024-01-02"),
+      s"out-of-scope day 1 must not even appear in receipts: $stats")
+    // day 1 keeps its two partial rows; the view is unchanged
+    assert(spark.read.parquet(s"$root/event_date=2024-01-01").count() == 2)
+    val view = Summing.summedView(spark.read.parquet(root)
+        .withColumn("day", col("day_ts").cast("date").cast("string")),
+        Seq("key", "day"), Seq("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(view == Set((1L, "2024-01-01", 2L), (1L, "2024-01-02", 10L)))
+  }
 }
