@@ -35,6 +35,11 @@ object Suite {
   private val ivfPqRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Built exact-kNN graph roots, one per corpus dir (l68: the graph
+    * is l47's timed subject; label propagation reuses it). */
+  private val knnGraphRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def epochS(c: Column): Column = unix_timestamp(c)
 
   /** Empty SCD2 dim with the (ver_key, user_id, event_type) shape used
@@ -1756,11 +1761,22 @@ object Suite {
         // spread sparse seed labels (every 10th vector keeps its true
         // label) across the EXACT 3-NN graph for two majority rounds —
         // unweighted votes keep every round integer-exact, so the
-        // whole propagation replays in SQL
+        // whole propagation replays in SQL. The graph is built once
+        // per corpus dir (l47 is the query that TIMES graph
+        // construction; this one's subject is the propagation — same
+        // build-once/query-many memo as the persisted indexes)
         val emb = t(s, d, "embeddings")
-        val cents = Similarity.seedCentroids(emb, nlist = 8)
-        val cells = Similarity.assignCells(emb, cents)
-        val graph = Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+        val graphPath = knnGraphRoots.computeIfAbsent(d, { dir =>
+          val e = t(s, dir, "embeddings")
+          val cents = Similarity.seedCentroids(e, nlist = 8)
+          val cells = Similarity.assignCells(e, cents)
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_knng_").toString + "/graph"
+          Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+            .write.parquet(out)
+          out
+        })
+        val graph = s.read.parquet(graphPath)
         val seeds = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
           .select(col("vec_id"), col("label"))
         Similarity.labelPropagate(graph, seeds, iters = 2,
