@@ -29,6 +29,16 @@ case class Retention(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "retention"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    conds.find(_.dataType != BooleanType) match {
+      case Some(c) => TypeCheckFailure(
+        s"$prettyName: conditions must be BOOLEAN, got ${c.dataType}")
+      case None => TypeCheckSuccess
+    }
+  }
+
   // single-cell array: a mutable box for the bitmask
   override def createAggregationBuffer(): Array[Long] = Array(0L)
 
@@ -94,6 +104,16 @@ case class SequenceMatch(
   override def nullable: Boolean = false
   override def dataType: DataType = BooleanType
   override def prettyName: String = "sequence_match"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (ts.dataType != TimestampType)
+      TypeCheckFailure(s"$prettyName: ts must be TIMESTAMP, got ${ts.dataType}")
+    else if (cond1.dataType != BooleanType || cond2.dataType != BooleanType)
+      TypeCheckFailure(s"$prettyName: conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
 
   private val SecMask = (1L << 48) - 1
 

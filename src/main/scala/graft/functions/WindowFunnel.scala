@@ -41,6 +41,18 @@ case class WindowFunnel(
   override def dataType: DataType = IntegerType
   override def prettyName: String = "window_funnel"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (ts.dataType != TimestampType)
+      TypeCheckFailure(s"$prettyName: ts must be TIMESTAMP, got ${ts.dataType}")
+    else conds.find(_.dataType != BooleanType) match {
+      case Some(c) => TypeCheckFailure(
+        s"$prettyName: step predicates must be BOOLEAN, got ${c.dataType}")
+      case None => TypeCheckSuccess
+    }
+  }
+
   private val SecMask = (1L << 48) - 1
 
   override def createAggregationBuffer(): ArrayBuffer[Long] =
