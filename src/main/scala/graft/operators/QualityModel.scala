@@ -181,4 +181,46 @@ object QualityModel {
       .fit(data)
     (model.intercept, model.coefficients.toArray.toSeq)
   }
+
+  /** Binary-classifier agreement panel: confusion counts plus
+    * precision/recall/F1 and Cohen's kappa in ONE map-side-combined
+    * aggregation over 0/1 columns — the held-out acceptance check a
+    * quality filter ships with (next to [[rocAuc]]'s threshold-free
+    * ranking view and the calibration bins).
+    *
+    * Kappa is computed as the exact long ratio
+    * `(n·agree − a1·b1 − a0·b0) / (n² − a1·b1 − a0·b0)` — one double
+    * division at the end, so it replays bit-identically. The long
+    * products bound exactness to n < ~3·10⁹ rows; beyond that callers
+    * evaluate on a sample (an eval set larger than that measures
+    * nothing a 3·10⁹ sample doesn't). */
+  def confusionPanel(df: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val p = pred.cast("long")
+    val y = truth.cast("long")
+    df.agg(
+        sum(p * y).as("tp"),
+        sum(p * (lit(1L) - y)).as("fp"),
+        sum((lit(1L) - p) * y).as("fn"),
+        sum((lit(1L) - p) * (lit(1L) - y)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6)
+          .as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6)
+          .as("recall"),
+        round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))), 6)
+          .as("f1"),
+        round({
+          val n = col("tp") + col("fp") + col("fn") + col("tn")
+          val a1 = col("tp") + col("fp") // predicted positive
+          val b1 = col("tp") + col("fn") // actually positive
+          val chance = a1 * b1 + (n - a1) * (n - b1)
+          val denom = n * n - chance
+          when(denom > 0,
+            (n * (col("tp") + col("tn")) - chance).cast("double") / denom)
+        }, 6).as("kappa"))
+  }
 }

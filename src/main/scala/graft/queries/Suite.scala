@@ -3977,6 +3977,40 @@ object Suite {
              |FROM s1 JOIN s2 USING (source)
              |ORDER BY s1.source""".stripMargin)),
 
+    Q("l85_classifier_eval",
+      (s, d) => graft.operators.QualityModel.confusionPanel(
+        t(s, d, "documents"),
+        pred = (col("n_chars") >= 500).cast("int"),
+        truth = (col("lang") === "en").cast("int")),
+      // exact long confusion counts; kappa as one long-ratio division
+      Some("""WITH c AS (SELECT
+             |    sum(CASE WHEN n_chars >= 500 AND lang = 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS tp,
+             |    sum(CASE WHEN n_chars >= 500 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS fp,
+             |    sum(CASE WHEN n_chars < 500 AND lang = 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS fn,
+             |    sum(CASE WHEN n_chars < 500 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS tn
+             |  FROM documents)
+             |SELECT tp, fp, fn, tn,
+             |  round(CASE WHEN tp + fp > 0
+             |    THEN tp::DOUBLE / (tp + fp) END, 6) AS precision,
+             |  round(CASE WHEN tp + fn > 0
+             |    THEN tp::DOUBLE / (tp + fn) END, 6) AS recall,
+             |  round(CASE WHEN 2 * tp + fp + fn > 0
+             |    THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1,
+             |  round(CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
+             |      - ((tp + fp) * (tp + fn)
+             |        + (fn + tn) * (fp + tn)) > 0
+             |    THEN ((tp + fp + fn + tn) * (tp + tn)
+             |      - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+             |      ::DOUBLE /
+             |      ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+             |      - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+             |    END, 6) AS kappa
+             |FROM c""".stripMargin)),
+
     Q("h14_retention_sql",
       (s, d) => {
         // retention as a one-long-bitmask SQL aggregate; flags

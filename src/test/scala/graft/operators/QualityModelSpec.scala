@@ -124,4 +124,27 @@ class QualityModelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("confusion panel: counts, P/R/F1 and kappa against hand values") {
+    // tp=4 fp=1 fn=2 tn=3 (n=10): precision 0.8, recall 2/3,
+    // F1 = 8/11, kappa = (10*7 - (5*6+5*4)) / (100 - 50) = 20/50 = 0.4
+    val rows = Seq.fill(4)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(3)((0, 0))
+    val got = QualityModel.confusionPanel(rows.toDF("p", "y"),
+        col("p"), col("y"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == 4 && got._2 == 1 && got._3 == 2 && got._4 == 3)
+    assert(got._5 == 0.8 && got._6 == 0.666667)
+    assert(got._7 == 0.727273 && got._8 == 0.4)
+  }
+
+  test("confusion panel: degenerate single-class input yields null kappa") {
+    val got = QualityModel.confusionPanel(
+        Seq((1, 1), (1, 1)).toDF("p", "y"), col("p"), col("y"))
+      .select("precision", "recall", "kappa")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(got._1.contains(1.0) && got._2.contains(1.0))
+    assert(got._3.isEmpty, "kappa undefined when chance agreement is total")
+  }
 }
