@@ -117,6 +117,46 @@ object Siem {
     *
     * Output: (group, bucket, n, prev_sum, prev_buckets). One bucketed
     * agg + one group-partitioned window. */
+  /** IPv4 dotted-quad → its unsigned 32-bit value carried in a long —
+    * pure column algebra (split + casts), codegen'd, no UDF. Malformed
+    * addresses go null and simply never match a block. (IPv6 rides the
+    * 16-byte normalize path in `functions.IpNorm`; range-matching it
+    * is the same shape over a (hi, lo) long pair.) */
+  def ipv4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    when(size(p) === 4,
+      element_at(p, 1).cast("long") * 16777216L +
+        element_at(p, 2).cast("long") * 65536L +
+        element_at(p, 3).cast("long") * 256L +
+        element_at(p, 4).cast("long"))
+  }
+
+  /** CIDR blocklist matching — the watchlist join every SIEM runs on
+    * its event stream (the engine family ships IPv4CIDRToRange /
+    * isIPAddressInRange for exactly this). Each block becomes a
+    * [lo, hi] integer range (`lo = base div 2^(32−len) · 2^(32−len)`,
+    * exact: 2^k is a whole double well below 2^53); events join the
+    * BROADCAST range table on one inequality pair, so the event side
+    * never shuffles and a million-block list is still just ~24 MB on
+    * the wire. Returns the matching (event row, cidr) pairs. */
+  def cidrMatches(events: DataFrame, ipCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bounds = blocklist
+      .withColumn("__base", ipv4ToLong(split(col("cidr"), "/").getItem(0)))
+      .withColumn("__size",
+        pow(lit(2.0), lit(32) - split(col("cidr"), "/").getItem(1)
+          .cast("int")).cast("long"))
+      .withColumn("__lo", expr("__base div __size") * col("__size"))
+      .withColumn("__hi", col("__lo") + col("__size") - 1L)
+      .select(col("cidr"), col("__lo"), col("__hi"))
+    events
+      .withColumn("__ip", ipv4ToLong(col(ipCol)))
+      .filter(col("__ip").isNotNull)
+      .join(broadcast(bounds),
+        col("__ip") >= col("__lo") && col("__ip") <= col("__hi"))
+      .drop("__ip", "__lo", "__hi")
+  }
+
   /** Seasonal (hour-of-week) baseline spikes: like [[volumeSpikes]]
     * but the trailing baseline is the SAME SLOT of previous weeks —
     * Monday 09:00 compares against past Mondays 09:00, so the daily

@@ -3977,6 +3977,53 @@ object Suite {
              |FROM s1 JOIN s2 USING (source)
              |ORDER BY s1.source""".stripMargin)),
 
+    Q("h16_cidr_blocklist",
+      (s, d) => {
+        // watchlist join: derive a deterministic IPv4 per event, match
+        // against a 3-block CIDR list via the broadcast range table
+        val ev = t(s, d, "events").withColumn("ip",
+          concat_ws(".", lit(10),
+            pmod(col("user_id"), lit(200)).cast("int"),
+            get_json_object(col("props"), "$.k").cast("int"),
+            pmod(col("event_id"), lit(250)).cast("int")))
+        import s.implicits._
+        val blocks = Seq("10.5.0.0/16", "10.64.0.0/10", "10.199.77.0/24")
+          .toDF("cidr")
+        graft.operators.Siem.cidrMatches(ev, "ip", blocks)
+          .groupBy(col("cidr"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cidr")
+      },
+      // same integer range algebra: lo = base // 2^(32-len) * 2^(32-len)
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    '10.' || (user_id % 200)::INT || '.' ||
+             |    CAST(json_extract_string(props, '$.k') AS INT) || '.' ||
+             |    (event_id % 250)::INT AS ip
+             |  FROM events),
+             |ip AS (SELECT user_id,
+             |    string_split(ip, '.')[1]::BIGINT * 16777216 +
+             |    string_split(ip, '.')[2]::BIGINT * 65536 +
+             |    string_split(ip, '.')[3]::BIGINT * 256 +
+             |    string_split(ip, '.')[4]::BIGINT AS ipn
+             |  FROM ev),
+             |b AS (SELECT cidr,
+             |    (string_split(base, '.')[1]::BIGINT * 16777216 +
+             |     string_split(base, '.')[2]::BIGINT * 65536 +
+             |     string_split(base, '.')[3]::BIGINT * 256 +
+             |     string_split(base, '.')[4]::BIGINT)
+             |      // (1::BIGINT << (32 - len)) * (1::BIGINT << (32 - len))
+             |      AS lo,
+             |    (1::BIGINT << (32 - len)) AS sz
+             |  FROM (SELECT cidr, string_split(cidr, '/')[1] AS base,
+             |      string_split(cidr, '/')[2]::INT AS len
+             |    FROM (VALUES ('10.5.0.0/16'), ('10.64.0.0/10'),
+             |      ('10.199.77.0/24')) t(cidr)))
+             |SELECT cidr, count(*) AS n_hits,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM ip JOIN b ON ip.ipn >= b.lo AND ip.ipn <= b.lo + b.sz - 1
+             |GROUP BY 1 ORDER BY cidr""".stripMargin)),
+
     Q("l85_classifier_eval",
       (s, d) => graft.operators.QualityModel.confusionPanel(
         t(s, d, "documents"),

@@ -99,6 +99,27 @@ class SiemSpec extends SparkSpec {
     assert(!got.exists(_._1 < base / 3600 * 3600 + 3 * 3600))
   }
 
+  test("cidr blocklist: range bounds inclusive, malformed IPs never match") {
+    val ev = Seq(
+      (1L, "10.5.0.0"),      // lo boundary of /16
+      (2L, "10.5.255.255"),  // hi boundary of /16
+      (3L, "10.6.0.0"),      // one past: out
+      (4L, "192.168.7.9"),   // /24 interior
+      (5L, "192.168.8.0"),   // out
+      (6L, "not-an-ip"),     // malformed: dropped, not crashed
+      (7L, "10.5.1"))        // short quad: dropped
+      .toDF("id", "ip")
+    val blocks = Seq("10.5.0.0/16", "192.168.7.0/24").toDF("cidr")
+    val got = Siem.cidrMatches(ev, "ip", blocks)
+      .select("id", "cidr").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "10.5.0.0/16"), (2L, "10.5.0.0/16"),
+      (4L, "192.168.7.0/24")))
+    // the blocklist side broadcasts; events never shuffle
+    val plan = Siem.cidrMatches(ev, "ip", blocks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("seasonal spikes: weekly rhythm is baseline, not alert") {
     val week = 604800L
     val base = 1700000000L / week * week // align to a slot boundary
