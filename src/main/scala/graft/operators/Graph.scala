@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Blast radius: BFS depth of every node reachable from a seed set
+    * within `maxDepth` hops — the SIEM question after a compromise
+    * ("which hosts can the attacker reach in k lateral moves") and, on
+    * a crawl graph, the frontier-distance layer cake. Depths are small
+    * ints, trivially exact.
+    *
+    * Per round: the frontier (node ids only) joins the cached edge
+    * list on `src`, fresh nodes are an anti-join against everything
+    * already levelled — only ids shuffle, each round's result is
+    * materialized (bounded: ≤|V| rows total), and the loop exits early
+    * when a frontier comes back empty. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "bfsDepth needs maxDepth >= 0")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(shufflePartitions, col("src"))
+      .cache()
+    try {
+      var depths = seeds.select(col("node")).distinct()
+        .withColumn("depth", lit(0))
+        .localCheckpoint(true)
+      var frontier = depths.select(col("node"))
+      var d = 1
+      var done = false
+      while (d <= maxDepth && !done) {
+        val fresh = e
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(depths, Seq("node"), "left_anti")
+          .withColumn("depth", lit(d))
+          .localCheckpoint(true)
+        if (fresh.isEmpty) done = true
+        else {
+          depths = depths.unionByName(fresh).localCheckpoint(true)
+          frontier = fresh.select(col("node"))
+        }
+        d += 1
+      }
+      depths
+    } finally e.unpersist()
+  }
+
   /** Integer-exact damped PageRank over an edge list (`src`, `dst`
     * columns; parallel edges count as weight). Ranks live in `scale`
     * units (default 10¹²) so the per-edge integer division

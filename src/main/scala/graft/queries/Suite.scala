@@ -4024,6 +4024,48 @@ object Suite {
              |FROM ip JOIN b ON ip.ipn >= b.lo AND ip.ipn <= b.lo + b.sz - 1
              |GROUP BY 1 ORDER BY cidr""".stripMargin)),
 
+    Q("h17_blast_radius",
+      (s, d) => {
+        // BFS depth over the same k->k transition graph PageRank uses,
+        // from a 3-node compromised seed set, 3 lateral moves deep
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .select(col("src"), col("k").as("dst"))
+        import s.implicits._
+        val seeds = Seq(0L, 1L, 2L).toDF("node")
+        graft.operators.Graph.bfsDepth(edges, seeds, maxDepth = 3)
+          .orderBy("node")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |ed AS (SELECT lag(k) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS src, k AS dst FROM ev),
+             |edges AS (SELECT src, dst FROM ed WHERE src IS NOT NULL),
+             |d0 AS (SELECT unnest([0, 1, 2])::BIGINT AS node),
+             |r1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             |  JOIN d0 ON e.src = d0.node
+             |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+             |r2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             |  JOIN r1 ON e.src = r1.node
+             |  WHERE e.dst NOT IN (SELECT node FROM d0)
+             |    AND e.dst NOT IN (SELECT node FROM r1)),
+             |r3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             |  JOIN r2 ON e.src = r2.node
+             |  WHERE e.dst NOT IN (SELECT node FROM d0)
+             |    AND e.dst NOT IN (SELECT node FROM r1)
+             |    AND e.dst NOT IN (SELECT node FROM r2))
+             |SELECT node, 0 AS depth FROM d0
+             |UNION ALL SELECT node, 1 FROM r1
+             |UNION ALL SELECT node, 2 FROM r2
+             |UNION ALL SELECT node, 3 FROM r3
+             |ORDER BY node""".stripMargin)),
+
     Q("l85_classifier_eval",
       (s, d) => graft.operators.QualityModel.confusionPanel(
         t(s, d, "documents"),

@@ -55,6 +55,20 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == expected)
   }
 
+  test("bfsDepth levels a chain, stops at maxDepth, survives cycles") {
+    // chain 1->2->3->4->5 plus a back edge 3->1 (cycle must not loop)
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (4, 5), (3, 1))
+      .toDF("src", "dst")
+    val got = Graph.bfsDepth(edges, Seq(1L).toDF("node"), maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"node 5 is 4 hops out and must be absent: $got")
+    // an isolated seed exits on the first empty frontier
+    val iso = Graph.bfsDepth(edges, Seq(99L).toDF("node"), maxDepth = 3)
+      .as[(Long, Int)].collect().toSeq
+    assert(iso == Seq(99L -> 0))
+  }
+
   test("the sink of a star outranks the leaves; dangling mass decays") {
     // 5 leaves all pointing at node 0 (which points nowhere)
     val edges = (1L to 5L).map(i => (i, 0L))
