@@ -391,7 +391,23 @@ object Bench {
         ""
       }
 
-    println(f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$synthEv}""")
+    val fullJson = f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$synthEv}"""
+    // The driver's bench capture keeps only the LAST ~2000 chars of stdout;
+    // a 7 KB line gets its head truncated and can never parse (rounds 1-5
+    // recorded parsed:null). Full artifact goes to a file + stderr; stdout
+    // gets a compact line sized to survive the capture window intact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
+    System.err.println(fullJson)
+    val okCount = results.count(_._2.nonEmpty)
+    var heavy = results.collect { case (k, Some(v), _) => (k, v) }.sortBy(-_._2).take(12)
+    def compact: String = {
+      val hq = heavy.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_ok":$okCount,"failed":$failed,"failed_reps":$failedReps,"queries":$hq,"queries_truncated_to_heaviest":${heavy.size},"detail":"BENCH_FULL.json"$e2e$e2eStream}"""
+    }
+    while (compact.length > 1800 && heavy.nonEmpty) heavy = heavy.dropRight(1)
+    println(compact)
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

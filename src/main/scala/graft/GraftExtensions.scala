@@ -142,6 +142,15 @@ object GraftExtensions {
       val w = longLit(args.head, "window_funnel", "window_sec")
       WindowFunnel(w, args(1), args.drop(2)).toAggregateExpression()
     },
+    // reference-family parity: max level over ALL anchors (strict
+    // timestamp increase), not just the earliest step-1 event
+    "window_funnel_max" -> { args =>
+      require(args.length >= 3,
+        s"window_funnel_max expects at least 3 arguments, got ${args.length}")
+      val w = longLit(args.head, "window_funnel_max", "window_sec")
+      WindowFunnel(w, args(1), args.drop(2), maxOverAnchors = true)
+        .toAggregateExpression()
+    },
     "retention" -> { args =>
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()

@@ -142,7 +142,11 @@ object PartitionedWriter {
   }
 
   /** Heal a crash from a previous swap: live partition gone, bak
-    * present → restore the bak. */
+    * present → restore the bak. Live partition PRESENT → the swap
+    * completed (only the bak delete was lost), so the bak is stale and
+    * must be removed here: leaving it open a resurrection window where
+    * a later legitimate drop of the partition (TTL expiry, full purge)
+    * is undone by the next heal restoring pre-purge rows. */
   private[graft] def healStaging(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path): Unit =
@@ -152,6 +156,7 @@ object PartitionedWriter {
         val live = new org.apache.hadoop.fs.Path(root,
           b.getPath.getName.stripSuffix(".bak"))
         if (!fs.exists(live)) fs.rename(b.getPath, live)
+        else fs.delete(b.getPath, true)
       }
 
   /** Atomic-ish partition replacement: stage the rewrite OUTSIDE the

@@ -10,13 +10,28 @@ import org.apache.spark.sql.types._
 /** `window_funnel(window_sec, ts, cond1, …, condK)` — the funnel as a
   * true AGGREGATE function, matching the shape the reference's engine
   * family exposes to its SQL users (an aggregate over the group's
-  * events, not a pre-built per-key table). Semantics are identical to
-  * [[graft.operators.Funnel.windowFunnel]]: the earliest step-1 second
-  * anchors, each later step takes the earliest qualifying event
-  * strictly after the previous match and within `window_sec` of the
-  * anchor; returns the reached level (0 when step 1 never fires).
-  * An event satisfying several step predicates counts for each, like
-  * the operator's independent per-step filters.
+  * events, not a pre-built per-key table). Default semantics are
+  * identical to [[graft.operators.Funnel.windowFunnel]]: the earliest
+  * step-1 second anchors, each later step takes the earliest
+  * qualifying event strictly after the previous match and within
+  * `window_sec` of the anchor; returns the reached level (0 when step
+  * 1 never fires). An event satisfying several step predicates counts
+  * for each, like the operator's independent per-step filters.
+  *
+  * `maxOverAnchors = true` (SQL surface: `window_funnel_max`) is the
+  * reference-family parity mode: the level is the MAXIMUM over ALL
+  * candidate anchors — a key with an early stray step-1 event followed
+  * later by a complete in-window chain reports the full level, where
+  * the earliest-anchor mode reports 1. Timestamps must STRICTLY
+  * increase along a chain (the engine family's `strict_increase`
+  * mode) — that is the only deterministic, cross-engine-replayable
+  * reading when events share a second. Resolution is the standard
+  * one-pass DP over the group's matched events sorted by second:
+  * `chain(i)` = the latest anchor second of any chain reaching level
+  * i+1; a step-i event at second s extends when
+  * `s − chain(i−2) ≤ window` (ordering is implied — chains only ever
+  * extend from snapshots of strictly earlier seconds). O(events·K)
+  * per group, same packed-long state as the default mode.
   *
   * State is the group's matched (step, second) pairs packed into one
   * long each (step in the top 16 bits, second in the low 48 — valid
@@ -29,6 +44,7 @@ case class WindowFunnel(
     windowSec: Long,
     ts: Expression,
     conds: Seq[Expression],
+    maxOverAnchors: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Long]] {
@@ -39,7 +55,8 @@ case class WindowFunnel(
   override def children: Seq[Expression] = ts +: conds
   override def nullable: Boolean = false
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "window_funnel"
+  override def prettyName: String =
+    if (maxOverAnchors) "window_funnel_max" else "window_funnel"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -77,8 +94,59 @@ case class WindowFunnel(
   override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
       : ArrayBuffer[Long] = { b1 ++= b2; b1 }
 
-  override def eval(buf: ArrayBuffer[Long]): Any = {
-    // anchor: earliest step-1 second
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    if (maxOverAnchors) evalMaxOverAnchors(buf) else evalEarliestAnchor(buf)
+
+  /** Reference-parity DP: max level over every candidate anchor,
+    * strictly increasing timestamps. Events are re-packed to sort by
+    * (second, step); same-second events update against a SNAPSHOT of
+    * the chain state, so a chain can never advance twice within one
+    * second — that is exactly strict increase. */
+  private def evalMaxOverAnchors(buf: ArrayBuffer[Long]): Int = {
+    if (buf.isEmpty) return 0
+    val n = buf.length
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    val k = conds.length
+    val chain = Array.fill(k)(Long.MinValue) // latest anchor reaching lvl i+1
+    val upd = new Array[Long](k)
+    i = 0
+    while (i < n) {
+      val sec = arr(i) >>> 16
+      var j = i
+      var u = 0
+      while (u < k) { upd(u) = Long.MinValue; u += 1 }
+      while (j < n && (arr(j) >>> 16) == sec) {
+        val step = (arr(j) & 0xffffL).toInt
+        if (step == 1) {
+          if (sec > upd(0)) upd(0) = sec
+        } else {
+          val anchor = chain(step - 2)
+          if (anchor != Long.MinValue && sec - anchor <= windowSec &&
+            anchor > upd(step - 1)) upd(step - 1) = anchor
+        }
+        j += 1
+      }
+      u = 0
+      while (u < k) {
+        if (upd(u) > chain(u)) chain(u) = upd(u)
+        u += 1
+      }
+      i = j
+    }
+    var level = 0
+    i = 0
+    while (i < k) { if (chain(i) != Long.MinValue) level = i + 1; i += 1 }
+    level
+  }
+
+  private def evalEarliestAnchor(buf: ArrayBuffer[Long]): Int = {
     var t1 = Long.MaxValue
     var j = 0
     while (j < buf.length) {

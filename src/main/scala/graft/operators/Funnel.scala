@@ -30,8 +30,15 @@ object Funnel {
     * cond1, …, condK)` shape): per key, step 1 anchors at the EARLIEST
     * step-1 event; each later step matches the earliest qualifying
     * event strictly after the previous step's match and within
-    * `windowSec` of the anchor. Earliest-first is deterministic and
-    * matches ClickHouse's greedy scan on the common monotone case.
+    * `windowSec` of the anchor.
+    *
+    * CAPABILITY DIVERGENCE from the reference engine family: its
+    * `windowFunnel` maximizes the chain length over ALL candidate
+    * anchors, so a key with an early stray step-1 event followed later
+    * by a complete in-window chain reports level 1 here but the full
+    * level there. This variant exists because it also returns the
+    * per-step TIMESTAMPS t1..tK (the anchor chain is unique); use
+    * [[windowFunnelMax]] for level-for-level reference parity.
     *
     * Returns one row per key that completed step 1:
     * key, level (1..K), t1..tK epoch seconds (null beyond `level`).
@@ -78,6 +85,30 @@ object Funnel {
       .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
       .reduce(_ + _)
     res.withColumn("level", level)
+  }
+
+  /** Reference-parity funnel: per key, the MAXIMUM level over all
+    * candidate anchors — there exists a chain e1 < e2 < … < e_level
+    * (strictly increasing seconds, the family's `strict_increase`
+    * mode) with t_level − t1 ≤ `windowSec`. One aggregation: the
+    * native [[graft.functions.WindowFunnel]] TypedImperativeAggregate
+    * in max-over-anchors mode resolves each group's DP in its
+    * combiner, so the shuffle carries only matched (step, second)
+    * pairs. Returns (key, level), level ≥ 1 rows only. */
+  def windowFunnelMax(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      steps: Seq[Column],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnelMax needs at least one step")
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, eagerExpression}
+    val agg = toCol(graft.functions.WindowFunnel(windowSec,
+        eagerExpression(col(tsCol).cast("timestamp")),
+        steps.map(eagerExpression),
+        maxOverAnchors = true).toAggregateExpression())
+    events.groupBy(col(keyCol)).agg(agg.as("level"))
+      .filter(col("level") >= 1)
   }
 
   /** Cohort retention (the `retention(cond1, …, condK)` shape): per

@@ -124,11 +124,15 @@ object Siem {
     * is the same shape over a (hi, lo) long pair.) */
   def ipv4ToLong(ip: Column): Column = {
     val p = split(ip, "\\.")
-    when(size(p) === 4,
-      element_at(p, 1).cast("long") * 16777216L +
-        element_at(p, 2).cast("long") * 65536L +
-        element_at(p, 3).cast("long") * 256L +
-        element_at(p, 4).cast("long"))
+    // each octet must be a pure decimal in [0,255]: "1.2.3.999" or
+    // "1.2.3.x" must go null, not alias onto another address's value
+    def octet(i: Int): Column = {
+      val s = element_at(p, i)
+      when(s.rlike("^[0-9]{1,3}$"), s.cast("long")).otherwise(lit(null))
+    }
+    val o = (1 to 4).map(octet)
+    when(size(p) === 4 && o.map(_.between(0, 255)).reduce(_ && _),
+      o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3))
   }
 
   /** CIDR blocklist matching — the watchlist join every SIEM runs on

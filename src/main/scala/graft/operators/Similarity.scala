@@ -223,13 +223,20 @@ object Similarity {
     * embed rounds 1..r-1 (the [[Dedup.components]] discipline). */
   def labelPropagate(edges: DataFrame, seeds: DataFrame, iters: Int,
       srcCol: String = "src_id", dstCol: String = "nbr_id",
-      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+      idCol: String = "id", labelCol: String = "label",
+      allNodes: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
       // a mutual top-k edge appears in both directions — without the
       // distinct it would vote twice
       .distinct().localCheckpoint()
-    val nodes = sym.select(col("__a").as(idCol)).distinct()
+    // the node set must cover more than the edge endpoints: an isolated
+    // seed keeps its label, and with `allNodes` every isolated corpus
+    // document comes back (label null) instead of silently vanishing
+    val base = sym.select(col("__a").as(idCol))
+      .union(seeds.select(col(idCol)))
+    val nodes = allNodes.fold(base)(an => base.union(an.select(col(idCol))))
+      .distinct()
     val seed = seeds.select(col(idCol), col(labelCol).as("__seed"))
     var cur = nodes.join(seed, Seq(idCol), "left")
       .select(col(idCol), col("__seed").as("__lab"))

@@ -4334,7 +4334,41 @@ object Suite {
              |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_micro
              |FROM events
              |GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
-             |ORDER BY event_type, d""".stripMargin))
+             |ORDER BY event_type, d""".stripMargin)),
+
+    Q("h18_funnel_max",
+      (s, d) => graft.operators.Funnel.windowFunnelMax(t(s, d, "events"),
+          "user_id", "ts",
+          Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"),
+          windowSec = 604800L)
+        .orderBy("user_id"),
+      // reference-parity semantics: max level over ALL anchors, strict
+      // second increase — the oracle replays it as EXISTS chains
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    floor(epoch(ts))::BIGINT AS sec FROM events),
+             |l3 AS (SELECT DISTINCT v.user_id FROM e v
+             |  JOIN e c ON c.user_id = v.user_id
+             |    AND c.event_type = 'click'
+             |    AND c.sec > v.sec AND c.sec <= v.sec + 604800
+             |  JOIN e p ON p.user_id = v.user_id
+             |    AND p.event_type = 'purchase'
+             |    AND p.sec > c.sec AND p.sec <= v.sec + 604800
+             |  WHERE v.event_type = 'view'),
+             |l2 AS (SELECT DISTINCT v.user_id FROM e v
+             |  JOIN e c ON c.user_id = v.user_id
+             |    AND c.event_type = 'click'
+             |    AND c.sec > v.sec AND c.sec <= v.sec + 604800
+             |  WHERE v.event_type = 'view'),
+             |l1 AS (SELECT DISTINCT user_id FROM e
+             |  WHERE event_type = 'view')
+             |SELECT l1.user_id,
+             |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+             |    WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+             |FROM l1 LEFT JOIN l3 ON l1.user_id = l3.user_id
+             |  LEFT JOIN l2 ON l1.user_id = l2.user_id
+             |ORDER BY l1.user_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

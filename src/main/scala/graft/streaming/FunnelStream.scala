@@ -10,7 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * earliest-first semantics: step 1 anchors at the key's earliest
   * step-1 event, each later step matches the earliest qualifying event
   * strictly after the previous match and within `windowSec` of the
-  * anchor.
+  * anchor. Like the batch twin, this DIVERGES from the reference
+  * family's max-over-anchors reading (see
+  * [[graft.operators.Funnel.windowFunnelMax]] for parity) — the
+  * earliest anchor is what makes the single-emission watermark bound
+  * below possible; a max-over-anchors stream would have to hold state
+  * until the key goes quiet forever.
   *
   * A key's funnel row is emitted EXACTLY ONCE, when the event-time
   * watermark passes `t1 + windowSec` — at that point no in-watermark

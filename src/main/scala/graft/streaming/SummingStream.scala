@@ -10,17 +10,19 @@ import graft.operators.{LshIndex, Summing}
   * [[graft.operators.Summing]] store, the reference family's
   * Kafka-MV → SummingMergeTree pattern: every micro-batch lands its
   * PARTIAL sums (one aggregated row per key per batch, the cheapest
-  * possible write — no read-modify-write, no state store), readers
-  * fold with [[Summing.summedView]] at any time, and the background
-  * [[Summing.merge]] compacts on its own cadence.
+  * possible write — no read-modify-write, no state store) and readers
+  * fold with [[Summing.summedView]] at any time.
   *
   * Sink discipline matches [[CardStream]]/[[DriftStream]]: partials
   * are partitioned by batch id with dynamic overwrite, so an
   * at-least-once replay rewrites its own partition instead of
   * double-counting — the additive table stays exactly-once without
-  * any dedup state. [[graft.core.BatchCompaction]] folds old batch
-  * partitions like every streaming sink here; the summed view is
-  * invariant to both compaction and merge. */
+  * any dedup state. Compaction for THIS store is
+  * [[graft.core.BatchCompaction]] (it folds batch-id partitions);
+  * [[Summing.merge]] does NOT apply here — it requires the
+  * [[graft.core.PartitionedWriter]] date-partitioned layout plus a
+  * timestamp column, which the batch-id layout deliberately lacks.
+  * The summed view is invariant to BatchCompaction folding. */
 object SummingStream {
 
   private val BatchCol = LshIndex.BatchCol

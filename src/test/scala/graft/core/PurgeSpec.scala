@@ -101,4 +101,36 @@ class PurgeSpec extends SparkSpec {
     assert(second.isEmpty, "no partition contains the key anymore")
     assert(spark.read.parquet(root).count() == 20)
   }
+
+  test("heal deletes a stale bak when live exists — no purge resurrection") {
+    val root = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate a swap that crashed after both renames but before the
+    // bak delete: live partition present AND a completed-swap bak in
+    // staging. Heal must DELETE that bak — keeping it opens a window
+    // where a later legitimate drop of the partition (TTL, full purge)
+    // is undone by the next heal restoring pre-purge rows.
+    val staging = root + "__purge"
+    fs.mkdirs(hp(staging))
+    val live = root + "/event_date=2024-01-03"
+    val bak = staging + "/event_date=2024-01-03.bak"
+    org.apache.hadoop.fs.FileUtil.copy(fs, hp(live), fs, hp(bak), false,
+      spark.sparkContext.hadoopConfiguration)
+    PartitionedWriter.purgeKeys(spark, root, "user_id",
+      Seq(99L).toDF("user_id")) // any lifecycle call heals staging
+    assert(!fs.exists(hp(bak)), "completed-swap bak deleted, not kept")
+    assert(fs.exists(hp(live)), "live partition untouched")
+    assert(spark.read.parquet(root).count() == 24)
+    // the crash-restore path still works: live missing + bak present
+    val live2 = root + "/event_date=2024-01-01"
+    val bak2 = staging + "/event_date=2024-01-01.bak"
+    fs.mkdirs(hp(staging))
+    assert(fs.rename(hp(live2), hp(bak2)))
+    PartitionedWriter.purgeKeys(spark, root, "user_id",
+      Seq(99L).toDF("user_id"))
+    assert(fs.exists(hp(live2)), "interrupted swap restored from bak")
+    assert(spark.read.parquet(root).count() == 24)
+  }
 }

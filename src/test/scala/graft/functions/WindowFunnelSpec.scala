@@ -57,4 +57,43 @@ class WindowFunnelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("window_funnel"), plan)
   }
+
+  test("window_funnel_max maximizes over anchors; earliest-anchor does not") {
+    graft.GraftExtensions.register(spark)
+    val base = 1700000000L
+    val shaped = Seq(
+      // user 1: early stray view, then a complete chain 2 days later —
+      // the reference-family case the earliest anchor misses
+      (1L, "view", base), (1L, "view", base + 200000),
+      (1L, "click", base + 200010), (1L, "purchase", base + 200020),
+      // user 2: chain inside window from the ONLY anchor — both agree
+      (2L, "view", base), (2L, "click", base + 10),
+      (2L, "purchase", base + 20),
+      // user 3: same-second view+click must NOT chain (strict increase)
+      (3L, "view", base), (3L, "click", base),
+      // user 4: step-2 only — no anchor, absent from both
+      (4L, "click", base))
+    val df = ev(shaped)
+    df.createOrReplaceTempView("wfm_events")
+    val got = spark.sql(
+      """SELECT user_id, window_funnel_max(86400L, ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM wfm_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 1), got.toString)
+    val earliest = spark.sql(
+      """SELECT user_id, window_funnel(86400L, ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM wfm_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin).as[(Long, Int)].collect().toMap
+    assert(earliest(1L) == 1, s"earliest-anchor should stall at 1: $earliest")
+    // operator twin delegates to the same aggregate
+    val op = graft.operators.Funnel.windowFunnelMax(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), windowSec = 86400L)
+      .as[(Long, Int)].collect().toMap
+    assert(op == got, s"operator $op != sql $got")
+  }
 }

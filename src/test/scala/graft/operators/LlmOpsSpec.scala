@@ -820,6 +820,20 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(got(10L).contains(1), s"2:1 majority must win, got $got")
+
+    // isolated nodes: an edge-less seed keeps its label; with allNodes
+    // every isolated corpus doc comes back (label null), none vanish
+    val iso = Similarity.labelPropagate(edges,
+        seeds.union(Seq((99L, 7)).toDF("id", "label")), 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(iso(99L).contains(7), s"isolated seed must keep its label: $iso")
+    val full = Similarity.labelPropagate(edges, seeds, 1,
+        allNodes = Some(Seq(1L, 2L, 3L, 4L, 5L, 42L).toDF("id")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(full.contains(42L) && full(42L).isEmpty,
+      s"isolated corpus node present with null label: $full")
   }
 
   test("media near-dup pairs: identical assets at hamming 0, no false pairs") {

@@ -107,7 +107,10 @@ class SiemSpec extends SparkSpec {
       (4L, "192.168.7.9"),   // /24 interior
       (5L, "192.168.8.0"),   // out
       (6L, "not-an-ip"),     // malformed: dropped, not crashed
-      (7L, "10.5.1"))        // short quad: dropped
+      (7L, "10.5.1"),        // short quad: dropped
+      (8L, "10.5.3.999"),    // octet > 255: would alias to 10.5.6.231
+      (9L, "10.5.x.1"),      // non-numeric octet: dropped
+      (10L, "10.5.-1.7"))    // negative octet: dropped
       .toDF("id", "ip")
     val blocks = Seq("10.5.0.0/16", "192.168.7.0/24").toDF("cidr")
     val got = Siem.cidrMatches(ev, "ip", blocks)
