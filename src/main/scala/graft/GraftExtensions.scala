@@ -155,6 +155,17 @@ object GraftExtensions {
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()
     },
+    // bounded-state sketches: topK(k) heavy hitters, uniqUpTo(N)
+    "top_k_sketch" -> { args =>
+      arity("top_k_sketch", args, 2)
+      TopKSketch(intLit(args.head, "top_k_sketch", "k"), args(1))
+        .toAggregateExpression()
+    },
+    "uniq_up_to" -> { args =>
+      arity("uniq_up_to", args, 2)
+      UniqUpTo(intLit(args.head, "uniq_up_to", "n"), args(1))
+        .toAggregateExpression()
+    },
     "sequence_match" -> { args =>
       arity("sequence_match", args, 4)
       val g = longLit(args.head, "sequence_match", "max_gap_sec")

@@ -4368,7 +4368,72 @@ object Suite {
              |    WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
              |FROM l1 LEFT JOIN l3 ON l1.user_id = l3.user_id
              |  LEFT JOIN l2 ON l1.user_id = l2.user_id
-             |ORDER BY l1.user_id""".stripMargin))
+             |ORDER BY l1.user_id""".stripMargin)),
+
+    Q("d10_approx_distinct",
+      (s, d) => t(s, d, "events")
+        // at 100 TB the HLL sketch IS the distinct count (bounded
+        // state vs a full-distinct shuffle); the suite pins it inside
+        // a 5% band of the oracled exact value — the sketch estimate
+        // itself is engine-specific, the GUARANTEE is the contract
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_n"),
+          approx_count_distinct(col("user_id"), 0.01).as("__a"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("__a") - col("exact_n")) <= col("exact_n") * 0.05)
+            .cast("int").as("within_5pct"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
+             |  1 AS within_5pct
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("d11_approx_quantile",
+      (s, d) => t(s, d, "events")
+        // same contract for quantiles: the GK sketch estimate must sit
+        // within tolerance of the exact interpolated median, which
+        // both engines compute identically (linear interpolation)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("__e"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("__a"))
+        .select(col("event_type"), round(col("__e"), 6).as("p50"),
+          (abs(col("__a") - col("__e")) <=
+            greatest(abs(col("__e")) * 0.02, lit(0.02)))
+            .cast("int").as("within_tol"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  1 AS within_tol
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("d12_topk_sketch",
+      (s, d) => {
+        // Misra-Gries heavy hitters on the SQL surface; with distinct
+        // values <= k the summary is exact, so the oracle replays it
+        // as plain GROUP BY counts (the sketchy regime is spec-pinned)
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT item AS event_type, est AS n
+                 |FROM (SELECT top_k_sketch(8, event_type) AS a
+                 |      FROM events)
+                 |LATERAL VIEW inline(a) t AS item, est
+                 |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("d13_uniq_up_to",
+      (s, d) => {
+        // saturating distinct: exact below the cap, n+1 above — the
+        // per-day user counts straddle 130 so both regimes execute
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT date_format(ts, 'yyyy-MM-dd') AS day,
+                 |  uniq_up_to(130, user_id) AS u
+                 |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |  least(count(DISTINCT user_id), 131) AS u
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
