@@ -62,6 +62,33 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose max cosine
+    * against ANY benchmark vector clears `threshold` — the
+    * embedding-space counterpart of the n-gram decontamination in
+    * [[Retrieval]] (catches paraphrased eval leakage that token
+    * overlap misses; the SemDeDup/eval-contamination literature's
+    * standard screen before training).
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: benchmark sets are small
+    * by nature (an eval suite, not a corpus) — they BROADCAST; the
+    * corpus side is map-only, one codegen'd cosine per (doc, bench)
+    * pair, one map-side-combined max. A benchmark too big to
+    * broadcast goes through [[graft.operators.IvfIndex]] instead.
+    *
+    * Returns every corpus row: (id, max_cos, contaminated 0/1). */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val b = benchmark.select(col(vecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__cos", cosine(col("__cv"), col("__bv")))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos"))
+      .select(col(idCol), col("max_cos"),
+        (col("max_cos") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Deterministic centroid seeding: every strideth corpus vector (by
     * id order) is a centroid — reproducible without an RNG and "spread"
     * as well as a random sample for synthetic/shuffled data. A k-means

@@ -4433,7 +4433,92 @@ object Suite {
       },
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
              |  least(count(DISTINCT user_id), 131) AS u
-             |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    Q("d14_group_array",
+      (s, d) => t(s, d, "events")
+        // groupArray/groupUniqArray shape: the per-key ordered value
+        // list, compared as a joined string (deterministic order on
+        // both engines; arrays don't hash-compare across engines)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("event_type"))
+        .agg(array_join(sort_array(collect_set(col("day"))), ",")
+            .as("days"),
+          size(collect_set(col("day"))).cast("long").as("n_days"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  array_to_string(list(DISTINCT strftime(ts, '%Y-%m-%d')
+             |    ORDER BY strftime(ts, '%Y-%m-%d')), ',') AS days,
+             |  count(DISTINCT strftime(ts, '%Y-%m-%d'))::BIGINT
+             |    AS n_days
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("l86_semantic_decontam",
+      (s, d) => {
+        // embedding-space eval decontamination: the last 10 vectors
+        // play the benchmark set (broadcast side); every corpus vector
+        // gets its max cosine against them and a threshold flag — the
+        // paraphrase-leakage screen n-gram decontam (l22/l39) misses
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") < 490),
+            emb.filter(col("vec_id") >= 490), threshold = 0.30)
+          .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"),
+            // flag from the ROUNDED value so an estimate a hair off
+            // the boundary can't flip engines apart
+            (round(col("max_cos"), 6) >= 0.30).cast("int")
+              .as("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH b AS (SELECT embedding AS be FROM embeddings
+             |  WHERE vec_id >= 490),
+             |c AS (SELECT vec_id, embedding AS ce FROM embeddings
+             |  WHERE vec_id < 490),
+             |s AS (SELECT c.vec_id,
+             |    list_sum(list_transform(range(1, len(c.ce) + 1),
+             |      i -> c.ce[i]::DOUBLE * b.be[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(c.ce) + 1),
+             |      i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(b.be) + 1),
+             |      i -> b.be[i]::DOUBLE * b.be[i]::DOUBLE))))
+             |    AS cos FROM c CROSS JOIN b),
+             |m AS (SELECT vec_id, round(max(cos), 6) AS max_cos
+             |  FROM s GROUP BY 1)
+             |SELECT vec_id, max_cos,
+             |  (max_cos >= 0.30)::INT AS contaminated
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    Q("l87_triangles",
+      (s, d) => {
+        // cohesion of the k->k communication graph (same edge stream
+        // as PageRank/BFS): exact per-node triangle counts via the
+        // node-ordered wedge join — every triangle found once
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("k"))
+          .select(col("src"), col("k").as("dst"))
+        graft.operators.Graph.triangleCount(edges).orderBy("node")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS src, k AS dst FROM ev),
+             |ed AS (SELECT DISTINCT least(src, dst) AS a,
+             |    greatest(src, dst) AS b
+             |  FROM tr WHERE src IS NOT NULL AND src <> dst),
+             |t3 AS (SELECT x.a AS u, x.b AS v, y.b AS w
+             |  FROM ed x JOIN ed y ON x.b = y.a
+             |  JOIN ed z ON z.a = x.a AND z.b = y.b),
+             |n AS (SELECT u AS node FROM t3
+             |  UNION ALL SELECT v FROM t3
+             |  UNION ALL SELECT w FROM t3)
+             |SELECT node, count(*) AS n_triangles
+             |FROM n GROUP BY 1 ORDER BY node""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -77,4 +77,21 @@ class GraphSpec extends SparkSpec {
     assert((1L to 5L).map(got).toSet.size == 1, "leaves tie exactly")
     assert(got == refRank(edges, 3))
   }
+
+  test("triangle counts: K4 has 3 per node; direction/dups/loops ignored") {
+    // K4 (every node in 3 triangles) + a pendant edge + noise:
+    // reversed duplicates, a self-loop — none may change the count
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (4L, 3L),        // reversed duplicates of existing edges
+      (3L, 3L),                  // self-loop
+      (4L, 5L))                  // pendant: 5 closes nothing
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4: every node in exactly 3 triangles, pendant absent: $got")
+    // global total = sum/3
+    assert(got.values.sum / 3 == 4L)
+  }
 }
