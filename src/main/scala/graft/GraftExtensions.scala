@@ -155,6 +155,18 @@ object GraftExtensions {
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()
     },
+    // HLL distinct-count states (uniqState/uniqMerge shape): build a
+    // sketch, merge stored sketches, read the estimate
+    "hll_sketch" -> { args =>
+      arity("hll_sketch", args, 1)
+      HllSketchAgg(args.head).toAggregateExpression()
+    },
+    "hll_merge" -> { args =>
+      arity("hll_merge", args, 1)
+      HllMergeAgg(args.head).toAggregateExpression()
+    },
+    "hll_estimate" -> { args =>
+      arity("hll_estimate", args, 1); HllEstimate(args.head) },
     // bounded-state sketches: topK(k) heavy hitters, uniqUpTo(N)
     "top_k_sketch" -> { args =>
       arity("top_k_sketch", args, 2)

@@ -4518,7 +4518,39 @@ object Suite {
              |  UNION ALL SELECT v FROM t3
              |  UNION ALL SELECT w FROM t3)
              |SELECT node, count(*) AS n_triangles
-             |FROM n GROUP BY 1 ORDER BY node""".stripMargin))
+             |FROM n GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    Q("d15_hll_state",
+      (s, d) => {
+        // the AggregatingMergeTree flow end-to-end: per-(type, day)
+        // 4 KiB sketch states (what a state table stores), merged per
+        // type at read, estimate pinned inside the sketch's error
+        // band of the oracled exact count — at 100 TB the daily
+        // states are all that's ever re-read
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH states AS (
+                 |  SELECT event_type, date_format(ts, 'yyyy-MM-dd')
+                 |      AS day, hll_sketch(user_id) AS st
+                 |  FROM events GROUP BY 1, 2),
+                 |merged AS (
+                 |  SELECT event_type,
+                 |    hll_estimate(hll_merge(st)) AS est
+                 |  FROM states GROUP BY 1),
+                 |exact AS (
+                 |  SELECT event_type,
+                 |    count(DISTINCT user_id) AS exact_n
+                 |  FROM events GROUP BY 1)
+                 |SELECT e.event_type, e.exact_n,
+                 |  CAST(abs(m.est - e.exact_n) <= e.exact_n * 0.05
+                 |    AS INT) AS within_5pct
+                 |FROM exact e JOIN merged m
+                 |  ON e.event_type = m.event_type
+                 |ORDER BY e.event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
+             |  1 AS within_5pct
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
