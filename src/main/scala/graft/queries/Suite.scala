@@ -4550,7 +4550,35 @@ object Suite {
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
              |  1 AS within_5pct
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e11_array_hof",
+      (s, d) => t(s, d, "documents")
+        // the arrayMap/arrayFilter/arrayReduce family as native
+        // higher-order functions (codegen'd lambdas, no UDF): token
+        // lengths filtered, squared, and folded per document
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("__t"))
+        .select(col("doc_id"),
+          size(filter(col("__t"), x => length(x) > 3)).as("n_long"),
+          aggregate(
+            transform(filter(col("__t"), x => length(x) > 3),
+              x => length(x) * length(x)),
+            lit(0L), (acc, x) => acc + x).as("sq_len_sum"),
+          array_join(slice(sort_array(
+            filter(col("__t"), x => length(x) > 3)), 1, 3), ",")
+            .as("first3"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), x -> len(x) > 3) AS toks
+             |  FROM documents)
+             |SELECT doc_id, len(toks)::INT AS n_long,
+             |  coalesce(list_sum(list_transform(toks,
+             |    x -> len(x)::BIGINT * len(x))), 0)::BIGINT
+             |    AS sq_len_sum,
+             |  array_to_string(list_sort(toks)[1:3], ',') AS first3
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

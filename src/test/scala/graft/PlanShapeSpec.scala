@@ -470,4 +470,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<user_id:bigint>"), plan)
     assert(!plan.contains("payload"))
   }
+
+  test("semantic decontam broadcasts the benchmark; corpus never shuffles pre-agg") {
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val df = operators.Similarity.semanticContamination(
+      emb.filter(col("vec_id") < 490), emb.filter(col("vec_id") >= 490), 0.3)
+    val plan = planOf(df)
+    // the benchmark side rides a broadcast nested-loop (tiny × huge);
+    // the only hash exchange is the final per-id max aggregation
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hll state flow is partial-agg all the way (no raw-id re-shuffle)") {
+    GraftExtensions.register(spark)
+    core.Tables.registerAll(spark, sf)
+    val df = spark.sql(
+      """SELECT event_type, hll_estimate(hll_merge(st)) AS est FROM
+        |(SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+        |  hll_sketch(user_id) AS st FROM events GROUP BY 1, 2)
+        |GROUP BY event_type""".stripMargin)
+    val plan = planOf(df)
+    // both aggregations run partial -> final: sketches combine map-side,
+    // so the shuffles carry (key, 4KiB state), never raw ids
+    assert(plan.contains("hll_sketch") && plan.contains("hll_merge"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4 ||
+      "SortAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("triangle count joins stay hash-keyed on node ids — no cartesian") {
+    val plan = planOf(queries.Suite.queries("l87_triangles")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -45,9 +45,13 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     // empty QUERY set against a real corpus: no candidates, no error
     assert(Similarity.int8TopK(someVecs, q, 1, rerank = 1).isEmpty)
-    assert(Similarity.labelPropagate(
+    // an edge-less graph still returns the seed with its label (the
+    // node set unions seeds, so isolated seeds never vanish)
+    val lp = Similarity.labelPropagate(
       Seq.empty[(Long, Long)].toDF("src_id", "nbr_id"),
-      Seq((1L, 0)).toDF("id", "label"), 2).isEmpty)
+      Seq((1L, 0)).toDF("id", "label"), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(lp == Seq((1L, 0)), s"isolated seed keeps its label: $lp")
   }
 
   test("siem operators: empty and single-event streams never alert") {
