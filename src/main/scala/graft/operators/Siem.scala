@@ -118,21 +118,32 @@ object Siem {
     * Output: (group, bucket, n, prev_sum, prev_buckets). One bucketed
     * agg + one group-partitioned window. */
   /** IPv4 dotted-quad → its unsigned 32-bit value carried in a long —
-    * pure column algebra (split + casts), codegen'd, no UDF. Malformed
-    * addresses go null and simply never match a block. (IPv6 rides the
-    * 16-byte normalize path in `functions.IpNorm`; range-matching it
-    * is the same shape over a (hi, lo) long pair.) */
+    * pure column algebra, no UDF. Malformed addresses (wrong part
+    * count, non-digit or out-of-range octets) go null and simply
+    * never match a block — an out-of-range octet must NOT alias onto
+    * another address's value. (IPv6 rides the 16-byte normalize path
+    * in `functions.IpNorm`; range-matching it is the same shape over
+    * a (hi, lo) long pair.) */
   def ipv4ToLong(ip: Column): Column = {
     val p = split(ip, "\\.")
-    // each octet must be a pure decimal in [0,255]: "1.2.3.999" or
-    // "1.2.3.x" must go null, not alias onto another address's value
-    def octet(i: Int): Column = {
-      val s = element_at(p, i)
-      when(s.rlike("^[0-9]{1,3}$"), s.cast("long")).otherwise(lit(null))
-    }
-    val o = (1 to 4).map(octet)
-    when(size(p) === 4 && o.map(_.between(0, 255)).reduce(_ && _),
-      o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3))
+    // ONE pass over ONE split: every extra reference to the split
+    // array re-runs the regex split per row (conditional branches are
+    // outside codegen's subexpression elimination), which made the
+    // naive per-octet validation 3-4x slower than no validation at
+    // all. transform guards each octet (digit gate BEFORE the cast,
+    // nested when, so ANSI never throws; null = malformed), aggregate
+    // folds base-256 with null poisoning and counts parts — 4 parts
+    // and no poison is the only way out non-null.
+    val nums = transform(p, s =>
+      when(length(s).between(1, 3) &&
+        translate(s, "0123456789", "") === "",
+        when(s.cast("long") <= 255, s.cast("long"))))
+    aggregate(nums,
+      struct(lit(0L).as("v"), lit(0L).as("n")),
+      (acc, x) => struct(
+        (acc("v") * 256L + x).as("v"),
+        (acc("n") + 1L).as("n")),
+      acc => when(acc("n") === 4, acc("v")))
   }
 
   /** CIDR blocklist matching — the watchlist join every SIEM runs on
