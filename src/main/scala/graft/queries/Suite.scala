@@ -4375,9 +4375,14 @@ object Suite {
         // at 100 TB the HLL sketch IS the distinct count (bounded
         // state vs a full-distinct shuffle); the suite pins it inside
         // a 5% band of the oracled exact value — the sketch estimate
-        // itself is engine-specific, the GUARANTEE is the contract
+        // itself is engine-specific, the GUARANTEE is the contract.
+        // Dedup the (type, user) pairs FIRST (map-side combine), then
+        // count and sketch the distinct set — HLL is duplicate-
+        // insensitive, so the estimate is unchanged, and the plan
+        // avoids the 2x expand a countDistinct+approx combo-agg pays
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_n"),
+        .agg(count(lit(1)).as("exact_n"),
           approx_count_distinct(col("user_id"), 0.01).as("__a"))
         .select(col("event_type"), col("exact_n"),
           (abs(col("__a") - col("exact_n")) <= col("exact_n") * 0.05)
