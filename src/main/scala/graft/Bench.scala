@@ -372,7 +372,14 @@ object Bench {
         val entries = Seq(
           ("h9g_funnel", "h9_funnel"),
           ("h11g_seq_match", "h11_seq_match"),
-          ("l81g_pagerank", "l81_pagerank"))
+          ("l81g_pagerank", "l81_pagerank"),
+          // round-6 event-table ops: parity funnel (combiner DP is
+          // linear in matched events), HLL state flow (state size is
+          // CONSTANT — growth should cost only the scan), triangles
+          // (wedge volume bounded by the fixed 100-node key space)
+          ("h18g_funnel_max", "h18_funnel_max"),
+          ("d15g_hll_state", "d15_hll_state"),
+          ("l87g_triangles", "l87_triangles"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
