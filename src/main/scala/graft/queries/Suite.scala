@@ -4583,7 +4583,41 @@ object Suite {
              |    x -> len(x)::BIGINT * len(x))), 0)::BIGINT
              |    AS sq_len_sum,
              |  array_to_string(list_sort(toks)[1:3], ',') AS first3
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("e12_window_family",
+      (s, d) => {
+        // the rest of the window-function family in one pass over the
+        // per-user daily rollup: ntile quartiles, lead/lag deltas,
+        // cume_dist — all share ONE (user)-partitioned sort
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+        daily.select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            ntile(4).over(w).as("quartile"),
+            (col("n") - lag(col("n"), 1).over(w)).as("delta_prev"),
+            lead(col("n"), 1).over(w).as("next_n"),
+            round(cume_dist().over(
+              Window.partitionBy("user_id").orderBy(col("n"), col("day"))),
+              6).as("cd"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id,
+             |    strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, n,
+             |  ntile(4) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS quartile,
+             |  n - lag(n, 1) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS delta_prev,
+             |  lead(n, 1) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS next_n,
+             |  round(cume_dist() OVER (PARTITION BY user_id
+             |    ORDER BY n, day), 6) AS cd
+             |FROM daily ORDER BY user_id, day""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -147,4 +147,16 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(!proj(InternalRow(
       ArrayData.toArrayData(Array.empty[Long]))).getBoolean(0))
   }
+
+  test("hll_estimate generated code compiles and matches the scalar kernel") {
+    val regs = Hll.emptyRegisters()
+    (1 to 500).foreach(i => Hll.add(regs,
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(i.toLong, LongType, 42L)))
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(HllEstimate(BoundReference(0, BinaryType, nullable = true))))
+    val out = proj(InternalRow(regs))
+    assert(out.getLong(0) == Hll.estimate(regs))
+    assert(math.abs(out.getLong(0) - 500) <= 25)
+  }
 }
