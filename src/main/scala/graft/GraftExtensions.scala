@@ -117,6 +117,8 @@ object GraftExtensions {
       expression(TextFunctions.rollingFingerprint(column(args.head), n)) },
     "strip_markup" ->
       composed("strip_markup", 1)(c => TextFunctions.stripMarkup(c.head)),
+    "canonicalize_url" ->
+      composed("canonicalize_url", 1)(c => TextFunctions.canonicalizeUrl(c.head)),
     "nfc_normalize" -> { args =>
       arity("nfc_normalize", args, 1); NfcNormalize(args.head) },
     "winnow_fingerprints" -> { args =>

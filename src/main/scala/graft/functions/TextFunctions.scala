@@ -289,4 +289,45 @@ object TextFunctions {
         parts => conv(substring(md5(concat_ws(" ", parts: _*)), 1, 15), 16, 10)
           .cast("long")), w)
     }
+
+  /** Canonical URL for web-corpus dedup and SIEM log joins — the same
+    * address crawled as `HTTPS://Www.Ex.COM:443/a/?utm_source=x&b=2&a=1#f`
+    * and `https://www.ex.com/a?a=1&b=2` must collapse to ONE key before
+    * any URL-level dedup/frequency/blocklist step (CommonCrawl-style
+    * pipelines dedup by canonical URL before touching content; a SIEM
+    * joins proxy logs on it). Deterministic string algebra, no UDF, no
+    * network classes — replayable in SQL:
+    *
+    *  - scheme and host lowercase (RFC 3986 §6.2.2.1); path case kept;
+    *  - default ports dropped (:80 on http, :443 on https);
+    *  - fragment dropped;
+    *  - tracking params removed (`utm_*`, `gclid`, `fbclid`), the rest
+    *    SORTED (reordered duplicates collapse — the dedup trade, not a
+    *    semantics claim);
+    *  - trailing path slashes trimmed, bare host → "/".
+    *
+    * Malformed (scheme-less) input returns null — callers keep the raw
+    * string alongside. Map-only: ~5 regex extracts per row and one
+    * bounded param sort, linear at any corpus size. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = letBind(regexp_replace(rawPath, "/+$", "")) { trimmed =>
+      when(trimmed === "", lit("/")).otherwise(trimmed)
+    }
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
+    val sortedQ = array_join(array_sort(params), "&")
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, path,
+        when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
 }

@@ -4617,7 +4617,73 @@ object Suite {
              |    AS next_n,
              |  round(cume_dist() OVER (PARTITION BY user_id
              |    ORDER BY n, day), 6) AS cd
-             |FROM daily ORDER BY user_id, day""".stripMargin))
+             |FROM daily ORDER BY user_id, day""".stripMargin)),
+
+    Q("l88_url_dedup",
+      (s, d) => {
+        // URL-level dedup, the step a web-corpus pipeline runs BEFORE
+        // any content dedup: derive messy-but-equivalent URLs (case,
+        // default ports, tracking params, param order, trailing
+        // slashes, fragments all vary), canonicalize, count the
+        // collapse. Map-only canonicalization, one hash agg
+        val docs = t(s, d, "documents")
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          lit("WWW.site"), pmod(id, lit(5)).cast("string"), lit(".COM"),
+          when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), col("source"),
+          when(id % 4 === 0, lit("/")).otherwise(lit("")),
+          when(id % 2 === 0, lit("?utm_source=tw&b=2&a=1&gclid=g#f"))
+            .otherwise(lit("?a=1&b=2")))
+        docs.select(id, TextFunctions.canonicalizeUrl(url).as("url_canon"))
+          .groupBy(col("url_canon"))
+          .agg(count(lit(1)).as("n_docs"), min(id).as("first_doc"))
+          .orderBy("url_canon")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+             |     ELSE 'https://' END) ||
+             |  'WWW.site' || (doc_id % 5)::VARCHAR || '.COM' ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+             |  '/p/' || source ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 2 = 0
+             |     THEN '?utm_source=tw&b=2&a=1&gclid=g#f'
+             |     ELSE '?a=1&b=2' END) AS url
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+             |    regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+             |      AS rawpath,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS query
+             |  FROM u),
+             |k AS (SELECT doc_id, scheme,
+             |    CASE WHEN scheme = 'http'
+             |        THEN regexp_replace(hp, ':80$', '')
+             |      WHEN scheme = 'https'
+             |        THEN regexp_replace(hp, ':443$', '')
+             |      ELSE hp END AS host,
+             |    CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+             |      THEN '/' ELSE regexp_replace(rawpath, '/+$', '')
+             |      END AS path,
+             |    array_to_string(list_sort(list_filter(
+             |      string_split(query, '&'),
+             |      p -> p <> '' AND NOT regexp_matches(p,
+             |        '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS q
+             |  FROM c),
+             |canon AS (SELECT doc_id,
+             |    scheme || '://' || host || path ||
+             |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+             |      AS url_canon
+             |  FROM k WHERE scheme <> '' AND host <> '')
+             |SELECT url_canon, count(*) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM canon GROUP BY 1 ORDER BY url_canon""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -729,6 +729,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("canonicalizeUrl: equivalent spellings collapse, distinct stay apart") {
+    import spark.implicits._
+    val cases = Seq(
+      // case, default port, tracking params, param order, fragment,
+      // trailing slash — one canonical form
+      ("HTTPS://Www.Ex.COM:443/a/?utm_source=x&b=2&a=1#frag",
+        "https://www.ex.com/a?a=1&b=2"),
+      ("https://www.ex.com/a?a=1&b=2", "https://www.ex.com/a?a=1&b=2"),
+      ("http://ex.com:80/", "http://ex.com/"),
+      ("http://ex.com", "http://ex.com/"),
+      // NON-default port survives; so does an https :80
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+      ("https://ex.com:80/x", "https://ex.com:80/x"),
+      // path CASE is significant; utm-only query drops entirely
+      ("https://ex.com/CaseSensitive?gclid=1&utm_medium=m",
+        "https://ex.com/CaseSensitive"),
+      // a param NAMED utmost is not a tracking param
+      ("https://ex.com/p?utmost=1", "https://ex.com/p?utmost=1"),
+      // malformed: no scheme -> null
+      ("www.ex.com/path", null),
+      ("not a url", null))
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "u")
+      .select(col("i"), graft.functions.TextFunctions.canonicalizeUrl(col("u")))
+      .as[(Int, Option[String])].collect().sortBy(_._1)
+      .map(_._2.orNull).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
   test("int8 codes are byte-ranged and unit-norm scaled; zero vec guarded") {
     import spark.implicits._
     val vecs = Seq(
