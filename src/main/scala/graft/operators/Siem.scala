@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Siem {
 
+  /** Shannon entropy of a string's characters, in MICRO-BITS as a
+    * long — the DGA-domain signal (algorithmically generated domains
+    * read as near-random character streams, ~3.5+ bits/char on hex;
+    * human-named hosts sit under ~3): per distinct character c with
+    * count k over length L, the k/L·log₂(L/k) contribution is rounded
+    * to micro-bits BEFORE the sum (the engine's fixed-point
+    * convention — the score replays to the digit in any engine, so an
+    * alert threshold never flips on float order).
+    *
+    * Map-only column algebra: one let-bound char split, one distinct
+    * pass, an O(|alphabet|·L) count fold per row — a domain label is
+    * tens of chars, so this is scan-speed at any corpus size. */
+  def charEntropyMicroBits(s: Column): Column = {
+    def letBind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    letBind(filter(split(s, ""), c => c =!= "")) { chars =>
+      letBind(size(chars).cast("double")) { len =>
+        coalesce(aggregate(array_distinct(chars), lit(0L), (acc, d) => {
+          val k = size(filter(chars, c => c === d)).cast("double")
+          acc + round(lit(1e6) * (k / len) * log2(len / k)).cast("long")
+        }), lit(0L))
+      }
+    }
+  }
+
   /** Beaconing candidates: (key) groups whose inter-arrival gaps are
     * suspiciously REGULAR — the C2-heartbeat shape (malware checking
     * in every N seconds shows near-zero gap variance; human activity

@@ -4683,7 +4683,49 @@ object Suite {
              |  FROM k WHERE scheme <> '' AND host <> '')
              |SELECT url_canon, count(*) AS n_docs,
              |  min(doc_id) AS first_doc
-             |FROM canon GROUP BY 1 ORDER BY url_canon""".stripMargin))
+             |FROM canon GROUP BY 1 ORDER BY url_canon""".stripMargin)),
+
+    Q("h19_dga_entropy",
+      (s, d) => {
+        // DGA detection: algorithmically generated domains read as
+        // near-random char streams — derive a host-label population
+        // (80% human-named "appN", 20% hash-generated hex), score
+        // char entropy in exact micro-bits, flag the random ones.
+        // Distinct labels first: the scorer runs once per label, not
+        // once per event
+        val ev = t(s, d, "events")
+        val label = when(pmod(col("user_id"), lit(10)) < 8,
+            concat(lit("app"), pmod(col("user_id"), lit(20)).cast("string")))
+          .otherwise(substring(md5(col("user_id").cast("string")), 1, 12))
+        ev.select(label.as("label")).distinct()
+          .select(col("label"),
+            graft.operators.Siem.charEntropyMicroBits(col("label"))
+              .as("entropy_micro"),
+            length(col("label")).as("len"))
+          .withColumn("dga_flag",
+            (col("entropy_micro") >= 2500000L).cast("int"))
+          .orderBy("label")
+      },
+      Some("""WITH lab AS (SELECT DISTINCT CASE WHEN user_id % 10 < 8
+             |    THEN 'app' || (user_id % 20)::VARCHAR
+             |    ELSE substr(md5((user_id)::VARCHAR), 1, 12) END
+             |    AS label FROM events),
+             |ch AS (SELECT label, list_filter(
+             |    string_split_regex(label, ''), c -> c <> '') AS chars
+             |  FROM lab),
+             |e AS (SELECT label,
+             |    coalesce(list_sum(list_transform(list_distinct(chars),
+             |      d -> round(1000000 *
+             |        (len(list_filter(chars, c -> c = d))::DOUBLE
+             |          / len(chars)) *
+             |        log2(len(chars)::DOUBLE
+             |          / len(list_filter(chars, c -> c = d)))))),
+             |      0)::BIGINT AS entropy_micro,
+             |    length(label)::INT AS len
+             |  FROM ch)
+             |SELECT label, entropy_micro, len,
+             |  (entropy_micro >= 2500000)::INT AS dga_flag
+             |FROM e ORDER BY label""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

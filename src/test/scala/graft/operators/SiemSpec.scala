@@ -123,6 +123,23 @@ class SiemSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("char entropy: hand values exact in micro-bits; DGA separates") {
+    val got = Seq("aabb", "abcd", "aaaa", "a", "",
+        "app7", "f3a9c27e51b0")
+      .zipWithIndex.map { case (s0, i) => (i, s0) }
+      .toDF("i", "s")
+      .select(col("i"), Siem.charEntropyMicroBits(col("s")))
+      .as[(Int, Long)].collect().toMap
+    assert(got(0) == 1000000L, s"aabb is exactly 1 bit: ${got(0)}")
+    assert(got(1) == 2000000L, s"abcd is exactly 2 bits: ${got(1)}")
+    assert(got(2) == 0L && got(3) == 0L && got(4) == 0L,
+      "uniform / single / empty strings carry no entropy")
+    // the detection premise: human-ish label under the threshold,
+    // hex-generated label over it
+    assert(got(5) < 2500000L && got(6) > 2500000L,
+      s"app7=${got(5)} vs hex=${got(6)}")
+  }
+
   test("seasonal spikes: weekly rhythm is baseline, not alert") {
     val week = 604800L
     val base = 1700000000L / week * week // align to a slot boundary
