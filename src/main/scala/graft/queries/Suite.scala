@@ -4533,7 +4533,9 @@ object Suite {
         // band of the oracled exact count — at 100 TB the daily
         // states are all that's ever re-read
         graft.GraftExtensions.register(s)
-        Tables.registerAll(s, d)
+        // events only (not registerAll): the synth growth rehearsal
+        // points this query at a dir that materializes just events
+        t(s, d, "events").createOrReplaceTempView("events")
         s.sql("""WITH states AS (
                  |  SELECT event_type, date_format(ts, 'yyyy-MM-dd')
                  |      AS day, hll_sketch(user_id) AS st
