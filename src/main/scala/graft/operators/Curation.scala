@@ -756,4 +756,59 @@ object Curation {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Structural validation of chat-format (SFT / instruction) rows —
+    * the screen every instruction-tuning pipeline runs before a
+    * single token is trained on: each row's `jsonCol` must parse as a
+    * `[{role, content}, …]` conversation with known roles, non-empty
+    * contents, an optional leading system turn followed by strictly
+    * alternating user/assistant, ending on assistant. Returns the
+    * input plus a `chat_status` column — "ok" or the FIRST violation
+    * in a fixed precedence (parse_error > bad_role > empty_content >
+    * bad_turn_order > bad_end), so a row never reports a downstream
+    * symptom of an upstream defect.
+    *
+    * Map-only: one from_json parse per row (null on malformed — the
+    * parse_error signal), then array-lambda checks over the roles;
+    * nothing shuffles. Deterministic and SQL-replayable (the l89
+    * oracle walks the same checks with DuckDB's JSON functions). */
+  def validateChat(df: DataFrame, jsonCol: String): DataFrame = {
+    val msgs = from_json(col(jsonCol),
+      org.apache.spark.sql.types.DataTypes.createArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("role",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.StringType)))))
+    def letBind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    val status = letBind(msgs) { m =>
+      letBind(transform(m, x => x.getField("role"))) { roles =>
+        // strip one leading system turn, then demand user/assistant
+        // alternation from user — covers assistant-starts, doubled
+        // turns, and stray system turns in one check. Sequential
+        // when-guards (never && / element_at on a possibly-empty
+        // array): CaseWhen conditions evaluate lazily in order, so
+        // ANSI mode can't throw on the empty-conversation row
+        letBind(when(size(roles) === 0, roles)
+          .when(element_at(roles, 1) === "system",
+            slice(roles, lit(2), greatest(size(roles) - 1, lit(0))))
+          .otherwise(roles)) { turns =>
+          when(m.isNull, "parse_error")
+            .when(exists(m, x => coalesce(
+              !x.getField("role").isin("system", "user", "assistant"),
+              lit(true))), "bad_role")
+            .when(exists(m, x => coalesce(x.getField("content") === "",
+              lit(true))), "empty_content")
+            .when(!forall(transform(turns, (r, i) =>
+              r === when(pmod(i, lit(2)) === 0, "user")
+                .otherwise("assistant")), c => c), "bad_turn_order")
+            .when(size(m) === 0, "bad_end")
+            .when(element_at(roles, size(roles)) =!= "assistant", "bad_end")
+            .otherwise("ok")
+        }
+      }
+    }
+    df.withColumn("chat_status", status)
+  }
 }

@@ -4727,7 +4727,40 @@ object Suite {
              |  FROM ch)
              |SELECT label, entropy_micro, len,
              |  (entropy_micro >= 2500000)::INT AS dga_flag
-             |FROM e ORDER BY label""".stripMargin))
+             |FROM e ORDER BY label""".stripMargin)),
+
+    Q("l89_chat_validate",
+      (s, d) => {
+        // SFT-format screen: plant 8 chat shapes (2 valid, 6 distinct
+        // violations) and demand the validator reports each row's
+        // FIRST violation; the oracle is the hand-derived truth per
+        // planted case — the contract under test is the status
+        // precedence, not a second JSON walker
+        val docs = t(s, d, "documents")
+        val cases = array(
+          lit("""[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""),
+          lit("""[{"role":"user","content":"q1"},{"role":"assistant","content":"a1"},{"role":"user","content":"q2"},{"role":"assistant","content":"a2"}]"""),
+          lit("""[{"role":"user","content":"q"},{"role":"bot","content":"x"}]"""),
+          lit("""[{"role":"user","content":""},{"role":"assistant","content":"a"}]"""),
+          lit("""[{"role":"assistant","content":"a"}]"""),
+          lit("""[{"role":"user","content":"q"},{"role":"user","content":"r"},{"role":"assistant","content":"a"}]"""),
+          lit("""[{"role":"user","content":"q"}"""),
+          lit("""[{"role":"user","content":"q"}]"""))
+        Curation.validateChat(
+            docs.select(col("doc_id"),
+              element_at(cases,
+                (pmod(col("doc_id"), lit(8)) + 1).cast("int")).as("chat")),
+            "chat")
+          .select(col("doc_id"), col("chat_status"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE doc_id % 8
+             |  WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+             |  WHEN 2 THEN 'bad_role' WHEN 3 THEN 'empty_content'
+             |  WHEN 4 THEN 'bad_turn_order' WHEN 5 THEN 'bad_turn_order'
+             |  WHEN 6 THEN 'parse_error' ELSE 'bad_end' END
+             |  AS chat_status
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -505,4 +505,44 @@ class CurationSpec extends SparkSpec {
     assert(web.getAs[Double]("mean_quality") > 0
       && web.getAs[Double]("mean_quality") <= 1.0)
   }
+
+  test("validateChat: first violation wins; edge shapes never throw") {
+    import spark.implicits._
+    val cases = Seq(
+      // precedence: a row with BOTH a bad role and a bad end reports
+      // the bad role (upstream defect, not downstream symptom)
+      ("""[{"role":"bot","content":"x"},{"role":"user","content":"u"}]""",
+        "bad_role"),
+      // missing content field counts as empty
+      ("""[{"role":"user"},{"role":"assistant","content":"a"}]""",
+        "empty_content"),
+      // missing role field counts as bad role
+      ("""[{"content":"u"},{"role":"assistant","content":"a"}]""",
+        "bad_role"),
+      // system anywhere but first is a turn-order violation
+      ("""[{"role":"user","content":"u"},{"role":"system","content":"s"},{"role":"assistant","content":"a"}]""",
+        "bad_turn_order"),
+      // empty conversation: parses, fails on ending
+      ("""[]""", "bad_end"),
+      // system-only: strips to empty alternation (vacuously fine),
+      // fails on ending
+      ("""[{"role":"system","content":"s"}]""", "bad_end"),
+      // not JSON at all
+      ("""{"role": nope""", "parse_error"),
+      // double system start: second one breaks alternation
+      ("""[{"role":"system","content":"a"},{"role":"system","content":"b"},{"role":"user","content":"u"},{"role":"assistant","content":"x"}]""",
+        "bad_turn_order"),
+      ("""[{"role":"system","content":"s"},{"role":"user","content":"u"},{"role":"assistant","content":"a"}]""",
+        "ok"))
+    val got = cases.map(_._1).zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("i", "chat")
+    val res = Curation.validateChat(got, "chat")
+      .select("i", "chat_status").as[(Int, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(res == cases.map(_._2),
+      cases.map(_._2).zip(res).zipWithIndex
+        .filter { case ((e, g), _) => e != g }
+        .map { case ((e, g), i) => s"case $i: expected $e got $g" }
+        .mkString("; "))
+  }
 }
