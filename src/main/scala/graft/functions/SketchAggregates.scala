@@ -33,6 +33,17 @@ object SketchAggregates
   *  - merge: sum counters pairwise; if > k survive, subtract the
   *    (k+1)-th largest count from all and drop ≤ 0.
   *
+  * The decrement-all is implemented with the classic DEBT offset so
+  * it is O(1), not O(k), per row: counters store `true + debt`, a
+  * group-wide decrement is one `debt += 1`, and entries whose stored
+  * value falls to `debt` are purged only when the running
+  * `nextDeath` watermark (the minimum stored value, refreshed free
+  * of charge during each purge) says something can actually die —
+  * the purge cost amortizes against the insertions that built the
+  * map. The "all live entries exceed debt" invariant is restored
+  * before any further debt increment, so the error analysis of the
+  * textbook algorithm applies unchanged.
+  *
   * Guarantees (any merge order): a stored count underestimates the
   * true count by at most N/(k+1) for N rows aggregated, and every
   * item with true count > N/(k+1) is present in the summary. When the
@@ -43,12 +54,21 @@ object SketchAggregates
   * Returns array<struct<item string, est bigint>> sorted by
   * (est desc, item asc) — deterministic in the exact regime.
   */
+/** Mutable Misra-Gries state: `m` stores `true_count + debt`; the
+  * invariant "every stored value > debt" holds between updates.
+  * `nextDeath` = the smallest stored value (a stale LOWER bound is
+  * fine — it only delays a purge check, never an actual death). */
+final class TopKBuf(
+    var debt: Long,
+    val m: mutable.HashMap[UTF8String, Long],
+    var nextDeath: Long)
+
 case class TopKSketch(
     k: Int,
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+  extends TypedImperativeAggregate[TopKBuf] {
 
   require(k > 0 && k <= 65536, s"top_k_sketch: k must be in [1, 65536], got $k")
 
@@ -63,85 +83,97 @@ case class TopKSketch(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName: expr must be STRING, got ${child.dataType}")
 
-  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): TopKBuf =
+    new TopKBuf(0L, mutable.HashMap.empty, Long.MaxValue)
 
-  override def update(buf: mutable.HashMap[UTF8String, Long],
-      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+  /** Drop entries whose stored value fell to `debt`, refresh the
+    * death watermark. O(k), amortized against the inserts that
+    * built the map. */
+  private def purge(buf: TopKBuf): Unit = {
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
+    var min = Long.MaxValue
+    buf.m.foreach { case (i, c) =>
+      if (c <= buf.debt) dead += i
+      else if (c < min) min = c
+    }
+    dead.foreach(buf.m.remove)
+    buf.nextDeath = min
+  }
+
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String]
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k =>
+      buf.m.get(item) match {
+        case Some(c) => buf.m.update(item, c + 1)
+        case None if buf.m.size < k =>
           // clone: the input UTF8String may wrap a reused row buffer
-          buf.update(item.clone(), 1L)
+          buf.m.update(item.clone(), buf.debt + 1L)
+          if (buf.debt + 1L < buf.nextDeath) buf.nextDeath = buf.debt + 1L
         case None =>
-          // decrement-all; zeros vacate their slots
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buf.mapValuesInPlace((_, c) => c - 1)
-          buf.foreach { case (i, c) => if (c <= 0) dead += i }
-          dead.foreach(buf.remove)
+          // group-wide decrement in O(1); purge only when the
+          // watermark says a counter can actually hit zero
+          buf.debt += 1L
+          if (buf.debt >= buf.nextDeath) purge(buf)
       }
     }
     buf
   }
 
-  override def merge(b1: mutable.HashMap[UTF8String, Long],
-      b2: mutable.HashMap[UTF8String, Long])
-      : mutable.HashMap[UTF8String, Long] = {
-    b2.foreach { case (i, c) =>
-      b1.update(i, b1.getOrElse(i, 0L) + c)
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    // fold absolute counts (stored − debt) from b2 into b1's frame
+    b2.m.foreach { case (i, c) =>
+      val abs = c - b2.debt
+      b1.m.update(i, b1.m.getOrElse(i, b1.debt) + abs)
     }
-    if (b1.size > k) {
-      // subtract the (k+1)-th largest count, drop what hits zero
-      val counts = b1.values.toArray
+    if (b1.m.size > k) {
+      // subtract the (k+1)-th largest absolute count via the debt
+      val counts = b1.m.values.toArray
       java.util.Arrays.sort(counts)
-      val cut = counts(counts.length - k - 1)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      b1.mapValuesInPlace((_, c) => c - cut)
-      b1.foreach { case (i, c) => if (c <= 0) dead += i }
-      dead.foreach(b1.remove)
-    }
+      b1.debt = counts(counts.length - k - 1)
+      purge(b1)
+    } else purge(b1) // refresh nextDeath for the merged values
     b1
   }
 
-  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
-    val sorted = buf.toArray.sortWith { case ((i1, c1), (i2, c2)) =>
+  override def eval(buf: TopKBuf): Any = {
+    val sorted = buf.m.toArray.sortWith { case ((i1, c1), (i2, c2)) =>
       if (c1 != c2) c1 > c2 else i1.compareTo(i2) < 0
     }
     new GenericArrayData(sorted.map { case (i, c) =>
-      InternalRow(i, c)
+      InternalRow(i, c - buf.debt)
     }.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: mutable.HashMap[UTF8String, Long])
-      : Array[Byte] = {
-    val entries = buf.toArray
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    // ship absolute counts; the receiver starts debt-free
+    val entries = buf.m.toArray
     val size = 4 + entries.map(e => 4 + e._1.numBytes() + 8).sum
     val bb = java.nio.ByteBuffer.allocate(size)
     bb.putInt(entries.length)
     entries.foreach { case (i, c) =>
       val bytes = i.getBytes
-      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c - buf.debt)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : mutable.HashMap[UTF8String, Long] = {
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val out = mutable.HashMap.empty[UTF8String, Long]
+    var min = Long.MaxValue
     var i = 0
     while (i < n) {
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      out.update(UTF8String.fromBytes(b), bb.getLong)
+      val c = bb.getLong
+      if (c < min) min = c
+      out.update(UTF8String.fromBytes(b), c)
       i += 1
     }
-    out
+    new TopKBuf(0L, out, min)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =

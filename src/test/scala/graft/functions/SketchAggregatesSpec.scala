@@ -47,6 +47,32 @@ class SketchAggregatesSpec extends SparkSpec {
       s"est ${got("HEAVY")} vs truth $truth bound ${n / 11}")
   }
 
+  test("large k stays fast: the debt offset makes decrement-all O(1)") {
+    graft.GraftExtensions.register(spark)
+    // 200k rows over 50k distinct values with k = 5000 forces constant
+    // counter churn: a naive decrement-all does ~1e9 counter writes
+    // (minutes); the debt-offset version is one long increment per
+    // non-resident row plus amortized purges
+    // one planted heavy hitter (10% of rows) must survive the churn;
+    // the uniform tail may legitimately cancel to nothing (uniform
+    // data HAS no heavy hitters — MG may return an empty summary)
+    spark.range(200000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 'HEAVY' " +
+          "ELSE concat('t', id % 50000) END AS v")
+      .repartition(8).createOrReplaceTempView("tk_big")
+    val t0 = System.nanoTime()
+    val got = spark.sql(
+      """SELECT item, est FROM (SELECT top_k_sketch(5000, v) AS a
+        |FROM tk_big) LATERAL VIEW inline(a) t AS item, est""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.size <= 5000, s"bounded summary, got ${got.size}")
+    assert(got.contains("HEAVY"), "10% item must survive")
+    assert(got("HEAVY") <= 20000 && got("HEAVY") >= 20000 - 200000 / 5001,
+      s"underestimate bound: ${got("HEAVY")}")
+    assert(sec < 30, f"took $sec%.1f s — decrement-all regression?")
+  }
+
   test("uniq_up_to: exact below the cap, saturates at n+1 above") {
     graft.GraftExtensions.register(spark)
     val rows = (0 until 4000).map(i => (i.toLong, (i % 500).toLong, s"g${i % 2}"))
