@@ -4760,7 +4760,55 @@ object Suite {
              |  WHEN 4 THEN 'bad_turn_order' WHEN 5 THEN 'bad_turn_order'
              |  WHEN 6 THEN 'parse_error' ELSE 'bad_end' END
              |  AS chat_status
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("d16_quantile_state",
+      (s, d) => {
+        // the quantileState/AggregatingMergeTree shape made fully
+        // deterministic: per-(type, day) equal-width BUCKET COUNTS are
+        // the state (additive — they merge by sum, ride Summing
+        // tables and replay exactly in any engine, unlike t-digest),
+        // fold per type at read, report the p50 bucket midpoint.
+        // Bucket ids use floor(value·100) div 64 — identical IEEE
+        // double math on both engines, then pure integer division
+        val ev = t(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("bucket",
+            expr("floor(value * 100) div 64").cast("long"))
+        val states = ev.groupBy(col("event_type"), col("day"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val merged = states.groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("c")).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("bucket")
+        merged
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy("event_type")))
+          .filter(col("cum") * 2 >= col("n"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), min(col("bucket")).as("p50_bucket"))
+          .select(col("event_type"), col("n"),
+            col("p50_bucket"),
+            round((col("p50_bucket") * 64 + lit(32)) / 100.0, 6)
+              .as("p50_est"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, ts::DATE AS day,
+             |    (floor(value * 100)::BIGINT // 64) AS bucket,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2, 3),
+             |m AS (SELECT event_type, bucket, sum(c)::BIGINT AS c
+             |  FROM st GROUP BY 1, 2),
+             |cum AS (SELECT event_type, bucket, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+             |      AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM m)
+             |SELECT event_type, max(n)::BIGINT AS n,
+             |  min(bucket) AS p50_bucket,
+             |  round((min(bucket) * 64 + 32) / 100.0, 6) AS p50_est
+             |FROM cum WHERE cum * 2 >= n
+             |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
