@@ -184,6 +184,17 @@ object GraftExtensions {
       arity("sequence_match", args, 4)
       val g = longLit(args.head, "sequence_match", "max_gap_sec")
       SequenceMatch(g, args(1), args(2), args(3)).toAggregateExpression()
+    },
+    // sequence_count(ts, c1, c2) = unlimited gap (oracle-exact);
+    // sequence_count(max_gap_sec, ts, c1, c2) = gapped greedy count
+    "sequence_count" -> { args =>
+      arityIn("sequence_count", args, 3 to 4)
+      if (args.length == 3)
+        SequenceCount(0L, args(0), args(1), args(2)).toAggregateExpression()
+      else {
+        val g = longLit(args.head, "sequence_count", "max_gap_sec")
+        SequenceCount(g, args(1), args(2), args(3)).toAggregateExpression()
+      }
     }
   )
 

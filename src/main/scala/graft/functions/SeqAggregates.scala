@@ -178,3 +178,120 @@ case class SequenceMatch(
       c: IndexedSeq[Expression]): SequenceMatch =
     copy(ts = c(0), cond1 = c(1), cond2 = c(2))
 }
+
+/** `sequence_count([max_gap_sec,] ts, cond1, cond2)` — the counting
+  * member of the family (`sequenceCount` in the reference engine):
+  * how many NON-OVERLAPPING cond1→cond2 pairs does the group contain,
+  * each cond2 strictly after its cond1 (same-second pairs never
+  * match — the engine's strict_increase stance) and, when
+  * `maxGapSec > 0`, within that many seconds of it.
+  *
+  * Matching is greedy in time order, each cond2 consuming the
+  * EARLIEST still-valid cond1 — earliest-deadline-first, which the
+  * standard exchange argument makes a MAXIMUM matching, so the count
+  * is well-defined (not an artifact of scan order). The unlimited-gap
+  * count has a closed window-algebra form
+  * (`total₂ − max(0, maxₜ(C₂(t) − C₁(t⁻)))`) — that is the h20
+  * oracle; the gapped variant is property-tested against brute-force
+  * maximum matching.
+  *
+  * State buffers only matched events' seconds (one packed long each);
+  * eval is one sort + one linear queue scan. */
+case class SequenceCount(
+    maxGapSec: Long,
+    ts: Expression,
+    cond1: Expression,
+    cond2: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  override def children: Seq[Expression] = Seq(ts, cond1, cond2)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sequence_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (ts.dataType != TimestampType)
+      TypeCheckFailure(s"$prettyName: ts must be TIMESTAMP, got ${ts.dataType}")
+    else if (cond1.dataType != BooleanType || cond2.dataType != BooleanType)
+      TypeCheckFailure(s"$prettyName: conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
+  private val SecMask = (1L << 48) - 1
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow)
+      : ArrayBuffer[Long] = {
+    val t = ts.eval(input)
+    if (t != null) {
+      val sec = (t.asInstanceOf[Long] / 1000000L) & SecMask
+      val c1 = cond1.eval(input)
+      if (c1 != null && c1.asInstanceOf[Boolean]) buf += (1L << 48) | sec
+      val c2 = cond2.eval(input)
+      if (c2 != null && c2.asInstanceOf[Boolean]) buf += (2L << 48) | sec
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
+      : ArrayBuffer[Long] = { b1 ++= b2; b1 }
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    // sort by (sec, kind) with cond2 ordered BEFORE cond1 within a
+    // second: every cond2 is processed against the queue before that
+    // second's cond1s enter it — "strictly after" for free. (kind
+    // sits above the sec bits in the packed long, so repack first;
+    // 3 − kind maps cond2 → 1, cond1 → 2.)
+    val n = buf.length
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 2) | (3L - (e >>> 48))
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    // FIFO queue of available cond1 seconds; earliest first = the
+    // earliest deadline when a gap applies
+    val q = new java.util.ArrayDeque[Long]()
+    var matches = 0L
+    i = 0
+    while (i < n) {
+      val sec = arr(i) >>> 2
+      val isC2 = (arr(i) & 3L) == 1L
+      if (isC2) {
+        if (maxGapSec > 0)
+          while (!q.isEmpty && q.peekFirst() + maxGapSec < sec) q.pollFirst()
+        if (!q.isEmpty) { q.pollFirst(); matches += 1 }
+      } else q.addLast(sec)
+      i += 1
+    }
+    matches
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SequenceCount =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SequenceCount =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SequenceCount =
+    copy(ts = c(0), cond1 = c(1), cond2 = c(2))
+}

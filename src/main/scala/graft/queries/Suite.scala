@@ -4808,7 +4808,46 @@ object Suite {
              |  min(bucket) AS p50_bucket,
              |  round((min(bucket) * 64 + 32) / 100.0, 6) AS p50_est
              |FROM cum WHERE cum * 2 >= n
-             |GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("h20_seq_count",
+      (s, d) => {
+        // non-overlapping error→purchase pair count per user. The
+        // unlimited-gap greedy maximum matching has a closed window-
+        // algebra form — total₂ − max(0, maxₜ(C₂(t) − C₁(t⁻))) with
+        // C₁ counted over STRICTLY earlier seconds — which is the
+        // oracle; the aggregate's queue scan must reproduce it
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id, sequence_count(ts,
+                 |    event_type = 'error',
+                 |    event_type = 'purchase') AS n_pairs
+                 |FROM events GROUP BY user_id
+                 |HAVING n_pairs > 0
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS sec,
+             |    (event_type = 'error')::INT AS c1,
+             |    (event_type = 'purchase')::INT AS c2
+             |  FROM events),
+             |sa AS (SELECT user_id, sec, sum(c1) AS c1, sum(c2) AS c2
+             |  FROM e GROUP BY 1, 2),
+             |pref AS (SELECT user_id,
+             |    sum(c2) OVER (PARTITION BY user_id ORDER BY sec)
+             |      AS cc2,
+             |    coalesce(sum(c1) OVER (PARTITION BY user_id
+             |      ORDER BY sec
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cc1
+             |  FROM sa),
+             |m AS (SELECT user_id, max(cc2 - cc1) AS maxdef,
+             |    max(cc2) AS c2tot
+             |  FROM pref GROUP BY 1)
+             |SELECT user_id,
+             |  (c2tot - greatest(maxdef, 0))::BIGINT AS n_pairs
+             |FROM m WHERE c2tot - greatest(maxdef, 0) > 0
+             |ORDER BY user_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

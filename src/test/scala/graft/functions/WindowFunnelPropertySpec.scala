@@ -55,4 +55,58 @@ class WindowFunnelPropertySpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
+
+  /** Kuhn's augmenting-path maximum bipartite matching: cond1 event i
+    * can serve cond2 event j iff sec1 < sec2 and (gap ≤ 0 or
+    * sec2 − sec1 ≤ gap). */
+  private def maxMatching(c1s: Seq[Long], c2s: Seq[Long], gap: Long): Int = {
+    val matchOf = Array.fill(c1s.length)(-1)
+    def tryAugment(j: Int, seen: Array[Boolean]): Boolean = {
+      (c1s.indices).exists { i =>
+        val ok = c1s(i) < c2s(j) && (gap <= 0 || c2s(j) - c1s(i) <= gap)
+        if (ok && !seen(i)) {
+          seen(i) = true
+          if (matchOf(i) == -1 || tryAugment(matchOf(i), seen)) {
+            matchOf(i) = j; true
+          } else false
+        } else false
+      }
+    }
+    c2s.indices.count(j => tryAugment(j, Array.fill(c1s.length)(false)))
+  }
+
+  test("sequence_count equals maximum matching on 300 random keys, gapped and not") {
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    val base = 1700000000L
+    val gap = 25L
+    val cases: Map[Long, (Seq[Long], Seq[Long])] = (1L to 300L).map { key =>
+      val n1 = rnd.nextInt(8)
+      val n2 = rnd.nextInt(8)
+      key -> (Seq.fill(n1)(base + rnd.nextInt(80).toLong),
+        Seq.fill(n2)(base + rnd.nextInt(80).toLong))
+    }.toMap
+    val rows = cases.toSeq.flatMap { case (key, (c1s, c2s)) =>
+      c1s.map(s => (key, "a", new java.sql.Timestamp(s * 1000L))) ++
+        c2s.map(s => (key, "b", new java.sql.Timestamp(s * 1000L)))
+    }
+    rows.toDF("user_id", "t", "ts").repartition(8)
+      .createOrReplaceTempView("sc_events")
+    for ((g, label) <- Seq(0L -> "unlimited", gap -> s"gap=$gap")) {
+      val gArg = if (g == 0) "" else s"${g}L, "
+      val got = spark.sql(
+        s"""SELECT user_id, sequence_count(${gArg}ts,
+           |  t = 'a', t = 'b') AS n
+           |FROM sc_events GROUP BY user_id""".stripMargin)
+        .as[(Long, Long)].collect().toMap
+      val bad = cases.flatMap { case (key, (c1s, c2s)) =>
+        val expect = maxMatching(c1s, c2s, g)
+        if (got.getOrElse(key, 0L) != expect)
+          Some(s"[$label] key $key: greedy=${got.getOrElse(key, 0L)} " +
+            s"max=$expect c1=$c1s c2=$c2s")
+        else None
+      }
+      assert(bad.isEmpty, bad.take(5).mkString("\n"))
+    }
+  }
 }
