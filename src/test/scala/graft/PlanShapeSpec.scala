@@ -504,4 +504,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("url canonicalization and chat validation stay map-side to one agg") {
+    // both are per-row string/JSON algebra: the only exchanges allowed
+    // are the final aggregation's partial -> final pair (url dedup) /
+    // none before the ordered output (chat)
+    for (q <- Seq("l88_url_dedup", "l89_chat_validate")) {
+      val plan = planOf(queries.Suite.queries(q)(spark, sf))
+      assert(!plan.contains("Join"), s"$q must not join: $plan")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("sequence_count is one partial-agg pass — no join, no window sort") {
+    val plan = planOf(queries.Suite.queries("h20_seq_count")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("sequence_count"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
