@@ -4847,7 +4847,45 @@ object Suite {
              |SELECT user_id,
              |  (c2tot - greatest(maxdef, 0))::BIGINT AS n_pairs
              |FROM m WHERE c2tot - greatest(maxdef, 0) > 0
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("l90_normalized_dedup",
+      (s, d) => {
+        // the normalization-cascade dedup recipe in one pass: NFC →
+        // lowercase → strip punctuation → collapse whitespace → hash.
+        // Case/spacing/punctuation re-crawls (planted: an uppercased,
+        // re-spaced, exclaiming twin per fifth doc) collapse onto
+        // their originals; text itself never shuffles, only 15-hex
+        // keys do
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val variants = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(upper(col("text")), lit("  !!")).as("text"))
+        val all = docs.unionByName(variants)
+        val key = substring(md5(trim(regexp_replace(regexp_replace(
+          lower(TextFunctions.nfcNormalize(col("text"))),
+          "[^a-z0-9\\s]", ""), "\\s+", " "))), 1, 15)
+        all.select(col("doc_id"), key.as("norm_key"))
+          .groupBy(col("norm_key"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("first_doc")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |var AS (SELECT doc_id + 10000 AS doc_id,
+             |    upper(text) || '  !!' AS text
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |al AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+             |k AS (SELECT doc_id,
+             |    substr(md5(trim(regexp_replace(regexp_replace(
+             |      lower(nfc_normalize(text)),
+             |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))),
+             |      1, 15) AS norm_key
+             |  FROM al)
+             |SELECT norm_key, count(*) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM k GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY first_doc""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
