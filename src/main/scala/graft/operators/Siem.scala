@@ -197,6 +197,64 @@ object Siem {
       .drop("__ip", "__lo", "__hi")
   }
 
+  /** 128-bit sortable key for an IPv6 (or IPv4 — it maps) literal:
+    * struct(hi, lo) with each long XOR'd with Long.MinValue, so SIGNED
+    * struct comparison equals UNSIGNED 128-bit numeric order
+    * (`ffff::` must sort above `2001:db8::` even though its raw high
+    * long is negative). Null for junk. */
+  def ipv6Key(ip: Column): Column = {
+    val p = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Ipv6Pair(
+        org.apache.spark.sql.GraftColumnBridge.expression(ip)))
+    when(p.isNotNull, struct(
+      p.getField("hi").bitwiseXOR(lit(Long.MinValue)).as("h"),
+      p.getField("lo").bitwiseXOR(lit(Long.MinValue)).as("l")))
+  }
+
+  /** IPv6 CIDR blocklist matching — the promised (hi, lo)-pair twin
+    * of [[cidrMatches]]: each `base/prefix` block becomes an inclusive
+    * biased-key range (mask the 128−prefix free bits down for the low
+    * bound, up for the high bound — pure bitwise column algebra, no
+    * BigInteger), events carry one parsed key and join the BROADCAST
+    * range table on a struct between — lexicographic (hi, lo)
+    * comparison IS unsigned 128-bit order after the bias. IPv4
+    * literals participate via their v4-mapped form, so one blocklist
+    * covers both families. Returns (event row, cidr) pairs. */
+  def cidr6Matches(events: DataFrame, ipCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bounds = blocklist
+      .withColumn("__p", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Ipv6Pair(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            split(col("cidr"), "/").getItem(0)))))
+      .withColumn("__plen", split(col("cidr"), "/").getItem(1).cast("int"))
+      // free (host) bits in each long half: lo gets min(128-plen, 64),
+      // hi gets the overflow past 64
+      .withColumn("__fl", least(lit(64), lit(128) - col("__plen")))
+      .withColumn("__fh", greatest(lit(0), lit(64) - col("__plen")))
+      .withColumn("__ml", when(col("__fl") === 64, lit(-1L))
+        .otherwise(expr("shiftleft(1L, __fl) - 1L")))
+      .withColumn("__mh", when(col("__fh") === 64, lit(-1L))
+        .otherwise(expr("shiftleft(1L, __fh) - 1L")))
+      .select(col("cidr"),
+        struct(
+          col("__p.hi").bitwiseAND(col("__mh").bitwiseXOR(lit(-1L)))
+            .bitwiseXOR(lit(Long.MinValue)).as("h"),
+          col("__p.lo").bitwiseAND(col("__ml").bitwiseXOR(lit(-1L)))
+            .bitwiseXOR(lit(Long.MinValue)).as("l")).as("__lo"),
+        struct(
+          col("__p.hi").bitwiseOR(col("__mh"))
+            .bitwiseXOR(lit(Long.MinValue)).as("h"),
+          col("__p.lo").bitwiseOR(col("__ml"))
+            .bitwiseXOR(lit(Long.MinValue)).as("l")).as("__hi"))
+    events
+      .withColumn("__k", ipv6Key(col(ipCol)))
+      .filter(col("__k").isNotNull)
+      .join(broadcast(bounds),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .drop("__k", "__lo", "__hi")
+  }
+
   /** Seasonal (hour-of-week) baseline spikes: like [[volumeSpikes]]
     * but the trailing baseline is the SAME SLOT of previous weeks —
     * Monday 09:00 compares against past Mondays 09:00, so the daily

@@ -4885,7 +4885,50 @@ object Suite {
              |SELECT norm_key, count(*) AS n_docs,
              |  min(doc_id) AS first_doc
              |FROM k GROUP BY 1 HAVING count(*) >= 2
-             |ORDER BY first_doc""".stripMargin))
+             |ORDER BY first_doc""".stripMargin)),
+
+    Q("h21_cidr6_blocklist",
+      (s, d) => {
+        // dual-family watchlist: derive half the events as IPv6
+        // literals (2001:db8:a::b from the row's ints), half as plain
+        // IPv4 — ONE blocklist covers both via the v4-mapped space.
+        // The oracle is planted truth: each block's hit set is a
+        // closed-form predicate over the generating integers, so no
+        // IPv6 parsing happens oracle-side
+        val ev = t(s, d, "events").withColumn("ip",
+          when(col("event_id") % 2 === 0,
+            concat(lit("2001:db8:"),
+              lower(conv(pmod(col("user_id"), lit(16)), 10, 16)),
+              lit("::"),
+              lower(conv(pmod(col("event_id"), lit(65536)), 10, 16))))
+          .otherwise(concat_ws(".", lit(10), lit(1),
+            pmod(col("user_id"), lit(200)).cast("int"),
+            pmod(col("event_id"), lit(250)).cast("int"))))
+        import s.implicits._
+        val blocks = Seq("2001:db8::/32", "2001:db8:5::/48",
+          "2001:db8:7::/112", "::ffff:10.1.0.0/112").toDF("cidr")
+        graft.operators.Siem.cidr6Matches(ev, "ip", blocks)
+          .groupBy(col("cidr"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cidr")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id FROM events),
+             |hits AS (
+             |  SELECT '2001:db8::/32' AS cidr, user_id FROM ev
+             |    WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT '2001:db8:5::/48', user_id FROM ev
+             |    WHERE event_id % 2 = 0 AND user_id % 16 = 5
+             |  UNION ALL
+             |  SELECT '2001:db8:7::/112', user_id FROM ev
+             |    WHERE event_id % 2 = 0 AND user_id % 16 = 7
+             |  UNION ALL
+             |  SELECT '::ffff:10.1.0.0/112', user_id FROM ev
+             |    WHERE event_id % 2 = 1)
+             |SELECT cidr, count(*) AS n_hits,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM hits GROUP BY 1 ORDER BY cidr""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

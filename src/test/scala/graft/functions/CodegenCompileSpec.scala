@@ -148,6 +148,20 @@ class CodegenCompileSpec extends AnyFunSuite {
       ArrayData.toArrayData(Array.empty[Long]))).getBoolean(0))
   }
 
+  test("ipv6_pair generated code compiles and splits hi/lo correctly") {
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(Ipv6Pair(BoundReference(0, StringType, nullable = true))))
+    val out = proj(InternalRow(UTF8String.fromString("2001:db8::ff")))
+    val row = out.getStruct(0, 2)
+    assert(row.getLong(0) == 0x20010db800000000L)
+    assert(row.getLong(1) == 0xffL)
+    // v4 literal lands in the v4-mapped space
+    val v4 = proj(InternalRow(UTF8String.fromString("10.1.2.3")))
+      .getStruct(0, 2)
+    assert(v4.getLong(0) == 0L && v4.getLong(1) == 0xffff0a010203L)
+    assert(proj(InternalRow(UTF8String.fromString("nope"))).isNullAt(0))
+  }
+
   test("hll_estimate generated code compiles and matches the scalar kernel") {
     val regs = Hll.emptyRegisters()
     (1 to 500).foreach(i => Hll.add(regs,

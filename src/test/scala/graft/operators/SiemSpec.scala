@@ -123,6 +123,38 @@ class SiemSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("cidr6: v6 ranges, bias order, v4-mapped cross-family, /0") {
+    val ev = Seq(
+      (1L, "2001:db8::ff"),                     // inside /32
+      (2L, "2001:db9::1"),                      // outside /32
+      (3L, "2001:db8:0:0:ffff:ffff:ffff:ffff"), // exact hi bound of /64
+      (4L, "2001:db8:0:1::"),                   // one past /64
+      (5L, "ffff::1"),           // raw hi long NEGATIVE: bias must hold
+      (6L, "10.1.2.3"),          // v4 literal -> v4-mapped space
+      (7L, "::ffff:10.1.9.9"),   // mapped spelling of the same family
+      (8L, "10.2.0.1"),          // outside the mapped /112
+      (9L, "junk"))              // dropped, not crashed
+      .toDF("id", "ip")
+    val blocks = Seq("2001:db8::/32", "2001:db8::/64", "ffff::/16",
+      "::ffff:10.1.0.0/112").toDF("cidr")
+    val got = Siem.cidr6Matches(ev, "ip", blocks)
+      .select("id", "cidr").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "2001:db8::/32"), (1L, "2001:db8::/64"),
+      (3L, "2001:db8::/32"), (3L, "2001:db8::/64"),
+      (4L, "2001:db8::/32"),                    // in /32, out of /64
+      (5L, "ffff::/16"),
+      (6L, "::ffff:10.1.0.0/112"), (7L, "::ffff:10.1.0.0/112")), got.toString)
+    // ::/0 matches every parseable address, either family
+    val all = Siem.cidr6Matches(ev, "ip", Seq("::/0").toDF("cidr"))
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L), all.toString)
+    // the blocklist side broadcasts; events never shuffle
+    val plan = Siem.cidr6Matches(ev, "ip", blocks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("char entropy: hand values exact in micro-bits; DGA separates") {
     val got = Seq("aabb", "abcd", "aaaa", "a", "",
         "app7", "f3a9c27e51b0")
