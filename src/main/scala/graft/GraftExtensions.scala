@@ -175,6 +175,12 @@ object GraftExtensions {
       TopKSketch(intLit(args.head, "top_k_sketch", "k"), args(1))
         .toAggregateExpression()
     },
+    // topKWeighted shape: each occurrence carries a BIGINT mass
+    "top_k_weighted" -> { args =>
+      arity("top_k_weighted", args, 3)
+      TopKSketch(intLit(args.head, "top_k_weighted", "k"), args(1),
+        weight = Some(args(2))).toAggregateExpression()
+    },
     "uniq_up_to" -> { args =>
       arity("uniq_up_to", args, 2)
       UniqUpTo(intLit(args.head, "uniq_up_to", "n"), args(1))

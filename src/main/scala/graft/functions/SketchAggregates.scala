@@ -66,22 +66,27 @@ final class TopKBuf(
 case class TopKSketch(
     k: Int,
     child: Expression,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuf] {
 
   require(k > 0 && k <= 65536, s"top_k_sketch: k must be in [1, 65536], got $k")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("est", LongType))))
-  override def prettyName: String = "top_k_sketch"
+  override def prettyName: String =
+    if (weight.isDefined) "top_k_weighted" else "top_k_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"$prettyName: expr must be STRING, got ${child.dataType}")
+    else if (weight.exists(_.dataType != LongType)) TypeCheckResult
+      .TypeCheckFailure(s"$prettyName: weight must be BIGINT, got " +
+        weight.get.dataType)
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): TopKBuf =
     new TopKBuf(0L, mutable.HashMap.empty, Long.MaxValue)
@@ -103,18 +108,31 @@ case class TopKSketch(
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[UTF8String]
-      buf.m.get(item) match {
-        case Some(c) => buf.m.update(item, c + 1)
-        case None if buf.m.size < k =>
-          // clone: the input UTF8String may wrap a reused row buffer
-          buf.m.update(item.clone(), buf.debt + 1L)
-          if (buf.debt + 1L < buf.nextDeath) buf.nextDeath = buf.debt + 1L
-        case None =>
-          // group-wide decrement in O(1); purge only when the
-          // watermark says a counter can actually hit zero
-          buf.debt += 1L
-          if (buf.debt >= buf.nextDeath) purge(buf)
+      // weighted mode = the family's topKWeighted: an occurrence
+      // carries w units of mass (rows with null/non-positive weight
+      // contribute nothing); the MG bound scales to W/(k+1) over the
+      // total weight
+      val w = weight match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case x => x.asInstanceOf[Long]
+        }
+      }
+      if (w > 0L) {
+        val item = v.asInstanceOf[UTF8String]
+        buf.m.get(item) match {
+          case Some(c) => buf.m.update(item, c + w)
+          case None if buf.m.size < k =>
+            // clone: the input UTF8String may wrap a reused row buffer
+            buf.m.update(item.clone(), buf.debt + w)
+            if (buf.debt + w < buf.nextDeath) buf.nextDeath = buf.debt + w
+          case None =>
+            // group-wide decrement in O(1); purge only when the
+            // watermark says a counter can actually hit zero
+            buf.debt += w
+            if (buf.debt >= buf.nextDeath) purge(buf)
+        }
       }
     }
     buf
@@ -182,7 +200,8 @@ case class TopKSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKSketch =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
 
 /** `uniq_up_to(n, expr)` — exact distinct count saturating at n+1

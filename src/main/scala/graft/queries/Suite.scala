@@ -4928,7 +4928,60 @@ object Suite {
              |    WHERE event_id % 2 = 1)
              |SELECT cidr, count(*) AS n_hits,
              |  count(DISTINCT user_id) AS n_users
-             |FROM hits GROUP BY 1 ORDER BY cidr""".stripMargin))
+             |FROM hits GROUP BY 1 ORDER BY cidr""".stripMargin)),
+
+    Q("d17_topk_weighted",
+      (s, d) => {
+        // topKWeighted: heaviest event types by total VALUE mass, not
+        // row count. Weights in micro-unit longs (the fixed-point
+        // convention); distinct types <= k, so the summary is exact
+        // and the oracle is plain weighted GROUP BY
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT item AS event_type, est AS value_micro
+                 |FROM (SELECT top_k_weighted(8, event_type,
+                 |        floor(value * 1000000)::BIGINT) AS a
+                 |      FROM events)
+                 |LATERAL VIEW inline(a) t AS item, est
+                 |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  sum(floor(value * 1000000)::BIGINT)::BIGINT
+             |    AS value_micro
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e13_array_enumerate",
+      (s, d) => {
+        // arrayEnumerateUniq shape: per document, the occurrence index
+        // of each token within the row (1st "the" -> 1, 2nd -> 2, …) —
+        // the per-row dedup/windowing primitive. Let-bound token
+        // array referenced once; O(n²) per row bounded by the 12-token
+        // slice
+        val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+        def letBind(value: Column)(body: Column => Column): Column =
+          element_at(transform(array(value), body), 1)
+        val enum = letBind(slice(split(trim(lower(col("text"))), "\\s+"),
+            1, 12)) { toks =>
+          transform(toks, (tk, i) => struct(
+            (i + 1).as("pos"), tk.as("tok"),
+            size(filter(slice(toks, lit(1), i + 1), x => x === tk))
+              .as("occ")))
+        }
+        docs.select(col("doc_id"), posexplode(enum).as(Seq("__p", "e")))
+          .select(col("doc_id"), col("e.pos"), col("e.tok"), col("e.occ"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+')[1:12]
+             |      AS toks
+             |  FROM documents WHERE doc_id < 50),
+             |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1))
+             |      AS pos, toks
+             |  FROM t)
+             |SELECT doc_id, pos::INT AS pos, toks[pos] AS tok,
+             |  len(list_filter(toks[1:pos], x -> x = toks[pos]))::INT
+             |    AS occ
+             |FROM e ORDER BY doc_id, pos""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
