@@ -4981,7 +4981,42 @@ object Suite {
              |SELECT doc_id, pos::INT AS pos, toks[pos] AS tok,
              |  len(list_filter(toks[1:pos], x -> x = toks[pos]))::INT
              |    AS occ
-             |FROM e ORDER BY doc_id, pos""".stripMargin))
+             |FROM e ORDER BY doc_id, pos""".stripMargin)),
+
+    Q("e14_session_window",
+      (s, d) => t(s, d, "events")
+        // Spark's NATIVE session_window operator (the declarative twin
+        // of the gaps-and-islands l15 sessionize): 30-minute-gap
+        // sessions per user in one groupBy — at scale this is one
+        // key-partitioned sort, and the same operator runs unchanged
+        // under Structured Streaming with watermark state eviction
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          unix_timestamp(col("session_window.end")).as("end_s"),
+          col("n_events"))
+        .orderBy("user_id", "start_s"),
+      // islands replay: a session breaks when the gap exceeds 30 min;
+      // session end = last event + the gap (Spark's session_window
+      // end is exclusive: last ts + gap duration)
+      Some("""WITH e AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS sec FROM events),
+             |g AS (SELECT user_id, sec,
+             |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY sec) > 1800 OR lag(sec) OVER (
+             |      PARTITION BY user_id ORDER BY sec) IS NULL
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |s AS (SELECT user_id, sec,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sess
+             |  FROM g)
+             |SELECT user_id, min(sec) AS start_s,
+             |  max(sec) + 1800 AS end_s, count(*) AS n_events
+             |FROM s GROUP BY user_id, sess
+             |ORDER BY user_id, start_s""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
