@@ -5016,7 +5016,41 @@ object Suite {
              |SELECT user_id, min(sec) AS start_s,
              |  max(sec) + 1800 AS end_s, count(*) AS n_events
              |FROM s GROUP BY user_id, sess
-             |ORDER BY user_id, start_s""".stripMargin))
+             |ORDER BY user_id, start_s""".stripMargin)),
+
+    Q("l91_scoring_rules",
+      (s, d) => {
+        // proper scoring rules close the classifier-eval panel (AUC
+        // l69, calibration l79, confusion/kappa l85, PSI l80): Brier
+        // and log-loss per source, each per-row contribution rounded
+        // to micro-units BEFORE the long sum (one final integer
+        // division) — order-free exact, libm ulps absorbed
+        val docs = t(s, d, "documents")
+        val p = (least(col("n_chars"), lit(999)) + 0.5) / 1000.0
+        val y = (col("lang") === "en").cast("int")
+        val brier = round(lit(1e6) * pow(p - y, 2)).cast("long")
+        val ll = round(lit(-1e6) * (y * log(p) +
+          (lit(1) - y) * log(lit(1.0) - p))).cast("long")
+        docs.select(col("source"), brier.as("__b"), ll.as("__l"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(__b) div count(1)").as("brier_micro"),
+            expr("sum(__l) div count(1)").as("logloss_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+             |    (least(n_chars, 999) + 0.5) / 1000.0 AS p,
+             |    (lang = 'en')::INT AS y
+             |  FROM documents),
+             |c AS (SELECT source,
+             |    round(1000000 * (p - y) * (p - y))::BIGINT AS b,
+             |    round(-1000000 * (y * ln(p)
+             |      + (1 - y) * ln(1.0 - p)))::BIGINT AS l
+             |  FROM t)
+             |SELECT source, count(*) AS n,
+             |  (sum(b) // count(*))::BIGINT AS brier_micro,
+             |  (sum(l) // count(*))::BIGINT AS logloss_micro
+             |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
