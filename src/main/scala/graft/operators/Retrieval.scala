@@ -117,6 +117,51 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** Pseudo-relevance feedback (the RM3-family two-pass expansion,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004): retrieve a
+    * small feedback set with BM25, mine its heaviest non-query terms,
+    * and rescore the corpus with the expanded term set — the standard
+    * lexical-recall lift when queries underspecify their vocabulary.
+    * Expansion weighting is the feedback set's total term frequency
+    * (exact longs; ties break on the term string), so the whole
+    * two-pass pipeline replays in SQL — no float term weights.
+    *
+    * Scale shape: both passes ride the broadcast-term-restricted
+    * postings path of [[bm25TopK]] (the corpus never shuffles whole);
+    * the feedback set (queries × fbDocs rows) and the expanded term
+    * set broadcast. One postings build is shared by both passes.
+    *
+    * Output: (queryIdCol, idCol, score, rank) — the rescored top-k. */
+  def prfTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, textCol, idCol).cache()
+    val stats = corpusStats(docs, textCol, idCol)
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val touched1 = post
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .cache()
+    val fb = scoreBm25(touched1, stats, qterms, fbDocs, k1, b,
+        idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val expTerms = post.join(broadcast(fb), Seq(idCol))
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(sum(col("tf")).as("__w"))
+      .join(qterms, Seq(queryIdCol, "term"), "left_anti")
+      .withColumn("__trank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__w").desc, col("term").asc)))
+      .filter(col("__trank") <= fbTerms)
+      .select(col(queryIdCol), col("term"))
+    val q2 = qterms.unionByName(expTerms).distinct()
+    val touched2 = post
+      .join(broadcast(q2.select("term").distinct()), Seq("term"))
+      .cache()
+    scoreBm25(touched2, stats, q2, k, k1, b, idCol, queryIdCol)
+  }
+
   /** Hard-negative mining for dual-encoder retrieval training (DPR,
     * Karpukhin et al. 2020, arXiv:2004.04906 §3.2): per query, the
     * top-k BM25 hits EXCLUDING its labeled positives — lexically close

@@ -5050,7 +5050,44 @@ object Suite {
              |SELECT source, count(*) AS n,
              |  (sum(b) // count(*))::BIGINT AS brier_micro,
              |  (sum(l) // count(*))::BIGINT AS logloss_micro
-             |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("l92_prf_expand",
+      // two-pass pseudo-relevance feedback: BM25 feedback top-5, the
+      // 5 heaviest non-query terms by exact feedback-set tf join the
+      // query, full corpus rescored — the whole expansion replays in
+      // SQL because term weights are longs, never floats
+      (s, d) => Retrieval.prfTopK(t(s, d, "documents"),
+          bm25Queries(s, d), k = 10)
+        .orderBy("query_id", "rank"),
+      Some(bm25CtesSql + """,
+        |fb AS (SELECT query_id, doc_id FROM r WHERE rank <= 5),
+        |expw AS (SELECT f.query_id, p.term, sum(p.tf) AS w
+        |  FROM fb f JOIN post p USING (doc_id)
+        |  LEFT JOIN q ON q.query_id = f.query_id AND q.term = p.term
+        |  WHERE q.term IS NULL
+        |  GROUP BY 1, 2),
+        |expt AS (SELECT query_id, term, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY w DESC, term ASC) AS trank
+        |  FROM expw),
+        |q2 AS (SELECT query_id, term FROM q
+        |  UNION SELECT query_id, term FROM expt WHERE trank <= 5),
+        |t2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+        |  WHERE term IN (SELECT term FROM q2) GROUP BY 1),
+        |sc2 AS (SELECT q2.query_id, p.doc_id, CAST(round(
+        |    ln(1 + (s.n_docs - t2.df + 0.5) / (t2.df + 0.5)) *
+        |    (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) *
+        |    1000000) AS BIGINT) AS micro
+        |  FROM post p JOIN t2 USING (term)
+        |  JOIN q2 ON q2.term = p.term CROSS JOIN stats s),
+        |ag2 AS (SELECT query_id, doc_id, sum(micro) AS m
+        |  FROM sc2 GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, doc_id, m / 1e6 AS score, row_number()
+        |    OVER (PARTITION BY query_id ORDER BY m DESC, doc_id ASC)
+        |    AS rank FROM ag2)
+        |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+        |FROM r2 WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -177,4 +177,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4))).toSeq ==
       Seq((1L, 0, 2L, 3L), (1L, 2, 2L, 3L), (2L, 1, 2L, 3L)))
   }
+
+  test("prfTopK: a mined feedback term retrieves what the raw query cannot") {
+    import spark.implicits._
+    // the query says "engine"; feedback docs pair "engine" with
+    // "turbine"; doc 30 mentions ONLY "turbine" — invisible to plain
+    // BM25, retrieved after expansion. Docs 40+ are off-topic noise.
+    val docs = (Seq(
+      (10L, "engine turbine assembly engine turbine manual"),
+      (11L, "engine turbine maintenance engine schedule"),
+      (12L, "engine repair engine overhaul notes"),
+      (30L, "turbine blade inspection turbine report"),
+      (31L, "turbine cooling systems")) ++
+      (40L until 60L).map(i => (i, s"unrelated filler text number $i")))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "engine")).toDF("query_id", "query_text")
+    val plain = Retrieval.bm25TopK(docs, q, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(30L) && !plain.contains(31L),
+      s"turbine-only docs invisible to the raw query: $plain")
+    val prf = Retrieval.prfTopK(docs, q, k = 10, fbDocs = 3, fbTerms = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf.contains(30L) && prf.contains(31L),
+      s"expansion must surface the turbine-only docs: $prf")
+    // original-term hits are not lost
+    assert(Set(10L, 11L, 12L).subsetOf(prf), prf.toString)
+  }
 }
