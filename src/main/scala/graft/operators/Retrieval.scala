@@ -162,6 +162,63 @@ object Retrieval {
     scoreBm25(touched2, stats, q2, k, k1, b, idCol, queryIdCol)
   }
 
+  /** Sparse tf-idf document-similarity pairs — the embedding-free
+    * doc-doc cosine (Salton's vector space model): w(t,d) =
+    * tf·ln(N/df) in MILLI-unit longs, pair dot products and per-doc
+    * norms accumulate as exact integers (milli keeps Σw² far from
+    * Long overflow), one final double sqrt/divide per pair — so the
+    * scores replay to the rounded digit in SQL. Complements
+    * [[graft.operators.Dedup]]'s PPJoin (set Jaccard) and the
+    * embedding ANN stack: weighted-term similarity without a single
+    * embedding.
+    *
+    * Scale shape: candidate pairs come from a self-join of postings
+    * RESTRICTED to terms with df ≤ maxDf — the classic hub-term prune
+    * (a stopword shared by half the corpus generates O(N²) pairs and
+    * no signal; recall loss is confined to pairs that share ONLY
+    * hub terms). Only (term, id, weight) triples shuffle.
+    *
+    * Output: (id_a, id_b, cosine, rank) — global top-k pairs,
+    * id_a < id_b. */
+  def tfidfPairs(docs: DataFrame, k: Int, maxDf: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val n = docs.count()
+    val withDf = post
+      .join(post.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+        Seq("term"))
+    val weighted = withDf
+      .withColumn("__w", round(lit(1e3) * col("tf") *
+        log(lit(n.toDouble) / col("__df"))).cast("long"))
+      .select(col("term"), col(idCol), col("__w"), col("__df"))
+      .cache()
+    val norms = weighted.groupBy(col(idCol))
+      .agg(sum(col("__w") * col("__w")).as("__n2"))
+    val pruned = weighted.filter(col("__df") <= maxDf)
+    val dots = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.term") === col("b.term") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(sum(col("a.__w") * col("b.__w")).as("__dot"))
+    val scored = dots
+      .join(norms.select(col(idCol).as("id_a"), col("__n2").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("__n2").as("__nb")),
+        Seq("id_b"))
+      .withColumn("cosine", round(col("__dot") /
+        (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
+    // TakeOrderedAndProject first (per-partition heaps, no global
+    // sort); the rank window then only ever sees k rows
+    val top = scored
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id_a").asc,
+          col("id_b").asc)))
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+  }
+
   /** Hard-negative mining for dual-encoder retrieval training (DPR,
     * Karpukhin et al. 2020, arXiv:2004.04906 §3.2): per query, the
     * top-k BM25 hits EXCLUDING its labeled positives — lexically close

@@ -5087,7 +5087,45 @@ object Suite {
         |    AS rank FROM ag2)
         |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
         |FROM r2 WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin))
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("l93_tfidf_pairs",
+      // embedding-free doc-doc similarity: milli-unit tf-idf weights,
+      // exact integer dots/norms, one double sqrt per pair — replays
+      // to the rounded digit. Hub terms (df > 50) pruned from pair
+      // GENERATION (not from weights/norms) — the quadratic guard
+      (s, d) => Retrieval.tfidfPairs(t(s, d, "documents"), k = 20,
+          maxDf = 50)
+        .orderBy("rank"),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |post AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(tk) AS term FROM tok)
+             |  GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n_docs FROM tok),
+             |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+             |wt AS (SELECT p.doc_id, p.term, d.df,
+             |    round(1000 * p.tf * ln(n.n_docs::DOUBLE / d.df))::BIGINT
+             |      AS w
+             |  FROM post p JOIN dfs d USING (term) CROSS JOIN n),
+             |norms AS (SELECT doc_id, sum(w * w)::BIGINT AS n2
+             |  FROM wt GROUP BY 1),
+             |pr AS (SELECT * FROM wt WHERE df <= 50),
+             |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    sum(a.w * b.w)::BIGINT AS dot
+             |  FROM pr a JOIN pr b ON a.term = b.term
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b,
+             |    round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+             |  FROM dots JOIN norms na ON na.doc_id = id_a
+             |  JOIN norms nb ON nb.doc_id = id_b),
+             |r AS (SELECT id_a, id_b, cosine, row_number() OVER (
+             |    ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
+             |  FROM sc)
+             |SELECT id_a, id_b, cosine, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
