@@ -41,6 +41,31 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("merge is order/grouping independent: random partitions agree") {
+    // per-register max is associative+commutative+idempotent; prove it
+    // end-to-end: the same value set split into random overlapping
+    // parts, sketched and merged in different groupings, must produce
+    // byte-identical registers
+    val rnd = new scala.util.Random(42)
+    val values = (0 until 30000).map(_ => rnd.nextInt(8000).toLong)
+    def sketchOf(vs: Seq[Long]): Array[Byte] = {
+      val r = Hll.emptyRegisters()
+      vs.foreach(v => Hll.add(r,
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v, org.apache.spark.sql.types.LongType, 42L)))
+      r
+    }
+    val whole = sketchOf(values)
+    for (trial <- 0 until 5) {
+      val parts = values.groupBy(_ => rnd.nextInt(2 + trial * 3)).values.toSeq
+      val shuffled = rnd.shuffle(parts)
+      val merged = shuffled.map(sketchOf)
+        .reduce((a, b) => Hll.mergeInto(a.clone(), b))
+      assert(java.util.Arrays.equals(merged, whole),
+        s"trial $trial: ${shuffled.size} parts diverged")
+    }
+  }
+
   test("stored states round-trip through parquet and merge at read") {
     graft.GraftExtensions.register(spark)
     val tmp = java.nio.file.Files.createTempDirectory("hll_store_").toString
