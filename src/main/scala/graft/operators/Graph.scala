@@ -174,4 +174,59 @@ object Graph {
       rank
     } finally { edgesD.unpersist(); nodes.unpersist() }
   }
+
+  /** Personalized PageRank: the reset mass teleports ONLY to the seed
+    * set instead of uniformly — "importance relative to THESE nodes"
+    * (a SIEM ranks lateral-movement reach from compromised hosts; a
+    * crawl ranks pages relative to trusted seeds, the TrustRank
+    * shape). Same integer-exact update as [[pageRankInt]] — base mass
+    * is seed-conditional, initial mass scale/|S| on seeds and 0
+    * elsewhere — so every round replays bit-identically in SQL.
+    * Same per-round shapes: one rank join + one map-side-combined
+    * aggregation, |V|-long rounds checkpointed. */
+  def pageRankIntSeeded(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1, "pageRankIntSeeded needs at least one iteration")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val seedSet = seeds.select(col("node")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .unionByName(seedSet)
+      .distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val edgesD = edges.join(deg, Seq("src"))
+      .repartition(shufflePartitions, col("src"))
+      .cache()
+    try {
+      val nS = nodes.filter(col("__s") === 1).count()
+      require(nS > 0, "pageRankIntSeeded: empty seed set")
+      val base = scale * (1000000L - dampMicro) / nS / 1000000L
+      var rank = nodes.select(col("node"),
+        when(col("__s") === 1, lit(scale / nS)).otherwise(lit(0L))
+          .as("rank"))
+      for (_ <- 1 to iters) {
+        val incoming = edgesD
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst"), expr("rank div __deg").as("__c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("__c")).as("__inc"))
+          .withColumnRenamed("dst", "node")
+        rank = nodes.join(incoming, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__s") === 1, lit(base)).otherwise(lit(0L)) +
+              expr(s"($dampMicro * coalesce(__inc, 0L)) div 1000000"))
+              .as("rank"))
+          .localCheckpoint(eager = true)
+      }
+      rank
+    } finally { edgesD.unpersist(); nodes.unpersist() }
+  }
 }

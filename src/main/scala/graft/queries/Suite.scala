@@ -5125,7 +5125,80 @@ object Suite {
              |    ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
              |  FROM sc)
              |SELECT id_a, id_b, cosine, CAST(rank AS INT) AS rank
-             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin))
+             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    Q("l94_seeded_pagerank",
+      (s, d) => {
+        // personalized PageRank from the h17 compromised seed set over
+        // the same k->k comms graph: reset mass teleports only to the
+        // seeds, so rank = reachability-weighted importance relative
+        // to the compromise — integer-exact, 3 rounds
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .select(col("src"), col("k").as("dst"))
+        import s.implicits._
+        val seeds = Seq(0L, 1L, 2L).toDF("node")
+        graft.operators.Graph.pageRankIntSeeded(edges, seeds, iters = 3)
+          .orderBy("node")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |ed AS (SELECT lag(k) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS src, k AS dst FROM ev),
+             |edges AS (SELECT src, dst FROM ed WHERE src IS NOT NULL),
+             |sd AS (SELECT unnest([0, 1, 2])::BIGINT AS node),
+             |nodes AS (SELECT node,
+             |    (node IN (SELECT node FROM sd))::INT AS s
+             |  FROM (SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM edges
+             |    UNION ALL SELECT dst FROM edges
+             |    UNION ALL SELECT node FROM sd))),
+             |deg AS (SELECT src, count(*)::BIGINT AS deg
+             |  FROM edges GROUP BY 1),
+             |r0 AS (SELECT node, CASE WHEN s = 1
+             |    THEN (1000000000000 // 3)::BIGINT ELSE 0 END AS rank
+             |  FROM nodes),
+             |c1 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r0 r ON r.node = e.src GROUP BY 1),
+             |r1 AS (SELECT nodes.node,
+             |    (CASE WHEN s = 1
+             |      THEN (1000000000000 * 150000) // 3 // 1000000
+             |      ELSE 0 END
+             |     + (850000 * coalesce(c1.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes LEFT JOIN c1 USING (node)),
+             |c2 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r1 r ON r.node = e.src GROUP BY 1),
+             |r2 AS (SELECT nodes.node,
+             |    (CASE WHEN s = 1
+             |      THEN (1000000000000 * 150000) // 3 // 1000000
+             |      ELSE 0 END
+             |     + (850000 * coalesce(c2.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes LEFT JOIN c2 USING (node)),
+             |c3 AS (SELECT e.dst AS node,
+             |    sum(r.rank // d.deg)::BIGINT AS inc
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |    JOIN r2 r ON r.node = e.src GROUP BY 1),
+             |r3 AS (SELECT nodes.node,
+             |    (CASE WHEN s = 1
+             |      THEN (1000000000000 * 150000) // 3 // 1000000
+             |      ELSE 0 END
+             |     + (850000 * coalesce(c3.inc, 0)) // 1000000
+             |    )::BIGINT AS rank
+             |  FROM nodes LEFT JOIN c3 USING (node))
+             |SELECT node, rank FROM r3
+             |ORDER BY node""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

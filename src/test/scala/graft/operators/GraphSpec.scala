@@ -78,6 +78,21 @@ class GraphSpec extends SparkSpec {
     assert(got == refRank(edges, 3))
   }
 
+  test("seeded pagerank: mass flows FROM seeds; unreachable nodes get zero") {
+    // 1 -> 2 -> 3 and an island 8 -> 9; seed at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val got = Graph.pageRankIntSeeded(edges, Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      s"rank decays with distance from the seed: $got")
+    assert(got(8L) == 0L && got(9L) == 0L,
+      s"no uniform reset: the island gets nothing: $got")
+    // an isolated seed (no edges touching it) still holds reset mass
+    val iso = Graph.pageRankIntSeeded(edges, Seq(42L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(42L) > 0L && iso(1L) == 0L, iso.toString)
+  }
+
   test("triangle counts: K4 has 3 per node; direction/dups/loops ignored") {
     // K4 (every node in 3 triangles) + a pendant edge + noise:
     // reversed duplicates, a self-loop — none may change the count
