@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test and regression aggregates — the engine family's
+  * statistical surface (the reference stack's ClickHouse ships
+  * `welchTTest`, `mannWhitneyUTest`, `cramersV`,
+  * `simpleLinearRegression` as first-class aggregate functions; its
+  * dashboards use them for A/B readouts over event streams, e.g. the
+  * metric tables seeded by
+  * `clickhouse/init/01_schema.sql.tmpl`'s events schema).
+  *
+  * Design for exactness AND scale:
+  *  - every operator reduces the input to a handful of exact LONG
+  *    moment sums per group (n, Σx, Σx², Σxy …) in fixed-point cent
+  *    units — one map-side-combined aggregation, O(groups) state,
+  *    nothing but counters cross the shuffle;
+  *  - the final statistic is a single fixed double-expression over
+  *    those longs, evaluated once per group — IEEE arithmetic over
+  *    identical integers replays bit-identically in any engine, which
+  *    is what lets the DuckDB oracle hash-match the t/V/slope values;
+  *  - Mann-Whitney is kept INTEGER-only by working in doubled ranks
+  *    (2·avgRank = 2·minRank + ties − 1 is always integral), so the
+  *    U statistic needs no floating point at all.
+  *
+  * At 100 TB: Welch/Cramér/regression are one `groupBy` each (no
+  * window, no sort). Mann-Whitney needs a global value order — that
+  * is one range-partitioned sort (Spark's window over `value`), the
+  * same cost class as any global rank; ties are resolved by value
+  * equality so the order within a value group never matters.
+  */
+object Stats {
+
+  /** Welch's unequal-variance t-test between two groups of a
+    * fixed-point LONG measure (cents). Returns one row per (a,b)
+    * pair: group sizes and the t statistic + Welch–Satterthwaite
+    * degrees of freedom, both rounded to 6.
+    *
+    * The reduction is a single aggregation producing exact long
+    * (n, Σc, Σc²) per group; t and df are then pure double algebra
+    * over six longs. Sample variance uses the one-pass identity
+    * s² = (Σc² − (Σc)²/n)/(n−1), safe here because cents are small
+    * integers (no catastrophic cancellation at these magnitudes).
+    */
+  def welchT(df: DataFrame, valueCents: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val m = df
+      .filter(group.isin(groupA, groupB))
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("s"),
+        sum(valueCents * valueCents).as("q"))
+    val a = m.filter(col("__g") === groupA)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = m.filter(col("__g") === groupB)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    val j = a.crossJoin(b) // 1×1: both sides are single aggregate rows
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    // means and variances in CENT units (the 1/100² scale cancels in
+    // t, so staying in cents keeps both engines on identical doubles)
+    val mA = col("s_a").cast("double") / nA
+    val mB = col("s_b").cast("double") / nB
+    val vA = (col("q_a").cast("double") - col("s_a").cast("double") *
+      col("s_a").cast("double") / nA) / (nA - 1.0)
+    val vB = (col("q_b").cast("double") - col("s_b").cast("double") *
+      col("s_b").cast("double") / nB) / (nB - 1.0)
+    val seA = vA / nA
+    val seB = vB / nB
+    val tStat = (mA - mB) / sqrt(seA + seB)
+    val dfW = (seA + seB) * (seA + seB) /
+      (seA * seA / (nA - 1.0) + seB * seB / (nB - 1.0))
+    j.select(col("n_a"), col("n_b"), round(tStat, 6).as("t"),
+      round(dfW, 6).as("df"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two groups, fully
+    * integer-exact. Returns (n_a, n_b, u2_a, u2_b) where u2 = 2·U
+    * (doubled so midpoint ranks of even tie groups stay integral;
+    * u2_a + u2_b = 2·n_a·n_b always — spec-pinned).
+    *
+    * Rank structure is computed over the DISTINCT-value domain, not
+    * per row: one aggregation to (value → total count, count in A,
+    * count in B), a cumulative sum over the sorted distinct values
+    * (domain-sized, not data-sized — for a fixed-point cent measure
+    * this is bounded regardless of corpus size), then the doubled
+    * rank-sum per group is Σ_v cnt_g(v)·(2·cumBefore(v)+ties(v)+1)
+    * since every row of value v has doubled average rank
+    * 2·minRank + ties − 1 = 2·cumBefore + ties + 1. No row-level
+    * sort ever happens — the 100 TB cost is one groupBy.
+    */
+  def mannWhitneyU(df: DataFrame, value: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val byValue = df.filter(group.isin(groupA, groupB))
+      .groupBy(value.as("__v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(group === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = byValue
+      .withColumn("__cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val r2 = lit(2) * col("__cum") + col("cnt") + 1
+    val sums = withCum.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * r2).as("r2_a"), sum(col("cb") * r2).as("r2_b"))
+    sums.select(col("n_a"), col("n_b"),
+      (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+      (col("r2_b") - col("n_b") * (col("n_b") + 1)).as("u2_b"))
+  }
+
+  /** Cramér's V association between two categorical columns, with
+    * the χ² statistic. One aggregation to the contingency cells, two
+    * tiny re-aggregations for the margins; χ² via the zero-cell-safe
+    * identity Σ(o−e)²/e = n·Σ o²/(rᵢ·cⱼ) − n (absent cells have
+    * o = 0 and contribute nothing to the sum form, so only observed
+    * cells are ever materialized). Each cell's o²/(r·c) ∈ (0,1] is
+    * rounded to femto-units (1e-15) BEFORE the long sum — the suite's
+    * fixed-point convention — so the total is independent of cell
+    * summation order (safe while cells·1e15 < 2⁶³, i.e. any sane
+    * category cross). Returns (n, chi2, v) rounded to 6.
+    */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowS = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
+    val colS = cells.groupBy(col("__b")).agg(sum(col("o")).as("c"))
+    val joined = cells.join(broadcast(rowS), "__a")
+      .join(broadcast(colS), "__b")
+    val cellFemto = round(lit(1e15) *
+      (col("o").cast("double") * col("o").cast("double") /
+        (col("r").cast("double") * col("c").cast("double"))))
+      .cast("long")
+    val agg = joined.agg(
+      sum(col("o")).as("n"),
+      sum(cellFemto).as("frac_femto"),
+      countDistinct(col("__a")).as("nr"),
+      countDistinct(col("__b")).as("nc"))
+    val n = col("n").cast("double")
+    val frac = col("frac_femto").cast("double") / 1e15
+    val chi2 = n * frac - n
+    val v = sqrt((frac - 1.0) /
+      least(col("nr") - 1, col("nc") - 1).cast("double"))
+    agg.select(col("n"), round(chi2, 6).as("chi2"), round(v, 6).as("v"))
+  }
+
+  /** Per-group simple linear regression (least squares) of a
+    * fixed-point LONG y (cents) on an integral x. One aggregation to
+    * exact long moments (n, Σx, Σy, Σxy, Σx²), then
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * intercept = (Σy − slope·Σx)/n as double algebra, both in CENT
+    * units, rounded to 6. Groups with a degenerate x (all equal) get
+    * null slope/intercept rather than a division blow-up.
+    */
+  def linFit(df: DataFrame, x: Column, yCents: Column,
+      group: Column): DataFrame = {
+    val m = df.groupBy(group)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(yCents).as("sy"),
+        sum(x * yCents).as("sxy"), sum(x * x).as("sxx"))
+    val nD = col("n").cast("double")
+    val denom = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / denom
+    val intercept =
+      (col("sy").cast("double") - slope * col("sx").cast("double")) / nD
+    m.select(group, col("n"),
+      round(when(denom =!= 0.0, slope), 6).as("slope"),
+      round(when(denom =!= 0.0, intercept), 6).as("intercept"))
+  }
+}

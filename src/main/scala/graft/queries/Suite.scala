@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -5198,7 +5198,135 @@ object Suite {
              |    )::BIGINT AS rank
              |  FROM nodes LEFT JOIN c3 USING (node))
              |SELECT node, rank FROM r3
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    Q("h22_welch_ttest",
+      (s, d) => {
+        // A/B readout: Welch's unequal-variance t between click and
+        // view event values — the engine family's welchTTest
+        // aggregate. Moments are exact long cent sums (one
+        // map-side-combined groupBy); t/df are one fixed double
+        // expression over six longs, replayed verbatim by the oracle
+        val ev = t(s, d, "events")
+        Stats.welchT(ev, round(col("value") * 100).cast("long"),
+          col("event_type"), "click", "view")
+      },
+      Some("""WITH m AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS s,
+             |    sum(round(value*100)::BIGINT
+             |        * round(value*100)::BIGINT)::BIGINT AS q
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM m
+             |  WHERE g = 'click'),
+             |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM m
+             |  WHERE g = 'view'),
+             |j AS (SELECT *,
+             |    ((q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE)
+             |      / (n_a::DOUBLE - 1.0)) / n_a::DOUBLE AS se_a,
+             |    ((q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE)
+             |      / (n_b::DOUBLE - 1.0)) / n_b::DOUBLE AS se_b
+             |  FROM a, b)
+             |SELECT n_a, n_b,
+             |  round((s_a::DOUBLE / n_a::DOUBLE
+             |      - s_b::DOUBLE / n_b::DOUBLE)
+             |    / sqrt(se_a + se_b), 6) AS t,
+             |  round((se_a + se_b) * (se_a + se_b)
+             |    / (se_a * se_a / (n_a::DOUBLE - 1.0)
+             |      + se_b * se_b / (n_b::DOUBLE - 1.0)), 6) AS df
+             |FROM j""".stripMargin)),
+
+    Q("h23_mannwhitney_u",
+      (s, d) => {
+        // nonparametric twin of h22: Mann-Whitney U in doubled ranks
+        // (2·avgRank is always integral) — fully integer-exact, and
+        // ranked over the DISTINCT cent domain so no row-level sort
+        val ev = t(s, d, "events")
+        Stats.mannWhitneyU(ev, round(col("value") * 100).cast("long"),
+          col("event_type"), "click", "view")
+      },
+      Some("""WITH v AS (SELECT round(value*100)::BIGINT AS v,
+             |    event_type AS g FROM events
+             |  WHERE event_type IN ('click', 'view')),
+             |bv AS (SELECT v, count(*)::BIGINT AS cnt,
+             |    sum((g = 'click')::INT)::BIGINT AS ca,
+             |    sum((g = 'view')::INT)::BIGINT AS cb
+             |  FROM v GROUP BY 1),
+             |c AS (SELECT v, cnt, ca, cb,
+             |    coalesce(sum(cnt) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS cum
+             |  FROM bv),
+             |s AS (SELECT sum(ca)::BIGINT AS n_a,
+             |    sum(cb)::BIGINT AS n_b,
+             |    sum(ca * (2*cum + cnt + 1))::BIGINT AS r2_a,
+             |    sum(cb * (2*cum + cnt + 1))::BIGINT AS r2_b
+             |  FROM c)
+             |SELECT n_a, n_b,
+             |  (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+             |  (r2_b - n_b * (n_b + 1))::BIGINT AS u2_b
+             |FROM s""".stripMargin)),
+
+    Q("h24_cramers_v",
+      (s, d) =>
+        // association strength between document language and source —
+        // the engine family's cramersV aggregate. χ² via the
+        // zero-cell-safe n·Σo²/(r·c) − n identity; per-cell fractions
+        // femto-rounded before the long sum so the total is
+        // summation-order free
+        Stats.cramersV(t(s, d, "documents"), col("lang"), col("source")),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b,
+             |    count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+             |r AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+             |c AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+             |j AS (SELECT o,
+             |    round(1e15 * (o::DOUBLE * o::DOUBLE
+             |      / (r.r::DOUBLE * c.c::DOUBLE)))::BIGINT AS ff
+             |  FROM cells JOIN r USING (a) JOIN c USING (b)),
+             |agg AS (SELECT sum(o)::BIGINT AS n,
+             |    sum(ff)::BIGINT AS frac_femto,
+             |    (SELECT count(DISTINCT a) FROM cells) AS nr,
+             |    (SELECT count(DISTINCT b) FROM cells) AS nc
+             |  FROM j)
+             |SELECT n,
+             |  round(n::DOUBLE * (frac_femto::DOUBLE / 1e15)
+             |    - n::DOUBLE, 6) AS chi2,
+             |  round(sqrt((frac_femto::DOUBLE / 1e15 - 1.0)
+             |    / least(nr - 1, nc - 1)::DOUBLE), 6) AS v
+             |FROM agg""".stripMargin)),
+
+    Q("h25_linfit",
+      (s, d) => {
+        // simpleLinearRegression: per event type, least-squares trend
+        // of event value (cents) on hours-since-epoch-start — exact
+        // long moments, slope/intercept as one double expression
+        val ev = t(s, d, "events").select(col("event_type"),
+          expr("(unix_timestamp(ts) div 3600) - 473352").as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+        Stats.linFit(ev, col("x"), col("y"), col("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    (floor(epoch(ts))::BIGINT // 3600) - 473352 AS x,
+             |    round(value*100)::BIGINT AS y FROM events),
+             |m AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+             |  FROM t GROUP BY 1)
+             |SELECT event_type, n,
+             |  round(CASE WHEN n::DOUBLE * sxx::DOUBLE
+             |      - sx::DOUBLE * sx::DOUBLE <> 0.0
+             |    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |    END, 6) AS slope,
+             |  round(CASE WHEN n::DOUBLE * sxx::DOUBLE
+             |      - sx::DOUBLE * sx::DOUBLE <> 0.0
+             |    THEN (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE
+             |        - sx::DOUBLE * sy::DOUBLE)
+             |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+             |      * sx::DOUBLE) / n::DOUBLE
+             |    END, 6) AS intercept
+             |FROM m ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the statistical aggregates against hand-computed and
+  * closed-form references so the oracled suite queries (h22-h25)
+  * can't silently drift: Welch t vs a direct scalar computation,
+  * Mann-Whitney's doubled-U identity and a textbook example,
+  * Cramér's V bounds and the perfect-association case, and
+  * least-squares recovering an exactly-planted line. */
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("welchT matches a direct scalar computation") {
+    val a = Seq(100L, 200L, 300L, 400L, 500L)
+    val b = Seq(150L, 250L, 350L)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "cents")
+    val row = Stats.welchT(df, col("cents"), col("g"), "a", "b")
+      .collect().head
+    assert(row.getAs[Long]("n_a") == 5 && row.getAs[Long]("n_b") == 3)
+    // direct computation
+    def meanVar(xs: Seq[Long]) = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (m, v, n)
+    }
+    val (ma, va, na) = meanVar(a)
+    val (mb, vb, nb) = meanVar(b)
+    val se = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se)
+    val dfw = se * se /
+      (va / na * (va / na) / (na - 1) + vb / nb * (vb / nb) / (nb - 1))
+    assert(math.abs(row.getAs[Double]("t") - t) < 1e-5)
+    assert(math.abs(row.getAs[Double]("df") - dfw) < 1e-5)
+  }
+
+  test("mannWhitneyU: doubled-U identity and a textbook example") {
+    // example with ties: a = [1,2,2,5], b = [2,3,4]
+    val df = (Seq(1L, 2L, 2L, 5L).map(("a", _)) ++
+      Seq(2L, 3L, 4L).map(("b", _))).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, col("v"), col("g"), "a", "b")
+      .collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (u2a, u2b) = (r.getAs[Long]("u2_a"), r.getAs[Long]("u2_b"))
+    assert(na == 4 && nb == 3)
+    // ranks: 1→1; the three 2s share (2+3+4)/3 = 3; 3→5; 4→6; 5→7
+    // R_a = 1 + 3 + 3 + 7 = 14 → U_a = 14 − 4·5/2 = 4 → 2U_a = 8
+    assert(u2a == 8L)
+    assert(u2a + u2b == 2 * na * nb)
+  }
+
+  test("mannWhitneyU identity holds on a pseudo-random mix") {
+    val rows = (1 to 200).map { i =>
+      (if (i % 3 == 0) "a" else "b", (i * 7919 % 41).toLong)
+    }
+    val r = Stats
+      .mannWhitneyU(rows.toDF("g", "v"), col("v"), col("g"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("u2_a") + r.getAs[Long]("u2_b") ==
+      2 * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"))
+  }
+
+  test("cramersV: perfect association → 1, independence → 0") {
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"),
+      ("z", "r"), ("z", "r")).toDF("a", "b")
+    val v1 = Stats.cramersV(perfect, col("a"), col("b"))
+      .collect().head.getAs[Double]("v")
+    assert(math.abs(v1 - 1.0) < 1e-9)
+    // independent: every (a,b) combination equally frequent
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r");
+      _ <- 1 to 4 } yield (a, b)).toDF("a", "b")
+    val r0 = Stats.cramersV(indep, col("a"), col("b")).collect().head
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-6)
+    assert(math.abs(r0.getAs[Double]("v")) < 1e-6)
+  }
+
+  test("linFit recovers an exactly planted line; degenerate x → null") {
+    val pts = (0L to 10L).map(x => ("g", x, 300L * x + 700L)) ++
+      Seq(("flat", 5L, 100L), ("flat", 5L, 200L))
+    val out = Stats.linFit(pts.toDF("g", "x", "y"), col("x"), col("y"),
+      col("g")).collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(math.abs(g.getAs[Double]("slope") - 300.0) < 1e-9)
+    assert(math.abs(g.getAs[Double]("intercept") - 700.0) < 1e-9)
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3))
+  }
+}
