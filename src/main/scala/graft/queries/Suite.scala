@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Intervals, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -5326,7 +5326,95 @@ object Suite {
              |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
              |      * sx::DOUBLE) / n::DOUBLE
              |    END, 6) AS intercept
-             |FROM m ORDER BY event_type""".stripMargin))
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    Q("h26_max_intersections",
+      (s, d) => {
+        // peak concurrency: each event opens a half-open interval
+        // [ts, ts + 60 + event_id%600 s); maxIntersections = max
+        // simultaneously-open per type via the ±1 boundary sweep —
+        // one shuffle on the type key, per-key ordered pass
+        val iv = t(s, d, "events").select(col("event_type"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + 60 + col("event_id") % 600)
+            .as("e"))
+        Intervals.maxIntersections(iv, col("s"), col("e"),
+            col("event_type"))
+          .select(col("__g").as("event_type"), col("max_open"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (SELECT event_type,
+             |    floor(epoch(ts))::BIGINT AS s,
+             |    floor(epoch(ts))::BIGINT + 60 + (event_id % 600) AS e
+             |  FROM events),
+             |b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+             |  UNION ALL SELECT event_type, e, -1 FROM iv),
+             |r AS (SELECT event_type,
+             |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS open FROM b)
+             |SELECT event_type, max(open)::BIGINT AS max_open
+             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("h27_interval_union",
+      (s, d) => {
+        // intervalLengthSum: per user, seconds covered by the UNION
+        // of the same intervals, overlaps merged (billable-time /
+        // exposure-window semantics) — gaps-and-islands, integer
+        // seconds end to end
+        val iv = t(s, d, "events").select(col("user_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + 60 + col("event_id") % 600)
+            .as("e"))
+        Intervals.intervalLengthSum(iv, col("s"), col("e"),
+            col("user_id"))
+          .select(col("__g").as("user_id"), col("covered"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS s,
+             |    floor(epoch(ts))::BIGINT + 60 + (event_id % 600) AS e
+             |  FROM events),
+             |m AS (SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pmax FROM iv),
+             |br AS (SELECT user_id, s, e,
+             |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+             |      AS brk FROM m),
+             |isl AS (SELECT user_id, s, e,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island FROM br),
+             |g AS (SELECT user_id, island,
+             |    max(e) - min(s) AS len FROM isl GROUP BY 1, 2)
+             |SELECT user_id, sum(len)::BIGINT AS covered
+             |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    Q("d18_delta_sum",
+      (s, d) => {
+        // deltaSum: per user, the sum of POSITIVE value deltas along
+        // event-time order (counter-reset-tolerant rate) in exact
+        // cents — one shuffle on user_id, per-key lag
+        val ev = t(s, d, "events").select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("ts"), col("event_id"))
+        Intervals.deltaSum(ev, col("cents"), col("user_id"),
+            Seq(col("ts"), col("event_id")))
+          .select(col("__g").as("user_id"), col("delta_sum"), col("n"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT user_id,
+             |    round(value*100)::BIGINT AS m, ts, event_id
+             |  FROM events),
+             |d AS (SELECT user_id, m,
+             |    m - lag(m) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS diff FROM t)
+             |SELECT user_id,
+             |  sum(CASE WHEN diff > 0 THEN diff ELSE 0 END)::BIGINT
+             |    AS delta_sum,
+             |  count(*)::BIGINT AS n
+             |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
