@@ -201,6 +201,23 @@ object GraftExtensions {
         val g = longLit(args.head, "sequence_count", "max_gap_sec")
         SequenceCount(g, args(1), args(2), args(3)).toAggregateExpression()
       }
+    },
+    // keyed-measure map aggregates (sumMap/minMap/maxMap shape):
+    // scalar (key, val) pairs or the reference's zipped-array form
+    "sum_map" -> { args =>
+      arity("sum_map", args, 2)
+      MapAggregate(MapAggregates.SUM, args(0), args(1))
+        .toAggregateExpression()
+    },
+    "min_map" -> { args =>
+      arity("min_map", args, 2)
+      MapAggregate(MapAggregates.MIN, args(0), args(1))
+        .toAggregateExpression()
+    },
+    "max_map" -> { args =>
+      arity("max_map", args, 2)
+      MapAggregate(MapAggregates.MAX, args(0), args(1))
+        .toAggregateExpression()
     }
   )
 

@@ -5414,7 +5414,33 @@ object Suite {
              |  sum(CASE WHEN diff > 0 THEN diff ELSE 0 END)::BIGINT
              |    AS delta_sum,
              |  count(*)::BIGINT AS n
-             |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    Q("d19_sum_map",
+      (s, d) => {
+        // sumMap over the reference's zipped-array shape: each event
+        // contributes (its type, 'all') × cent mass; the aggregate
+        // keeps one (key → long) map per group — state bounded by
+        // distinct keys, partials combine map-side. Oracle = plain
+        // exploded GROUP BY
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT bucket, key, val FROM (
+                 |  SELECT user_id % 10 AS bucket,
+                 |    sum_map(array(event_type, 'all'),
+                 |      array(CAST(round(value*100) AS BIGINT),
+                 |            CAST(round(value*100) AS BIGINT))) AS m
+                 |  FROM events GROUP BY user_id % 10)
+                 |LATERAL VIEW inline(m) t AS key, val
+                 |ORDER BY bucket, key""".stripMargin)
+      },
+      Some("""WITH base AS (SELECT user_id % 10 AS bucket,
+             |    event_type AS key, round(value*100)::BIGINT AS val
+             |  FROM events
+             |  UNION ALL SELECT user_id % 10, 'all',
+             |    round(value*100)::BIGINT FROM events)
+             |SELECT bucket, key, sum(val)::BIGINT AS val
+             |FROM base GROUP BY 1, 2 ORDER BY bucket, key""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
