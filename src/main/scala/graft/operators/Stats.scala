@@ -145,6 +145,61 @@ object Stats {
     agg.select(col("n"), round(chi2, 6).as("chi2"), round(v, 6).as("v"))
   }
 
+  /** Weighted exact quantiles of a LONG measure (the engine family's
+    * `quantileExactWeighted`), integer-exact end to end: each
+    * requested quantile is a rational num/den, and the answer is the
+    * smallest value whose cumulative weight ≥ ⌈q·W⌉ (computed as
+    * (W·num + den − 1) div den — no floating point anywhere).
+    *
+    * Shape: one aggregation to the (group, value) → weight domain
+    * (data-sized rows never reach the window), a per-group cumulative
+    * over sorted distinct values, then one min per quantile. Returns
+    * (group, <one LONG column per requested quantile>).
+    */
+  def weightedQuantile(df: DataFrame, value: Column, weight: Column,
+      group: Column, quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    val byValue = df.groupBy(group.as("__g"), value.as("__v"))
+      .agg(sum(weight).as("__w"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("__g"))
+    val cum = byValue
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+    val aggs = quantiles.map { case (name, num, den) =>
+      require(num >= 0 && den > 0 && num <= den,
+        s"weightedQuantile: $name = $num/$den is not in [0,1]")
+      val thr = expr(s"(__tot * $num + ${den - 1}) div $den")
+      min(when(col("__cum") >= thr, col("__v"))).as(name)
+    }
+    cum.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shannon entropy of a categorical distribution per group, in
+    * exact micro-bits (the engine family's `entropy` aggregate; same
+    * fixed-point discipline as the SIEM char-entropy scorer): with
+    * group total N and per-key counts nᵢ,
+    * H_micro = (Σ nᵢ·round(10⁶·log₂(N/nᵢ))) div N —
+    * per-key contributions rounded to integers BEFORE the sum, so
+    * the result replays exactly in any engine. Returns
+    * (group, n, entropy_micro_bits).
+    */
+  def entropyMicroBits(df: DataFrame, key: Column,
+      group: Column): DataFrame = {
+    val counts = df.groupBy(group.as("__g"), key.as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val wTot = Window.partitionBy(col("__g"))
+    val withTot = counts
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+    val contrib = col("__n") * round(lit(1e6) *
+      log2(col("__tot").cast("double") / col("__n").cast("double")))
+      .cast("long")
+    withTot.groupBy(col("__g"))
+      .agg(max(col("__tot")).as("n"), sum(contrib).as("__s"))
+      .select(col("__g"), col("n"),
+        expr("__s div n").as("entropy_micro_bits"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

@@ -5440,7 +5440,68 @@ object Suite {
              |  UNION ALL SELECT user_id % 10, 'all',
              |    round(value*100)::BIGINT FROM events)
              |SELECT bucket, key, sum(val)::BIGINT AS val
-             |FROM base GROUP BY 1, 2 ORDER BY bucket, key""".stripMargin))
+             |FROM base GROUP BY 1, 2 ORDER BY bucket, key""".stripMargin)),
+
+    Q("d20_weighted_quantile",
+      (s, d) => {
+        // quantileExactWeighted: median and p90 of event value cents,
+        // weighted by the 1+k%5 payload mass — integer thresholds
+        // (⌈q·W⌉ as (W·num+den−1) div den), cumulative over the
+        // DISTINCT (type, value) domain so data-sized rows never hit
+        // the window
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5 + 1)
+            .as("w"))
+        Stats.weightedQuantile(ev, col("cents"), col("w"),
+            col("event_type"),
+            Seq(("p50", 1, 2), ("p90", 9, 10)))
+          .select(col("__g").as("event_type"), col("p50"), col("p90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type AS g,
+             |    round(value*100)::BIGINT AS v,
+             |    (CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      % 5) + 1 AS w
+             |  FROM events),
+             |bv AS (SELECT g, v, sum(w)::BIGINT AS w
+             |  FROM t GROUP BY 1, 2),
+             |c AS (SELECT g, v, w,
+             |    sum(w) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(w) OVER (PARTITION BY g) AS tot FROM bv)
+             |SELECT g AS event_type,
+             |  min(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN v
+             |    END)::BIGINT AS p50,
+             |  min(CASE WHEN cum >= (tot * 9 + 9) // 10 THEN v
+             |    END)::BIGINT AS p90
+             |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("d21_dist_entropy",
+      (s, d) =>
+        // entropy aggregate: how mixed is each user cohort's event
+        // palette, in exact micro-bits — per-key contributions
+        // rounded to integers before the sum (the fixed-point
+        // discipline), so DuckDB replays it bit-for-bit
+        Stats.entropyMicroBits(t(s, d, "events"), col("event_type"),
+            col("user_id") % 20)
+          .select(col("__g").as("cohort"), col("n"),
+            col("entropy_micro_bits"))
+          .orderBy("cohort"),
+      Some("""WITH c AS (SELECT user_id % 20 AS cohort,
+             |    event_type, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT cohort, n,
+             |    sum(n) OVER (PARTITION BY cohort) AS tot FROM c),
+             |s AS (SELECT cohort, max(tot)::BIGINT AS n,
+             |    sum(n * round(1000000
+             |      * log2(tot::DOUBLE / n::DOUBLE))::BIGINT)::BIGINT
+             |      AS contrib
+             |  FROM w GROUP BY 1)
+             |SELECT cohort, n,
+             |  (contrib // n)::BIGINT AS entropy_micro_bits
+             |FROM s ORDER BY cohort""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

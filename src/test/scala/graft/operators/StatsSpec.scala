@@ -78,6 +78,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r0.getAs[Double]("v")) < 1e-6)
   }
 
+  test("weightedQuantile: ⌈q·W⌉ threshold semantics, per group") {
+    // g: values 1..4 with weights 1,1,1,7 (W=10): p50 threshold
+    // ⌈5⌉=5 → first value with cum ≥ 5 is 4; p10 threshold 1 → 1
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 7L), ("h", 9L, 3L)).toDF("g", "v", "w")
+    val out = Stats.weightedQuantile(df, col("v"), col("w"), col("g"),
+        Seq(("p10", 1, 10), ("p50", 1, 2), ("p100", 1, 1)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("p10") == 1L)
+    assert(g.getAs[Long]("p50") == 4L)
+    assert(g.getAs[Long]("p100") == 4L)
+    assert(out("h").getAs[Long]("p50") == 9L)
+  }
+
+  test("weightedQuantile equals unweighted quantile when weights=1") {
+    val vals = Seq(5L, 1L, 3L, 2L, 4L) // sorted: 1 2 3 4 5; median 3
+    val df = vals.map(("g", _, 1L)).toDF("g", "v", "w")
+    val r = Stats.weightedQuantile(df, col("v"), col("w"), col("g"),
+      Seq(("p50", 1, 2))).collect().head
+    assert(r.getAs[Long]("p50") == 3L)
+  }
+
+  test("entropyMicroBits: uniform → log2(k), single key → 0") {
+    val uniform = (1 to 80).map(i => ("u", s"k${i % 8}"))
+    val single = (1 to 10).map(_ => ("s", "only"))
+    val out = Stats.entropyMicroBits((uniform ++ single).toDF("g", "k"),
+        col("k"), col("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("u") == 3000000L) // log2(8) = 3 bits exactly
+    assert(out("s") == 0L)
+  }
+
   test("linFit recovers an exactly planted line; degenerate x → null") {
     val pts = (0L to 10L).map(x => ("g", x, 300L * x + 700L)) ++
       Seq(("flat", 5L, 100L), ("flat", 5L, 200L))
