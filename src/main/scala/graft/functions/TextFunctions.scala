@@ -177,6 +177,27 @@ object TextFunctions {
     regexp_replace(ip, lit("\\b\\d{9,}\\b"), lit("<PHONE>"))
   }
 
+  /** Typed PII incidence counts on the ORIGINAL text — the audit
+    * half of [[redactPii]] (a release data card reports how much PII
+    * the scrub removed per source; the redactor alone can't say).
+    * Adds two detectors redaction folds into coarser buckets:
+    * SSN-shaped 3-2-4 ids and separator-style 3-3-4 phone numbers
+    * (disjoint shapes; a dotted phone never has the four octet
+    * groups an IPv4 needs). All patterns RE2-compatible so the
+    * DuckDB oracle counts with the same regexes. Returns a struct
+    * (n_email, n_ssn, n_phone, n_ip) of INT counts; map-only. */
+  def piiCounts(text: Column): Column = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    struct(
+      cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        .as("n_email"),
+      cnt("\\b\\d{3}-\\d{2}-\\d{4}\\b").as("n_ssn"),
+      cnt("\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b|\\b\\d{9,}\\b")
+        .as("n_phone"),
+      cnt("\\b\\d{1,3}(\\.\\d{1,3}){3}\\b").as("n_ip"))
+  }
+
   /** Unicode NFC canonicalization (native codegen'd expression —
     * [[NfcNormalize]]): run BEFORE exact/near dedup and hashing, so
     * precomposed and combining-mark renditions of the same text

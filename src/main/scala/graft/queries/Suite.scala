@@ -5501,7 +5501,59 @@ object Suite {
              |  FROM w GROUP BY 1)
              |SELECT cohort, n,
              |  (contrib // n)::BIGINT AS entropy_micro_bits
-             |FROM s ORDER BY cohort""".stripMargin))
+             |FROM s ORDER BY cohort""".stripMargin)),
+
+    Q("l95_pii_audit",
+      (s, d) => {
+        // the data-card half of the l17 scrub: per SOURCE, how much
+        // typed PII the redactor would remove (docs touched + counts
+        // per shape). Plants a deterministic email / SSN / phone /
+        // IPv4 payload on every 7th doc so every detector fires on
+        // known ground truth; both engines build the identical input
+        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        val planted = docs.withColumn("text2",
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex.com or 555-123-4567 ssn 123-45-6789 at 10.0.0."),
+            (col("doc_id") % 256).cast("string")))
+          .otherwise(col("text")))
+        val c = planted.withColumn("pii",
+          TextFunctions.piiCounts(col("text2")))
+        c.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("pii.n_email") > 0 || col("pii.n_ssn") > 0 ||
+              col("pii.n_phone") > 0 || col("pii.n_ip") > 0)
+              .cast("long")).as("docs_with_pii"),
+            sum(col("pii.n_email").cast("long")).as("emails"),
+            sum(col("pii.n_ssn").cast("long")).as("ssns"),
+            sum(col("pii.n_phone").cast("long")).as("phones"),
+            sum(col("pii.n_ip").cast("long")).as("ips"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT source,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact u'
+             |      || doc_id::VARCHAR
+             |      || '@ex.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.'
+             |      || (doc_id % 256)::VARCHAR
+             |    ELSE text END AS t
+             |  FROM documents WHERE doc_id < 200),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |      AS e,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{3}-\d{2}-\d{4}\b')) AS s,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b|\b\d{9,}\b')) AS ph,
+             |    len(regexp_extract_all(t,
+             |      '\b\d{1,3}(\.\d{1,3}){3}\b')) AS ip
+             |  FROM p)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum((e > 0 OR s > 0 OR ph > 0 OR ip > 0)::INT)::BIGINT
+             |    AS docs_with_pii,
+             |  sum(e)::BIGINT AS emails, sum(s)::BIGINT AS ssns,
+             |  sum(ph)::BIGINT AS phones, sum(ip)::BIGINT AS ips
+             |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

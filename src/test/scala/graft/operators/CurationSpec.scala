@@ -308,6 +308,25 @@ class CurationSpec extends SparkSpec {
     assert(red == "mail <EMAIL>, ip <IP>, acct <PHONE>, year 2024")
   }
 
+  test("piiCounts: typed incidence per shape, disjoint detectors") {
+    val row = Seq(
+      ("a@b.co x@y.org 123-45-6789 555-123-4567 555.123.4567 " +
+        "123456789 10.0.0.1 not-pii 12-34 2024")
+    ).toDF("t")
+      .select(graft.functions.TextFunctions.piiCounts(col("t")).as("p"))
+      .select("p.n_email", "p.n_ssn", "p.n_phone", "p.n_ip")
+      .collect().head
+    assert(row.getInt(0) == 2, "emails")
+    assert(row.getInt(1) == 1, "ssn")
+    assert(row.getInt(2) == 3, "phones: dashed, dotted, digit-run")
+    assert(row.getInt(3) == 1, "ipv4")
+    // SSN shape is NOT counted as a phone, and vice versa
+    val r2 = Seq("123-45-6789").toDF("t")
+      .select(graft.functions.TextFunctions.piiCounts(col("t")).as("p"))
+      .select("p.n_phone").collect().head
+    assert(r2.getInt(0) == 0)
+  }
+
   test("streaming sessions (flatMapGroupsWithState) match batch sessionize") {
     val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
     val in = s"$base/in"
