@@ -171,4 +171,50 @@ object Funnel {
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matches"))
       .filter(col("matched_s").isNotNull)
   }
+
+  /** `sequenceNextNode` shape: per key, the value of the event
+    * ADJACENT to a chosen anchor event — "what did each user do
+    * right after their first signup" (forward/first_match), "right
+    * before their last purchase" (backward/last_match), etc.
+    *
+    * direction: "forward" reads the NEXT event's value, "backward"
+    * the previous one's. base: "first_match" anchors at the
+    * earliest event satisfying `cond` in (ts, tie) order,
+    * "last_match" at the latest.
+    *
+    * One per-key window (lead/lag) then a min/max over
+    * (ts, tie, neighbor) structs — lexicographic struct ordering
+    * picks the anchor without a second pass, and the unique tie
+    * column makes it deterministic. Keys whose anchor is the
+    * boundary event get a null next_node (kept, not dropped — the
+    * reference's aggregate returns NULL there too).
+    */
+  def nextNode(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      orderCol: String,
+      cond: Column,
+      valueCol: Column,
+      direction: String = "forward",
+      base: String = "first_match"): DataFrame = {
+    require(direction == "forward" || direction == "backward",
+      s"nextNode: direction must be forward|backward, got $direction")
+    require(base == "first_match" || base == "last_match",
+      s"nextNode: base must be first_match|last_match, got $base")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val neighbor =
+      if (direction == "forward") lead(valueCol, 1).over(w)
+      else lag(valueCol, 1).over(w)
+    val anchored = events
+      .withColumn("__nb", neighbor)
+      .filter(cond)
+      .withColumn("__pick",
+        struct(col(tsCol), col(orderCol), col("__nb")))
+    val pick =
+      if (base == "first_match") min(col("__pick")) else max(col("__pick"))
+    anchored.groupBy(col(keyCol))
+      .agg(pick.getField("__nb").as("next_node"))
+  }
 }

@@ -5553,7 +5553,28 @@ object Suite {
              |    AS docs_with_pii,
              |  sum(e)::BIGINT AS emails, sum(s)::BIGINT AS ssns,
              |  sum(ph)::BIGINT AS phones, sum(ip)::BIGINT AS ips
-             |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("h28_seq_next_node",
+      (s, d) =>
+        // sequenceNextNode: what each user did immediately AFTER
+        // their FIRST signup (null if the signup closed the stream).
+        // One per-key lead window + a struct-min anchor pick —
+        // completes the sequence family (h9-h11, h13-h15, h18, h20)
+        graft.operators.Funnel.nextNode(t(s, d, "events"), "user_id",
+            "ts", "event_id", col("event_type") === "signup",
+            col("event_type"))
+          .orderBy("user_id"),
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |f AS (SELECT user_id, nxt,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM o WHERE event_type = 'signup')
+             |SELECT user_id, nxt AS next_node FROM f WHERE rn = 1
+             |ORDER BY user_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

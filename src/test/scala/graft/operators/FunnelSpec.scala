@@ -102,4 +102,29 @@ class FunnelSpec extends SparkSpec {
     assert(got(0)._2 == base + 30)
     assert(got(2)._3 == 2L, "both qualifying completions counted")
   }
+
+  test("nextNode: direction × base variants, boundary gives null") {
+    val base = 1700000000L
+    val rows = Seq(
+      // user 1: view, signup, click, signup, purchase
+      (1L, "view", base), (1L, "signup", base + 1),
+      (1L, "click", base + 2), (1L, "signup", base + 3),
+      (1L, "purchase", base + 4),
+      // user 2: signup is the LAST event → forward neighbor is null
+      (2L, "view", base), (2L, "signup", base + 1),
+      // user 3: no signup at all → absent from output
+      (3L, "click", base))
+    val df = ev(rows)
+    val cond = col("event_type") === "signup"
+    def run(dir: String, b: String) =
+      Funnel.nextNode(df, "user_id", "ts", "event_id", cond,
+        col("event_type"), dir, b)
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getString(1)).getOrElse("∅")).toMap
+    val fwdFirst = run("forward", "first_match")
+    assert(fwdFirst == Map(1L -> "click", 2L -> "∅"))
+    assert(run("forward", "last_match")(1L) == "purchase")
+    assert(run("backward", "first_match")(1L) == "view")
+    assert(run("backward", "last_match")(1L) == "click")
+  }
 }
