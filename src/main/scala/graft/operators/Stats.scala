@@ -145,6 +145,34 @@ object Stats {
     agg.select(col("n"), round(chi2, 6).as("chi2"), round(v, 6).as("v"))
   }
 
+  /** Per-group Pearson correlation and sample covariance of two
+    * fixed-point LONG measures, from exact long moments (n, Σx, Σy,
+    * Σxy, Σx², Σy²) — unlike the builtin one-pass double `corr`, the
+    * reduction is integer-exact, so the result is independent of
+    * partial-aggregation order and the oracle replays it. Degenerate
+    * groups (zero variance on either side) get null corr; covariance
+    * stays defined. Both rounded to 6; covar is in the product of
+    * the two inputs' units.
+    */
+  def corrCovar(df: DataFrame, x: Column, y: Column,
+      group: Column): DataFrame = {
+    val m = df.groupBy(group)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(group, col("n"),
+      round(covN / (nD * (nD - 1.0)), 6).as("covar_samp"),
+      round(when(varX > 0.0 && varY > 0.0,
+        covN / sqrt(varX * varY)), 6).as("corr"))
+  }
+
   /** Weighted exact quantiles of a LONG measure (the engine family's
     * `quantileExactWeighted`), integer-exact end to end: each
     * requested quantile is a rational num/den, and the answer is the

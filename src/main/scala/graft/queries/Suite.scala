@@ -5574,7 +5574,80 @@ object Suite {
              |      ORDER BY ts, event_id) AS rn
              |  FROM o WHERE event_type = 'signup')
              |SELECT user_id, nxt AS next_node FROM f WHERE rn = 1
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("h29_corr_covar",
+      (s, d) => {
+        // exact Pearson corr + sample covariance between event value
+        // (cents) and the k payload, per type — integer moments, so
+        // unlike the builtin one-pass double corr the result doesn't
+        // depend on partial-aggregation order
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+        Stats.corrCovar(ev, col("x"), col("y"), col("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    round(value*100)::BIGINT AS x,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      AS y FROM events),
+             |m AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+             |    sum(y*y)::BIGINT AS syy
+             |  FROM t GROUP BY 1)
+             |SELECT event_type, n,
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) AS covar_samp,
+             |  round(CASE WHEN (n::DOUBLE * sxx::DOUBLE
+             |        - sx::DOUBLE * sx::DOUBLE) > 0.0
+             |      AND (n::DOUBLE * syy::DOUBLE
+             |        - sy::DOUBLE * sy::DOUBLE) > 0.0
+             |    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |      / sqrt((n::DOUBLE * sxx::DOUBLE
+             |          - sx::DOUBLE * sx::DOUBLE)
+             |        * (n::DOUBLE * syy::DOUBLE
+             |          - sy::DOUBLE * sy::DOUBLE))
+             |    END, 6) AS corr
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    Q("e15_moving_agg",
+      (s, d) => {
+        // groupArrayMovingSum/Avg shape: per-type daily cent totals
+        // with a 7-row trailing window — one shuffle to daily grain
+        // (map-side combined), then a bounded ROWS frame; the moving
+        // average stays integral in micro-units
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(sum(round(col("value") * 100).cast("long"))
+            .as("day_cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("mov_sum", sum(col("day_cents")).over(w))
+          .withColumn("__cnt", count(lit(1)).over(w))
+          .select(col("event_type"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("day_cents"), col("mov_sum"),
+            expr("(mov_sum * 1000000) div __cnt").as("mov_avg_micro"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    date_trunc('day', ts) AS d,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS day_cents
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, d, day_cents,
+             |    sum(day_cents) OVER (PARTITION BY event_type ORDER BY d
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS mov_sum,
+             |    count(*) OVER (PARTITION BY event_type ORDER BY d
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS cnt FROM daily)
+             |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+             |  day_cents, mov_sum,
+             |  ((mov_sum * 1000000) // cnt)::BIGINT AS mov_avg_micro
+             |FROM m ORDER BY event_type, day""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -78,6 +78,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r0.getAs[Double]("v")) < 1e-6)
   }
 
+  test("corrCovar: planted ±1 correlation; zero variance → null corr") {
+    val rows =
+      (1L to 10L).map(i => ("up", i, 3 * i + 5)) ++
+      (1L to 10L).map(i => ("down", i, -2 * i)) ++
+      (1L to 5L).map(i => ("const", i, 7L))
+    val out = Stats.corrCovar(rows.toDF("g", "x", "y"), col("x"),
+        col("y"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("up").getAs[Double]("corr") - 1.0) < 1e-9)
+    assert(math.abs(out("down").getAs[Double]("corr") + 1.0) < 1e-9)
+    assert(out("const").isNullAt(3), "zero y-variance → null corr")
+    // covar of (i, 3i+5) = 3·var(i); var(1..10) sample = 55/6
+    assert(math.abs(out("up").getAs[Double]("covar_samp") - 27.5) < 1e-6)
+  }
+
   test("weightedQuantile: ⌈q·W⌉ threshold semantics, per group") {
     // g: values 1..4 with weights 1,1,1,7 (W=10): p50 threshold
     // ⌈5⌉=5 → first value with cum ≥ 5 is 4; p10 threshold 1 → 1
