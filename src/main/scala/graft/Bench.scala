@@ -403,9 +403,12 @@ object Bench {
     // a 7 KB line gets its head truncated and can never parse (rounds 1-5
     // recorded parsed:null). Full artifact goes to a file + stderr; stdout
     // gets a compact line sized to survive the capture window intact.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
+    // filtered runs (isolated timing) must not clobber the committed
+    // full-suite artifact README points at
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
     System.err.println(fullJson)
     val okCount = results.count(_._2.nonEmpty)
     var heavy = results.collect { case (k, Some(v), _) => (k, v) }.sortBy(-_._2).take(12)

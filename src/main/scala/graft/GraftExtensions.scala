@@ -186,6 +186,12 @@ object GraftExtensions {
       UniqUpTo(intLit(args.head, "uniq_up_to", "n"), args(1))
         .toAggregateExpression()
     },
+    // histogram(bins)(x) shape: Ben-Haim/Yom-Tov streaming histogram
+    "hist_sketch" -> { args =>
+      arity("hist_sketch", args, 2)
+      HistogramSketch(intLit(args.head, "hist_sketch", "nbins"), args(1))
+        .toAggregateExpression()
+    },
     "sequence_match" -> { args =>
       arity("sequence_match", args, 4)
       val g = longLit(args.head, "sequence_match", "max_gap_sec")

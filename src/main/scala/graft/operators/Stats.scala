@@ -228,6 +228,104 @@ object Stats {
         expr("__s div n").as("entropy_micro_bits"))
   }
 
+  /** Spearman rank correlation per group (the engine family's
+    * `rankCorr`): Pearson over average ranks, with ties handled the
+    * textbook way (tied values share the mean of their rank block).
+    *
+    * Integer discipline: average ranks can be half-integral, so the
+    * whole computation runs in DOUBLED ranks — for a tie block of
+    * size t starting at min-rank r, 2·avgRank = 2r + t − 1 is always
+    * an integer. Pearson over the doubled ranks equals Pearson over
+    * the ranks (invariant under affine maps), so the statistic is
+    * unchanged while every shuffled value stays a LONG.
+    *
+    * Shape: two per-group windows (one sort per axis — the same cost
+    * class as any global rank), then ONE map-side-combined moment
+    * aggregation; only (group, 2rx, 2ry) longs cross the shuffle and
+    * the final ρ is one double expression over six exact longs.
+    * Rows with a null on either axis are excluded up front (their
+    * ranks would be engine-defined otherwise).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      group: Column): DataFrame = {
+    val base = df.select(group.as("__g"), x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def doubled(c: String): Column = {
+      val w = Window.partitionBy(col("__g")).orderBy(col(c))
+      val ties = Window.partitionBy(col("__g"), col(c))
+      lit(2) * rank().over(w).cast("long") +
+        count(lit(1)).over(ties) - lit(1L)
+    }
+    val ranked = base
+      .withColumn("__rx", doubled("__x"))
+      .withColumn("__ry", doubled("__y"))
+    val m = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+        sum(col("__rx") * col("__ry")).as("sxy"),
+        sum(col("__rx") * col("__rx")).as("sxx"),
+        sum(col("__ry") * col("__ry")).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("__g"), col("n"),
+      round(when(varX > 0.0 && varY > 0.0,
+        covN / sqrt(varX * varY)), 6).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test (the engine family's
+    * `kolmogorovSmirnovTest`) between the LONG-valued samples of two
+    * groups: D = sup |ECDF_a − ECDF_b| plus the asymptotic two-sided
+    * p-value 2·exp(−2λ²), λ = D·√(mn/(m+n)).
+    *
+    * Exactness: with cumulative counts cumA/cumB at each distinct
+    * value, D = max |cumA·nB − cumB·nA| / (nA·nB) — the max runs over
+    * INTEGERS, so the supremum point is found without any floating
+    * point; D and p become double algebra over three exact longs at
+    * the very end (replayable bit-identically by any engine).
+    * Reported as d_micro = (maxDiff·10⁶) div (nA·nB) and p rounded
+    * to 6.
+    *
+    * Shape at 100 TB: one aggregation to the (value) → (countA,
+    * countB) domain — data-sized rows never reach the window — then
+    * one global cumulative over sorted DISTINCT values (range-
+    * partitioned sort over a domain already shrunk by the groupBy),
+    * and a single max. Same cost class as Mann–Whitney.
+    */
+  def ksTest(df: DataFrame, value: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val byValue = df
+      .filter(group.isin(groupA, groupB) && value.isNotNull)
+      .groupBy(value.as("__v"))
+      .agg(sum(when(group === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = byValue
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wTot))
+      .withColumn("__nb", sum(col("__cb")).over(wTot))
+    val top = cum.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      max(abs(col("__cuma") * col("__nb") -
+        col("__cumb") * col("__na"))).as("__maxdiff"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val dStat = col("__maxdiff").cast("double") / (nA * nB)
+    val lambda = dStat * sqrt(nA * nB / (nA + nB))
+    top.select(col("n_a"), col("n_b"),
+      expr("(__maxdiff * 1000000) div (n_a * n_b)").as("d_micro"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lambda * lambda)),
+        6).as("p_asymptotic"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

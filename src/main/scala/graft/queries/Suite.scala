@@ -40,6 +40,12 @@ object Suite {
   private val knnGraphRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Materialized projection summaries, one per corpus dir (a9:
+    * projection maintenance is the ingest path's job; the query
+    * times serving through the rewrite). */
+  private val projectionRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def epochS(c: Column): Column = unix_timestamp(c)
 
   /** Empty SCD2 dim with the (ver_key, user_id, event_type) shape used
@@ -662,6 +668,42 @@ object Suite {
              |  round(sum(c_acctbal), 2) AS total_acctbal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("a9_projection_rewrite",
+      (s, d) => {
+        // ClickHouse-projection shape: corpus char/doc accounting per
+        // source answered from a registered partial-sum summary — the
+        // optimizer swaps the base scan for the summary
+        // (plans.ProjectionRewrite scaladoc; the swap itself is
+        // plan-asserted in ProjectionRewriteSpec). The query groups a
+        // SUBSET of the projection keys and filters on the other key,
+        // exercising the coarser-grain and key-filter paths; the
+        // oracle replays the same aggregate over the BASE table, so a
+        // green row proves the rewrite changed the plan, not the
+        // answer. Summary built once per corpus dir: maintenance is
+        // the write path's job (Summing discipline), serving is
+        // what's timed.
+        val base = s"$d/documents.parquet"
+        val root = projectionRoots.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_proj").toString
+          s.read.parquet(base).groupBy("source", "lang")
+            .agg(sum("n_chars").as("n_chars"), count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(out)
+          out
+        })
+        graft.plans.Projections.register(s, base, root,
+          keys = Seq("source", "lang"), measures = Seq("n_chars"))
+        s.read.parquet(base)
+          .filter(col("lang") =!= "xx")
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("chars"), count(lit(1)).as("docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, sum(n_chars)::BIGINT AS chars,
+             |  count(*)::BIGINT AS docs
+             |FROM documents WHERE lang <> 'xx'
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
 
     Q("c5_current_dim_join",
       (s, d) => {
@@ -4440,6 +4482,32 @@ object Suite {
              |  least(count(DISTINCT user_id), 131) AS u
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    Q("d22_hist_state",
+      (s, d) => {
+        // Ben-Haim/Yom-Tov streaming histogram on the SQL surface.
+        // The k payload has ≤100 distinct values < nbins=128, so no
+        // compression fires and the sketch IS the value-grain GROUP
+        // BY (exact regime, HistogramSketch scaladoc) — the adaptive
+        // regime's invariants are spec-pinned (HistogramSketchSpec).
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT event_type,
+                 |  CAST(centroid AS BIGINT) AS k, cnt
+                 |FROM (SELECT event_type,
+                 |      hist_sketch(128,
+                 |        CAST(get_json_object(props, '$.k') AS BIGINT))
+                 |        AS h
+                 |    FROM events GROUP BY event_type)
+                 |LATERAL VIEW inline(h) t AS centroid, cnt
+                 |ORDER BY event_type, k""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  count(*)::BIGINT AS cnt
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin)),
+
     Q("d14_group_array",
       (s, d) => t(s, d, "events")
         // groupArray/groupUniqArray shape: the per-key ordered value
@@ -5611,6 +5679,125 @@ object Suite {
              |          - sy::DOUBLE * sy::DOUBLE))
              |    END, 6) AS corr
              |FROM m ORDER BY event_type""".stripMargin)),
+
+    Q("h30_spearman",
+      (s, d) => {
+        // rankCorr: Spearman rho between event value and the k payload
+        // per type — monotone association where h29's Pearson measures
+        // linear. Doubled average ranks keep everything LONG until the
+        // final rho expression (Stats.spearman scaladoc).
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+        Stats.spearman(ev, col("x"), col("y"), col("event_type"))
+          .withColumnRenamed("__g", "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    round(value*100)::BIGINT AS x,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      AS y FROM events
+             |  WHERE value IS NOT NULL
+             |    AND json_extract_string(props, '$.k') IS NOT NULL),
+             |r AS (SELECT event_type,
+             |    (2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+             |     + count(*) OVER (PARTITION BY event_type, x)
+             |     - 1)::BIGINT AS rx,
+             |    (2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+             |     + count(*) OVER (PARTITION BY event_type, y)
+             |     - 1)::BIGINT AS ry
+             |  FROM t),
+             |m AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+             |    sum(rx*ry)::BIGINT AS sxy, sum(rx*rx)::BIGINT AS sxx,
+             |    sum(ry*ry)::BIGINT AS syy
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n,
+             |  round(CASE WHEN (n::DOUBLE * sxx::DOUBLE
+             |        - sx::DOUBLE * sx::DOUBLE) > 0.0
+             |      AND (n::DOUBLE * syy::DOUBLE
+             |        - sy::DOUBLE * sy::DOUBLE) > 0.0
+             |    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |      / sqrt((n::DOUBLE * sxx::DOUBLE
+             |          - sx::DOUBLE * sx::DOUBLE)
+             |        * (n::DOUBLE * syy::DOUBLE
+             |          - sy::DOUBLE * sy::DOUBLE))
+             |    END, 6) AS rho
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    Q("h31_ks_test",
+      (s, d) => {
+        // kolmogorovSmirnovTest: are 'view' and 'click' event values
+        // drawn from the same distribution? D found over integer
+        // cross-multiplied cumulative counts (Stats.ksTest scaladoc),
+        // p from the asymptotic two-sided formula.
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v"))
+        Stats.ksTest(ev, col("v"), col("event_type"), "view", "click")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    round(value*100)::BIGINT AS v FROM events
+             |  WHERE event_type IN ('view','click')
+             |    AND value IS NOT NULL),
+             |byv AS (SELECT v,
+             |    sum(CASE WHEN event_type='view' THEN 1 ELSE 0
+             |      END)::BIGINT AS ca,
+             |    sum(CASE WHEN event_type='click' THEN 1 ELSE 0
+             |      END)::BIGINT AS cb
+             |  FROM t GROUP BY 1),
+             |c AS (SELECT
+             |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
+             |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW)::BIGINT AS cumb,
+             |    sum(ca) OVER ()::BIGINT AS na,
+             |    sum(cb) OVER ()::BIGINT AS nb
+             |  FROM byv),
+             |m AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+             |    max(abs(cuma*nb - cumb*na))::BIGINT AS maxdiff
+             |  FROM c)
+             |SELECT n_a, n_b,
+             |  (maxdiff * 1000000) // (n_a * n_b) AS d_micro,
+             |  round(least(1.0, 2.0 * exp(-2.0
+             |    * (maxdiff::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+             |    * (maxdiff::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+             |    * (n_a::DOUBLE * n_b::DOUBLE
+             |       / (n_a::DOUBLE + n_b::DOUBLE)))), 6)
+             |    AS p_asymptotic
+             |FROM m""".stripMargin)),
+
+    Q("e16_cube",
+      (s, d) => {
+        // CUBE over (event_type, ISO weekday): all four grouping-set
+        // grains in one pass — Spark expands the cube BEFORE the
+        // exchange, so it's still one map-side-combined shuffle.
+        // Explicit per-column grouping flags (not grouping_id) keep
+        // the oracle engine-neutral.
+        t(s, d, "events")
+          .select(col("event_type"),
+            (weekday(col("ts")) + 1).as("dow"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .cube(col("event_type"), col("dow"))
+          .agg(grouping(col("event_type")).cast("int").as("g_t"),
+            grouping(col("dow")).cast("int").as("g_d"),
+            count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+          .select(col("g_t"), col("g_d"),
+            coalesce(col("event_type"), lit("<all>")).as("event_type"),
+            coalesce(col("dow"), lit(-1)).cast("int").as("dow"),
+            col("n"), col("cents_sum"))
+          .orderBy("g_t", "g_d", "event_type", "dow")
+      },
+      Some("""SELECT GROUPING(event_type)::INT AS g_t,
+             |  GROUPING(dow)::INT AS g_d,
+             |  coalesce(event_type, '<all>') AS event_type,
+             |  coalesce(dow, -1)::INT AS dow,
+             |  count(*)::BIGINT AS n,
+             |  sum(cents)::BIGINT AS cents_sum
+             |FROM (SELECT event_type,
+             |    (CAST(isodow(ts) AS INT)) AS dow,
+             |    round(value*100)::BIGINT AS cents FROM events)
+             |GROUP BY CUBE (event_type, dow)
+             |ORDER BY g_t, g_d, event_type, dow""".stripMargin)),
 
     Q("e15_moving_agg",
       (s, d) => {

@@ -23,6 +23,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"))
   }
 
+  test("a9 projection query scans the summary, never documents.parquet") {
+    val q = queries.Suite.queries("a9_projection_rewrite")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("graft_proj"),
+      s"must read the registered projection summary:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"base table must not be scanned:\n$plan")
+  }
+
   test("fact->dim hash-key joins broadcast (no fact shuffle)") {
     val q = queries.Suite.queries("c4_hashkey_join")(spark, sf)
     val plan = planOf(q)

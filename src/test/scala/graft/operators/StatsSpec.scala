@@ -126,6 +126,39 @@ class StatsSpec extends SparkSpec {
     assert(out("s") == 0L)
   }
 
+  test("spearman: monotone map → 1, reversal → -1, ties averaged") {
+    // y = x³ is nonlinear but strictly monotone: Pearson < 1, rho = 1
+    val mono = (1L to 20L).map(x => ("up", x, x * x * x))
+    val rev = (1L to 20L).map(x => ("down", x, -x))
+    val out = Stats.spearman((mono ++ rev).toDF("g", "x", "y"),
+        col("x"), col("y"), col("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(out("up") == 1.0, s"monotone must give rho=1: $out")
+    assert(out("down") == -1.0, s"reversal must give rho=-1: $out")
+    // tie handling: doubled average ranks must equal the textbook
+    // half-rank computation (x ties in the middle block)
+    val tied = Seq(("t", 1L, 10L), ("t", 2L, 20L), ("t", 2L, 30L),
+      ("t", 3L, 40L))
+    val rho = Stats.spearman(tied.toDF("g", "x", "y"), col("x"),
+      col("y"), col("g")).collect().head.getAs[Double]("rho")
+    // ranks x: 1, 2.5, 2.5, 4; y: 1,2,3,4 → rho = 0.948683 (6dp)
+    assert(math.abs(rho - 0.948683) < 1e-6, s"got $rho")
+  }
+
+  test("ksTest: identical samples → D=0 p=1; disjoint → D=1 p~0") {
+    val same = (1L to 50L).flatMap(v => Seq(("a", v), ("b", v)))
+    val r1 = Stats.ksTest(same.toDF("g", "v"), col("v"), col("g"),
+      "a", "b").collect().head
+    assert(r1.getAs[Long]("d_micro") == 0L)
+    assert(r1.getAs[Double]("p_asymptotic") == 1.0)
+    val disjoint = (1L to 50L).map(v => ("a", v)) ++
+      (100L to 149L).map(v => ("b", v))
+    val r2 = Stats.ksTest(disjoint.toDF("g", "v"), col("v"), col("g"),
+      "a", "b").collect().head
+    assert(r2.getAs[Long]("d_micro") == 1000000L)
+    assert(r2.getAs[Double]("p_asymptotic") < 1e-9)
+  }
+
   test("linFit recovers an exactly planted line; degenerate x → null") {
     val pts = (0L to 10L).map(x => ("g", x, 300L * x + 700L)) ++
       Seq(("flat", 5L, 100L), ("flat", 5L, 200L))
