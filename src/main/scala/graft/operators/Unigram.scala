@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram-LM subword tokenizer (Kudo, ACL'18, "Subword
+  * Regularization"; the SentencePiece unigram model) — the other
+  * major tokenizer family next to [[Bpe]]: instead of greedy merges,
+  * a piece VOCABULARY with unigram probabilities is fit by EM over
+  * all segmentations, pruned to size, and words are encoded with the
+  * Viterbi-best segmentation.
+  *
+  * Shapes for 100 TB (the same discipline as [[Bpe]]):
+  *  - ONE corpus pass builds the (word, count) dictionary —
+  *    map-side-combined, vocab-bounded, capped at `maxDictWords`;
+  *  - seed census, EM lattice passes and pruning run DRIVER-LOCAL
+  *    over the bounded dictionary (every production unigram trainer
+  *    is single-node over word counts — the corpus never re-enters);
+  *  - encoding is a broadcast join of the corpus tokens against the
+  *    dictionary's precomputed Viterbi segmentations; OOV words fall
+  *    back to character pieces (single chars are never pruned, so
+  *    coverage is total).
+  *
+  * Determinism: the seed is ranked by (count desc, piece asc); EM is
+  *  a fixed-order fold over the sorted dictionary (float math in one
+  *  thread, one order — reproducible run-to-run); Viterbi ties
+  *  prefer the longer final piece. The float-free seed census is the
+  *  SQL-replayable surface (suite l96); the EM/Viterbi core is
+  *  pinned by exhaustive-search property specs (UnigramSpec), the
+  *  same proof pattern as the funnel DP.
+  */
+object Unigram {
+
+  /** Trained model: piece → natural-log probability. */
+  final case class Model(logp: Map[String, Double], maxPieceLen: Int)
+
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__n"))
+
+  /** Distributed seed-vocabulary census: EVERY substring occurrence
+    * (overlaps included, length ≤ maxPieceLen) of every dictionary
+    * word, weighted by the word's corpus count — the exact integer
+    * statistic unigram training seeds from (Kudo §3.2 seeds from
+    * frequent substrings). Two explodes over the VOCAB-bounded
+    * dictionary (never the corpus), one map-side-combined sum.
+    * Returns (piece, cnt). */
+  def seedCensus(docs: DataFrame, textCol: String = "text",
+      maxPieceLen: Int = 4, minCount: Long = 1L): DataFrame =
+    wordCounts(docs, textCol)
+      .filter(col("__n") >= minCount)
+      .select(col("word"), col("__n"),
+        explode(sequence(lit(1), length(col("word")))).as("__i"))
+      .select(col("word"), col("__n"), col("__i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .filter(col("__i") + col("__l") - lit(1) <= length(col("word")))
+      .select(col("word").substr(col("__i"), col("__l")).as("piece"),
+        col("__n"))
+      .groupBy("piece").agg(sum(col("__n")).as("cnt"))
+
+  /** log(Σ eˣ) without leaving log space. */
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Train a unigram model over the corpus word dictionary.
+    *
+    * Exactly ONE Spark job touches the corpus (the word-count
+    * collect). Driver-local after that: seed = the `seedSize` most
+    * frequent substrings (plus all single characters, which are
+    * never pruned — total coverage); then rounds of (EM ×`emIters` →
+    * prune the lowest-expected-count multi-char pieces to
+    * `pruneKeep` of the vocabulary) until ≤ `vocabSize` pieces
+    * survive, and one settling EM round. The E-step is the standard
+    * forward-backward over each word's segmentation lattice
+    * (O(len·maxPieceLen) per word); the M-step renormalizes expected
+    * counts. Pruning by expected count is the common simplification
+    * of Kudo's held-out-likelihood loss (e.g. Bostrom & Durrett 2020
+    * replication); the spec pins that corpus log-likelihood is
+    * non-decreasing across EM iterations, which is EM's guarantee.
+    */
+  def train(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 200, maxPieceLen: Int = 4, seedSize: Int = 2000,
+      emIters: Int = 2, pruneKeep: Double = 0.8, minCount: Long = 1L,
+      maxDictWords: Int = 1 << 22): Model = {
+    require(vocabSize > 0 && seedSize >= vocabSize,
+      s"need seedSize ($seedSize) >= vocabSize ($vocabSize) > 0")
+    require(pruneKeep > 0.0 && pruneKeep < 1.0, "pruneKeep must be in (0,1)")
+    val dict: Array[(String, Long)] = wordCounts(docs, textCol)
+      .filter(col("__n") >= minCount)
+      .orderBy(col("__n").desc, col("word").asc)
+      .limit(maxDictWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver-side census over the bounded dict (same enumeration as
+    // [[seedCensus]]; overlapping occurrences all count)
+    val census = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          census.update(p, census.getOrElse(p, 0L) + n)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = census.keysIterator.filter(_.length == 1).toSet
+    val multis = census.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - singles.size)).map(_._1)
+    var pieces: Array[String] = (singles ++ multis).toArray.sorted
+    var logp: collection.Map[String, Double] = {
+      val tot = pieces.iterator.map(census(_)).sum.toDouble
+      pieces.iterator.map(p => p -> math.log(census(p) / tot)).toMap
+    }
+
+    /** One EM pass: (expected piece counts, corpus log-likelihood). */
+    def emStep(): (scala.collection.mutable.HashMap[String, Double], Double) = {
+      val exp = scala.collection.mutable.HashMap.empty[String, Double]
+      var ll = 0.0
+      dict.foreach { case (w, n) =>
+        val len = w.length
+        val alpha = Array.fill(len + 1)(Double.NegativeInfinity)
+        val beta = Array.fill(len + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        var i = 1
+        while (i <= len) {
+          var l = 1
+          while (l <= maxPieceLen && l <= i) {
+            logp.get(w.substring(i - l, i)).foreach { lp =>
+              alpha(i) = logAdd(alpha(i), alpha(i - l) + lp)
+            }
+            l += 1
+          }
+          i += 1
+        }
+        beta(len) = 0.0
+        i = len - 1
+        while (i >= 0) {
+          var l = 1
+          while (l <= maxPieceLen && i + l <= len) {
+            logp.get(w.substring(i, i + l)).foreach { lp =>
+              beta(i) = logAdd(beta(i), lp + beta(i + l))
+            }
+            l += 1
+          }
+          i -= 1
+        }
+        val z = alpha(len)
+        if (z != Double.NegativeInfinity) {
+          ll += n * z
+          i = 0
+          while (i < len) {
+            var l = 1
+            while (l <= maxPieceLen && i + l <= len) {
+              val p = w.substring(i, i + l)
+              logp.get(p).foreach { lp =>
+                val post = math.exp(alpha(i) + lp + beta(i + l) - z)
+                if (post > 0.0) exp.update(p, exp.getOrElse(p, 0.0) + n * post)
+              }
+              l += 1
+            }
+            i += 1
+          }
+        }
+      }
+      (exp, ll)
+    }
+
+    def mStep(exp: collection.Map[String, Double]): Unit = {
+      // single chars keep a floor count so coverage never dies
+      val counts = pieces.map(p =>
+        p -> math.max(exp.getOrElse(p, 0.0), if (p.length == 1) 1e-9 else 0.0))
+      val live = counts.filter(_._2 > 0.0)
+      val tot = live.iterator.map(_._2).sum
+      pieces = live.map(_._1)
+      logp = live.iterator.map { case (p, c) => p -> math.log(c / tot) }.toMap
+    }
+
+    var lastExp: collection.Map[String, Double] = Map.empty
+    def emRound(): Unit = {
+      var it = 0
+      while (it < emIters) {
+        val (exp, _) = emStep()
+        mStep(exp)
+        lastExp = exp
+        it += 1
+      }
+    }
+    emRound()
+    // singles are never pruned: when the alphabet alone exceeds
+    // vocabSize the loop below could never converge — stop at the
+    // all-singles floor instead
+    while (pieces.length > vocabSize && pieces.exists(_.length > 1)) {
+      val target = math.max(vocabSize, (pieces.length * pruneKeep).toInt)
+      val keepMulti = pieces.iterator.filter(_.length > 1).toArray
+        .sortBy(p => (-lastExp.getOrElse(p, 0.0), p))
+        .take(math.max(0, target - singles.size)).toSet
+      pieces = pieces.filter(p => p.length == 1 || keepMulti(p))
+      logp = {
+        // renormalize the survivors before the next EM round
+        val kept = pieces.map(p => p -> lastExp.getOrElse(p,
+          if (p.length == 1) 1e-9 else 0.0))
+        val tot = kept.iterator.map(_._2).sum
+        kept.iterator.map { case (p, c) => p -> math.log(c / tot) }.toMap
+      }
+      emRound()
+    }
+    Model(logp.toMap, maxPieceLen)
+  }
+
+  /** Viterbi-best segmentation of one word under the model; ties
+    * prefer the longer final piece. Words with uncovered characters
+    * (possible only for chars absent from training) fall back to
+    * per-character pieces. */
+  def viterbi(model: Model, word: String): Array[String] = {
+    val len = word.length
+    val best = Array.fill(len + 1)(Double.NegativeInfinity)
+    val back = Array.fill(len + 1)(0)
+    best(0) = 0.0
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      while (l <= model.maxPieceLen && l <= i) {
+        model.logp.get(word.substring(i - l, i)).foreach { lp =>
+          val s = best(i - l) + lp
+          if (s > best(i) || (s == best(i) && l > back(i))) {
+            best(i) = s; back(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(len) == Double.NegativeInfinity)
+      return word.split("").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = len
+    while (pos > 0) {
+      val l = back(pos)
+      out += word.substring(pos - l, pos)
+      pos -= l
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Viterbi log-probability of a word (the score [[viterbi]]
+    * maximizes) — exposed for the exhaustive-search spec. */
+  def viterbiScore(model: Model, word: String): Double = {
+    val len = word.length
+    val best = Array.fill(len + 1)(Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      while (l <= model.maxPieceLen && l <= i) {
+        model.logp.get(word.substring(i - l, i)).foreach { lp =>
+          if (best(i - l) + lp > best(i)) best(i) = best(i - l) + lp
+        }
+        l += 1
+      }
+      i += 1
+    }
+    best(len)
+  }
+
+  /** Encode the corpus: tokenize, broadcast-join each token against
+    * the dictionary's precomputed Viterbi segmentation (computed
+    * driver-side once per DISTINCT dict word, never per occurrence);
+    * OOV words fall back to character pieces. Output one row per
+    * (doc, token_idx): (idCol, token_idx, word, subwords) — the same
+    * surface as [[Bpe.encode]], so [[Bpe.fertility]] reads both. */
+  def encode(docs: DataFrame, model: Model, textCol: String = "text",
+      idCol: String = "doc_id", maxDictWords: Int = 1 << 22): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictWords = wordCounts(docs, textCol)
+      .orderBy(col("__n").desc, col("word").asc)
+      .limit(maxDictWords)
+      .select("word").collect().map(_.getString(0))
+    val seg = dictWords.map(w => (w, viterbi(model, w))).toSeq
+      .toDF("word", "pieces")
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("token_idx", "word")))
+      .join(broadcast(seg), Seq("word"), "left")
+      .select(col(idCol), col("token_idx"), col("word"),
+        coalesce(col("pieces"),
+          filter(split(col("word"), ""), s => length(s) > 0))
+          .as("subwords"))
+  }
+}

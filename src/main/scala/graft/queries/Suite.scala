@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Intervals, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Intervals, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats, Unigram}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -5570,6 +5570,40 @@ object Suite {
              |SELECT cohort, n,
              |  (contrib // n)::BIGINT AS entropy_micro_bits
              |FROM s ORDER BY cohort""".stripMargin)),
+
+    Q("l96_unigram_seed",
+      (s, d) => {
+        // the integer half of unigram-tokenizer training (Kudo'18):
+        // the seed-vocabulary census — every substring occurrence
+        // (overlaps included, len ≤ 4) of every corpus word ≥ 2
+        // occurrences, weighted by word count; top-30 by exact total.
+        // The float EM/Viterbi core is exhaustive-search-pinned in
+        // UnigramSpec (the funnel-DP proof pattern); this row pins
+        // the statistic EM seeds from. Two explodes over the
+        // vocab-bounded dictionary — the corpus is read once.
+        val w = Window.orderBy(col("cnt").desc, col("piece").asc)
+        Unigram.seedCensus(t(s, d, "documents"), minCount = 2)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 30)
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (SELECT list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |w AS (SELECT t AS word, count(*)::BIGINT AS n FROM
+             |    (SELECT unnest(tk) AS t FROM toks)
+             |  GROUP BY 1 HAVING count(*) >= 2),
+             |s1 AS (SELECT word, n,
+             |    unnest(generate_series(1, len(word))) AS i FROM w),
+             |s2 AS (SELECT word, n, i,
+             |    unnest(generate_series(1, 4)) AS l FROM s1),
+             |c AS (SELECT substr(word, i, l) AS piece,
+             |    sum(n)::BIGINT AS cnt
+             |  FROM s2 WHERE i + l - 1 <= len(word) GROUP BY 1),
+             |r AS (SELECT piece, cnt, row_number() OVER (
+             |    ORDER BY cnt DESC, piece ASC) AS rank FROM c)
+             |SELECT piece, cnt, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
     Q("l95_pii_audit",
       (s, d) => {
