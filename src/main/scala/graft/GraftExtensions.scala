@@ -25,8 +25,12 @@ import graft.core.Keys
   * a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // projection auto-rewrite (plans.Projections registry); a no-op
+    // until a projection is registered
+    ext.injectOptimizerRule(graft.plans.ProjectionRewrite.apply)
+  }
 }
 
 object GraftExtensions {

@@ -4627,6 +4627,43 @@ object Suite {
              |  1 AS within_5pct
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    Q("d23_hll_overlap",
+      (s, d) => {
+        // audience overlap WITHOUT a distinct-pair shuffle: the
+        // inclusion–exclusion estimate |A∩B| ≈ est(A)+est(B)−est(A∪B)
+        // over three bounded HLL states — at 100 TB the three
+        // sketches are the whole data movement, vs an INTERSECT that
+        // shuffles both user sets. The estimate is engine-specific;
+        // the pinned contract is the guarantee band around the
+        // oracled exact overlap (d10/d15 discipline). Overlap keeps
+        // the 3 single-set ~1% errors but DIVIDES by the overlap
+        // size, so the band is 10% here (view∩click covers most
+        // users in this corpus — the amplification stays small).
+        graft.GraftExtensions.register(s)
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql("""WITH sk AS (SELECT
+                 |    hll_estimate(hll_sketch(CASE WHEN event_type =
+                 |      'view' THEN user_id END)) AS ea,
+                 |    hll_estimate(hll_sketch(CASE WHEN event_type =
+                 |      'click' THEN user_id END)) AS eb,
+                 |    hll_estimate(hll_sketch(CASE WHEN event_type IN
+                 |      ('view','click') THEN user_id END)) AS eu
+                 |  FROM events),
+                 |ex AS (SELECT count(*) AS exact_overlap FROM (
+                 |    SELECT user_id FROM events WHERE event_type='view'
+                 |    INTERSECT
+                 |    SELECT user_id FROM events WHERE event_type='click'))
+                 |SELECT ex.exact_overlap,
+                 |  CAST(abs((sk.ea + sk.eb - sk.eu) - ex.exact_overlap)
+                 |    <= ex.exact_overlap * 0.1 AS INT) AS within_10pct
+                 |FROM sk CROSS JOIN ex""".stripMargin)
+      },
+      Some("""SELECT count(*) AS exact_overlap, 1 AS within_10pct
+             |FROM (SELECT user_id FROM events WHERE event_type='view'
+             |  INTERSECT
+             |  SELECT user_id FROM events WHERE event_type='click')
+             |""".stripMargin)),
+
     Q("e11_array_hof",
       (s, d) => t(s, d, "documents")
         // the arrayMap/arrayFilter/arrayReduce family as native
