@@ -326,6 +326,39 @@ object Stats {
         6).as("p_asymptotic"))
   }
 
+  /** Population skewness and kurtosis per group (the engine family's
+    * `skewPop` / `kurtPop`; kurtosis is the PLAIN m₄/m₂² — normal
+    * ≈ 3 — matching ClickHouse, not the excess variant): one
+    * map-side-combined aggregation to exact long power sums
+    * (n, Σx, Σx², Σx³, Σx⁴), then central moments and the two ratios
+    * as double algebra over five exact longs, rounded to 6 —
+    * replayable bit-identically, unlike a streaming-moment double
+    * implementation whose result depends on partial-agg order.
+    *
+    * Overflow discipline: needs n·max|x|⁴ < 2⁶³ — pass the measure
+    * in coarse integral units (whole units, not cents; |x| ≤ 10⁴
+    * keeps corpora to ~10⁶ rows per group, |x| ≤ 10² to ~10¹⁰).
+    * Groups with zero variance return null skew/kurt. */
+  def skewKurt(df: DataFrame, x: Column, group: Column): DataFrame = {
+    val m = df.groupBy(group)
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * col("s2").cast("double") / nD +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mu * col("s3").cast("double") / nD +
+      lit(6.0) * mu * mu * col("s2").cast("double") / nD -
+      lit(3.0) * mu * mu * mu * mu
+    m.select(group, col("n"),
+      round(when(m2 > 0.0, m3 / sqrt(m2 * m2 * m2)), 6).as("skew_pop"),
+      round(when(m2 > 0.0, m4 / (m2 * m2)), 6).as("kurt_pop"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

@@ -63,6 +63,51 @@ object Suite {
         StructField("is_current", IntegerType))))
   }
 
+  /** DuckDB twin of [[graft.operators.Downsample.lttb]] at a fixed
+    * bucket count: LTTB's greedy scan is sequential (bucket k's
+    * choice depends on bucket k−1's), but at FIXED `buckets` it
+    * UNROLLS into chained argmax CTEs — one round per middle bucket,
+    * each picking the candidate maximizing the cross-multiplied
+    * integer triangle area against the previous selection and the
+    * next bucket's (Σt, Σv, count). Same fixed-iteration unrolling
+    * trick as the BPE oracle. */
+  private def lttbOracleSql(buckets: Int): String = {
+    val k = buckets - 2
+    val rounds = (0 until k).map { r =>
+      val nxt =
+        if (r == k - 1)
+          s"nxt$r AS (SELECT g, t AS st, v AS sv, 1::BIGINT AS c FROM lastp)"
+        else s"nxt$r AS (SELECT g, st, sv, c FROM agg WHERE k = ${r + 1})"
+      s"""$nxt,
+         |sel${r + 1} AS (SELECT m.g, m.t, m.v FROM mid m
+         |  JOIN sel$r p ON p.g = m.g
+         |  JOIN nxt$r x ON x.g = m.g
+         |  WHERE m.k = $r
+         |  QUALIFY row_number() OVER (PARTITION BY m.g ORDER BY
+         |    abs((p.t * x.c - x.st) * (m.v - p.v) -
+         |        (p.t - m.t) * (x.sv - p.v * x.c)) DESC,
+         |    m.t ASC, m.v ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to k).map(r => s"SELECT g, t, v FROM sel$r")
+      .mkString(" UNION ALL ") + " UNION ALL SELECT g, t, v FROM lastp"
+    s"""WITH pts AS (SELECT event_type AS g,
+       |    floor(epoch(ts))::BIGINT AS t,
+       |    round(value*100)::BIGINT AS v FROM events),
+       |ord AS (SELECT g, t, v,
+       |    row_number() OVER (PARTITION BY g ORDER BY t, v) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY g) AS n FROM pts),
+       |mid AS (SELECT g, t, v, idx, n,
+       |    ((idx - 1) * $k) // (n - 2) AS k FROM ord
+       |  WHERE idx >= 1 AND idx <= n - 2),
+       |agg AS (SELECT g, k, sum(t)::BIGINT AS st, sum(v)::BIGINT AS sv,
+       |    count(*)::BIGINT AS c FROM mid GROUP BY 1, 2),
+       |lastp AS (SELECT g, t, v FROM ord WHERE idx = n - 1),
+       |sel0 AS (SELECT g, t, v FROM ord WHERE idx = 0),
+       |$rounds
+       |SELECT g AS event_type, t, v FROM ($unions)
+       |ORDER BY event_type, t, v""".stripMargin
+  }
+
   /** DuckDB twin of Bpe.train + encode + fertility at a fixed merge
     * count: the merge loop UNROLLS into `numMerges` chained CTE rounds
     * (pair census over the current decomposition → lexicographic-tie
@@ -5836,6 +5881,58 @@ object Suite {
              |       / (n_a::DOUBLE + n_b::DOUBLE)))), 6)
              |    AS p_asymptotic
              |FROM m""".stripMargin)),
+
+    Q("h32_lttb",
+      (s, d) => {
+        // largestTriangleThreeBuckets: each event-type series down to
+        // 10 shape-preserving points for a dashboard panel — exact
+        // cross-multiplied integer areas, (t, v)-ascending ties, so
+        // the greedy scan replays in the unrolled-CTE oracle
+        // (Downsample scaladoc; Steinarsson 2013)
+        val ev = t(s, d, "events").select(col("event_type"),
+          epochS(col("ts")).as("t"),
+          round(col("value") * 100).cast("long").as("v"))
+        graft.operators.Downsample
+          .lttb(ev, "t", "v", "event_type", threshold = 10)
+          .orderBy("event_type", "t", "v")
+      },
+      Some(lttbOracleSql(10))),
+
+    Q("h33_skew_kurt",
+      (s, d) => {
+        // skewPop/kurtPop over event values per type — whole units
+        // (not cents) so Σx⁴ honors the long-overflow bound
+        // (Stats.skewKurt scaladoc)
+        val ev = t(s, d, "events").select(col("event_type"),
+          floor(col("value")).cast("long").as("x"))
+        Stats.skewKurt(ev, col("x"), col("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    floor(value)::BIGINT AS x FROM events),
+             |m AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS s1, sum(x*x)::BIGINT AS s2,
+             |    sum(x*x*x)::BIGINT AS s3, sum(x*x*x*x)::BIGINT AS s4
+             |  FROM t GROUP BY 1),
+             |c AS (SELECT event_type, n,
+             |    s1::DOUBLE / n AS mu,
+             |    s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)
+             |      AS m2,
+             |    s3::DOUBLE / n - 3.0 * (s1::DOUBLE / n) * s2::DOUBLE / n
+             |      + 2.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+             |        * (s1::DOUBLE / n) AS m3,
+             |    s4::DOUBLE / n - 4.0 * (s1::DOUBLE / n) * s3::DOUBLE / n
+             |      + 6.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+             |        * s2::DOUBLE / n
+             |      - 3.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+             |        * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m4
+             |  FROM m)
+             |SELECT event_type, n,
+             |  round(CASE WHEN m2 > 0.0
+             |    THEN m3 / sqrt(m2 * m2 * m2) END, 6) AS skew_pop,
+             |  round(CASE WHEN m2 > 0.0
+             |    THEN m4 / (m2 * m2) END, 6) AS kurt_pop
+             |FROM c ORDER BY event_type""".stripMargin)),
 
     Q("e16_cube",
       (s, d) => {

@@ -159,6 +159,24 @@ class StatsSpec extends SparkSpec {
     assert(r2.getAs[Double]("p_asymptotic") < 1e-9)
   }
 
+  test("skewKurt: symmetric → skew 0; known asymmetric case; flat → null") {
+    // symmetric around 0: skew exactly 0; two-point ±1 has kurt 1
+    val sym = Seq(-1L, 1L, -1L, 1L).map(("s", _))
+    // {0,0,0,4}: deviations {-1,-1,-1,3} → m2=3, m3=6, m4=21
+    // → skew 6/3^1.5, kurt 21/9
+    val asym = Seq(0L, 0L, 0L, 4L).map(("a", _))
+    val flat = Seq(7L, 7L).map(("f", _))
+    val out = Stats.skewKurt((sym ++ asym ++ flat).toDF("g", "x"),
+        col("x"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Double]("skew_pop") == 0.0)
+    assert(out("s").getAs[Double]("kurt_pop") == 1.0)
+    assert(math.abs(out("a").getAs[Double]("skew_pop")
+      - 6.0 / math.pow(3.0, 1.5)) < 1e-6)
+    assert(math.abs(out("a").getAs[Double]("kurt_pop") - 21.0 / 9.0) < 1e-6)
+    assert(out("f").isNullAt(2) && out("f").isNullAt(3))
+  }
+
   test("linFit recovers an exactly planted line; degenerate x → null") {
     val pts = (0L to 10L).map(x => ("g", x, 300L * x + 700L)) ++
       Seq(("flat", 5L, 100L), ("flat", 5L, 200L))
