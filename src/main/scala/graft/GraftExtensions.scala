@@ -196,6 +196,13 @@ object GraftExtensions {
       HistogramSketch(intLit(args.head, "hist_sketch", "nbins"), args(1))
         .toAggregateExpression()
     },
+    // quantileTDigest-role reader over a stored hist_sketch state
+    "hist_quantile" -> { args =>
+      arity("hist_quantile", args, 3)
+      expression(HistogramOps.histQuantile(column(args.head),
+        intLit(args(1), "hist_quantile", "num"),
+        intLit(args(2), "hist_quantile", "den")))
+    },
     "sequence_match" -> { args =>
       arity("sequence_match", args, 4)
       val g = longLit(args.head, "sequence_match", "max_gap_sec")

@@ -7,6 +7,41 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** Column-level readers over [[HistogramSketch]] states. */
+object HistogramOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Quantile num/den from a histogram state (the role the engine
+    * family's `quantileTDigest` plays, read from stored sketch
+    * states): the smallest centroid whose cumulative count reaches
+    * ⌈q·W⌉ — the same integer-threshold semantics as
+    * [[graft.operators.Stats.weightedQuantile]], so in the sketch's
+    * EXACT regime (distinct ≤ nbins) the answer IS the exact
+    * weighted quantile and replays in SQL (oracled, d24). In the
+    * compressed regime it reads the same rule over merged centroids
+    * (the paper's uniform/quantile procedure, nearest-centroid
+    * flavor). Pure array algebra over the state — no second
+    * aggregation pass. */
+  def histQuantile(h: Column, num: Int, den: Int): Column = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"hist_quantile: $num/$den is not in [0,1]")
+    val total = aggregate(h, lit(0L), (acc, x) => acc + x("cnt"))
+    // cum ≥ ceil(q·W) collapses to cum·den ≥ W·num over exact longs
+    // — no division anywhere. Scan once with a (cum, answer) struct
+    // accumulator; the first bin reaching the threshold wins.
+    aggregate(h,
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, x) => struct(
+        (acc("cum") + x("cnt")).as("cum"),
+        coalesce(acc("ans"),
+          when((acc("cum") + x("cnt")) * den >= total * num,
+            x("centroid")))
+          .as("ans")),
+      acc => acc("ans"))
+  }
+}
+
 /** Mutable streaming-histogram state: parallel arrays of bin
   * centroids (ascending) and counts, at most `nbins` live entries.
   * Kept as flat primitive arrays so update is allocation-free on the

@@ -4553,6 +4553,45 @@ object Suite {
              |WHERE json_extract_string(props, '$.k') IS NOT NULL
              |GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin)),
 
+    Q("d24_hist_quantile",
+      (s, d) => {
+        // quantiles read straight off the histogram state — the role
+        // quantileTDigest plays over AggregatingMergeTree states. In
+        // the exact regime the answer equals the weighted-quantile
+        // rule (cum·den ≥ W·num over exact longs), which is what the
+        // oracle replays; compressed-regime monotonicity is
+        // spec-pinned (HistogramSketchSpec).
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT event_type,
+                 |  hist_quantile(h, 1, 4) AS p25,
+                 |  hist_quantile(h, 1, 2) AS p50,
+                 |  hist_quantile(h, 3, 4) AS p75
+                 |FROM (SELECT event_type,
+                 |    hist_sketch(128,
+                 |      CAST(get_json_object(props, '$.k') AS BIGINT))
+                 |      AS h
+                 |  FROM events GROUP BY event_type)
+                 |ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      AS k FROM events
+             |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |g AS (SELECT event_type, k, count(*)::BIGINT AS c
+             |  FROM t GROUP BY 1, 2),
+             |c AS (SELECT event_type, k,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY k
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cum,
+             |    sum(c) OVER (PARTITION BY event_type)::BIGINT AS w
+             |  FROM g)
+             |SELECT event_type,
+             |  min(CASE WHEN cum * 4 >= w THEN k END)::DOUBLE AS p25,
+             |  min(CASE WHEN cum * 2 >= w THEN k END)::DOUBLE AS p50,
+             |  min(CASE WHEN cum * 4 >= w * 3 THEN k END)::DOUBLE AS p75
+             |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     Q("d14_group_array",
       (s, d) => t(s, d, "events")
         // groupArray/groupUniqArray shape: the per-key ordered value

@@ -54,6 +54,39 @@ class HistogramSketchSpec extends SparkSpec {
     assert(mass("hs_g1") == mass("hs_g32"))
   }
 
+  test("hist_quantile: exact regime equals the weighted-quantile rule") {
+    graft.GraftExtensions.register(spark)
+    // 1..10 with weight = value: W=55, cums 1,3,6,10,15,21,28,36,45,55
+    // p25 = smallest v with cum·4 ≥ 55 → 5 (15·4=60); p50 → 7 (28·2=56)
+    val rows = (1 to 10).flatMap(v => Seq.fill(v)(v.toDouble))
+    rows.toDF("v").createOrReplaceTempView("hq_exact")
+    val r = spark.sql(
+      """SELECT hist_quantile(h, 1, 4) AS p25,
+        |  hist_quantile(h, 1, 2) AS p50,
+        |  hist_quantile(h, 1, 1) AS p100
+        |FROM (SELECT hist_sketch(16, v) AS h FROM hq_exact)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 5.0) // cum(5)=15, 15*4=60 >= 55
+    assert(r.getDouble(1) == 7.0) // cum(7)=28, 28*2=56 >= 55
+    assert(r.getDouble(2) == 10.0)
+  }
+
+  test("hist_quantile: compressed regime is monotone and in range") {
+    graft.GraftExtensions.register(spark)
+    spark.range(30000)
+      .selectExpr("CAST(pmod(hash(id), 10000) AS DOUBLE) AS v")
+      .createOrReplaceTempView("hq_comp")
+    val r = spark.sql(
+      """SELECT hist_quantile(h, 1, 10) AS a, hist_quantile(h, 1, 2) AS b,
+        |  hist_quantile(h, 9, 10) AS c FROM
+        |(SELECT hist_sketch(32, v) AS h FROM hq_comp)""".stripMargin)
+      .collect().head
+    val (a, b, c) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(a <= b && b <= c, s"quantiles must be monotone: $a $b $c")
+    val mm = spark.sql("SELECT min(v), max(v) FROM hq_comp").collect().head
+    assert(a >= mm.getDouble(0) && c <= mm.getDouble(1))
+  }
+
   test("nulls and NaNs contribute nothing") {
     Seq[(java.lang.Long, java.lang.Double)](
       (1L, 1.0), (2L, null), (3L, Double.NaN), (4L, 2.0))
