@@ -196,6 +196,12 @@ object GraftExtensions {
       HistogramSketch(intLit(args.head, "hist_sketch", "nbins"), args(1))
         .toAggregateExpression()
     },
+    // read-side fold of stored histogram states (HistStream sink)
+    "hist_merge" -> { args =>
+      arity("hist_merge", args, 2)
+      HistMerge(intLit(args.head, "hist_merge", "nbins"), args(1))
+        .toAggregateExpression()
+    },
     // quantileTDigest-role reader over a stored hist_sketch state
     "hist_quantile" -> { args =>
       arity("hist_quantile", args, 3)

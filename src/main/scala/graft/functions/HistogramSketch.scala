@@ -51,6 +51,105 @@ final class HistBuf(
     var centroids: Array[Double],
     var counts: Array[Long])
 
+/** The insert-then-compress step shared by [[HistogramSketch]]
+  * (raw values) and [[HistMerge]] (stored states). */
+private[functions] object HistAlg {
+
+  def newBuf(nbins: Int): HistBuf =
+    new HistBuf(0, new Array[Double](nbins + 1), new Array[Long](nbins + 1))
+
+  /** Binary search for v among the first `size` centroids; returns
+    * the insertion point (index of first centroid ≥ v). */
+  private def lowerBound(buf: HistBuf, v: Double): Int = {
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf.centroids(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Insert (v, w) keeping centroid order; fold on exact centroid
+    * match; compress the closest pair when the buffer overflows. */
+  def add(buf: HistBuf, nbins: Int, v: Double, w: Long): Unit = {
+    val i = lowerBound(buf, v)
+    if (i < buf.size && buf.centroids(i) == v) {
+      buf.counts(i) += w
+      return
+    }
+    System.arraycopy(buf.centroids, i, buf.centroids, i + 1, buf.size - i)
+    System.arraycopy(buf.counts, i, buf.counts, i + 1, buf.size - i)
+    buf.centroids(i) = v
+    buf.counts(i) = w
+    buf.size += 1
+    if (buf.size > nbins) compressOnce(buf)
+  }
+
+  /** Merge the adjacent pair with the smallest centroid gap
+    * (leftmost on ties) into its weighted mean. */
+  private def compressOnce(buf: HistBuf): Unit = {
+    var best = 0
+    var bestGap = Double.MaxValue
+    var i = 0
+    while (i < buf.size - 1) {
+      val gap = buf.centroids(i + 1) - buf.centroids(i)
+      if (gap < bestGap) { bestGap = gap; best = i }
+      i += 1
+    }
+    val c1 = buf.counts(best)
+    val c2 = buf.counts(best + 1)
+    val tot = c1 + c2
+    buf.centroids(best) =
+      (buf.centroids(best) * c1 + buf.centroids(best + 1) * c2) / tot
+    buf.counts(best) = tot
+    System.arraycopy(buf.centroids, best + 2, buf.centroids, best + 1,
+      buf.size - best - 2)
+    System.arraycopy(buf.counts, best + 2, buf.counts, best + 1,
+      buf.size - best - 2)
+    buf.size -= 1
+  }
+
+  def evalRows(buf: HistBuf): GenericArrayData = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      rows(i) = InternalRow(buf.centroids(i), buf.counts(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def serialize(buf: HistBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.centroids(i)); bb.putLong(buf.counts(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  def deserialize(nbins: Int, bytes: Array[Byte]): HistBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = newBuf(nbins)
+    var i = 0
+    while (i < n) {
+      // stored sketches are sorted and ≤ nbins: append directly
+      buf.centroids(i) = bb.getDouble
+      buf.counts(i) = bb.getLong
+      i += 1
+    }
+    buf.size = n
+    buf
+  }
+
+  val stateType: DataType = ArrayType(StructType(Seq(
+    StructField("centroid", DoubleType), StructField("cnt", LongType))))
+}
+
 /** `hist_sketch(nbins, x)` — the streaming mergeable histogram of
   * Ben-Haim & Yom-Tov (JMLR 2010, "A Streaming Parallel Decision
   * Tree Algorithm"), the algorithm behind the engine family's
@@ -114,60 +213,10 @@ case class HistogramSketch(
     else TypeCheckResult.TypeCheckFailure(
       s"hist_sketch: expr must be a non-decimal numeric, got ${child.dataType}")
 
-  override def createAggregationBuffer(): HistBuf =
-    new HistBuf(0, new Array[Double](nbins + 1), new Array[Long](nbins + 1))
+  override def createAggregationBuffer(): HistBuf = HistAlg.newBuf(nbins)
 
-  /** Binary search for v among the first `size` centroids; returns
-    * the insertion point (index of first centroid ≥ v). */
-  private def lowerBound(buf: HistBuf, v: Double): Int = {
-    var lo = 0
-    var hi = buf.size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (buf.centroids(mid) < v) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
-  /** Insert (v, w) keeping centroid order; fold on exact centroid
-    * match; compress the closest pair when the buffer overflows. */
-  private def add(buf: HistBuf, v: Double, w: Long): Unit = {
-    val i = lowerBound(buf, v)
-    if (i < buf.size && buf.centroids(i) == v) {
-      buf.counts(i) += w
-      return
-    }
-    System.arraycopy(buf.centroids, i, buf.centroids, i + 1, buf.size - i)
-    System.arraycopy(buf.counts, i, buf.counts, i + 1, buf.size - i)
-    buf.centroids(i) = v
-    buf.counts(i) = w
-    buf.size += 1
-    if (buf.size > nbins) compressOnce(buf)
-  }
-
-  /** Merge the adjacent pair with the smallest centroid gap
-    * (leftmost on ties) into its weighted mean. */
-  private def compressOnce(buf: HistBuf): Unit = {
-    var best = 0
-    var bestGap = Double.MaxValue
-    var i = 0
-    while (i < buf.size - 1) {
-      val gap = buf.centroids(i + 1) - buf.centroids(i)
-      if (gap < bestGap) { bestGap = gap; best = i }
-      i += 1
-    }
-    val c1 = buf.counts(best)
-    val c2 = buf.counts(best + 1)
-    val tot = c1 + c2
-    buf.centroids(best) =
-      (buf.centroids(best) * c1 + buf.centroids(best + 1) * c2) / tot
-    buf.counts(best) = tot
-    System.arraycopy(buf.centroids, best + 2, buf.centroids, best + 1,
-      buf.size - best - 2)
-    System.arraycopy(buf.counts, best + 2, buf.counts, best + 1,
-      buf.size - best - 2)
-    buf.size -= 1
-  }
+  private def add(buf: HistBuf, v: Double, w: Long): Unit =
+    HistAlg.add(buf, nbins, v, w)
 
   override def update(buf: HistBuf, input: InternalRow): HistBuf = {
     val v = child.eval(input)
@@ -194,41 +243,12 @@ case class HistogramSketch(
     b1
   }
 
-  override def eval(buf: HistBuf): Any = {
-    val rows = new Array[Any](buf.size)
-    var i = 0
-    while (i < buf.size) {
-      rows(i) = InternalRow(buf.centroids(i), buf.counts(i))
-      i += 1
-    }
-    new GenericArrayData(rows)
-  }
+  override def eval(buf: HistBuf): Any = HistAlg.evalRows(buf)
 
-  override def serialize(buf: HistBuf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    var i = 0
-    while (i < buf.size) {
-      bb.putDouble(buf.centroids(i)); bb.putLong(buf.counts(i))
-      i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buf: HistBuf): Array[Byte] = HistAlg.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): HistBuf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) {
-      // stored sketches are sorted and ≤ nbins: append directly
-      buf.centroids(i) = bb.getDouble
-      buf.counts(i) = bb.getLong
-      i += 1
-    }
-    buf.size = n
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): HistBuf =
+    HistAlg.deserialize(nbins, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HistogramSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -236,5 +256,78 @@ case class HistogramSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HistogramSketch =
+    copy(child = newChildren.head)
+}
+
+/** `hist_merge(nbins, state)` — fold STORED histogram states (the
+  * array<struct<centroid, cnt>> [[HistogramSketch]] emits) into one
+  * histogram: the read-side merge of the AggregatingMergeTree
+  * histogram-state flow ([[graft.streaming.HistStream]] lands one
+  * state per key per micro-batch; this is what readers fold them
+  * with). Exactly [[HistogramSketch]]'s merge, applied to persisted
+  * states instead of sibling buffers — the same insert-then-compress
+  * step, so the combined sketch carries the same guarantees. NOTE:
+  * unlike HLL merge this is ADDITIVE, not idempotent — a duplicated
+  * state row double-counts; replay safety comes from the
+  * batch-partitioned dynamic-overwrite sink discipline. */
+case class HistMerge(
+    nbins: Int,
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HistBuf] {
+
+  require(nbins >= 2 && nbins <= 4096,
+    s"hist_merge: nbins must be in [2, 4096], got $nbins")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = HistAlg.stateType
+  override def prettyName: String = "hist_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == DoubleType &&
+          s(1).dataType == LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hist_merge: state must be array<struct<double, bigint>>, got $other")
+  }
+
+  override def createAggregationBuffer(): HistBuf = HistAlg.newBuf(nbins)
+
+  override def update(buf: HistBuf, input: InternalRow): HistBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        HistAlg.add(buf, nbins, row.getDouble(0), row.getLong(1))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: HistBuf, b2: HistBuf): HistBuf = {
+    var i = 0
+    while (i < b2.size) {
+      HistAlg.add(b1, nbins, b2.centroids(i), b2.counts(i))
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: HistBuf): Any = HistAlg.evalRows(buf)
+  override def serialize(buf: HistBuf): Array[Byte] = HistAlg.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): HistBuf =
+    HistAlg.deserialize(nbins, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HistMerge =
     copy(child = newChildren.head)
 }
