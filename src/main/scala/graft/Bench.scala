@@ -379,7 +379,15 @@ object Bench {
           // (wedge volume bounded by the fixed 100-node key space)
           ("h18g_funnel_max", "h18_funnel_max"),
           ("d15g_hll_state", "d15_hll_state"),
-          ("l87g_triangles", "l87_triangles"))
+          ("l87g_triangles", "l87_triangles"),
+          // round-6 event-table ops: Spearman (two per-group rank
+          // sorts — the cost class under test), LTTB (per-series
+          // sequential scan, output fixed at B points), skew/kurt
+          // (one map-side-combined power-sum agg — growth should
+          // cost only the scan)
+          ("h30g_spearman", "h30_spearman"),
+          ("h32g_lttb", "h32_lttb"),
+          ("h33g_skew_kurt", "h33_skew_kurt"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
