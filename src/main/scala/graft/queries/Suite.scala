@@ -5921,6 +5921,48 @@ object Suite {
              |    AS p_asymptotic
              |FROM m""".stripMargin)),
 
+    Q("h34_bounding_ratio",
+      (s, d) => {
+        // boundingRatio: the slope between each series' first and
+        // last points (cents/second, rounded to 6 — slopes can be
+        // NEGATIVE, where integer div/floor-div diverge across
+        // engines, so the double-round convention applies as in
+        // h29's corr). Timestamp ties resolve to the max value at
+        // that endpoint (a second conditional aggregate —
+        // deterministic in any engine, where a bare min_by/max_by
+        // tie is not); one map-side-combined pass for the endpoints,
+        // one tiny broadcast join-back for the endpoint values
+        val ev = t(s, d, "events").select(col("event_type"),
+          epochS(col("ts")).as("t"),
+          round(col("value") * 100).cast("long").as("v"))
+        val ends = ev.groupBy("event_type")
+          .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+        ev.join(broadcast(ends), Seq("event_type"))
+          .groupBy(col("event_type"), col("t0"), col("t1"))
+          .agg(max(when(col("t") === col("t0"), col("v"))).as("v0"),
+            max(when(col("t") === col("t1"), col("v"))).as("v1"))
+          .select(col("event_type"), col("t0"), col("t1"),
+            col("v0"), col("v1"),
+            round(when(col("t1") =!= col("t0"),
+              (col("v1") - col("v0")).cast("double") /
+                (col("t1") - col("t0"))), 6)
+              .as("slope"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type,
+             |    floor(epoch(ts))::BIGINT AS t,
+             |    round(value*100)::BIGINT AS v FROM events),
+             |e AS (SELECT event_type, min(t) AS t0, max(t) AS t1
+             |  FROM p GROUP BY 1),
+             |m AS (SELECT p.event_type, e.t0, e.t1,
+             |    max(CASE WHEN p.t = e.t0 THEN p.v END) AS v0,
+             |    max(CASE WHEN p.t = e.t1 THEN p.v END) AS v1
+             |  FROM p JOIN e USING (event_type) GROUP BY 1, 2, 3)
+             |SELECT event_type, t0, t1, v0, v1,
+             |  round(CASE WHEN t1 <> t0
+             |    THEN (v1 - v0)::DOUBLE / (t1 - t0) END, 6) AS slope
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     Q("h32_lttb",
       (s, d) => {
         // largestTriangleThreeBuckets: each event-type series down to
