@@ -155,20 +155,71 @@ object PostingsIndex {
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       queryIdCol: String = "query_id",
       queryTextCol: String = "query_text"): DataFrame = {
-    val parts = readParts(spark, root)
     val qterms = Retrieval.queryTerms(queries, queryIdCol, queryTextCol)
       .localCheckpoint() // term collect + scorer joins share one eval
+    Retrieval.scoreBm25(touchedFor(spark, root, qterms, idCol),
+      stats(spark, root), qterms, k, k1, b, idCol, queryIdCol)
+  }
+
+  /** The partition-pruned postings restricted to a term set: hash the
+    * terms to partition ids (one tiny Spark job, so driver and layout
+    * can never disagree on the hash), scan only those partitions, and
+    * keep one row per (term, document). Shared by [[query]] and
+    * [[prfQuery]]'s two passes. */
+  private def touchedFor(spark: SparkSession, root: String,
+      qterms: DataFrame, idCol: String): DataFrame = {
+    val parts = readParts(spark, root)
     val termRows = qterms
       .select(col("term"), termPartition(col("term"), parts).as(TermPart))
       .distinct().collect()
     val terms = termRows.map(_.getString(0)).toSeq
     val tps = termRows.map(_.getLong(1)).distinct.toSeq
-    val touched = prunedPostings(spark, root, tps)
+    prunedPostings(spark, root, tps)
       .where(col("term").isin(terms: _*))
       // replay/compaction tolerance: one row per (term, document)
       .dropDuplicates("term", idCol)
       .select(col("term"), col(idCol), col("dl"), col("tf"))
-    Retrieval.scoreBm25(touched, stats(spark, root), qterms, k, k1, b,
-      idCol, queryIdCol)
+  }
+
+  /** Index-backed pseudo-relevance feedback — the serving path of
+    * [[Retrieval.prfTopK]] (same RM3-family semantics, same exact-long
+    * expansion weights, bit-identical answers): both scoring passes
+    * read partition-PRUNED postings instead of building an index per
+    * query batch, so at 100 TB each pass's IO is the touched term
+    * partitions, not the corpus. The feedback docs' own term censuses
+    * come from tokenizing just those fbDocs·|queries| documents out of
+    * `docs` (broadcast semi-join on the id BEFORE tokenize) — the one
+    * piece of the pipeline the term-partitioned layout cannot serve,
+    * and corpus-free by construction. */
+  def prfQuery(spark: SparkSession, root: String, docs: DataFrame,
+      queries: DataFrame, k: Int, fbDocs: Int = 5, fbTerms: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = stats(spark, root)
+    val qterms = Retrieval.queryTerms(queries, queryIdCol, queryTextCol)
+      .localCheckpoint()
+    val fb = Retrieval.scoreBm25(touchedFor(spark, root, qterms, idCol),
+        st, qterms, fbDocs, k1, b, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val fbPost = docs
+      .join(broadcast(fb.select(idCol).distinct()), Seq(idCol))
+      .select(col(idCol),
+        explode(Retrieval.termsOf(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val expTerms = fbPost.join(broadcast(fb), Seq(idCol))
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(sum(col("tf")).as("__w"))
+      .join(qterms, Seq(queryIdCol, "term"), "left_anti")
+      .withColumn("__trank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__w").desc, col("term").asc)))
+      .filter(col("__trank") <= fbTerms)
+      .select(col(queryIdCol), col("term"))
+    val q2 = qterms.unionByName(expTerms).distinct().localCheckpoint()
+    Retrieval.scoreBm25(touchedFor(spark, root, q2, idCol),
+      st, q2, k, k1, b, idCol, queryIdCol)
   }
 }
