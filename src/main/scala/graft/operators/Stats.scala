@@ -359,6 +359,182 @@ object Stats {
       round(when(m2 > 0.0, m4 / (m2 * m2)), 6).as("kurt_pop"))
   }
 
+  /** The rest of the engine family's categorical-association panel
+    * (ClickHouse ships `theilsU`, `contingency`, `tschuprowT`,
+    * `cramersVBiasCorrected` alongside `cramersV`): one contingency
+    * pass shared by every statistic. Returns one row
+    * (n, theils_u_ab, theils_u_ba, contingency_c, tschuprow_t,
+    * cramers_v_bc), everything rounded to 6.
+    *
+    * Exactness discipline, same as [[cramersV]] / [[entropyMicroBits]]:
+    *  - χ²/φ² ride the zero-cell-safe Σ o²/(r·c) identity with each
+    *    cell femto-rounded BEFORE the long sum;
+    *  - the three entropies (joint and both margins) are micro-bit
+    *    long sums — Σ cnt·round(10⁶·log₂(n/cnt)) — so Theil's
+    *    U(a|b) = (Hₐ+H_b−H_ab)/Hₐ is a ratio of exact longs;
+    *  - every final statistic is one double expression over those
+    *    longs, replayable bit-identically by the oracle.
+    *
+    * At 100 TB: one groupBy to the (a,b) cell domain; margins and
+    * totals re-aggregate the domain-sized cells (broadcast-joined
+    * back), so only category counters ever cross a shuffle.
+    * Degenerate margins (a or b constant ⇒ zero entropy) yield null
+    * for the affected U. */
+  def assocMeasures(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowS = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
+    val colS = cells.groupBy(col("__b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    def microEnt(cnt: Column): Column =
+      (cnt * round(lit(1e6) *
+        log2(col("n").cast("double") / cnt.cast("double"))).cast("long"))
+    val joint = cells.join(broadcast(rowS), "__a")
+      .join(broadcast(colS), "__b").crossJoin(broadcast(tot))
+    val cellFemto = round(lit(1e15) *
+      (col("o").cast("double") * col("o").cast("double") /
+        (col("r").cast("double") * col("c").cast("double"))))
+      .cast("long")
+    val jAgg = joint.agg(max(col("n")).as("n"),
+      sum(cellFemto).as("frac_femto"),
+      sum(microEnt(col("o"))).as("h_ab"),
+      countDistinct(col("__a")).as("nr"),
+      countDistinct(col("__b")).as("nc"))
+    val haAgg = rowS.crossJoin(broadcast(tot))
+      .agg(sum(microEnt(col("r"))).as("h_a"))
+    val hbAgg = colS.crossJoin(broadcast(tot))
+      .agg(sum(microEnt(col("c"))).as("h_b"))
+    val j = jAgg.crossJoin(haAgg).crossJoin(hbAgg) // 1×1×1
+    val nD = col("n").cast("double")
+    // clamp: femto-rounding can leave an exactly-independent table a
+    // few ulps below φ² = 0, and sqrt of that is engine-divergent
+    val phi2 = greatest(lit(0.0),
+      col("frac_femto").cast("double") / 1e15 - 1.0)
+    val chi2 = nD * phi2
+    val mutual = (col("h_a") + col("h_b") - col("h_ab")).cast("double")
+    val rM1 = (col("nr") - 1).cast("double")
+    val cM1 = (col("nc") - 1).cast("double")
+    // Bergsma's bias correction: φ²⁺ = max(0, φ² − (r−1)(c−1)/(n−1)),
+    // with the margins shrunk the same way
+    val phi2c = greatest(lit(0.0), phi2 - rM1 * cM1 / (nD - 1.0))
+    val rC = col("nr").cast("double") - rM1 * rM1 / (nD - 1.0)
+    val cC = col("nc").cast("double") - cM1 * cM1 / (nD - 1.0)
+    j.select(col("n"),
+      round(when(col("h_a") > 0, mutual / col("h_a").cast("double")), 6)
+        .as("theils_u_ab"),
+      round(when(col("h_b") > 0, mutual / col("h_b").cast("double")), 6)
+        .as("theils_u_ba"),
+      round(sqrt(chi2 / (chi2 + nD)), 6).as("contingency_c"),
+      round(when(rM1 > 0 && cM1 > 0,
+        sqrt(phi2 / sqrt(rM1 * cM1))), 6).as("tschuprow_t"),
+      round(when(least(rC, cC) > 1.0,
+        sqrt(phi2c / (least(rC, cC) - 1.0))), 6).as("cramers_v_bc"))
+  }
+
+  /** Student's pooled-variance t-test between two groups of a
+    * fixed-point LONG measure (the equal-variance sibling of
+    * [[welchT]] — the engine family ships both `studentTTest` and
+    * `welchTTest`). Identical reduction (exact long n, Σc, Σc² per
+    * group); t uses the pooled variance
+    * sp² = (ssA + ssB)/(nA+nB−2) and df = nA+nB−2. */
+  def studentT(df: DataFrame, valueCents: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val m = df
+      .filter(group.isin(groupA, groupB))
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("s"),
+        sum(valueCents * valueCents).as("q"))
+    val a = m.filter(col("__g") === groupA)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = m.filter(col("__g") === groupB)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    val j = a.crossJoin(b) // 1×1: both sides are single aggregate rows
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val mA = col("s_a").cast("double") / nA
+    val mB = col("s_b").cast("double") / nB
+    val ssA = col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / nA
+    val ssB = col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / nB
+    val sp2 = (ssA + ssB) / (nA + nB - 2.0)
+    val tStat = (mA - mB) / sqrt(sp2 * (lit(1.0) / nA + lit(1.0) / nB))
+    j.select(col("n_a"), col("n_b"), round(tStat, 6).as("t"),
+      (col("n_a") + col("n_b") - 2).as("df"))
+  }
+
+  /** Two-sample proportion z-test (pooled): given a boolean success
+    * per row, z = (p̂A − p̂B) / √(p̂(1−p̂)(1/nA + 1/nB)) with p̂ the
+    * pooled success rate. The reduction is four exact long counters
+    * (n, k per group) from one map-side-combined aggregation; z is
+    * one double expression over them. Returns
+    * (n_a, k_a, n_b, k_b, z) with z rounded to 6 (null when the
+    * pooled rate is degenerate 0 or 1). */
+  def proportionZ(df: DataFrame, success: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val m = df
+      .filter(group.isin(groupA, groupB))
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("long")).as("k"))
+    val a = m.filter(col("__g") === groupA)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = m.filter(col("__g") === groupB)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    val j = a.crossJoin(b) // 1×1
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val p = (col("k_a") + col("k_b")).cast("double") / (nA + nB)
+    val z = (col("k_a").cast("double") / nA -
+      col("k_b").cast("double") / nB) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / nA + lit(1.0) / nB))
+    j.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      round(when(p > 0.0 && p < 1.0, z), 6).as("z"))
+  }
+
+  /** Time-decayed exponential moving average per key (the engine
+    * family's `exponentialMovingAverage(x, t)` aggregate: each point
+    * weighted 2^(−Δt/halfLife) from the key's LATEST point, result =
+    * Σ w·x / Σ w).
+    *
+    * The fold-free formulation is what makes it both exact and
+    * scale-safe: the decay exponent k = (tMax − t) div halfLife is an
+    * INTEGER, so the weight 1/2^k is an exact power of two
+    * (integer-built via shiftleft — never libm pow, whose last-ulp
+    * behavior is engine-specific), the per-row products
+    * round(10⁶·x·w) / round(10⁶·w) are micro-rounded LONGs, and both
+    * sums are summation-order free. No sequential fold, no
+    * collect_list: one window max per key + one map-side-combined
+    * groupBy — the same cost class as any per-key aggregate at
+    * 100 TB. Rows older than 62 half-lives contribute exactly zero
+    * (their true weight is below 3e-19 of the newest point's).
+    * Returns (key, n, ema) with ema in the measure's own fixed-point
+    * units (cents in, cents out), rounded to 6. */
+  def emaByKey(df: DataFrame, valueCents: Column, tUnit: Column,
+      key: Column, halfLifeUnits: Int): DataFrame = {
+    require(halfLifeUnits > 0, "emaByKey needs a positive half-life")
+    val withMax = df
+      .select(key.as("__k"), valueCents.as("__x"), tUnit.as("__t"))
+      .withColumn("__tmax", max(col("__t")).over(
+        Window.partitionBy(col("__k"))))
+    val k = expr(s"(__tmax - __t) div $halfLifeUnits")
+    val weight = when(k <= 62, lit(1.0) / expr(
+      s"cast(shiftleft(1L, cast((__tmax - __t) div $halfLifeUnits" +
+        " as int)) as double)"))
+      .otherwise(lit(0.0))
+    val num = round(lit(1e6) * col("__x").cast("double") * weight)
+      .cast("long")
+    val den = round(lit(1e6) * weight).cast("long")
+    withMax
+      .withColumn("__num", num).withColumn("__den", den)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__num")).as("__sn"),
+        sum(col("__den")).as("__sd"))
+      .select(col("__k"), col("n"),
+        round(col("__sn").cast("double") /
+          col("__sd").cast("double"), 6).as("ema"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

@@ -5995,6 +5995,156 @@ object Suite {
              |    THEN (v1 - v0)::DOUBLE / (t1 - t0) END, 6) AS slope
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    Q("h35_assoc_panel",
+      (s, d) =>
+        // the rest of the categorical-association family (theilsU /
+        // contingency / tschuprowT / cramersVBiasCorrected) off ONE
+        // contingency pass: χ²/φ² via femto-rounded cell fractions
+        // (h24's discipline), the three entropies as micro-bit long
+        // sums, every statistic one double expression over exact
+        // longs
+        Stats.assocMeasures(t(s, d, "documents"),
+          col("lang"), col("source")),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b,
+             |    count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+             |r AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+             |c AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+             |j AS (SELECT o,
+             |    round(1e15 * (o::DOUBLE * o::DOUBLE
+             |      / (r.r::DOUBLE * c.c::DOUBLE)))::BIGINT AS ff,
+             |    o * round(1e6 * log2(n::DOUBLE / o::DOUBLE))::BIGINT
+             |      AS he
+             |  FROM cells JOIN r USING (a) JOIN c USING (b)
+             |  CROSS JOIN tot),
+             |ja AS (SELECT (SELECT n FROM tot) AS n,
+             |    sum(ff)::BIGINT AS frac_femto,
+             |    sum(he)::BIGINT AS h_ab,
+             |    (SELECT count(DISTINCT a) FROM cells) AS nr,
+             |    (SELECT count(DISTINCT b) FROM cells) AS nc
+             |  FROM j),
+             |ha AS (SELECT sum(r * round(1e6
+             |    * log2(n::DOUBLE / r::DOUBLE))::BIGINT)::BIGINT AS h_a
+             |  FROM r CROSS JOIN tot),
+             |hb AS (SELECT sum(c * round(1e6
+             |    * log2(n::DOUBLE / c::DOUBLE))::BIGINT)::BIGINT AS h_b
+             |  FROM c CROSS JOIN tot),
+             |f AS (SELECT *,
+             |    greatest(0.0, frac_femto::DOUBLE / 1e15 - 1.0) AS phi2,
+             |    (h_a + h_b - h_ab)::DOUBLE AS mi,
+             |    (nr - 1)::DOUBLE AS rm1, (nc - 1)::DOUBLE AS cm1
+             |  FROM ja, ha, hb)
+             |SELECT n,
+             |  round(CASE WHEN h_a > 0
+             |    THEN mi / h_a::DOUBLE END, 6) AS theils_u_ab,
+             |  round(CASE WHEN h_b > 0
+             |    THEN mi / h_b::DOUBLE END, 6) AS theils_u_ba,
+             |  round(sqrt(n::DOUBLE * phi2
+             |    / (n::DOUBLE * phi2 + n::DOUBLE)), 6) AS contingency_c,
+             |  round(CASE WHEN rm1 > 0 AND cm1 > 0
+             |    THEN sqrt(phi2 / sqrt(rm1 * cm1)) END, 6)
+             |    AS tschuprow_t,
+             |  round(CASE WHEN least(nr::DOUBLE - rm1 * rm1
+             |        / (n::DOUBLE - 1.0), nc::DOUBLE - cm1 * cm1
+             |        / (n::DOUBLE - 1.0)) > 1.0
+             |    THEN sqrt(greatest(0.0, phi2
+             |        - rm1 * cm1 / (n::DOUBLE - 1.0))
+             |      / (least(nr::DOUBLE - rm1 * rm1 / (n::DOUBLE - 1.0),
+             |          nc::DOUBLE - cm1 * cm1 / (n::DOUBLE - 1.0))
+             |        - 1.0)) END, 6) AS cramers_v_bc
+             |FROM f""".stripMargin)),
+
+    Q("h36_student_ttest",
+      (s, d) => {
+        // the equal-variance sibling of h22 (the engine family ships
+        // studentTTest AND welchTTest): same exact long moments,
+        // pooled variance, integral df = nA+nB−2
+        val ev = t(s, d, "events")
+        Stats.studentT(ev, round(col("value") * 100).cast("long"),
+          col("event_type"), "click", "view")
+      },
+      Some("""WITH m AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS s,
+             |    sum(round(value*100)::BIGINT
+             |        * round(value*100)::BIGINT)::BIGINT AS q
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM m
+             |  WHERE g = 'click'),
+             |b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM m
+             |  WHERE g = 'view'),
+             |j AS (SELECT *,
+             |    q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE
+             |      AS ss_a,
+             |    q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE
+             |      AS ss_b
+             |  FROM a, b)
+             |SELECT n_a, n_b,
+             |  round((s_a::DOUBLE / n_a::DOUBLE
+             |      - s_b::DOUBLE / n_b::DOUBLE)
+             |    / sqrt(((ss_a + ss_b)
+             |        / (n_a::DOUBLE + n_b::DOUBLE - 2.0))
+             |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6) AS t,
+             |  (n_a + n_b - 2)::BIGINT AS df
+             |FROM j""".stripMargin)),
+
+    Q("h37_proportion_z",
+      (s, d) => {
+        // pooled two-sample proportion z-test: does the share of
+        // high-value events differ between click and view? Four
+        // exact long counters, z as one double expression
+        val ev = t(s, d, "events")
+        Stats.proportionZ(ev, col("value") > 50.0,
+          col("event_type"), "click", "view")
+      },
+      Some("""WITH m AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+             |    sum((value > 50.0)::INT)::BIGINT AS k
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |a AS (SELECT n AS n_a, k AS k_a FROM m WHERE g = 'click'),
+             |b AS (SELECT n AS n_b, k AS k_b FROM m WHERE g = 'view'),
+             |j AS (SELECT *, (k_a + k_b)::DOUBLE
+             |    / (n_a::DOUBLE + n_b::DOUBLE) AS p FROM a, b)
+             |SELECT n_a, k_a, n_b, k_b,
+             |  round(CASE WHEN p > 0.0 AND p < 1.0
+             |    THEN (k_a::DOUBLE / n_a::DOUBLE
+             |        - k_b::DOUBLE / n_b::DOUBLE)
+             |      / sqrt(p * (1.0 - p)
+             |        * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+             |    END, 6) AS z
+             |FROM j""".stripMargin)),
+
+    Q("h38_ema",
+      (s, d) => {
+        // time-decayed exponentialMovingAverage per event type
+        // (half-life 24 h): fold-free — integer decay exponents from
+        // each type's latest point, weights as exact powers of two
+        // (shiftleft, never libm pow), micro-rounded long sums
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          expr("unix_timestamp(ts) div 3600").as("th"))
+        Stats.emaByKey(ev, col("cents"), col("th"),
+          col("event_type"), halfLifeUnits = 24)
+          .orderBy("__k")
+      },
+      Some("""WITH p AS (SELECT event_type AS k,
+             |    round(value*100)::BIGINT AS x,
+             |    (floor(epoch(ts))::BIGINT // 3600) AS t FROM events),
+             |w AS (SELECT k, x, t,
+             |    max(t) OVER (PARTITION BY k) AS tmax FROM p),
+             |q AS (SELECT k, x,
+             |    CASE WHEN (tmax - t) // 24 <= 62
+             |      THEN 1.0 / ((1::BIGINT << ((tmax - t) // 24))::DOUBLE)
+             |      ELSE 0.0 END AS wgt
+             |  FROM w),
+             |n AS (SELECT k, count(*)::BIGINT AS n,
+             |    sum(round(1e6 * x::DOUBLE * wgt)::BIGINT)::BIGINT AS sn,
+             |    sum(round(1e6 * wgt)::BIGINT)::BIGINT AS sd
+             |  FROM q GROUP BY 1)
+             |SELECT k AS __k, n,
+             |  round(sn::DOUBLE / sd::DOUBLE, 6) AS ema
+             |FROM n ORDER BY __k""".stripMargin)),
+
     Q("h32_lttb",
       (s, d) => {
         // largestTriangleThreeBuckets: each event-type series down to

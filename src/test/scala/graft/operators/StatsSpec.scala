@@ -187,4 +187,95 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(g.getAs[Double]("intercept") - 700.0) < 1e-9)
     assert(out("flat").isNullAt(2) && out("flat").isNullAt(3))
   }
+
+  test("assocMeasures: perfect association → 1s; independence → 0s") {
+    // bijection a↔b: every statistic at its maximum
+    val perfect = Seq.tabulate(30)(i => (s"a${i % 3}", s"b${i % 3}"))
+    val p = Stats.assocMeasures(perfect.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(math.abs(p.getAs[Double]("theils_u_ab") - 1.0) < 1e-6)
+    assert(math.abs(p.getAs[Double]("theils_u_ba") - 1.0) < 1e-6)
+    assert(math.abs(p.getAs[Double]("tschuprow_t") - 1.0) < 1e-6)
+    // C maxes at sqrt((k−1)/k) for a k×k table, not 1
+    assert(math.abs(p.getAs[Double]("contingency_c")
+      - math.sqrt(2.0 / 3.0)) < 1e-6)
+    // exact independence (full uniform cross): everything 0, and the
+    // femto-rounded φ² must CLAMP to 0, never go sqrt-of-negative
+    val indep = for {
+      i <- 0 until 3; j <- 0 until 2; _ <- 0 until 5
+    } yield (s"a$i", s"b$j")
+    val q = Stats.assocMeasures(indep.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(q.getAs[Double]("theils_u_ab") == 0.0)
+    assert(q.getAs[Double]("contingency_c") == 0.0)
+    assert(q.getAs[Double]("tschuprow_t") == 0.0)
+    assert(q.getAs[Double]("cramers_v_bc") == 0.0)
+  }
+
+  test("assocMeasures Theil's U is asymmetric the right way") {
+    // b determines a (each b maps to one a) but a does not determine
+    // b (a0 splits over b0/b1) → U(a|b) = 1, U(b|a) < 1
+    val rows = Seq(("a0", "b0"), ("a0", "b0"), ("a0", "b1"),
+      ("a0", "b1"), ("a1", "b2"), ("a1", "b2"))
+    val r = Stats.assocMeasures(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("theils_u_ab") - 1.0) < 1e-5)
+    assert(r.getAs[Double]("theils_u_ba") < 0.999)
+  }
+
+  test("studentT equals welchT at equal group sizes; df is integral") {
+    val a = Seq(100L, 200L, 300L, 400L)
+    val b = Seq(150L, 260L, 370L, 480L)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "c")
+    val s = Stats.studentT(df, col("c"), col("g"), "a", "b")
+      .collect().head
+    val w = Stats.welchT(df, col("c"), col("g"), "a", "b")
+      .collect().head
+    // with nA = nB the pooled and unpooled standard errors coincide
+    assert(math.abs(s.getAs[Double]("t") - w.getAs[Double]("t")) < 1e-6)
+    assert(s.getAs[Long]("df") == 6L)
+  }
+
+  test("proportionZ matches a direct computation and is antisymmetric") {
+    val rows = (1 to 40).map(i => ("a", i <= 30)) ++
+      (1 to 50).map(i => ("b", i <= 20))
+    val df = rows.toDF("g", "ok")
+    val r = Stats.proportionZ(df, col("ok"), col("g"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 40 && r.getAs[Long]("k_a") == 30)
+    val p = 50.0 / 90.0
+    val z = (0.75 - 0.4) /
+      math.sqrt(p * (1 - p) * (1.0 / 40 + 1.0 / 50))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    val rev = Stats.proportionZ(df, col("ok"), col("g"), "b", "a")
+      .collect().head
+    assert(math.abs(rev.getAs[Double]("z") + r.getAs[Double]("z")) < 1e-9)
+  }
+
+  test("emaByKey: constant series is a fixed point; exact decay case") {
+    // constant input → ema exactly the constant
+    val flat = Seq(("f", 500L, 0L), ("f", 500L, 24L), ("f", 500L, 48L))
+    // planted decay, half-life 24: weights 1/4, 1/2, 1 over t=0,24,48
+    // → ema = (400/4 + 800/2 + 1200) / (1/4 + 1/2 + 1) = 1700/1.75
+    val decay = Seq(("d", 400L, 0L), ("d", 800L, 24L), ("d", 1200L, 48L))
+    val out = Stats.emaByKey((flat ++ decay).toDF("g", "c", "t"),
+        col("c"), col("t"), col("g"), halfLifeUnits = 24)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("f").getAs[Double]("ema") == 500.0)
+    assert(math.abs(out("d").getAs[Double]("ema") - 1700.0 / 1.75) < 1e-5)
+  }
+
+  test("emaByKey weights recency: rising series sits above its mean") {
+    val rows = (0L until 100L).map(t => ("g", t * 10L, t))
+    val r = Stats.emaByKey(rows.toDF("g", "c", "t"), col("c"), col("t"),
+      col("g"), halfLifeUnits = 10).collect().head
+    val mean = (0L until 100L).map(_ * 10L).sum / 100.0
+    assert(r.getAs[Double]("ema") > mean)
+    // and points beyond 62 half-lives contribute exactly zero — a
+    // huge ancient outlier cannot move the answer
+    val withAncient = rows :+ (("g", 1000000000L, -100000L))
+    val r2 = Stats.emaByKey(withAncient.toDF("g", "c", "t"), col("c"),
+      col("t"), col("g"), halfLifeUnits = 10).collect().head
+    assert(r2.getAs[Double]("ema") == r.getAs[Double]("ema"))
+  }
 }
