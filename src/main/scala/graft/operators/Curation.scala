@@ -811,4 +811,103 @@ object Curation {
     }
     df.withColumn("chat_status", status)
   }
+
+  /** Zipf-law fit over the corpus token-frequency curve — a
+    * one-number naturalness probe for a training corpus (natural
+    * language sits near slope −1 in log-rank/log-frequency space;
+    * boilerplate-heavy or templated corpora bend away from it; cf.
+    * the frequency diagnostics in Gopher-style curation, Rae et al.
+    * 2021). Returns one row
+    * (n_ranks, total_tokens, slope, intercept) with the least-squares
+    * line fitted through (ln rank, ln freq) of the top `topRanks`
+    * terms.
+    *
+    * Exactness: each point is micro-rounded to LONGs —
+    * (round(10⁶·ln r), round(10⁶·ln f)) — and the fit reuses
+    * [[Stats.linFit]]'s exact long moments, so slope/intercept replay
+    * to the digit. Units: ln·10⁻⁶, which CANCEL in the slope (it is
+    * dimensionless); the intercept is reported in micro-ln units.
+    *
+    * At 100 TB: term counts map-side combine; the top-R cut is a
+    * distributed TakeOrdered (orderBy+limit — never a global window
+    * over the vocabulary); ranks are then assigned on R rows. Ties
+    * on frequency break by term string, so ranks are deterministic.
+    */
+  def zipfFit(df: DataFrame, textCol: String,
+      topRanks: Int = 500): DataFrame = {
+    val counts = df
+      .select(explode(Retrieval.termsOf(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val top = counts.orderBy(col("f").desc, col("term").asc)
+      .limit(topRanks)
+    val ranked = top.withColumn("r", row_number().over(
+      Window.orderBy(col("f").desc, col("term").asc))) // ≤ R rows
+    val pts = ranked.select(
+      round(lit(1e6) * log(col("r").cast("double"))).cast("long").as("x"),
+      round(lit(1e6) * log(col("f").cast("double"))).cast("long").as("y"),
+      col("f"), lit("corpus").as("g"))
+    val fit = Stats.linFit(pts, col("x"), col("y"), col("g"))
+    val tot = pts.agg(sum(col("f")).as("total_tokens"))
+    fit.crossJoin(tot).select(col("n").as("n_ranks"),
+      col("total_tokens"), col("slope"), col("intercept"))
+  }
+
+  /** Corpus-free BLEU-2 between paired texts (candidate vs
+    * reference) — the n-gram-overlap eval a distillation or
+    * paraphrase-augmentation pipeline runs over (candidate,
+    * reference) pairs (Papineni et al. 2002): modified (clipped)
+    * unigram and bigram precisions, geometric mean, brevity penalty.
+    * Input: one row per pair with the two text columns; output one
+    * row per pair — (id, cand_len, ref_len, clip1, tot1, clip2,
+    * tot2, bleu2) where clipN/totN are the EXACT integer clipped and
+    * total n-gram counts and bleu2 = BP·√(p₁·p₂) rounded to 6
+    * (null when the candidate has no bigram).
+    *
+    * Exactness: the precisions are ratios of exact longs; √ and the
+    * BP exponential are one fixed double expression over them (the
+    * ksTest precedent). Shapes at 100 TB: n-grams explode to
+    * (pair, gram, count) rows — counts, never text, cross the two
+    * co-partitioned shuffles (groupBy and the cand→ref left join are
+    * all keyed by the pair id + gram). */
+  def bleu2Pairs(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val base = pairs.select(col(idCol),
+      Retrieval.termsOf(col(candCol)).as("__ctk"),
+      Retrieval.termsOf(col(refCol)).as("__rtk"))
+      .localCheckpoint() // both n-gram passes read one tokenize
+    def grams(tk: String, n: Int): Column =
+      if (n == 1) col(tk)
+      // size guard: sequence(2, 1) would DESCEND, not come back empty
+      else expr(s"case when size($tk) >= 2 then " +
+        s"transform(sequence(2, size($tk)), " +
+        s"i -> concat($tk[i-2], ' ', $tk[i-1])) " +
+        "else array() end")
+    def clipped(n: Int): DataFrame = {
+      val c = base.select(col(idCol), explode(grams("__ctk", n)).as("g"))
+        .groupBy(idCol, "g").agg(count(lit(1)).as("cc"))
+      val r = base.select(col(idCol), explode(grams("__rtk", n)).as("g"))
+        .groupBy(idCol, "g").agg(count(lit(1)).as("rc"))
+      c.join(r, Seq(idCol, "g"), "left")
+        .groupBy(idCol)
+        .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+          .as(s"clip$n"), sum(col("cc")).as(s"tot$n"))
+    }
+    val lens = base.select(col(idCol), size(col("__ctk")).as("cand_len"),
+      size(col("__rtk")).as("ref_len"))
+    val j = lens
+      .join(clipped(1), Seq(idCol), "left")
+      .join(clipped(2), Seq(idCol), "left")
+    val p1 = col("clip1").cast("double") / col("tot1").cast("double")
+    val p2 = col("clip2").cast("double") / col("tot2").cast("double")
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")))
+    j.select(col(idCol), col("cand_len"), col("ref_len"),
+      coalesce(col("clip1"), lit(0L)).as("clip1"),
+      coalesce(col("tot1"), lit(0L)).as("tot1"),
+      coalesce(col("clip2"), lit(0L)).as("clip2"),
+      coalesce(col("tot2"), lit(0L)).as("tot2"),
+      round(when(col("tot1") > 0 && col("tot2") > 0,
+        bp * sqrt(p1 * p2)), 6).as("bleu2"))
+  }
 }

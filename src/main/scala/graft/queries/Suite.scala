@@ -5758,6 +5758,102 @@ object Suite {
              |SELECT piece, cnt, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    Q("l98_zipf_fit",
+      (s, d) =>
+        // corpus naturalness probe: least-squares slope of the
+        // log-rank/log-frequency curve over the top-500 terms —
+        // micro-rounded (ln r, ln f) long points through the exact
+        // linFit moments; top-R cut is a distributed TakeOrdered,
+        // never a vocabulary-wide window
+        Curation.zipfFit(t(s, d, "documents"), "text", topRanks = 500),
+      Some("""WITH tok AS (SELECT list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |tc AS (SELECT term, count(*)::BIGINT AS f FROM (
+             |    SELECT unnest(tk) AS term FROM tok) GROUP BY 1),
+             |top AS (SELECT term, f FROM tc
+             |  ORDER BY f DESC, term ASC LIMIT 500),
+             |rk AS (SELECT f, row_number() OVER (
+             |    ORDER BY f DESC, term ASC) AS r FROM top),
+             |pts AS (SELECT round(1e6 * ln(r::DOUBLE))::BIGINT AS x,
+             |    round(1e6 * ln(f::DOUBLE))::BIGINT AS y, f FROM rk),
+             |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+             |    sum(x*x)::BIGINT AS sxx,
+             |    sum(f)::BIGINT AS total_tokens FROM pts),
+             |s AS (SELECT *, (n::DOUBLE * sxy::DOUBLE
+             |      - sx::DOUBLE * sy::DOUBLE)
+             |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |    AS sl FROM m)
+             |SELECT n AS n_ranks, total_tokens,
+             |  round(CASE WHEN n::DOUBLE * sxx::DOUBLE
+             |      - sx::DOUBLE * sx::DOUBLE <> 0.0 THEN sl END, 6)
+             |    AS slope,
+             |  round(CASE WHEN n::DOUBLE * sxx::DOUBLE
+             |      - sx::DOUBLE * sx::DOUBLE <> 0.0
+             |    THEN (sy::DOUBLE - sl * sx::DOUBLE) / n::DOUBLE
+             |    END, 6) AS intercept
+             |FROM s""".stripMargin)),
+
+    Q("l99_bleu_pairs",
+      (s, d) => {
+        // clipped n-gram overlap eval (BLEU-2 with brevity penalty)
+        // over (candidate, reference) document pairs — the per-pair
+        // scoring a paraphrase/distillation pipeline runs; exact
+        // integer clip/total counts, one double expression at the end
+        val docs = t(s, d, "documents")
+        val cand = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text").as("cand"))
+        val ref = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("ref"))
+        Curation.bleu2Pairs(cand.join(ref, "doc_id"),
+          "doc_id", "cand", "ref").orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS tk FROM documents),
+             |p AS (SELECT c.doc_id, c.tk AS ctk, r.tk AS rtk
+             |  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+             |  WHERE c.doc_id % 4 = 0),
+             |u1c AS (SELECT doc_id, g, count(*)::BIGINT AS cc FROM (
+             |    SELECT doc_id, unnest(ctk) AS g FROM p) GROUP BY 1, 2),
+             |u1r AS (SELECT doc_id, g, count(*)::BIGINT AS rc FROM (
+             |    SELECT doc_id, unnest(rtk) AS g FROM p) GROUP BY 1, 2),
+             |c1 AS (SELECT doc_id,
+             |    sum(least(cc, coalesce(rc, 0)))::BIGINT AS clip1,
+             |    sum(cc)::BIGINT AS tot1
+             |  FROM u1c LEFT JOIN u1r USING (doc_id, g) GROUP BY 1),
+             |b2c AS (SELECT doc_id, g, count(*)::BIGINT AS cc FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      range(2, len(ctk) + 1),
+             |      i -> ctk[i-1] || ' ' || ctk[i])) AS g FROM p)
+             |  GROUP BY 1, 2),
+             |b2r AS (SELECT doc_id, g, count(*)::BIGINT AS rc FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      range(2, len(rtk) + 1),
+             |      i -> rtk[i-1] || ' ' || rtk[i])) AS g FROM p)
+             |  GROUP BY 1, 2),
+             |c2 AS (SELECT doc_id,
+             |    sum(least(cc, coalesce(rc, 0)))::BIGINT AS clip2,
+             |    sum(cc)::BIGINT AS tot2
+             |  FROM b2c LEFT JOIN b2r USING (doc_id, g) GROUP BY 1),
+             |lens AS (SELECT doc_id, len(ctk)::INT AS cand_len,
+             |    len(rtk)::INT AS ref_len FROM p),
+             |j AS (SELECT * FROM lens
+             |  LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id))
+             |SELECT doc_id, cand_len, ref_len,
+             |  coalesce(clip1, 0)::BIGINT AS clip1,
+             |  coalesce(tot1, 0)::BIGINT AS tot1,
+             |  coalesce(clip2, 0)::BIGINT AS clip2,
+             |  coalesce(tot2, 0)::BIGINT AS tot2,
+             |  round(CASE WHEN tot1 > 0 AND tot2 > 0 THEN
+             |    (CASE WHEN cand_len >= ref_len THEN 1.0
+             |      ELSE exp(1.0 - ref_len::DOUBLE / cand_len::DOUBLE)
+             |      END)
+             |    * sqrt((clip1::DOUBLE / tot1::DOUBLE)
+             |      * (clip2::DOUBLE / tot2::DOUBLE)) END, 6) AS bleu2
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     Q("l95_pii_audit",
       (s, d) => {
         // the data-card half of the l17 scrub: per SOURCE, how much

@@ -564,4 +564,54 @@ class CurationSpec extends SparkSpec {
         .map { case ((e, g), i) => s"case $i: expected $e got $g" }
         .mkString("; "))
   }
+
+  test("zipfFit recovers an exactly planted power law") {
+    // frequencies f(r) = 24/r for ranks 1..4 (24, 12, 8, 6):
+    // ln f = ln 24 − ln r, so the least-squares slope over
+    // (ln r, ln f) is exactly −1
+    val words = Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val r = Curation.zipfFit(df, "text", topRanks = 10).collect().head
+    assert(r.getAs[Long]("n_ranks") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 50L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-4)
+    // intercept is ln(24) in micro-ln units
+    assert(math.abs(r.getAs[Double]("intercept") -
+      1e6 * math.log(24.0)) < 10.0)
+  }
+
+  test("bleu2Pairs: identity → 1, disjoint → 0, textbook clipping case") {
+    val pairs = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"),
+      (2L, "alpha beta gamma", "delta epsilon zeta"),
+      // Papineni clipping: cand 'the the the cat' vs ref 'the cat'
+      // p1 = (min(3,1)+min(1,1))/4 = 1/2; bigrams: cand {the-the ×2,
+      // the-cat}, ref {the-cat} → p2 = 1/3; cand longer → BP = 1
+      (3L, "the the the cat", "the cat"),
+      // brevity penalty: cand is a strict 2-token prefix of a
+      // 4-token ref → p1 = p2 = 1 but BP = exp(1 − 4/2)
+      (4L, "one two", "one two three four"))
+      .toDF("id", "cand", "ref")
+    val out = Curation.bleu2Pairs(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Double]("bleu2") == 1.0)
+    assert(out(2L).getAs[Double]("bleu2") == 0.0)
+    assert(out(3L).getAs[Long]("clip1") == 2L)
+    assert(out(3L).getAs[Long]("tot1") == 4L)
+    assert(out(3L).getAs[Long]("clip2") == 1L)
+    assert(out(3L).getAs[Long]("tot2") == 3L)
+    assert(math.abs(out(3L).getAs[Double]("bleu2") -
+      math.sqrt(0.5 / 3.0)) < 1e-6)
+    assert(math.abs(out(4L).getAs[Double]("bleu2") -
+      math.exp(-1.0)) < 1e-6)
+  }
+
+  test("bleu2Pairs: single-token candidate has no bigram -> null bleu") {
+    val pairs = Seq((1L, "cat", "the cat")).toDF("id", "cand", "ref")
+    val r = Curation.bleu2Pairs(pairs, "id", "cand", "ref")
+      .collect().head
+    assert(r.getAs[Long]("tot2") == 0L)
+    assert(r.isNullAt(r.fieldIndex("bleu2")))
+  }
 }
