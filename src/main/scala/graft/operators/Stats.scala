@@ -535,6 +535,64 @@ object Stats {
           col("__sd").cast("double"), 6).as("ema"))
   }
 
+  /** Dominant-period detection per key over a regularly-bucketed
+    * LONG series (the engine family's `seriesPeriodDetectFFT` shape,
+    * done as an exact autocorrelation argmax instead of an FFT —
+    * same answer on the strong-single-period series the operator
+    * exists for, and every intermediate replays in any engine).
+    *
+    * For each lag L in 1..maxLag the mean-centered autocorrelation
+    * r_L = Σ_t (x_t−μ)(x_{t+L}−μ) / Σ_t (x_t−μ)² is expanded so the
+    * data-dependent sums are EXACT LONGS from one lag-exploded
+    * self-join — Σ x_t·x_{t+L}, the two one-sided sums, the pair
+    * count — and μ enters only in the final per-(key,lag) double
+    * expression. The reported period is the micro-rounded-ACF argmax
+    * (ties → smallest lag, so the choice is deterministic).
+    *
+    * Shapes at 100 TB: the series is already bucketed (domain-sized,
+    * not event-sized) before the join; the lag explode multiplies
+    * the DOMAIN by maxLag, never the raw data, and both the join and
+    * the final agg are keyed by (key, t) / (key, lag). Returns one
+    * row per key: (key, n, period, acf_micro). Keys with a
+    * degenerate series (zero variance, or fewer than 2·maxLag
+    * points) are reported with null period. */
+  def detectPeriod(series: DataFrame, value: Column, tUnit: Column,
+      key: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "detectPeriod needs maxLag >= 1")
+    val s = series.select(key.as("__k"), tUnit.as("__t"),
+      value.as("__x"))
+    val tot = s.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sv"),
+        sum(col("__x") * col("__x")).as("svv"))
+    val lagged = s.select(col("__k"), col("__t"), col("__x"),
+      explode(sequence(lit(1), lit(maxLag))).as("__lag"))
+    val pairs = s.alias("a").join(lagged.alias("b"),
+      col("a.__k") === col("b.__k") &&
+        col("a.__t") === col("b.__t") - col("b.__lag"))
+      .groupBy(col("a.__k").as("__k"), col("__lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("a.__x") * col("b.__x")).as("sxy"),
+        sum(col("a.__x")).as("s1"), sum(col("b.__x")).as("s2"))
+    val j = pairs.join(broadcast(tot), "__k")
+    val mu = col("sv").cast("double") / col("n").cast("double")
+    val num = col("sxy").cast("double") -
+      mu * (col("s1").cast("double") + col("s2").cast("double")) +
+      col("m").cast("double") * mu * mu
+    val den = col("svv").cast("double") -
+      col("n").cast("double") * mu * mu
+    val acf = j.select(col("__k"), col("n"), col("__lag"),
+      when(den > 0.0 && col("n") >= 2L * maxLag,
+        round(lit(1e6) * num / den).cast("long")).as("__acf"))
+    acf.groupBy(col("__k"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("__lag"),
+          struct(col("__acf"), -col("__lag"))).as("period"),
+        max(col("__acf")).as("acf_micro"))
+      .select(col("__k"), col("n"),
+        when(col("acf_micro").isNotNull, col("period")).as("period"),
+        col("acf_micro"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

@@ -5854,6 +5854,42 @@ object Suite {
              |      * (clip2::DOUBLE / tot2::DOUBLE)) END, 6) AS bleu2
              |FROM j ORDER BY doc_id""".stripMargin)),
 
+    Q("l100_edit_distance",
+      (s, d) => {
+        // editDistance family: exact Levenshtein between paired
+        // document prefixes (both engines implement the classic DP,
+        // so the integers match), plus the normalized similarity
+        // 1 − d/max(len) a fuzzy-dedup pass thresholds on. The
+        // 300-char prefix cap bounds the per-row O(n·m) DP — the
+        // map-only cost model a 100 TB pass needs (no shuffle at all
+        // beyond the pair join). levenshtein() is codegen'd; text
+        // never crosses a shuffle post-join.
+        val docs = t(s, d, "documents")
+        val cand = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), substring(col("text"), 1, 300).as("a"))
+        val ref = docs.select((col("doc_id") - 1).as("doc_id"),
+          substring(col("text"), 1, 300).as("b"))
+        cand.join(ref, "doc_id")
+          .select(col("doc_id"), length(col("a")).as("len_a"),
+            length(col("b")).as("len_b"),
+            levenshtein(col("a"), col("b")).as("dist"))
+          .withColumn("sim", round(lit(1.0) -
+            col("dist").cast("double") /
+              greatest(col("len_a"), col("len_b")).cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 300) AS s
+             |  FROM documents),
+             |p AS (SELECT c.doc_id, c.s AS a, r.s AS b
+             |  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+             |  WHERE c.doc_id % 4 = 0)
+             |SELECT doc_id, length(a)::INT AS len_a,
+             |  length(b)::INT AS len_b,
+             |  levenshtein(a, b)::INT AS dist,
+             |  round(1.0 - levenshtein(a, b)::DOUBLE
+             |    / greatest(length(a), length(b))::DOUBLE, 6) AS sim
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     Q("l95_pii_audit",
       (s, d) => {
         // the data-card half of the l17 scrub: per SOURCE, how much
@@ -6240,6 +6276,58 @@ object Suite {
              |SELECT k AS __k, n,
              |  round(sn::DOUBLE / sd::DOUBLE, 6) AS ema
              |FROM n ORDER BY __k""".stripMargin)),
+
+    Q("h39_period_detect",
+      (s, d) => {
+        // dominant-period probe (seriesPeriodDetectFFT shape, exact
+        // ACF argmax): which lag best explains each event type's
+        // hourly volume? Data-dependent sums are exact longs off a
+        // lag-exploded self-join of the ALREADY-BUCKETED series; the
+        // mean enters only in the final double expression
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 3600").as("th"))
+          .agg(count(lit(1)).as("x"))
+        Stats.detectPeriod(hourly, col("x"), col("th"),
+          col("event_type"), maxLag = 48)
+          .orderBy("__k")
+      },
+      Some("""WITH s AS (SELECT event_type AS k,
+             |    (floor(epoch(ts))::BIGINT // 3600) AS t,
+             |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+             |tot AS (SELECT k, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sv, sum(x*x)::BIGINT AS svv
+             |  FROM s GROUP BY 1),
+             |p AS (SELECT a.k, b.lag, count(*)::BIGINT AS m,
+             |    sum(a.x * b.x)::BIGINT AS sxy,
+             |    sum(a.x)::BIGINT AS s1, sum(b.x)::BIGINT AS s2
+             |  FROM s a JOIN (SELECT k, t, x,
+             |      unnest(range(1, 49)) AS lag FROM s) b
+             |    ON a.k = b.k AND a.t = b.t - b.lag
+             |  GROUP BY 1, 2),
+             |j AS (SELECT p.*, tot.n, tot.sv, tot.svv
+             |  FROM p JOIN tot USING (k)),
+             |acf AS (SELECT k, n, lag,
+             |    CASE WHEN svv::DOUBLE - n::DOUBLE
+             |        * (sv::DOUBLE / n::DOUBLE)
+             |        * (sv::DOUBLE / n::DOUBLE) > 0.0 AND n >= 96
+             |      THEN round(1e6 * (sxy::DOUBLE
+             |          - (sv::DOUBLE / n::DOUBLE)
+             |            * (s1::DOUBLE + s2::DOUBLE)
+             |          + m::DOUBLE * (sv::DOUBLE / n::DOUBLE)
+             |            * (sv::DOUBLE / n::DOUBLE))
+             |        / (svv::DOUBLE - n::DOUBLE
+             |          * (sv::DOUBLE / n::DOUBLE)
+             |          * (sv::DOUBLE / n::DOUBLE)))::BIGINT
+             |      END AS acf
+             |  FROM j),
+             |r AS (SELECT k, n, lag, acf, row_number() OVER (
+             |    PARTITION BY k ORDER BY acf DESC NULLS LAST, lag ASC)
+             |    AS rn FROM acf)
+             |SELECT k AS __k, n,
+             |  CASE WHEN acf IS NOT NULL THEN lag END AS period,
+             |  acf AS acf_micro
+             |FROM r WHERE rn = 1 ORDER BY __k""".stripMargin)),
 
     Q("h32_lttb",
       (s, d) => {

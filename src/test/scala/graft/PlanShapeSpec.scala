@@ -531,4 +531,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("sequence_count"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("zipfFit cuts top-R with TakeOrdered, not a vocabulary sort") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Curation.zipfFit(docs, "text", 500))
+    // the vocabulary-sized side must reduce via per-partition heaps;
+    // the only Window allowed is the rank pass over the ≤R survivors
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }

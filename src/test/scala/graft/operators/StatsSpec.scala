@@ -265,6 +265,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("d").getAs[Double]("ema") - 1700.0 / 1.75) < 1e-5)
   }
 
+  test("detectPeriod finds a planted cycle; constant series → null") {
+    // period-7 sawtooth over 210 points: ACF peaks exactly at lag 7
+    val pat = Seq(10L, 30L, 70L, 40L, 20L, 90L, 50L)
+    val wave = (0 until 210).map(t => ("w", t.toLong, pat(t % 7)))
+    val flat = (0 until 210).map(t => ("f", t.toLong, 42L))
+    val out = Stats.detectPeriod((wave ++ flat).toDF("k", "t", "x"),
+        col("x"), col("t"), col("k"), maxLag = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("w").getAs[Int]("period") == 7)
+    // a perfect repeat autocorrelates to ~1 at its period
+    assert(out("w").getAs[Long]("acf_micro") > 900000L)
+    assert(out("f").isNullAt(out("f").fieldIndex("period")))
+  }
+
   test("emaByKey weights recency: rising series sits above its mean") {
     val rows = (0L until 100L).map(t => ("g", t * 10L, t))
     val r = Stats.emaByKey(rows.toDF("g", "c", "t"), col("c"), col("t"),
