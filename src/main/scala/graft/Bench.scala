@@ -387,7 +387,13 @@ object Bench {
           // cost only the scan)
           ("h30g_spearman", "h30_spearman"),
           ("h32g_lttb", "h32_lttb"),
-          ("h33g_skew_kurt", "h33_skew_kurt"))
+          ("h33g_skew_kurt", "h33_skew_kurt"),
+          // this round's event ops: EMA (map-side-combined long sums
+          // — growth should cost only the scan) and period detect
+          // (the lag-exploded join runs on the BUCKETED domain, so
+          // 10x events with the same time span should grow ~nothing)
+          ("h38g_ema", "h38_ema"),
+          ("h39g_period_detect", "h39_period_detect"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)

@@ -535,6 +535,86 @@ object Stats {
           col("__sd").cast("double"), 6).as("ema"))
   }
 
+  /** One-way ANOVA across the groups of a fixed-point LONG measure
+    * (the engine family's `analysisOfVariance` aggregate): F =
+    * (SSB/(k−1)) / (SSW/(n−k)) from per-group exact long moments
+    * (n_g, Σx, Σx²).
+    *
+    * The one order-dependent piece — Σ_g s_g²/n_g — is rounded to a
+    * whole LONG per group BEFORE the sum (the cramersV femto
+    * discipline, at cent² scale), so the total is independent of
+    * group summation order; F is then one double expression over
+    * exact longs. One map-side-combined groupBy + a k-row re-agg:
+    * nothing but six counters per group ever moves. Returns
+    * (n_groups, n, f_stat) with F rounded to 6 (null when k < 2 or
+    * n ≤ k). */
+  def anovaF(df: DataFrame, valueCents: Column,
+      group: Column): DataFrame = {
+    val m = df.groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("ng"), sum(valueCents).as("sg"),
+        sum(valueCents * valueCents).as("qg"))
+    val term = round(col("sg").cast("double") * col("sg").cast("double")
+      / col("ng").cast("double")).cast("long")
+    val agg = m.agg(count(lit(1)).as("n_groups"),
+      sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+      sum(col("qg")).as("q"), sum(term).as("bt"))
+    val nD = col("n").cast("double")
+    val kD = col("n_groups").cast("double")
+    val ssb = col("bt").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    val ssw = col("q").cast("double") - col("bt").cast("double")
+    val f = (ssb / (kD - 1.0)) / (ssw / (nD - kD))
+    agg.select(col("n_groups"), col("n"),
+      round(when(col("n_groups") >= 2 && col("n") > col("n_groups") &&
+        ssw > 0.0, f), 6).as("f_stat"))
+  }
+
+  /** Tukey-fence outlier census per key (the engine family's
+    * `seriesOutliersDetectTukey` shape): values outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] of their key's distribution,
+    * reported as (key, n, n_outliers, min_outlier, max_outlier).
+    *
+    * Fully INTEGER: quartiles use the suite's ⌈q·W⌉ convention
+    * (smallest value whose cumulative count reaches ⌈q·n⌉ — the
+    * [[weightedQuantile]] semantics), and the fences are compared in
+    * DOUBLED units (2·x vs 2·q1 − 3·IQR) so the half-integral
+    * 1.5·IQR never leaves Long. Shape: one aggregation to the
+    * (key, value) domain, a domain-sized cumulative window, a
+    * broadcast join-back of the two quartiles, one final agg —
+    * row-level data crosses exactly one keyed shuffle. */
+  def tukeyOutliers(df: DataFrame, value: Column,
+      key: Column): DataFrame = {
+    val byValue = df.groupBy(key.as("__k"), value.as("__v"))
+      .agg(count(lit(1)).as("__w"))
+    val wCum = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("__k"))
+    val cum = byValue
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+    val quart = cum.groupBy(col("__k")).agg(
+      min(when(col("__cum") >= expr("(__tot * 1 + 3) div 4"),
+        col("__v"))).as("__q1"),
+      min(when(col("__cum") >= expr("(__tot * 3 + 3) div 4"),
+        col("__v"))).as("__q3"))
+      .withColumn("__iqr", col("__q3") - col("__q1"))
+    byValue.join(broadcast(quart), "__k")
+      .groupBy(col("__k"))
+      .agg(sum(col("__w")).as("n"),
+        coalesce(sum(when(
+          lit(2) * col("__v") < lit(2) * col("__q1") - lit(3) * col("__iqr") ||
+          lit(2) * col("__v") > lit(2) * col("__q3") + lit(3) * col("__iqr"),
+          col("__w"))), lit(0L)).as("n_outliers"),
+        min(when(
+          lit(2) * col("__v") < lit(2) * col("__q1") - lit(3) * col("__iqr") ||
+          lit(2) * col("__v") > lit(2) * col("__q3") + lit(3) * col("__iqr"),
+          col("__v"))).as("min_outlier"),
+        max(when(
+          lit(2) * col("__v") < lit(2) * col("__q1") - lit(3) * col("__iqr") ||
+          lit(2) * col("__v") > lit(2) * col("__q3") + lit(3) * col("__iqr"),
+          col("__v"))).as("max_outlier"))
+  }
+
   /** Dominant-period detection per key over a regularly-bucketed
     * LONG series (the engine family's `seriesPeriodDetectFFT` shape,
     * done as an exact autocorrelation argmax instead of an FFT —

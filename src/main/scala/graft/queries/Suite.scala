@@ -6329,6 +6329,72 @@ object Suite {
              |  acf AS acf_micro
              |FROM r WHERE rn = 1 ORDER BY __k""".stripMargin)),
 
+    Q("h40_anova",
+      (s, d) =>
+        // analysisOfVariance: does mean event value differ across
+        // the five event types? Six exact long counters per group;
+        // the one order-dependent sum (Σ s²/n per group) rounds to a
+        // LONG per group before summing, F is one double expression
+        Stats.anovaF(t(s, d, "events"),
+          round(col("value") * 100).cast("long"), col("event_type")),
+      Some("""WITH m AS (SELECT event_type,
+             |    count(*)::BIGINT AS ng,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS sg,
+             |    sum(round(value*100)::BIGINT
+             |        * round(value*100)::BIGINT)::BIGINT AS qg
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS n_groups,
+             |    sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s,
+             |    sum(qg)::BIGINT AS q,
+             |    sum(round(sg::DOUBLE * sg::DOUBLE
+             |      / ng::DOUBLE)::BIGINT)::BIGINT AS bt FROM m)
+             |SELECT n_groups, n,
+             |  round(CASE WHEN n_groups >= 2 AND n > n_groups
+             |      AND q::DOUBLE - bt::DOUBLE > 0.0
+             |    THEN ((bt::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+             |        / (n_groups::DOUBLE - 1.0))
+             |      / ((q::DOUBLE - bt::DOUBLE)
+             |        / (n::DOUBLE - n_groups::DOUBLE)) END, 6)
+             |    AS f_stat
+             |FROM a""".stripMargin)),
+
+    Q("h41_tukey_outliers",
+      (s, d) =>
+        // seriesOutliersDetectTukey shape: per event type, how many
+        // values sit outside the 1.5·IQR fences — quartiles by the
+        // suite's ⌈q·W⌉ convention, fences compared in DOUBLED units
+        // so 1.5·IQR never leaves Long
+        Stats.tukeyOutliers(t(s, d, "events"),
+          round(col("value") * 100).cast("long"), col("event_type"))
+          .orderBy("__k"),
+      Some("""WITH v AS (SELECT event_type AS k,
+             |    round(value*100)::BIGINT AS v FROM events),
+             |bv AS (SELECT k, v, count(*)::BIGINT AS w
+             |  FROM v GROUP BY 1, 2),
+             |c AS (SELECT k, v, w,
+             |    sum(w) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             |      )::BIGINT AS cum,
+             |    sum(w) OVER (PARTITION BY k)::BIGINT AS tot FROM bv),
+             |q AS (SELECT k,
+             |    min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN v END
+             |      )::BIGINT AS q1,
+             |    min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN v END
+             |      )::BIGINT AS q3 FROM c GROUP BY 1),
+             |o AS (SELECT bv.k, bv.v, bv.w, q.q3 - q.q1 AS iqr,
+             |    q.q1, q.q3 FROM bv JOIN q USING (k))
+             |SELECT k AS __k, sum(w)::BIGINT AS n,
+             |  coalesce(sum(CASE WHEN 2*v < 2*q1 - 3*iqr
+             |      OR 2*v > 2*q3 + 3*iqr THEN w END), 0)::BIGINT
+             |    AS n_outliers,
+             |  min(CASE WHEN 2*v < 2*q1 - 3*iqr
+             |    OR 2*v > 2*q3 + 3*iqr THEN v END)::BIGINT
+             |    AS min_outlier,
+             |  max(CASE WHEN 2*v < 2*q1 - 3*iqr
+             |    OR 2*v > 2*q3 + 3*iqr THEN v END)::BIGINT
+             |    AS max_outlier
+             |FROM o GROUP BY 1 ORDER BY __k""".stripMargin)),
+
     Q("h32_lttb",
       (s, d) => {
         // largestTriangleThreeBuckets: each event-type series down to

@@ -265,6 +265,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("d").getAs[Double]("ema") - 1700.0 / 1.75) < 1e-5)
   }
 
+  test("anovaF matches a hand-computed case; equal means → 0") {
+    // a = {1,2,3}, b = {7,8,9}: bt = 12+192, ssb = 204−150 = 54,
+    // ssw = 208−204 = 4 → F = (54/1)/(4/4) = 54
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(7L, 8L, 9L).map(("b", _))).toDF("g", "c")
+    val r = Stats.anovaF(df, col("c"), col("g")).collect().head
+    assert(r.getAs[Long]("n_groups") == 2L && r.getAs[Long]("n") == 6L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 54.0) < 1e-9)
+    // identical distributions → SSB exactly 0
+    val same = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(1L, 2L, 3L).map(("b", _))).toDF("g", "c")
+    val r2 = Stats.anovaF(same, col("c"), col("g")).collect().head
+    assert(r2.getAs[Double]("f_stat") == 0.0)
+  }
+
+  test("tukeyOutliers flags only the planted spike") {
+    val rows = (1L to 20L).map(("k", _)) :+ (("k", 1000L))
+    val r = Stats.tukeyOutliers(rows.toDF("g", "v"), col("v"), col("g"))
+      .collect().head
+    // ⌈q·W⌉ quartiles on 21 values: q1 = 6, q3 = 16, IQR = 10 →
+    // fences (−9, 31): only the 1000 spike is outside
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("min_outlier") == 1000L)
+    assert(r.getAs[Long]("max_outlier") == 1000L)
+    // no outliers → zero count, null extremes
+    val clean = (1L to 20L).map(("c", _))
+    val r2 = Stats.tukeyOutliers(clean.toDF("g", "v"), col("v"),
+      col("g")).collect().head
+    assert(r2.getAs[Long]("n_outliers") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("min_outlier")))
+  }
+
   test("detectPeriod finds a planted cycle; constant series → null") {
     // period-7 sawtooth over 210 points: ACF peaks exactly at lag 7
     val pat = Seq(10L, 30L, 70L, 40L, 20L, 90L, 50L)
