@@ -852,6 +852,72 @@ object Curation {
       col("total_tokens"), col("slope"), col("intercept"))
   }
 
+  /** chrF between paired texts (Popović 2015) — the
+    * character-n-gram F-score that complements [[bleu2Pairs]]'s
+    * word-level view (robust to tokenization and morphology, the
+    * standard second metric an MT/paraphrase eval reports). Char
+    * 1..3-grams over the WHITESPACE-STRIPPED texts (chrF's
+    * convention), clipped matches exactly as in BLEU, per-order
+    * precision AND recall, F_β with β = 2 (recall-weighted), final
+    * score = the uniform average over the n orders that have any
+    * reference n-gram. Returns (id, chrf3) plus the six exact
+    * integer (match, candTotal, refTotal) counts per order.
+    *
+    * Exactness: every count is an exact long; the F algebra is one
+    * fixed double expression over them, rounded to 6. Scale: texts
+    * cap at `maxChars` before gram explosion (bounded per-row work),
+    * and only (pair, gram, count) rows cross the co-partitioned
+    * shuffles — the [[bleu2Pairs]] shape with three orders fused in
+    * one explode (gram strings carry their order prefix, so one
+    * groupBy serves all three). */
+  def chrFPairs(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxChars: Int = 500): DataFrame = {
+    val beta2 = 4.0 // β = 2
+    def stripped(c: Column): Column =
+      substring(regexp_replace(c, "\\s+", ""), 1, maxChars)
+    val base = pairs.select(col(idCol),
+      stripped(col(candCol)).as("__c"), stripped(col(refCol)).as("__r"))
+      .localCheckpoint() // both gram passes read one strip+cap
+    // all three orders in ONE array: "<n>:<gram>" keys
+    def grams(s: String): Column = expr(
+      s"""flatten(transform(array(1, 2, 3), n ->
+         |  case when length($s) >= n then
+         |    transform(sequence(1, length($s) - n + 1),
+         |      i -> concat(cast(n as string), ':', substring($s, i, n)))
+         |  else array() end))""".stripMargin)
+    def counts(side: String, out: String): DataFrame = base
+      .select(col(idCol), explode(grams(side)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as(out))
+    val byOrder = counts("__c", "cc")
+      .join(counts("__r", "rc"), Seq(idCol, "g"), "full")
+      .withColumn("n", substring(col("g"), 1, 1).cast("int"))
+      .groupBy(idCol, "n")
+      .agg(sum(least(coalesce(col("cc"), lit(0L)),
+        coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(coalesce(col("cc"), lit(0L))).as("ct"),
+        sum(coalesce(col("rc"), lit(0L))).as("rt"))
+    // F_β per order (0 when either side has no n-gram), then the
+    // uniform average over orders with rt > 0
+    val p = col("m").cast("double") / col("ct").cast("double")
+    val r = col("m").cast("double") / col("rt").cast("double")
+    val fb = when(col("ct") > 0 && col("rt") > 0 && col("m") > 0,
+      (lit(1.0) + beta2) * p * r / (lit(beta2) * p + r))
+      .otherwise(lit(0.0))
+    // micro-round each order's F BEFORE averaging — a 3-addend
+    // double sum is still summation-order dependent; longs are not
+    val perOrder = byOrder
+      .withColumn("__fm", round(lit(1e6) * fb).cast("long"))
+    def cnt(n: Int, c: String) =
+      sum(when(col("n") === n, col(c))).as(s"$c$n")
+    perOrder.groupBy(idCol)
+      .agg(round(sum(when(col("rt") > 0, col("__fm"))).cast("double") /
+        (sum(when(col("rt") > 0, 1)).cast("double") * lit(1e6)), 6)
+        .as("chrf3"),
+        cnt(1, "m"), cnt(1, "ct"), cnt(1, "rt"),
+        cnt(2, "m"), cnt(2, "ct"), cnt(2, "rt"),
+        cnt(3, "m"), cnt(3, "ct"), cnt(3, "rt"))
+  }
+
   /** Corpus-free BLEU-2 between paired texts (candidate vs
     * reference) — the n-gram-overlap eval a distillation or
     * paraphrase-augmentation pipeline runs over (candidate,

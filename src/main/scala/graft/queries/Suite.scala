@@ -4396,6 +4396,143 @@ object Suite {
              |    ::BIGINT AS view
              |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    Q("e17_interpolate",
+      (s, d) => {
+        // linear-interpolation densification (the engine family's
+        // ORDER BY ... WITH FILL INTERPOLATE): missing hourly buckets
+        // get the straight line between their observed neighbors,
+        // computed ENTIRELY in integer cents — (pv·(nt−t) + nv·(t−pt))
+        // div (nt−pt) — so every filled value replays exactly; edges
+        // carry the nearest observation. Grid is map-side
+        // (sequence+explode off one broadcast min/max row); the fill
+        // is two key-partitioned window passes
+        val ev = t(s, d, "events")
+        val obs = ev.groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 3600").as("th"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val span = obs.agg(min(col("th")).as("h0"), max(col("th")).as("h1"))
+        val grid = obs.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("th"))
+        val j = grid.join(obs, Seq("event_type", "th"), "left")
+        val wb = Window.partitionBy("event_type").orderBy("th")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("event_type").orderBy("th")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val withNbrs = j
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+          .withColumn("pt", last(when(col("v").isNotNull, col("th")),
+            ignoreNulls = true).over(wb))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+          .withColumn("nt", first(when(col("v").isNotNull, col("th")),
+            ignoreNulls = true).over(wf))
+        withNbrs.select(col("event_type"), col("th"),
+          col("v").isNull.as("filled"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              expr("(pv * (nt - th) + nv * (th - pt)) div (nt - pt)"))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")).as("v_cents"))
+          .orderBy("event_type", "th")
+      },
+      Some("""WITH obs AS (SELECT event_type,
+             |    (floor(epoch(ts))::BIGINT // 3600) AS th,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS v
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(th) AS h0, max(th) AS h1 FROM obs),
+             |grid AS (SELECT k.event_type, g.th FROM
+             |  (SELECT DISTINCT event_type FROM obs) k
+             |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS th
+             |    FROM span) g),
+             |j AS (SELECT g.event_type, g.th, o.v FROM grid g
+             |  LEFT JOIN obs o USING (event_type, th)),
+             |nb AS (SELECT event_type, th, v,
+             |    last_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY event_type ORDER BY th
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN th END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY event_type ORDER BY th
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS pt,
+             |    first_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY event_type ORDER BY th
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN th END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY event_type ORDER BY th
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS nt
+             |  FROM j)
+             |SELECT event_type, th, (v IS NULL) AS filled,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+             |      THEN (pv * (nt - th) + nv * (th - pt)) // (nt - pt)
+             |    WHEN pv IS NOT NULL THEN pv
+             |    ELSE nv END AS v_cents
+             |FROM nb ORDER BY event_type, th""".stripMargin)),
+
+    Q("h42_sparkbar",
+      (s, d) => {
+        // sparkbar: each event type's hourly volume as a 20-bucket
+        // unicode bar (zero bucket → '_', else 1..8 block glyphs by
+        // ceil(8·cnt/max)). All bucketing and leveling is integer
+        // div — the bar STRING itself is the oracled value (both
+        // engines index the same glyph constant char-wise)
+        val W = 20
+        val ev = t(s, d, "events")
+        val obs = ev.groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 3600").as("th"))
+          .agg(count(lit(1)).as("c"))
+        val span = obs.agg(min(col("th")).as("h0"),
+          (max(col("th")) + 1).as("h2"))
+        val bcnt = obs.crossJoin(broadcast(span))
+          .select(col("event_type"),
+            expr(s"((th - h0) * $W) div (h2 - h0)").as("b"), col("c"))
+          .groupBy("event_type", "b").agg(sum(col("c")).as("c"))
+        val grid = bcnt.select(col("event_type")).distinct()
+          .select(col("event_type"),
+            explode(sequence(lit(0), lit(W - 1))).as("b"))
+        val leveled = grid.join(bcnt, Seq("event_type", "b"), "left")
+          .withColumn("mx", max(col("c")).over(
+            Window.partitionBy("event_type")))
+          .withColumn("lvl", coalesce(
+            expr("(8 * c + mx - 1) div mx"), lit(0L)))
+          .withColumn("g", substring(lit("_▁▂▃▄▅▆▇█"),
+            col("lvl").cast("int") + 1, lit(1)))
+        leveled.groupBy("event_type")
+          .agg(max(col("mx")).as("max_bucket"),
+            array_join(transform(array_sort(
+              collect_list(struct(col("b"), col("g")))),
+              x => x.getField("g")), "").as("bar"))
+          .orderBy("event_type")
+      },
+      Some("""WITH obs AS (SELECT event_type,
+             |    (floor(epoch(ts))::BIGINT // 3600) AS th,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(th) AS h0, max(th) + 1 AS h2 FROM obs),
+             |bc AS (SELECT event_type,
+             |    ((th - h0) * 20) // (h2 - h0) AS b,
+             |    sum(c)::BIGINT AS c
+             |  FROM obs CROSS JOIN span GROUP BY 1, 2),
+             |grid AS (SELECT k.event_type, g.b FROM
+             |  (SELECT DISTINCT event_type FROM bc) k
+             |  CROSS JOIN (SELECT unnest(range(0, 20)) AS b) g),
+             |lv AS (SELECT g.event_type, g.b,
+             |    max(bc.c) OVER (PARTITION BY g.event_type) AS mx,
+             |    coalesce((8 * bc.c + max(bc.c) OVER (
+             |      PARTITION BY g.event_type) - 1)
+             |      // max(bc.c) OVER (PARTITION BY g.event_type), 0)
+             |      AS lvl
+             |  FROM grid g LEFT JOIN bc USING (event_type, b))
+             |SELECT event_type, max(mx)::BIGINT AS max_bucket,
+             |  string_agg(substr('_▁▂▃▄▅▆▇█', lvl::INT + 1, 1), ''
+             |    ORDER BY b) AS bar
+             |FROM lv GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     Q("e8_gap_fill",
       (s, d) => {
         // resample to an hourly grid per user and carry the last
@@ -5853,6 +5990,71 @@ object Suite {
              |    * sqrt((clip1::DOUBLE / tot1::DOUBLE)
              |      * (clip2::DOUBLE / tot2::DOUBLE)) END, 6) AS bleu2
              |FROM j ORDER BY doc_id""".stripMargin)),
+
+    Q("l101_chrf",
+      (s, d) => {
+        // character-n-gram F-score (chrF, orders 1..3, β=2) over the
+        // same (candidate, reference) pairs as l99 — the
+        // tokenization-robust second metric of the generation-eval
+        // panel; exact integer match/total counts per order,
+        // per-order F micro-rounded before the average
+        val docs = t(s, d, "documents")
+        val cand = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text").as("cand"))
+        val ref = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("ref"))
+        Curation.chrFPairs(cand.join(ref, "doc_id"),
+          "doc_id", "cand", "ref").orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(regexp_replace(text,
+             |    '\s+', '', 'g'), 1, 500) AS s FROM documents),
+             |p AS (SELECT c.doc_id, c.s AS cs, r.s AS rs
+             |  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+             |  WHERE c.doc_id % 4 = 0),
+             |cg AS (SELECT doc_id, unnest(flatten(list_transform(
+             |    [1, 2, 3], n -> list_transform(
+             |      range(1, length(cs) - n + 2),
+             |      i -> n::VARCHAR || ':' || substr(cs, i, n))))) AS g
+             |  FROM p),
+             |rg AS (SELECT doc_id, unnest(flatten(list_transform(
+             |    [1, 2, 3], n -> list_transform(
+             |      range(1, length(rs) - n + 2),
+             |      i -> n::VARCHAR || ':' || substr(rs, i, n))))) AS g
+             |  FROM p),
+             |cc AS (SELECT doc_id, g, count(*)::BIGINT AS cc
+             |  FROM cg GROUP BY 1, 2),
+             |rc AS (SELECT doc_id, g, count(*)::BIGINT AS rc
+             |  FROM rg GROUP BY 1, 2),
+             |fj AS (SELECT doc_id, g, cc, rc
+             |  FROM cc FULL JOIN rc USING (doc_id, g)),
+             |bo AS (SELECT doc_id, substr(g, 1, 1)::INT AS n,
+             |    sum(least(coalesce(cc, 0), coalesce(rc, 0)))::BIGINT
+             |      AS m,
+             |    sum(coalesce(cc, 0))::BIGINT AS ct,
+             |    sum(coalesce(rc, 0))::BIGINT AS rt
+             |  FROM fj GROUP BY 1, 2),
+             |po AS (SELECT doc_id, n, m, ct, rt,
+             |    round(1e6 * (CASE WHEN ct > 0 AND rt > 0 AND m > 0
+             |      THEN (1.0 + 4.0) * (m::DOUBLE / ct::DOUBLE)
+             |          * (m::DOUBLE / rt::DOUBLE)
+             |        / (4.0 * (m::DOUBLE / ct::DOUBLE)
+             |          + (m::DOUBLE / rt::DOUBLE))
+             |      ELSE 0.0 END))::BIGINT AS fm
+             |  FROM bo)
+             |SELECT doc_id,
+             |  round(sum(CASE WHEN rt > 0 THEN fm END)::DOUBLE
+             |    / (sum(CASE WHEN rt > 0 THEN 1 END)::DOUBLE * 1e6), 6)
+             |    AS chrf3,
+             |  sum(CASE WHEN n = 1 THEN m END)::BIGINT AS m1,
+             |  sum(CASE WHEN n = 1 THEN ct END)::BIGINT AS ct1,
+             |  sum(CASE WHEN n = 1 THEN rt END)::BIGINT AS rt1,
+             |  sum(CASE WHEN n = 2 THEN m END)::BIGINT AS m2,
+             |  sum(CASE WHEN n = 2 THEN ct END)::BIGINT AS ct2,
+             |  sum(CASE WHEN n = 2 THEN rt END)::BIGINT AS rt2,
+             |  sum(CASE WHEN n = 3 THEN m END)::BIGINT AS m3,
+             |  sum(CASE WHEN n = 3 THEN ct END)::BIGINT AS ct3,
+             |  sum(CASE WHEN n = 3 THEN rt END)::BIGINT AS rt3
+             |FROM po GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
     Q("l100_edit_distance",
       (s, d) => {

@@ -607,6 +607,26 @@ class CurationSpec extends SparkSpec {
       math.exp(-1.0)) < 1e-6)
   }
 
+  test("chrFPairs: identity → 1, whitespace-invariant, hand case") {
+    val pairs = Seq(
+      (1L, "the quick fox", "the quick fox"),
+      // chrF strips whitespace before gramming
+      (2L, "a b c", "abc"),
+      // cand 'abc' vs ref 'abd': F1 = 2/3, F2 = 1/2, F3 = 0
+      // → chrf3 = (2/3 + 1/2 + 0)/3 = 7/18
+      (3L, "abc", "abd"))
+      .toDF("id", "cand", "ref")
+    val out = Curation.chrFPairs(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Double]("chrf3") == 1.0)
+    assert(out(2L).getAs[Double]("chrf3") == 1.0)
+    val h = out(3L)
+    assert(h.getAs[Long]("m1") == 2L && h.getAs[Long]("ct1") == 3L)
+    assert(h.getAs[Long]("m2") == 1L && h.getAs[Long]("ct2") == 2L)
+    assert(h.getAs[Long]("m3") == 0L && h.getAs[Long]("rt3") == 1L)
+    assert(math.abs(h.getAs[Double]("chrf3") - 7.0 / 18.0) < 1e-5)
+  }
+
   test("bleu2Pairs: single-token candidate has no bigram -> null bleu") {
     val pairs = Seq((1L, "cat", "the cat")).toDF("id", "cand", "ref")
     val r = Curation.bleu2Pairs(pairs, "id", "cand", "ref")
