@@ -5836,6 +5836,67 @@ object Suite {
              |    END)::BIGINT AS p90
              |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    Q("d25_bit_aggs",
+      (s, d) =>
+        // groupBitAnd / groupBitOr / groupBitXor: bitmask roll-ups
+        // (e.g. folding per-event permission/flag masks) — native
+        // bit_and/bit_or/bit_xor aggregates, integer-exact by nature
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(bit_and(col("user_id")).as("mask_and"),
+            bit_or(col("user_id")).as("mask_or"),
+            bit_xor(col("user_id")).as("mask_xor"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  bit_and(user_id)::BIGINT AS mask_and,
+             |  bit_or(user_id)::BIGINT AS mask_or,
+             |  bit_xor(user_id)::BIGINT AS mask_xor,
+             |  count(*)::BIGINT AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d26_if_combinators",
+      (s, d) =>
+        // the -If combinator family (countIf / sumIf / avgIf / minIf /
+        // maxIf / argMinIf) in ONE pass: conditional aggregates as
+        // filtered column algebra — no second scan per condition, the
+        // way the engine family fuses combinators into one aggregate
+        // state. avgIf kept engine-exact as a (sum, count) long pair
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            count_if(col("value") > 50.0).as("count_if"),
+            coalesce(sum(when(col("value") > 50.0,
+              round(col("value") * 100).cast("long"))), lit(0L))
+              .as("sum_if_cents"),
+            min(when(col("value") > 50.0, col("user_id")))
+              .as("min_if_user"),
+            max(when(col("value") > 50.0, col("user_id")))
+              .as("max_if_user"),
+            // tie-break folded INTO the ordering key (cents·10⁹ +
+            // user) so both engines pick the same row without
+            // struct-ordering support
+            min_by(col("user_id"),
+              when(col("value") > 50.0,
+                round(col("value") * 100).cast("long") *
+                  lit(1000000000L) + col("user_id")))
+              .as("argmin_if_user"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  count(*) FILTER (value > 50.0)::BIGINT AS count_if,
+             |  coalesce(sum(round(value*100)::BIGINT)
+             |    FILTER (value > 50.0), 0)::BIGINT AS sum_if_cents,
+             |  min(user_id) FILTER (value > 50.0)::BIGINT
+             |    AS min_if_user,
+             |  max(user_id) FILTER (value > 50.0)::BIGINT
+             |    AS max_if_user,
+             |  arg_min(user_id, round(value*100)::BIGINT
+             |      * 1000000000 + user_id)
+             |    FILTER (value > 50.0)::BIGINT AS argmin_if_user,
+             |  count(*)::BIGINT AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("d21_dist_entropy",
       (s, d) =>
         // entropy aggregate: how mixed is each user cohort's event
