@@ -535,6 +535,39 @@ object Stats {
           col("__sd").cast("double"), 6).as("ema"))
   }
 
+  /** Information value of a categorical feature against a binary
+    * outcome (the engine family's `categoricalInformationValue`; the
+    * credit-scoring WoE/IV measure a feature-selection pass ranks
+    * predictors by): per category, WoE = ln((g/G)/(b/B)) and
+    * IV = Σ (g/G − b/B)·WoE.
+    *
+    * Exactness: one map-side-combined pass to per-category (g, b)
+    * long counters; each category's IV contribution is micro-rounded
+    * to a LONG before the sum (summation-order free), WoE itself is
+    * reported per category in micro units. Categories with a zero
+    * cell are excluded from IV (their WoE is ±∞ — ClickHouse returns
+    * nan there; the exclusion is the documented divergence) and
+    * flagged by a null woe_micro. Returns one row per category
+    * (category, n_good, n_bad, woe_micro, iv_contrib_micro) plus the
+    * total via [[ivTotal]]-style re-aggregation in the caller. */
+  def informationValue(df: DataFrame, category: Column,
+      good: Column): DataFrame = {
+    val cells = df.groupBy(category.as("__cat"))
+      .agg(sum(good.cast("long")).as("g"),
+        sum((!good).cast("long")).as("b"))
+    val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+    val j = cells.crossJoin(broadcast(tot))
+    val gr = col("g").cast("double") / col("gt").cast("double")
+    val br = col("b").cast("double") / col("bt").cast("double")
+    val woe = log(gr / br)
+    j.select(col("__cat"), col("g").as("n_good"), col("b").as("n_bad"),
+      when(col("g") > 0 && col("b") > 0,
+        round(lit(1e6) * woe).cast("long")).as("woe_micro"),
+      when(col("g") > 0 && col("b") > 0,
+        round(lit(1e6) * (gr - br) * woe).cast("long"))
+        .as("iv_contrib_micro"))
+  }
+
   /** One-way ANOVA across the groups of a fixed-point LONG measure
     * (the engine family's `analysisOfVariance` aggregate): F =
     * (SSB/(k−1)) / (SSW/(n−k)) from per-group exact long moments

@@ -6592,6 +6592,33 @@ object Suite {
              |  acf AS acf_micro
              |FROM r WHERE rn = 1 ORDER BY __k""".stripMargin)),
 
+    Q("h43_information_value",
+      (s, d) =>
+        // categoricalInformationValue: how predictive is a document's
+        // source of it being English? Per-category WoE and IV
+        // contributions in exact micro units (contributions rounded
+        // to longs BEFORE any total, so downstream sums replay)
+        Stats.informationValue(t(s, d, "documents"),
+          col("source"), col("lang") === "en")
+          .orderBy("__cat"),
+      Some("""WITH cells AS (SELECT source AS __cat,
+             |    sum((lang = 'en')::INT)::BIGINT AS g,
+             |    sum((lang <> 'en')::INT)::BIGINT AS b
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(g)::BIGINT AS gt,
+             |    sum(b)::BIGINT AS bt FROM cells)
+             |SELECT __cat, g AS n_good, b AS n_bad,
+             |  CASE WHEN g > 0 AND b > 0 THEN round(1e6
+             |    * ln((g::DOUBLE / gt::DOUBLE)
+             |      / (b::DOUBLE / bt::DOUBLE)))::BIGINT END
+             |    AS woe_micro,
+             |  CASE WHEN g > 0 AND b > 0 THEN round(1e6
+             |    * (g::DOUBLE / gt::DOUBLE - b::DOUBLE / bt::DOUBLE)
+             |    * ln((g::DOUBLE / gt::DOUBLE)
+             |      / (b::DOUBLE / bt::DOUBLE)))::BIGINT END
+             |    AS iv_contrib_micro
+             |FROM cells CROSS JOIN tot ORDER BY __cat""".stripMargin)),
+
     Q("h40_anova",
       (s, d) =>
         // analysisOfVariance: does mean event value differ across

@@ -265,6 +265,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("d").getAs[Double]("ema") - 1700.0 / 1.75) < 1e-5)
   }
 
+  test("informationValue: symmetric split → 0; planted predictor") {
+    // 50/50 goods and bads in each category → WoE exactly 0
+    val even = Seq(("c1", true), ("c1", false), ("c2", true),
+      ("c2", false))
+    val r = Stats.informationValue(even.toDF("c", "g"), col("c"),
+      col("g")).collect()
+    assert(r.forall(_.getAs[Long]("woe_micro") == 0L))
+    // c1 = {3 good, 1 bad}, c2 = {1 good, 3 bad}: G = B = 4,
+    // WoE(c1) = ln(3) and IV(c1) = (3/4 − 1/4)·ln 3
+    val skew = Seq.fill(3)(("c1", true)) ++ Seq(("c1", false)) ++
+      Seq(("c2", true)) ++ Seq.fill(3)(("c2", false))
+    val m = Stats.informationValue(skew.toDF("c", "g"), col("c"),
+      col("g")).collect().map(x => x.getString(0) -> x).toMap
+    assert(m("c1").getAs[Long]("woe_micro") ==
+      math.round(1e6 * math.log(3.0)))
+    assert(m("c1").getAs[Long]("iv_contrib_micro") ==
+      math.round(1e6 * 0.5 * math.log(3.0)))
+    // zero-cell category → flagged null, not ±∞
+    val zero = Seq(("z", true), ("z", true), ("o", false))
+    val z = Stats.informationValue(zero.toDF("c", "g"), col("c"),
+      col("g")).collect().map(x => x.getString(0) -> x).toMap
+    assert(z("z").isNullAt(z("z").fieldIndex("woe_micro")))
+  }
+
   test("anovaF matches a hand-computed case; equal means → 0") {
     // a = {1,2,3}, b = {7,8,9}: bt = 12+192, ssb = 204−150 = 54,
     // ssw = 208−204 = 4 → F = (54/1)/(4/4) = 54
