@@ -6520,7 +6520,8 @@ object Suite {
           expr("unix_timestamp(ts) div 3600").as("th"))
         Stats.emaByKey(ev, col("cents"), col("th"),
           col("event_type"), halfLifeUnits = 24)
-          .orderBy("__k")
+          .select(col("__k").as("event_type"), col("n"), col("ema"))
+          .orderBy("event_type")
       },
       Some("""WITH p AS (SELECT event_type AS k,
              |    round(value*100)::BIGINT AS x,
@@ -6536,9 +6537,9 @@ object Suite {
              |    sum(round(1e6 * x::DOUBLE * wgt)::BIGINT)::BIGINT AS sn,
              |    sum(round(1e6 * wgt)::BIGINT)::BIGINT AS sd
              |  FROM q GROUP BY 1)
-             |SELECT k AS __k, n,
+             |SELECT k AS event_type, n,
              |  round(sn::DOUBLE / sd::DOUBLE, 6) AS ema
-             |FROM n ORDER BY __k""".stripMargin)),
+             |FROM n ORDER BY event_type""".stripMargin)),
 
     Q("h39_period_detect",
       (s, d) => {
@@ -6553,7 +6554,9 @@ object Suite {
           .agg(count(lit(1)).as("x"))
         Stats.detectPeriod(hourly, col("x"), col("th"),
           col("event_type"), maxLag = 48)
-          .orderBy("__k")
+          .select(col("__k").as("event_type"), col("n"),
+            col("period"), col("acf_micro"))
+          .orderBy("event_type")
       },
       Some("""WITH s AS (SELECT event_type AS k,
              |    (floor(epoch(ts))::BIGINT // 3600) AS t,
@@ -6587,10 +6590,10 @@ object Suite {
              |r AS (SELECT k, n, lag, acf, row_number() OVER (
              |    PARTITION BY k ORDER BY acf DESC NULLS LAST, lag ASC)
              |    AS rn FROM acf)
-             |SELECT k AS __k, n,
+             |SELECT k AS event_type, n,
              |  CASE WHEN acf IS NOT NULL THEN lag END AS period,
              |  acf AS acf_micro
-             |FROM r WHERE rn = 1 ORDER BY __k""".stripMargin)),
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
     Q("h43_information_value",
       (s, d) =>
@@ -6656,7 +6659,8 @@ object Suite {
         // so 1.5·IQR never leaves Long
         Stats.tukeyOutliers(t(s, d, "events"),
           round(col("value") * 100).cast("long"), col("event_type"))
-          .orderBy("__k"),
+          .withColumnRenamed("__k", "event_type")
+          .orderBy("event_type"),
       Some("""WITH v AS (SELECT event_type AS k,
              |    round(value*100)::BIGINT AS v FROM events),
              |bv AS (SELECT k, v, count(*)::BIGINT AS w
@@ -6673,7 +6677,7 @@ object Suite {
              |      )::BIGINT AS q3 FROM c GROUP BY 1),
              |o AS (SELECT bv.k, bv.v, bv.w, q.q3 - q.q1 AS iqr,
              |    q.q1, q.q3 FROM bv JOIN q USING (k))
-             |SELECT k AS __k, sum(w)::BIGINT AS n,
+             |SELECT k AS event_type, sum(w)::BIGINT AS n,
              |  coalesce(sum(CASE WHEN 2*v < 2*q1 - 3*iqr
              |      OR 2*v > 2*q3 + 3*iqr THEN w END), 0)::BIGINT
              |    AS n_outliers,
@@ -6683,7 +6687,7 @@ object Suite {
              |  max(CASE WHEN 2*v < 2*q1 - 3*iqr
              |    OR 2*v > 2*q3 + 3*iqr THEN v END)::BIGINT
              |    AS max_outlier
-             |FROM o GROUP BY 1 ORDER BY __k""".stripMargin)),
+             |FROM o GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     Q("h32_lttb",
       (s, d) => {
