@@ -706,6 +706,63 @@ object Stats {
         col("acf_micro"))
   }
 
+  /** Mergeable EMA state — the -State/-Merge combinator treatment of
+    * [[emaByKey]] (ClickHouse folds `exponentialMovingAverageState`s
+    * the same way; the Summing write discipline applies: append a
+    * partial per batch, never read-modify-write). A partial is
+    * (key, t_max, num, den) with num/den the micro-rounded decayed
+    * sums RELATIVE TO that partial's own newest point.
+    *
+    * Merging rescales each partial to the globally newest point by
+    * an INTEGER shift — num div 2^((T−t_max) div h) — so the fold is
+    * exact integer arithmetic, deterministic in any engine and
+    * independent of merge order/grouping (each partial rescales
+    * against the single global T, not pairwise). Floor loss per
+    * partial is < 1 micro-unit — EmaStateSpec pins merged-vs-direct
+    * to within #partials micro-units. */
+  def emaPartials(df: DataFrame, valueCents: Column, tUnit: Column,
+      key: Column, halfLifeUnits: Int): DataFrame = {
+    require(halfLifeUnits > 0, "emaPartials needs a positive half-life")
+    val withMax = df
+      .select(key.as("__k"), valueCents.as("__x"), tUnit.as("__t"))
+      .withColumn("__tmax", max(col("__t")).over(
+        Window.partitionBy(col("__k"))))
+    val k = expr(s"(__tmax - __t) div $halfLifeUnits")
+    val weight = when(k <= 62, lit(1.0) / expr(
+      s"cast(shiftleft(1L, cast((__tmax - __t) div $halfLifeUnits" +
+        " as int)) as double)"))
+      .otherwise(lit(0.0))
+    withMax
+      .withColumn("__num",
+        round(lit(1e6) * col("__x").cast("double") * weight)
+          .cast("long"))
+      .withColumn("__den", round(lit(1e6) * weight).cast("long"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), max(col("__tmax")).as("t_max"),
+        sum(col("__num")).as("num"), sum(col("__den")).as("den"))
+  }
+
+  /** Fold EMA partials (see [[emaPartials]]) down to one row per key:
+    * every partial's sums shift right by its age in half-lives
+    * against the key's newest partial, then plain long sums. Returns
+    * (key, n, ema) matching [[emaByKey]]'s shape. */
+  def emaMerge(partials: DataFrame,
+      halfLifeUnits: Int): DataFrame = {
+    val withT = partials.withColumn("__T", max(col("t_max")).over(
+      Window.partitionBy(col("__k"))))
+    val age = expr(s"(__T - t_max) div $halfLifeUnits")
+    def scaled(c: String): Column =
+      when(age <= 62, expr(
+        s"shiftright($c, cast((__T - t_max) div $halfLifeUnits" +
+          " as int))")).otherwise(lit(0L))
+    withT.groupBy(col("__k"))
+      .agg(sum(col("n")).as("n"),
+        sum(scaled("num")).as("__sn"), sum(scaled("den")).as("__sd"))
+      .select(col("__k"), col("n"),
+        round(col("__sn").cast("double") /
+          col("__sd").cast("double"), 6).as("ema"))
+  }
+
   /** Per-group simple linear regression (least squares) of a
     * fixed-point LONG y (cents) on an integral x. One aggregation to
     * exact long moments (n, Σx, Σy, Σxy, Σx²), then

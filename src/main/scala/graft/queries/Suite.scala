@@ -5897,6 +5897,56 @@ object Suite {
              |  count(*)::BIGINT AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("d27_ema_state",
+      (s, d) => {
+        // exponentialMovingAverageState/-Merge: two overlapping
+        // half-batches each reduce to a decayed (t_max, num, den)
+        // partial; the merge rescales by INTEGER shifts against the
+        // globally newest partial — the d8 SummingMergeTree
+        // discipline applied to time-decayed state (append partials,
+        // never read-modify-write)
+        val ev = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          expr("unix_timestamp(ts) div 3600").as("th"),
+          (col("event_id") % 2).as("half"))
+        def partial(r: Int) = Stats.emaPartials(
+          ev.filter(col("half") === r), col("cents"), col("th"),
+          col("event_type"), halfLifeUnits = 24)
+        Stats.emaMerge(partial(0).unionByName(partial(1)),
+            halfLifeUnits = 24)
+          .select(col("__k").as("event_type"), col("n"), col("ema"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type AS k, event_id % 2 AS half,
+             |    round(value*100)::BIGINT AS x,
+             |    (floor(epoch(ts))::BIGINT // 3600) AS t FROM events),
+             |w AS (SELECT k, half, x, t,
+             |    max(t) OVER (PARTITION BY k, half) AS tmax FROM p),
+             |q AS (SELECT k, half, tmax,
+             |    CASE WHEN (tmax - t) // 24 <= 62
+             |      THEN 1.0 / ((1::BIGINT << ((tmax - t) // 24))::DOUBLE)
+             |      ELSE 0.0 END AS wgt, x
+             |  FROM w),
+             |pr AS (SELECT k, half, count(*)::BIGINT AS n,
+             |    max(tmax) AS t_max,
+             |    sum(round(1e6 * x::DOUBLE * wgt)::BIGINT)::BIGINT
+             |      AS num,
+             |    sum(round(1e6 * wgt)::BIGINT)::BIGINT AS den
+             |  FROM q GROUP BY 1, 2),
+             |m AS (SELECT *, max(t_max) OVER (PARTITION BY k) AS gt
+             |  FROM pr),
+             |f AS (SELECT k, sum(n)::BIGINT AS n,
+             |    sum(CASE WHEN (gt - t_max) // 24 <= 62
+             |      THEN num >> ((gt - t_max) // 24)
+             |      ELSE 0 END)::BIGINT AS sn,
+             |    sum(CASE WHEN (gt - t_max) // 24 <= 62
+             |      THEN den >> ((gt - t_max) // 24)
+             |      ELSE 0 END)::BIGINT AS sd
+             |  FROM m GROUP BY 1)
+             |SELECT k AS event_type, n,
+             |  round(sn::DOUBLE / sd::DOUBLE, 6) AS ema
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     Q("d21_dist_entropy",
       (s, d) =>
         // entropy aggregate: how mixed is each user cohort's event

@@ -336,6 +336,34 @@ class StatsSpec extends SparkSpec {
     assert(out("f").isNullAt(out("f").fieldIndex("period")))
   }
 
+  test("ema state: aligned merge is EXACT; stale partial decays out") {
+    // two rows per timestamp, split one to each partial: both
+    // partials share every t (t_max equal), so each partial's decay
+    // buckets match the direct computation's and the merged long
+    // sums equal the direct sums associatively — bit-equal EMA
+    val rows = (0L until 120L).flatMap(t => Seq(
+      ("g", (t * 7 % 50) * 10L, t, 0), ("g", (t * 11 % 50) * 10L, t, 1)))
+    val df = rows.toDF("g", "c", "t", "half")
+    val all = df.select(col("g"), col("c"), col("t"))
+    val direct = Stats.emaByKey(all, col("c"), col("t"), col("g"), 10)
+      .collect().head.getAs[Double]("ema")
+    def part(h: Int) = Stats.emaPartials(df.filter(col("half") === h),
+      col("c"), col("t"), col("g"), 10)
+    val aligned = Stats.emaMerge(part(0).unionByName(part(1)), 10)
+      .collect().head.getAs[Double]("ema")
+    assert(aligned == direct)
+    // a partial whose newest point is >62 half-lives stale shifts to
+    // exactly zero in the merge — same as its rows' true ~2^-10000
+    // weights would contribute directly
+    val old = Stats.emaPartials(
+      all.select(col("g"), col("c"), (col("t") - 100000L).as("t")),
+      col("c"), col("t"), col("g"), 10)
+    val whole = Stats.emaPartials(all, col("c"), col("t"), col("g"), 10)
+    val merged = Stats.emaMerge(whole.unionByName(old), 10)
+      .collect().head.getAs[Double]("ema")
+    assert(merged == direct)
+  }
+
   test("emaByKey weights recency: rising series sits above its mean") {
     val rows = (0L until 100L).map(t => ("g", t * 10L, t))
     val r = Stats.emaByKey(rows.toDF("g", "c", "t"), col("c"), col("t"),
