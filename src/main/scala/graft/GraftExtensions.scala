@@ -53,6 +53,14 @@ object GraftExtensions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
+
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
 
@@ -157,10 +165,52 @@ object GraftExtensions {
       WindowFunnel(w, args(1), args.drop(2), maxOverAnchors = true)
         .toAggregateExpression()
     },
+    // the family's strict funnel modes over the earliest-anchor
+    // chain: window_funnel_strict(window_sec, 'dedup'|'order'|
+    // 'dedup_order', ts, cond1, …)
+    "window_funnel_strict" -> { args =>
+      require(args.length >= 4,
+        s"window_funnel_strict expects at least 4 arguments, got ${args.length}")
+      val w = longLit(args.head, "window_funnel_strict", "window_sec")
+      val mode = stringLit(args(1), "window_funnel_strict", "mode")
+      require(Set("dedup", "order", "dedup_order")(mode),
+        s"window_funnel_strict: mode must be dedup|order|dedup_order, got $mode")
+      WindowFunnel(w, args(2), args.drop(3),
+        strictDedup = mode != "order",
+        strictOrder = mode != "dedup").toAggregateExpression()
+    },
     "retention" -> { args =>
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()
     },
+    // EXACT membership-set algebra (groupBitmap/bitmapAnd family):
+    // sorted-distinct array<bigint> states, two-pointer set ops
+    "bitmap_agg" -> { args =>
+      arity("bitmap_agg", args, 1)
+      BitmapAgg(args.head).toAggregateExpression()
+    },
+    "bitmap_or_agg" -> { args =>
+      arity("bitmap_or_agg", args, 1)
+      BitmapOrAgg(args.head).toAggregateExpression()
+    },
+    "bitmap_and_agg" -> { args =>
+      arity("bitmap_and_agg", args, 1)
+      BitmapAndAgg(args.head).toAggregateExpression()
+    },
+    "bitmap_and" -> { args =>
+      arity("bitmap_and", args, 2); BitmapSetOp(args(0), args(1), "and") },
+    "bitmap_or" -> { args =>
+      arity("bitmap_or", args, 2); BitmapSetOp(args(0), args(1), "or") },
+    "bitmap_andnot" -> { args =>
+      arity("bitmap_andnot", args, 2); BitmapSetOp(args(0), args(1), "andnot") },
+    "bitmap_xor" -> { args =>
+      arity("bitmap_xor", args, 2); BitmapSetOp(args(0), args(1), "xor") },
+    "bitmap_has_any" -> { args =>
+      arity("bitmap_has_any", args, 2); BitmapSetOp(args(0), args(1), "has_any") },
+    "bitmap_has_all" -> { args =>
+      arity("bitmap_has_all", args, 2); BitmapSetOp(args(0), args(1), "has_all") },
+    "bitmap_contains" -> { args =>
+      arity("bitmap_contains", args, 2); BitmapContains(args(0), args(1)) },
     // HLL distinct-count states (uniqState/uniqMerge shape): build a
     // sketch, merge stored sketches, read the estimate
     "hll_sketch" -> { args =>

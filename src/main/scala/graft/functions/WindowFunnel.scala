@@ -45,18 +45,25 @@ case class WindowFunnel(
     ts: Expression,
     conds: Seq[Expression],
     maxOverAnchors: Boolean = false,
+    strictDedup: Boolean = false,
+    strictOrder: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Long]] {
 
   require(conds.nonEmpty, "window_funnel needs at least one step predicate")
-  require(conds.size <= 0xffff, "window_funnel: too many steps")
+  require(conds.size <= 0xfffe, "window_funnel: too many steps")
+  require(!(maxOverAnchors && (strictDedup || strictOrder)),
+    "window_funnel: strict_dedup/strict_order apply to the " +
+      "earliest-anchor scan, not the max-over-anchors DP")
 
   override def children: Seq[Expression] = ts +: conds
   override def nullable: Boolean = false
   override def dataType: DataType = IntegerType
   override def prettyName: String =
-    if (maxOverAnchors) "window_funnel_max" else "window_funnel"
+    if (maxOverAnchors) "window_funnel_max"
+    else if (strictDedup || strictOrder) "window_funnel_strict"
+    else "window_funnel"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -81,12 +88,21 @@ case class WindowFunnel(
     if (t != null) {
       val sec = t.asInstanceOf[Long] / 1000000L // TimestampType micros
       var i = 0
+      var matched = false
       while (i < conds.length) {
         val c = conds(i).eval(input)
-        if (c != null && c.asInstanceOf[Boolean])
+        if (c != null && c.asInstanceOf[Boolean]) {
           buf += (((i + 1).toLong << 48) | (sec & SecMask))
+          matched = true
+        }
         i += 1
       }
+      // strict_order needs to SEE non-funnel events — they interrupt a
+      // started chain — so they enter the buffer as step-0 markers.
+      // Only in that mode: the other modes never read them, and the
+      // whole point of the packed buffer is that unmatched events
+      // (the vast majority at 100 TB) cost nothing.
+      if (strictOrder && !matched) buf += (sec & SecMask)
     }
     buf
   }
@@ -95,7 +111,66 @@ case class WindowFunnel(
       : ArrayBuffer[Long] = { b1 ++= b2; b1 }
 
   override def eval(buf: ArrayBuffer[Long]): Any =
-    if (maxOverAnchors) evalMaxOverAnchors(buf) else evalEarliestAnchor(buf)
+    if (maxOverAnchors) evalMaxOverAnchors(buf)
+    else if (strictDedup || strictOrder) evalStrict(buf)
+    else evalEarliestAnchor(buf)
+
+  /** The engine family's `strict_dedup` / `strict_order` modes over
+    * the deterministic earliest-anchor chain. One forward walk over
+    * the group's events sorted by (second, step):
+    *
+    *  - the chain anchors at the EARLIEST step-1 event; each later
+    *    step must arrive strictly after the previous match (the
+    *    family's `strict_increase` — the only reading that replays
+    *    bit-identically across engines) and within `windowSec` of
+    *    the anchor;
+    *  - `strict_dedup`: once the chain has started, an event matching
+    *    an ALREADY-SATISFIED condition (step ≤ current level)
+    *    interrupts the search — the level at interruption is final;
+    *  - `strict_order`: any event that does NOT extend the chain —
+    *    a non-funnel event (step 0), an out-of-order step, or an
+    *    in-order step outside the window — interrupts it (the
+    *    family's A→B→D→C example stops at D with level 2).
+    *
+    * Both modes end the walk the moment the chain completes, so a
+    * post-completion repeat never demotes a full funnel. */
+  private def evalStrict(buf: ArrayBuffer[Long]): Int = {
+    if (buf.isEmpty) return 0
+    val n = buf.length
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    val k = conds.length
+    var level = 0
+    var anchor = 0L
+    var prev = 0L
+    i = 0
+    while (i < n) {
+      val sec = arr(i) >>> 16
+      val step = (arr(i) & 0xffffL).toInt
+      if (level == 0) {
+        // events before the first step-1 match are ignored in every
+        // mode — the chain has not started, nothing to interrupt
+        if (step == 1) { level = 1; anchor = sec; prev = sec }
+      } else if (level >= k) {
+        i = n // complete — stop scanning
+      } else if (strictDedup && step >= 1 && step <= level) {
+        return level
+      } else if (step == level + 1 && sec > prev &&
+        sec <= anchor + windowSec) {
+        level += 1; prev = sec
+      } else if (strictOrder) {
+        return level
+      }
+      i += 1
+    }
+    level
+  }
 
   /** Reference-parity DP: max level over every candidate anchor,
     * strictly increasing timestamps. Events are re-packed to sort by

@@ -111,6 +111,44 @@ object Funnel {
       .filter(col("level") >= 1)
   }
 
+  /** The engine family's `strict_dedup` / `strict_order` funnel modes
+    * over the deterministic earliest-anchor chain (the modes the
+    * reference family's `windowFunnel('strict_dedup')` /
+    * `windowFunnel('strict_order')` flags select):
+    *
+    *  - `strictDedup`: once the chain starts, an event matching an
+    *    already-satisfied condition interrupts the search;
+    *  - `strictOrder`: ANY event that does not extend the chain —
+    *    including non-funnel events — interrupts it (A→B→D→C stops
+    *    at D with level 2).
+    *
+    * Same single aggregation as [[windowFunnelMax]]; in strict-order
+    * mode non-funnel events enter the aggregate's packed-long buffer
+    * as step-0 markers (they must be SEEN to interrupt), which is the
+    * cost the reference family pays in that mode too. Returns
+    * (key, level), level ≥ 1 rows only. */
+  def windowFunnelStrict(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      steps: Seq[Column],
+      windowSec: Long,
+      strictDedup: Boolean = false,
+      strictOrder: Boolean = false): DataFrame = {
+    require(steps.nonEmpty, "windowFunnelStrict needs at least one step")
+    require(strictDedup || strictOrder,
+      "windowFunnelStrict: enable at least one strict mode " +
+        "(use windowFunnel for the plain earliest-anchor scan)")
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, eagerExpression}
+    val agg = toCol(graft.functions.WindowFunnel(windowSec,
+        eagerExpression(col(tsCol).cast("timestamp")),
+        steps.map(eagerExpression),
+        strictDedup = strictDedup,
+        strictOrder = strictOrder).toAggregateExpression())
+    events.groupBy(col(keyCol)).agg(agg.as("level"))
+      .filter(col("level") >= 1)
+  }
+
   /** Cohort retention (the `retention(cond1, …, condK)` shape): per
     * key, flag r1 = "cond1 ever held" and r_i = "cond1 AND cond_i both
     * ever held" — the standard day-0/day-N comeback matrix when the

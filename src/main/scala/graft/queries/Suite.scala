@@ -6859,7 +6859,182 @@ object Suite {
              |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
              |  day_cents, mov_sum,
              |  ((mov_sum * 1000000) // cnt)::BIGINT AS mov_avg_micro
-             |FROM m ORDER BY event_type, day""".stripMargin))
+             |FROM m ORDER BY event_type, day""".stripMargin)),
+
+    Q("h44_funnel_strict_dedup",
+      // the reference family's windowFunnel('strict_dedup') mode:
+      // earliest-anchor chain, but an event matching an ALREADY-
+      // SATISFIED condition interrupts the search. One aggregation —
+      // the DuckDB oracle replays the identical state machine as a
+      // list_reduce fold over each key's (sec, step) events
+      (s, d) => graft.operators.Funnel.windowFunnelStrict(
+          t(s, d, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"),
+          windowSec = 604800L, strictDedup = true)
+        .orderBy("user_id"),
+      Some(s"""WITH e AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS sec,
+             |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |      WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT AS step
+             |  FROM events),
+             |g AS (SELECT user_id, list_sort(list(
+             |    {'sec': sec, 'step': step, 'lvl': 0::BIGINT,
+             |     'anchor': 0::BIGINT, 'prev': 0::BIGINT,
+             |     'dead': 0::BIGINT})) AS evs
+             |  FROM e WHERE step >= 1 GROUP BY 1),
+             |r AS (SELECT user_id, list_reduce(list_prepend(
+             |    {'sec': 0::BIGINT, 'step': -1::BIGINT, 'lvl': 0::BIGINT,
+             |     'anchor': 0::BIGINT, 'prev': 0::BIGINT,
+             |     'dead': 0::BIGINT}, evs),
+             |    (a, b) -> CASE
+             |      WHEN a.dead = 1 OR a.lvl >= 3 THEN a
+             |      WHEN a.lvl = 0 THEN CASE WHEN b.step = 1 THEN
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT,
+             |           'lvl': 1::BIGINT, 'anchor': b.sec, 'prev': b.sec,
+             |           'dead': 0::BIGINT} ELSE a END
+             |      WHEN b.step >= 1 AND b.step <= a.lvl THEN
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT, 'lvl': a.lvl,
+             |           'anchor': a.anchor, 'prev': a.prev,
+             |           'dead': 1::BIGINT}
+             |      WHEN b.step = a.lvl + 1 AND b.sec > a.prev
+             |        AND b.sec <= a.anchor + 604800 THEN
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT,
+             |           'lvl': a.lvl + 1, 'anchor': a.anchor,
+             |           'prev': b.sec, 'dead': 0::BIGINT}
+             |      ELSE a END).lvl AS level
+             |  FROM g)
+             |SELECT user_id, level::INT AS level FROM r
+             |WHERE level >= 1 ORDER BY user_id""".stripMargin)),
+
+    Q("h45_funnel_strict_order",
+      // windowFunnel('strict_order'): ANY event that does not extend
+      // the started chain — including non-funnel events (signup,
+      // error) — interrupts it; the family's A→B→D→C example stops at
+      // D with level 2. Exercised through the SQL surface
+      // (window_funnel_strict aggregate) so the extension registry and
+      // partial-agg plan are on the tested path
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id,
+                 |  window_funnel_strict(604800L, 'order', ts,
+                 |    event_type = 'view',
+                 |    event_type = 'click',
+                 |    event_type = 'purchase') AS level
+                 |FROM events GROUP BY user_id
+                 |HAVING level >= 1
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some(s"""WITH e AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS sec,
+             |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |      WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT AS step
+             |  FROM events),
+             |g AS (SELECT user_id, list_sort(list(
+             |    {'sec': sec, 'step': step, 'lvl': 0::BIGINT,
+             |     'anchor': 0::BIGINT, 'prev': 0::BIGINT,
+             |     'dead': 0::BIGINT})) AS evs
+             |  FROM e GROUP BY 1),
+             |r AS (SELECT user_id, list_reduce(list_prepend(
+             |    {'sec': 0::BIGINT, 'step': -1::BIGINT, 'lvl': 0::BIGINT,
+             |     'anchor': 0::BIGINT, 'prev': 0::BIGINT,
+             |     'dead': 0::BIGINT}, evs),
+             |    (a, b) -> CASE
+             |      WHEN a.dead = 1 OR a.lvl >= 3 THEN a
+             |      WHEN a.lvl = 0 THEN CASE WHEN b.step = 1 THEN
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT,
+             |           'lvl': 1::BIGINT, 'anchor': b.sec, 'prev': b.sec,
+             |           'dead': 0::BIGINT} ELSE a END
+             |      WHEN b.step = a.lvl + 1 AND b.sec > a.prev
+             |        AND b.sec <= a.anchor + 604800 THEN
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT,
+             |           'lvl': a.lvl + 1, 'anchor': a.anchor,
+             |           'prev': b.sec, 'dead': 0::BIGINT}
+             |      ELSE
+             |          {'sec': 0::BIGINT, 'step': 0::BIGINT, 'lvl': a.lvl,
+             |           'anchor': a.anchor, 'prev': a.prev,
+             |           'dead': 1::BIGINT}
+             |      END).lvl AS level
+             |  FROM g)
+             |SELECT user_id, level::INT AS level FROM r
+             |WHERE level >= 1 ORDER BY user_id""".stripMargin)),
+
+    Q("d28_bitmap_audience",
+      // the family's groupBitmap/bitmapAnd/bitmapOr/bitmapAndnot
+      // audience algebra — EXACT segment overlap (the HLL d23 twin
+      // answers the same question approximately). One aggregation to
+      // 5 per-segment states, then a 1-row broadcast cross to the
+      // purchase segment; every set-op is a two-pointer merge over
+      // sorted states, and the answers are exact set cardinalities
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH st AS (SELECT event_type, bitmap_agg(user_id) AS bm
+                 |  FROM events GROUP BY event_type),
+                 |p AS (SELECT bm AS pbm FROM st
+                 |  WHERE event_type = 'purchase')
+                 |SELECT st.event_type,
+                 |  size(st.bm) AS seg_users,
+                 |  size(bitmap_and(st.bm, p.pbm)) AS and_purchase,
+                 |  size(bitmap_or(st.bm, p.pbm)) AS or_purchase,
+                 |  size(bitmap_andnot(st.bm, p.pbm)) AS not_purchase,
+                 |  bitmap_contains(st.bm, 1L) AS has_user_1
+                 |FROM st CROSS JOIN p
+                 |ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH seg AS (SELECT event_type,
+             |    count(DISTINCT user_id)::INT AS seg_users
+             |  FROM events GROUP BY 1),
+             |pu AS (SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |np AS (SELECT count(*)::INT AS n FROM pu),
+             |ia AS (SELECT e.event_type,
+             |    count(DISTINCT e.user_id)::INT AS and_purchase
+             |  FROM events e JOIN pu USING (user_id) GROUP BY 1),
+             |h1 AS (SELECT event_type, bool_or(user_id = 1) AS has_user_1
+             |  FROM events GROUP BY 1)
+             |SELECT seg.event_type, seg.seg_users,
+             |  coalesce(ia.and_purchase, 0) AS and_purchase,
+             |  (seg.seg_users + np.n - coalesce(ia.and_purchase, 0))::INT
+             |    AS or_purchase,
+             |  (seg.seg_users - coalesce(ia.and_purchase, 0))::INT
+             |    AS not_purchase,
+             |  h1.has_user_1
+             |FROM seg CROSS JOIN np
+             |  LEFT JOIN ia ON seg.event_type = ia.event_type
+             |  JOIN h1 ON seg.event_type = h1.event_type
+             |ORDER BY seg.event_type""".stripMargin)),
+
+    Q("d29_bitmap_every_week",
+      // stored-state re-aggregation (groupBitmapAndState /
+      // groupBitmapOrState): per-week viewer bitmaps, then AND-merge
+      // for "viewed EVERY week" and OR-merge for "viewed any week" —
+      // the exact-set twin of the d15 HLL merge, and the shape a
+      // 100 TB deployment lands per-partition states in (set algebra
+      // distributes over id-range shards, so recombination never
+      // touches raw rows)
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH wk AS (SELECT date_trunc('week', ts) AS w,
+                 |    bitmap_agg(user_id) AS bm
+                 |  FROM events WHERE event_type = 'view' GROUP BY 1)
+                 |SELECT size(bitmap_and_agg(bm)) AS every_week_viewers,
+                 |  size(bitmap_or_agg(bm)) AS any_week_viewers
+                 |FROM wk""".stripMargin)
+      },
+      Some("""WITH st AS (SELECT date_trunc('week', ts) AS w, user_id
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+             |nd AS (SELECT count(DISTINCT w) AS n FROM st),
+             |ev AS (SELECT count(*)::INT AS every_week_viewers FROM (
+             |  SELECT user_id FROM st GROUP BY 1
+             |  HAVING count(*) = (SELECT n FROM nd))),
+             |ad AS (SELECT count(DISTINCT user_id)::INT
+             |    AS any_week_viewers FROM st)
+             |SELECT every_week_viewers, any_week_viewers
+             |FROM ev CROSS JOIN ad""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -162,6 +162,25 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(proj(InternalRow(UTF8String.fromString("nope"))).isNullAt(0))
   }
 
+  test("bitmap set-ops generated code compiles and evaluates") {
+    val arrT = ArrayType(LongType, containsNull = false)
+    val a = BoundReference(0, arrT, nullable = true)
+    val b = BoundReference(1, arrT, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      BitmapSetOp(a, b, "and"), BitmapSetOp(a, b, "or"),
+      BitmapSetOp(a, b, "andnot"), BitmapSetOp(a, b, "xor"),
+      BitmapSetOp(a, b, "has_any"), BitmapSetOp(a, b, "has_all"),
+      BitmapContains(a, BoundReference(2, LongType, nullable = true))))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1L, 3L, 5L, 7L)),
+      ArrayData.toArrayData(Array(3L, 5L)), 7L))
+    assert(out.getArray(0).toLongArray.toSeq == Seq(3L, 5L))
+    assert(out.getArray(1).toLongArray.toSeq == Seq(1L, 3L, 5L, 7L))
+    assert(out.getArray(2).toLongArray.toSeq == Seq(1L, 7L))
+    assert(out.getArray(3).toLongArray.toSeq == Seq(1L, 7L))
+    assert(out.getBoolean(4) && out.getBoolean(5) && out.getBoolean(6))
+  }
+
   test("hll_estimate generated code compiles and matches the scalar kernel") {
     val regs = Hll.emptyRegisters()
     (1 to 500).foreach(i => Hll.add(regs,

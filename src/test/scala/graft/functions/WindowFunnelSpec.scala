@@ -96,4 +96,58 @@ class WindowFunnelSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(op == got, s"operator $op != sql $got")
   }
+
+  test("strict_dedup and strict_order modes pin the family's examples") {
+    graft.GraftExtensions.register(spark)
+    val base = 1700000000L
+    val shaped = Seq(
+      // u1: clean chain — all modes give 3
+      (1L, "view", base), (1L, "click", base + 10),
+      (1L, "purchase", base + 20),
+      // u2: A→B→D→C, the family's strict_order example — D (error)
+      // interrupts at level 2; dedup mode ignores D and reaches 3
+      (2L, "view", base), (2L, "click", base + 10),
+      (2L, "error", base + 15), (2L, "purchase", base + 20),
+      // u3: A→B→A→C — the repeated view interrupts dedup at 2;
+      // order mode also stops (the second view does not extend)
+      (3L, "view", base), (3L, "click", base + 10),
+      (3L, "view", base + 15), (3L, "purchase", base + 20),
+      // u4: repeat AFTER completion never demotes the level
+      (4L, "view", base), (4L, "click", base + 10),
+      (4L, "purchase", base + 20), (4L, "view", base + 30),
+      // u5: noise before the chain starts is ignored in every mode
+      (5L, "error", base - 50), (5L, "click", base - 40),
+      (5L, "view", base), (5L, "click", base + 10),
+      (5L, "purchase", base + 20))
+    val df = ev(shaped)
+    df.createOrReplaceTempView("wf_strict_events")
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+
+    val dedup = graft.operators.Funnel.windowFunnelStrict(df, "user_id",
+        "ts", steps, windowSec = 86400L, strictDedup = true)
+      .as[(Long, Int)].collect().toMap
+    assert(dedup == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 3, 5L -> 3), dedup)
+
+    val order = graft.operators.Funnel.windowFunnelStrict(df, "user_id",
+        "ts", steps, windowSec = 86400L, strictOrder = true)
+      .as[(Long, Int)].collect().toMap
+    assert(order == Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 3), order)
+
+    // SQL surface routes both modes and agrees with the operator
+    val sqlOrder = spark.sql(
+      """SELECT user_id, window_funnel_strict(86400L, 'order', ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM wf_strict_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin).as[(Long, Int)].collect().toMap
+    assert(sqlOrder == order, s"sql $sqlOrder != operator $order")
+    val sqlDedup = spark.sql(
+      """SELECT user_id, window_funnel_strict(86400L, 'dedup', ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM wf_strict_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin).as[(Long, Int)].collect().toMap
+    assert(sqlDedup == dedup, s"sql $sqlDedup != operator $dedup")
+  }
 }
