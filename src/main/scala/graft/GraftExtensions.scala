@@ -183,6 +183,13 @@ object GraftExtensions {
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()
     },
+    // exact bottom-k by key (deterministic groupArraySample twin):
+    // bottom_k(k, key, value)
+    "bottom_k" -> { args =>
+      arity("bottom_k", args, 3)
+      BottomK(intLit(args.head, "bottom_k", "k"), args(1), args(2))
+        .toAggregateExpression()
+    },
     // EXACT membership-set algebra (groupBitmap/bitmapAnd family):
     // sorted-distinct array<bigint> states, two-pointer set ops
     "bitmap_agg" -> { args =>

@@ -295,3 +295,110 @@ case class SequenceCount(
       c: IndexedSeq[Expression]): SequenceCount =
     copy(ts = c(0), cond1 = c(1), cond2 = c(2))
 }
+
+/** `bottom_k(k, key, value)` — the k values with the SMALLEST keys,
+  * exactly (ties broken by value, so the result is deterministic and
+  * replayable in any engine). With `key = portable_hash(id)` this is
+  * min-wise (bottom-k) sampling: a uniform without-replacement sample
+  * of k ids whose membership any engine can recompute — the
+  * deterministic counterpart of the reference family's
+  * `groupArraySample` (which draws from an RNG and is NOT
+  * replayable), and the exact-sample twin of the engine's
+  * hash-fraction samplers ([[graft.operators.Curation.hashSample]]
+  * keeps a fixed FRACTION; this keeps a fixed COUNT per group).
+  *
+  * State is bounded at 2k pairs: updates append, and the buffer
+  * compacts (sort, keep k) whenever it doubles — amortized O(1) per
+  * row, O(k log k) per compaction, and partial states cross the
+  * shuffle already compacted to k. Merge is concat + compact. At
+  * 100 TB the aggregate is the whole story: a billion-row group
+  * still ships only k pairs per mapper.
+  */
+case class BottomK(
+    k: Int,
+    key: Expression,
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  require(k >= 1 && k <= 1000000, s"bottom_k: k must be in [1, 1e6], got $k")
+
+  override def children: Seq[Expression] = Seq(key, value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottom_k"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (key.dataType != LongType)
+      TypeCheckFailure(s"$prettyName: key must be BIGINT, got ${key.dataType}")
+    else if (value.dataType != LongType)
+      TypeCheckFailure(s"$prettyName: value must be BIGINT, got ${value.dataType}")
+    else TypeCheckSuccess
+  }
+
+  // pairs stored flat: (key at 2i, value at 2i+1)
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  private def compact(buf: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    val n = buf.length / 2
+    if (n <= k) return buf
+    val keys = new Array[Long](n)
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { keys(i) = buf(2 * i); vals(i) = buf(2 * i + 1); i += 1 }
+    val sorted = Array.range(0, n).sortBy(j => (keys(j), vals(j)))
+    buf.clear()
+    i = 0
+    while (i < k) {
+      buf += keys(sorted(i)); buf += vals(sorted(i)); i += 1
+    }
+    buf
+  }
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow)
+      : ArrayBuffer[Long] = {
+    val kv = key.eval(input)
+    val vv = value.eval(input)
+    if (kv != null && vv != null) {
+      buf += kv.asInstanceOf[Long]
+      buf += vv.asInstanceOf[Long]
+      if (buf.length >= 4 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
+      : ArrayBuffer[Long] = { b1 ++= b2; compact(b1) }
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    compact(buf)
+    val n = buf.length / 2
+    val idx = Array.range(0, n).sortBy(j => (buf(2 * j), buf(2 * j + 1)))
+    new GenericArrayData(idx.map(j => buf(2 * j + 1)))
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    compact(buf)
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BottomK =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BottomK =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BottomK =
+    copy(key = c(0), value = c(1))
+}

@@ -787,4 +787,113 @@ object Stats {
       round(when(denom =!= 0.0, slope), 6).as("slope"),
       round(when(denom =!= 0.0, intercept), 6).as("intercept"))
   }
+
+  /** Two-feature least squares y = b0 + b1·x1 + b2·x2 per group — the
+    * multivariate step past [[linFit]], and the distributed shape of
+    * the reference family's `stochasticLinearRegression`: where that
+    * aggregate runs SGD over the group (order-sensitive, seed-bound),
+    * this solves the NORMAL EQUATIONS exactly. One map-side-combined
+    * aggregation accumulates the nine cross-sums (X^T X and X^T y over
+    * integer-valued inputs — exact longs, order-free), then Cramer's
+    * rule on the 3×3 system runs as a fixed double expression tree, so
+    * the coefficients replay bit-identically on any engine that
+    * evaluates the same formula (the DuckDB oracle does, verbatim).
+    *
+    * 100 TB shape: the state is 9 longs + a count per group, the same
+    * cost as a sum — the full design matrix never materializes, and
+    * adding features grows the state as (k+1)², not with rows. Inputs
+    * must be integer-valued columns (counts / cents / micro-units);
+    * groups with a singular normal matrix get null coefficients. */
+  def multiLinFit(df: DataFrame, x1: Column, x2: Column, yCents: Column,
+      group: Column): DataFrame = {
+    val m = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(yCents).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"),
+      sum(x1 * x2).as("s12"),
+      sum(x1 * yCents).as("s1y"), sum(x2 * yCents).as("s2y"))
+    def d(c: String): Column = col(c).cast("double")
+    val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s22, s12) = (d("s11"), d("s22"), d("s12"))
+    val (s1y, s2y) = (d("s1y"), d("s2y"))
+    // Cramer's rule over A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    // b = [sy,s1y,s2y]; the operand ORDER below is the cross-engine
+    // contract — the oracle writes the same tree
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    m.select(group, col("n"),
+      round(when(det =!= 0.0, d0 / det), 6).as("b0"),
+      round(when(det =!= 0.0, d1 / det), 6).as("b1"),
+      round(when(det =!= 0.0, d2 / det), 6).as("b2"))
+  }
+
+  /** Inverse standard-normal CDF (Acklam's rational approximation,
+    * |ε| < 4.5e-4 relative — the standard published constants), used
+    * DRIVER-SIDE to turn (alpha, power) into z constants at plan
+    * time. The z values are embedded as literals in both the Spark
+    * plan and the generated oracle SQL, so the downstream arithmetic
+    * is identical text on both engines. */
+  def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm: p must be in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** The reference family's `minSampleSizeContinous` A/B-test sizing
+    * panel, per group: from the group's OBSERVED mean and variance
+    * (exact fixed-point sums; two-sample pooled formula
+    * n = 2σ²(z_{1−α/2}+z_{power})² / (mde·mean)²), the per-variant
+    * sample size needed to detect a relative `mde` — plus the
+    * detectable-effect bounds around the baseline mean, matching the
+    * family's (size, lower, upper) tuple. Variance uses the
+    * population form n·Σv²−(Σv)² over cents, so every input to the
+    * one double expression is an exact long. */
+  def minSampleSizeContinuous(df: DataFrame, valueCents: Column,
+      group: Column, mde: Double, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    val z = invNorm(1.0 - alpha / 2.0) + invNorm(power)
+    val m = df.groupBy(group).agg(count(lit(1)).as("n"),
+      sum(valueCents).as("sv"),
+      sum(valueCents * valueCents).as("svv"))
+    val nD = col("n").cast("double")
+    val meanC = col("sv").cast("double") / nD
+    val varC = (nD * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")) / (nD * nD)
+    val needed = lit(2.0) * varC * lit(z * z) /
+      (lit(mde) * meanC * (lit(mde) * meanC))
+    m.select(group, col("n"),
+      ceil(needed).cast("long").as("sample_size"),
+      round(meanC * lit(1.0 - mde) / 100.0, 6).as("detect_lower"),
+      round(meanC * lit(1.0 + mde) / 100.0, 6).as("detect_upper"))
+  }
 }

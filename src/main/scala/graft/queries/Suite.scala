@@ -30,6 +30,14 @@ object Suite {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  // (z_{1-α/2} + z_{power})² for α=0.05, power=0.8 — computed once so
+  // the h47 oracle SQL embeds the exact literal the Spark plan uses
+  private val minSampleZz: Double = {
+    val z = graft.operators.Stats.invNorm(1.0 - 0.05 / 2.0) +
+      graft.operators.Stats.invNorm(0.8)
+    z * z
+  }
+
   /** Built IVF-PQ index roots, one per corpus dir (l76: serving is
     * build-once/query-many; bench reps should time the query path). */
   private val ivfPqRoots =
@@ -7034,7 +7042,126 @@ object Suite {
              |ad AS (SELECT count(DISTINCT user_id)::INT
              |    AS any_week_viewers FROM st)
              |SELECT every_week_viewers, any_week_viewers
-             |FROM ev CROSS JOIN ad""".stripMargin))
+             |FROM ev CROSS JOIN ad""".stripMargin)),
+
+    Q("d30_bottom_k_sample",
+      // exact per-group sampling: the k docs with the SMALLEST
+      // portable md5 hash — min-wise (bottom-k) sampling, the
+      // deterministic counterpart of the family's groupArraySample.
+      // Bounded aggregate state (k pairs per mapper), and the oracle
+      // recomputes the exact member set — the sample manifest is
+      // auditable outside Spark
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT source, array_join(transform(
+                 |    bottom_k(10, cast(conv(substring(
+                 |      md5(concat('7:', cast(doc_id AS string))), 1, 15),
+                 |      16, 10) AS bigint), doc_id),
+                 |    x -> cast(x AS string)), ',') AS sample_ids
+                 |FROM documents GROUP BY source
+                 |ORDER BY source""".stripMargin)
+      },
+      // arrays don't hash-compare across engines — joined-string
+      // convention, same as d14
+      Some("""WITH h AS (SELECT source, doc_id,
+             |    ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT
+             |      AS hk FROM documents),
+             |r AS (SELECT source, doc_id, hk, row_number() OVER (
+             |    PARTITION BY source ORDER BY hk, doc_id) AS rn FROM h)
+             |SELECT source, array_to_string(
+             |    list(doc_id ORDER BY hk, doc_id), ',') AS sample_ids
+             |FROM r WHERE rn <= 10 GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    Q("h46_multi_linfit",
+      // two-feature least squares per group: exact long cross-sums
+      // (one map-side-combined pass builds X^T X / X^T y), Cramer's
+      // rule as ONE double expression tree the oracle repeats verbatim
+      // — the distributed normal-equations shape of the family's
+      // stochasticLinearRegression, without SGD's order sensitivity
+      (s, d) => graft.operators.Stats.multiLinFit(t(s, d, "lineitem"),
+          col("l_quantity").cast("long"),
+          round(col("l_discount") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_returnflag"))
+        .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    count(*)::BIGINT AS n,
+             |    sum(l_quantity::BIGINT)::BIGINT AS s1,
+             |    sum(round(l_discount*100)::BIGINT)::BIGINT AS s2,
+             |    sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS sy,
+             |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT
+             |      AS s11,
+             |    sum(round(l_discount*100)::BIGINT
+             |      * round(l_discount*100)::BIGINT)::BIGINT AS s22,
+             |    sum(l_quantity::BIGINT
+             |      * round(l_discount*100)::BIGINT)::BIGINT AS s12,
+             |    sum(l_quantity::BIGINT
+             |      * round(l_extendedprice*100)::BIGINT)::BIGINT AS s1y,
+             |    sum(round(l_discount*100)::BIGINT
+             |      * round(l_extendedprice*100)::BIGINT)::BIGINT AS s2y
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT l_returnflag, n,
+             |    n::DOUBLE * (s11::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s12::DOUBLE)
+             |      - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s2::DOUBLE)
+             |      + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE
+             |        - s11::DOUBLE * s2::DOUBLE) AS det,
+             |    sy::DOUBLE * (s11::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s12::DOUBLE)
+             |      - s1::DOUBLE * (s1y::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s2y::DOUBLE)
+             |      + s2::DOUBLE * (s1y::DOUBLE * s12::DOUBLE
+             |        - s11::DOUBLE * s2y::DOUBLE) AS d0,
+             |    n::DOUBLE * (s1y::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s2y::DOUBLE)
+             |      - sy::DOUBLE * (s1::DOUBLE * s22::DOUBLE
+             |        - s12::DOUBLE * s2::DOUBLE)
+             |      + s2::DOUBLE * (s1::DOUBLE * s2y::DOUBLE
+             |        - s1y::DOUBLE * s2::DOUBLE) AS d1,
+             |    n::DOUBLE * (s11::DOUBLE * s2y::DOUBLE
+             |        - s1y::DOUBLE * s12::DOUBLE)
+             |      - s1::DOUBLE * (s1::DOUBLE * s2y::DOUBLE
+             |        - s1y::DOUBLE * s2::DOUBLE)
+             |      + sy::DOUBLE * (s1::DOUBLE * s12::DOUBLE
+             |        - s11::DOUBLE * s2::DOUBLE) AS d2
+             |  FROM m)
+             |SELECT l_returnflag, n,
+             |  CASE WHEN det != 0 THEN round(d0 / det, 6) END AS b0,
+             |  CASE WHEN det != 0 THEN round(d1 / det, 6) END AS b1,
+             |  CASE WHEN det != 0 THEN round(d2 / det, 6) END AS b2
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    Q("h47_min_sample_size",
+      // the family's minSampleSizeContinous A/B sizing panel: exact
+      // fixed-point mean/variance per group, then one double formula
+      // whose z constants are computed ONCE driver-side (Acklam
+      // inverse-normal) and embedded as identical literals in the
+      // Spark plan and the oracle SQL
+      (s, d) => graft.operators.Stats.minSampleSizeContinuous(
+          t(s, d, "events"),
+          round(col("value") * 100).cast("long"),
+          col("event_type"), mde = 0.02)
+        .orderBy("event_type"),
+      Some(s"""WITH m AS (SELECT event_type, count(*)::BIGINT AS n,
+               |    sum(round(value*100)::BIGINT)::BIGINT AS sv,
+               |    sum(round(value*100)::BIGINT
+               |      * round(value*100)::BIGINT)::BIGINT AS svv
+               |  FROM events GROUP BY 1),
+               |c AS (SELECT event_type, n,
+               |    sv::DOUBLE / n::DOUBLE AS mean_c,
+               |    (n::DOUBLE * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE)
+               |      / (n::DOUBLE * n::DOUBLE) AS var_c
+               |  FROM m)
+               |SELECT event_type, n,
+               |  ceil(2.0 * var_c * $minSampleZz
+               |    / ((0.02 * mean_c) * (0.02 * mean_c)))::BIGINT
+               |    AS sample_size,
+               |  round(mean_c * ${1.0 - 0.02} / 100.0, 6) AS detect_lower,
+               |  round(mean_c * ${1.0 + 0.02} / 100.0, 6) AS detect_upper
+               |FROM c ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -364,6 +364,51 @@ class StatsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("multiLinFit recovers exact planted coefficients") {
+    // y = 7 + 3*x1 - 2*x2 exactly: the normal equations must return
+    // the planted coefficients to rounding precision, per group
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 50) yield {
+      val x1 = (i * 13L) % 17
+      val x2 = (i * 7L + 3) % 23
+      (g, x1, x2, 7L + 3 * x1 - 2 * x2 + (if (g == "b") 100 else 0))
+    }
+    val got = Stats.multiLinFit(rows.toDF("g", "x1", "x2", "y"),
+        col("x1"), col("x2"), col("y"), col("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((7.0, 3.0, -2.0)), got)
+    assert(got("b") == ((107.0, 3.0, -2.0)), got)
+    // singular design (x2 = 2*x1): null coefficients, not a blow-up
+    val sing = (0 until 20).map(i => ("s", i.toLong, 2L * i, i * 5L))
+    val s = Stats.multiLinFit(sing.toDF("g", "x1", "x2", "y"),
+      col("x1"), col("x2"), col("y"), col("g")).collect().head
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+  }
+
+  test("bottom_k: exact min-k by key, merge-stable across partitions") {
+    graft.GraftExtensions.register(spark)
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      (i % 3, (i * 2654435761L) % 100003, i.toLong)
+    }
+    rows.toDF("g", "hk", "id").repartition(32)
+      .createOrReplaceTempView("bk_rows")
+    val got = spark.sql(
+      """SELECT g, bottom_k(25, hk, id) AS ids FROM bk_rows GROUP BY g
+        |""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(25).map(_._2).toSeq
+    }
+    assert(got == expect)
+    // k larger than the group: the whole group comes back, ordered
+    val small = spark.sql(
+      """SELECT bottom_k(1000000, hk, id) AS ids FROM bk_rows
+        |WHERE g = 0""".stripMargin).collect().head.getSeq[Long](0)
+    assert(small == rows.filter(_._1 == 0)
+      .map(r => (r._2, r._3)).sorted.map(_._2).toSeq)
+  }
+
   test("emaByKey weights recency: rising series sits above its mean") {
     val rows = (0L until 100L).map(t => ("g", t * 10L, t))
     val r = Stats.emaByKey(rows.toDF("g", "c", "t"), col("c"), col("t"),
