@@ -183,6 +183,12 @@ object GraftExtensions {
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()
     },
+    // geohash_encode(lat, lon, precision) — join-key-safe spatial cell
+    "geohash_encode" -> { args =>
+      arity("geohash_encode", args, 3)
+      GeohashEncode(args(0), args(1),
+        intLit(args(2), "geohash_encode", "precision"))
+    },
     // exact bottom-k by key (deterministic groupArraySample twin):
     // bottom_k(k, key, value)
     "bottom_k" -> { args =>

@@ -7161,7 +7161,156 @@ object Suite {
                |    AS sample_size,
                |  round(mean_c * ${1.0 - 0.02} / 100.0, 6) AS detect_lower,
                |  round(mean_c * ${1.0 + 0.02} / 100.0, 6) AS detect_upper
-               |FROM c ORDER BY event_type""".stripMargin))
+               |FROM c ORDER BY event_type""".stripMargin)),
+
+    Q("h48_geo_distance",
+      // greatCircleDistance (haversine, meters) banded to 500 km —
+      // coordinates derive from portable md5 hashes so both engines
+      // see identical doubles; banding absorbs libm's last-ulp
+      // freedom (band edges are rational, haversine outputs are not).
+      // Pure map-side column algebra: runs at scan speed, no shuffle
+      // until the count
+      (s, d) => {
+        val lat = ((conv(substring(md5(concat(lit("glat:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 18000) - 9000).cast("double") / 100.0
+        val lon = ((conv(substring(md5(concat(lit("glon:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 36000) - 18000).cast("double") / 100.0
+        t(s, d, "events")
+          .withColumn("d_m", graft.operators.Geo.greatCircleDistance(
+            lat, lon, lit(47.37), lit(8.54)))
+          .groupBy(col("event_type"),
+            floor(col("d_m") / 500000.0).cast("long").as("band"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "band")
+      },
+      Some("""WITH pts AS (SELECT event_type,
+             |    ((('0x' || substr(md5('glat:' || user_id), 1, 15))
+             |      ::BIGINT % 18000) - 9000)::DOUBLE / 100.0 AS lat,
+             |    ((('0x' || substr(md5('glon:' || user_id), 1, 15))
+             |      ::BIGINT % 36000) - 18000)::DOUBLE / 100.0 AS lon
+             |  FROM events),
+             |dd AS (SELECT event_type,
+             |    6371000.0 * (2.0 * asin(sqrt(
+             |      sin(radians(47.37 - lat) / 2)
+             |        * sin(radians(47.37 - lat) / 2)
+             |      + cos(radians(lat)) * cos(radians(47.37))
+             |        * (sin(radians(8.54 - lon) / 2)
+             |          * sin(radians(8.54 - lon) / 2))))) AS d_m
+             |  FROM pts)
+             |SELECT event_type, floor(d_m / 500000.0)::BIGINT AS band,
+             |  count(*)::BIGINT AS n
+             |FROM dd GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin)),
+
+    Q("h49_geohash_cells",
+      // geohashEncode as a JOIN KEY: precision-2 cells over the same
+      // derived coordinates, distinct users per cell. The bisection
+      // kernel uses only (lo+hi)/2 midpoints and >= compares — exact
+      // on every IEEE engine, which the recursive-CTE oracle proves
+      // by replaying all 10 bisection steps
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH pts AS (SELECT
+                 |    ((cast(conv(substring(md5(concat('glat:',
+                 |      cast(user_id AS string))), 1, 15), 16, 10)
+                 |      AS bigint) % 18000) - 9000) / cast(100.0 AS double)
+                 |      AS lat,
+                 |    ((cast(conv(substring(md5(concat('glon:',
+                 |      cast(user_id AS string))), 1, 15), 16, 10)
+                 |      AS bigint) % 36000) - 18000) / cast(100.0 AS double)
+                 |      AS lon
+                 |  FROM events)
+                 |SELECT geohash_encode(lat, lon, 2) AS cell,
+                 |  count(*) AS n_events
+                 |FROM pts GROUP BY 1 HAVING count(*) >= 5
+                 |ORDER BY cell""".stripMargin)
+      },
+      Some("""WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+             |pts AS (SELECT user_id,
+             |    ((('0x' || substr(md5('glat:' || user_id), 1, 15))
+             |      ::BIGINT % 18000) - 9000)::DOUBLE / 100.0 AS lat,
+             |    ((('0x' || substr(md5('glon:' || user_id), 1, 15))
+             |      ::BIGINT % 36000) - 18000)::DOUBLE / 100.0 AS lon
+             |  FROM u),
+             |nev AS (SELECT user_id, count(*)::BIGINT AS ne FROM events
+             |  GROUP BY 1),
+             |b AS (SELECT user_id, lat, lon, 0 AS i, 0::BIGINT AS acc,
+             |    -180.0 AS lo_lon, 180.0 AS hi_lon,
+             |    -90.0 AS lo_lat, 90.0 AS hi_lat
+             |  FROM pts
+             |  UNION ALL
+             |  SELECT user_id, lat, lon, i + 1,
+             |    acc * 2 + CASE WHEN i % 2 = 0
+             |      THEN CASE WHEN lon >= (lo_lon + hi_lon) / 2
+             |        THEN 1 ELSE 0 END
+             |      ELSE CASE WHEN lat >= (lo_lat + hi_lat) / 2
+             |        THEN 1 ELSE 0 END END,
+             |    CASE WHEN i % 2 = 0 AND lon >= (lo_lon + hi_lon) / 2
+             |      THEN (lo_lon + hi_lon) / 2 ELSE lo_lon END,
+             |    CASE WHEN i % 2 = 0 AND lon < (lo_lon + hi_lon) / 2
+             |      THEN (lo_lon + hi_lon) / 2 ELSE hi_lon END,
+             |    CASE WHEN i % 2 = 1 AND lat >= (lo_lat + hi_lat) / 2
+             |      THEN (lo_lat + hi_lat) / 2 ELSE lo_lat END,
+             |    CASE WHEN i % 2 = 1 AND lat < (lo_lat + hi_lat) / 2
+             |      THEN (lo_lat + hi_lat) / 2 ELSE hi_lat END
+             |  FROM b WHERE i < 10),
+             |cell AS (SELECT user_id,
+             |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |      ((acc // 32) % 32)::INT + 1, 1)
+             |    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |      (acc % 32)::INT + 1, 1) AS cell
+             |  FROM b WHERE i = 10)
+             |SELECT cell, sum(ne)::BIGINT AS n_events
+             |FROM cell JOIN nev USING (user_id)
+             |GROUP BY 1 HAVING sum(ne) >= 5 ORDER BY cell""".stripMargin)),
+
+    Q("h50_point_in_polygon",
+      // pointInPolygon against a literal geofence ring, unrolled at
+      // plan time into per-edge crossing tests XOR-ed together — only
+      // +,−,×,÷ and compares, bit-identical on every IEEE engine (the
+      // oracle repeats the expanded edge tests verbatim)
+      (s, d) => {
+        val lat = ((conv(substring(md5(concat(lit("glat:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 18000) - 9000).cast("double") / 100.0
+        val lon = ((conv(substring(md5(concat(lit("glon:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 36000) - 18000).cast("double") / 100.0
+        val ring = Seq((0.0, 0.0), (40.0, 10.0), (50.0, 45.0),
+          (10.0, 60.0), (-20.0, 30.0))
+        t(s, d, "events")
+          .withColumn("inside",
+            graft.operators.Geo.pointInPolygon(lon, lat, ring))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (SELECT event_type,
+             |    ((('0x' || substr(md5('glat:' || user_id), 1, 15))
+             |      ::BIGINT % 18000) - 9000)::DOUBLE / 100.0 AS y,
+             |    ((('0x' || substr(md5('glon:' || user_id), 1, 15))
+             |      ::BIGINT % 36000) - 18000)::DOUBLE / 100.0 AS x
+             |  FROM events),
+             |hit AS (SELECT event_type,
+             |    (((((((0.0 > y) != (10.0 > y)) AND
+             |      (x < (40.0 - 0.0) * (y - 0.0) / (10.0 - 0.0) + 0.0))
+             |    != (((10.0 > y) != (45.0 > y)) AND
+             |      (x < (50.0 - 40.0) * (y - 10.0) / (45.0 - 10.0) + 40.0)))
+             |    != (((45.0 > y) != (60.0 > y)) AND
+             |      (x < (10.0 - 50.0) * (y - 45.0) / (60.0 - 45.0) + 50.0)))
+             |    != (((60.0 > y) != (30.0 > y)) AND
+             |      (x < (-20.0 - 10.0) * (y - 60.0) / (30.0 - 60.0) + 10.0)))
+             |    != (((30.0 > y) != (0.0 > y)) AND
+             |      (x < (0.0 - -20.0) * (y - 30.0) / (0.0 - 30.0) + -20.0)))
+             |    AS inside
+             |  FROM pts)
+             |SELECT event_type,
+             |  sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+             |  count(*)::BIGINT AS n
+             |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
