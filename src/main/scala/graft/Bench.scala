@@ -393,7 +393,16 @@ object Bench {
           // (the lag-exploded join runs on the BUCKETED domain, so
           // 10x events with the same time span should grow ~nothing)
           ("h38g_ema", "h38_ema"),
-          ("h39g_period_detect", "h39_period_detect"))
+          ("h39g_period_detect", "h39_period_detect"),
+          // this round's event ops: strict funnels (order mode buffers
+          // ALL events as step-0 markers — the mode's documented cost,
+          // rehearsed here), exact bitmap audience (state bounded by
+          // distinct users, which scales WITH volume here — the honest
+          // worst case), and the geo band scan (pure map-side column
+          // algebra — growth should cost only the scan)
+          ("h45g_funnel_order", "h45_funnel_strict_order"),
+          ("d28g_bitmap", "d28_bitmap_audience"),
+          ("h48g_geo_distance", "h48_geo_distance"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)

@@ -540,4 +540,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("bitmap audience crosses via broadcast; funnel modes stay one agg") {
+    // d28: the 1-row purchase state must broadcast to the 5 segment
+    // states — never a shuffle-side cross
+    val plan = planOf(queries.Suite.queries("d28_bitmap_audience")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("bitmap_agg"), plan)
+    // h45: the strict funnel is ONE partial aggregation — no join,
+    // no per-key window sort
+    val fp = planOf(
+      queries.Suite.queries("h45_funnel_strict_order")(spark, sf))
+    assert(!fp.contains("Join"), fp)
+    assert(!fp.contains("Window"), fp)
+    assert(fp.contains("window_funnel_strict"), fp)
+  }
+
+  test("geo band scan is map-side algebra to one aggregation") {
+    val plan = planOf(queries.Suite.queries("h48_geo_distance")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // exactly one exchange: the final (event_type, band) hash agg
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected map-side algebra, got:\n$plan")
+  }
 }
