@@ -179,6 +179,15 @@ object GraftExtensions {
         strictDedup = mode != "order",
         strictOrder = mode != "dedup").toAggregateExpression()
     },
+    // multi-step sequenceMatch with PER-GAP limits:
+    // sequence_chain('g1,g2,…', ts, cond1, …, condK)
+    "sequence_chain" -> { args =>
+      require(args.length >= 4,
+        s"sequence_chain expects at least 4 arguments, got ${args.length}")
+      val gaps = stringLit(args.head, "sequence_chain", "gaps")
+        .split(",").toSeq.map(_.trim.toLong)
+      SequenceChain(gaps, args(1), args.drop(2)).toAggregateExpression()
+    },
     "retention" -> { args =>
       require(args.nonEmpty, "retention expects at least 1 argument")
       Retention(args).toAggregateExpression()

@@ -402,3 +402,140 @@ case class BottomK(
       c: IndexedSeq[Expression]): BottomK =
     copy(key = c(0), value = c(1))
 }
+
+/** `sequence_chain('g1,g2,…', ts, cond1, …, condK)` — the family's
+  * multi-step `sequenceMatch('(?1)(?t<=g1)(?2)(?t<=g2)(?3)…')`
+  * pattern: the deepest level L such that a chain e1 < e2 < … < eL
+  * EXISTS with each gap bounded by its own limit
+  * (0 < t_{i+1} − t_i ≤ g_i). Unlike the funnel there is no anchor
+  * window — each gap is constrained independently.
+  *
+  * Exact existence DP (greedy is wrong here: an early step-2 match
+  * can strand a later step-3, while a later step-2 completes): one
+  * pass over the group's matched events sorted by (second, step),
+  * keeping per level the ASCENDING list of seconds at which the
+  * level was achieved; an event at second s reaches level i+1 iff a
+  * level-i time lies in [s − g_i, s). The lists build in sorted order
+  * so the range probe is one binary search — O(n·(log n + K)) per
+  * group, and the oracle replays the same semantics as EXISTS-chain
+  * joins. Same packed-long buffer discipline as the funnel: only
+  * matched events cross the shuffle. */
+case class SequenceChain(
+    gaps: Seq[Long],
+    ts: Expression,
+    conds: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  require(conds.size >= 2, "sequence_chain needs at least two steps")
+  require(gaps.size == conds.size - 1,
+    s"sequence_chain: ${conds.size} steps need ${conds.size - 1} gaps, " +
+      s"got ${gaps.size}")
+  require(gaps.forall(_ > 0), "sequence_chain: gaps must be positive seconds")
+
+  override def children: Seq[Expression] = ts +: conds
+  override def nullable: Boolean = false
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sequence_chain"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (ts.dataType != TimestampType)
+      TypeCheckFailure(s"$prettyName: ts must be TIMESTAMP, got ${ts.dataType}")
+    else conds.find(_.dataType != BooleanType) match {
+      case Some(c) => TypeCheckFailure(
+        s"$prettyName: step predicates must be BOOLEAN, got ${c.dataType}")
+      case None => TypeCheckSuccess
+    }
+  }
+
+  private val SecMask = (1L << 48) - 1
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow)
+      : ArrayBuffer[Long] = {
+    val t = ts.eval(input)
+    if (t != null) {
+      val sec = t.asInstanceOf[Long] / 1000000L
+      var i = 0
+      while (i < conds.length) {
+        val c = conds(i).eval(input)
+        if (c != null && c.asInstanceOf[Boolean])
+          buf += (((i + 1).toLong << 48) | (sec & SecMask))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
+      : ArrayBuffer[Long] = { b1 ++= b2; b1 }
+
+  override def eval(buf: ArrayBuffer[Long]): Any = {
+    if (buf.isEmpty) return 0
+    val n = buf.length
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { // (step<<48)|sec → (sec<<16)|step: sorts by second
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    val k = conds.length
+    val achieved = Array.fill(k)(new ArrayBuffer[Long]())
+    i = 0
+    while (i < n) {
+      val sec = arr(i) >>> 16
+      val step = (arr(i) & 0xffffL).toInt
+      if (step == 1) {
+        achieved(0) += sec
+      } else {
+        // any level-(step-1) time in [sec - g, sec)? binary search the
+        // ascending achieved list for the first element >= sec - g
+        val prev = achieved(step - 2)
+        if (prev.nonEmpty) {
+          val loBound = sec - gaps(step - 2)
+          var lo = 0
+          var hi = prev.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (prev(mid) < loBound) lo = mid + 1 else hi = mid
+          }
+          if (lo < prev.length && prev(lo) < sec &&
+            (achieved(step - 1).isEmpty || achieved(step - 1).last != sec))
+            achieved(step - 1) += sec
+        }
+      }
+      i += 1
+    }
+    var level = 0
+    i = 0
+    while (i < k) { if (achieved(i).nonEmpty) level = i + 1; i += 1 }
+    level
+  }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SequenceChain =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SequenceChain =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SequenceChain =
+    copy(ts = c.head, conds = c.tail)
+}

@@ -351,4 +351,35 @@ object TextFunctions {
       concat(scheme, lit("://"), host, path,
         when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
   }
+
+  /** The reference family's URL-dissection function surface
+    * (`protocol`/`domain`/`topLevelDomain`/`firstSignificantSubdomain`
+    * /`path`/`extractURLParameter`) as pure regex column algebra —
+    * map-side, codegen'd, no shuffle. Patterns avoid lookarounds so
+    * any RE2-class engine (the oracle included) replays them
+    * verbatim. Unmatched parts come back as '' (the family's
+    * convention), not null.
+    *
+    * firstSignificantSubdomain follows the family's simplification
+    * for the common case — the label LEFT of the TLD — without the
+    * public-suffix list (com.tr-style two-level suffixes resolve to
+    * the suffix's own second label); documented divergence, the list
+    * is data not code. */
+  object Url {
+    def protocol(u: Column): Column =
+      lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    def domain(u: Column): Column =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+    def topLevelDomain(u: Column): Column =
+      regexp_extract(domain(u), "\\.([A-Za-z0-9-]+)$", 1)
+    def firstSignificantSubdomain(u: Column): Column =
+      regexp_extract(domain(u), "([A-Za-z0-9-]+)\\.[A-Za-z0-9-]+$", 1)
+    def path(u: Column): Column =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    def extractParameter(u: Column, name: String): Column = {
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"extractParameter: unsafe parameter name $name")
+      regexp_extract(u, s"[?&]$name=([^&#]*)", 1)
+    }
+  }
 }

@@ -210,6 +210,29 @@ object Funnel {
       .filter(col("matched_s").isNotNull)
   }
 
+  /** Multi-step `sequenceMatch('(?1)(?t<=g1)(?2)(?t<=g2)(?3)…')` with
+    * a PER-GAP limit on each hop (no anchor window): the deepest
+    * chain level each key reaches. Exact existence DP in the
+    * [[graft.functions.SequenceChain]] aggregate — greedy scans are
+    * wrong here (an early step-2 match can strand a later step-3
+    * while a later step-2 completes the chain), and the oracle
+    * replays the semantics as EXISTS-chain joins. One aggregation;
+    * only matched events enter the buffer. Returns (key, level),
+    * level ≥ 1 rows only. */
+  def sequenceChain(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      steps: Seq[Column],
+      gaps: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, eagerExpression}
+    val agg = toCol(graft.functions.SequenceChain(gaps,
+        eagerExpression(col(tsCol).cast("timestamp")),
+        steps.map(eagerExpression)).toAggregateExpression())
+    events.groupBy(col(keyCol)).agg(agg.as("level"))
+      .filter(col("level") >= 1)
+  }
+
   /** `sequenceNextNode` shape: per key, the value of the event
     * ADJACENT to a chosen anchor event — "what did each user do
     * right after their first signup" (forward/first_match), "right

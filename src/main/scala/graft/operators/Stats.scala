@@ -896,4 +896,56 @@ object Stats {
       round(meanC * lit(1.0 - mde) / 100.0, 6).as("detect_lower"),
       round(meanC * lit(1.0 + mde) / 100.0, 6).as("detect_upper"))
   }
+
+  /** Additive seasonal decomposition (the `seriesDecomposeSTL` shape,
+    * classical-decomposition flavor): value = trend + seasonal +
+    * residual over a regularly-sampled per-group series.
+    *
+    *  - trend: centered `period`-wide moving average (null at the
+    *    edges where the window is short — no fabricated values);
+    *  - seasonal: the per-phase mean of the detrended series
+    *    (phase = days since `epochDay` mod period — NOT the engine's
+    *    locale-dependent dayofweek), centered so phases sum to ~0;
+    *  - residual: what's left.
+    *
+    * ENTIRELY integer micro-units: every mean is `sum*1e6 div n`
+    * (truncating division — Spark `div` and the oracle's `//` agree
+    * on negatives), so the decomposition replays exactly on any
+    * engine. Three passes: one window (trend), one tiny
+    * (group × period) aggregation broadcast back, one map join.
+    * The real STL iterates loess fits — this is the classical
+    * single-pass decomposition, the family's documented baseline. */
+  def seasonalDecompose(df: DataFrame, value: Column, day: Column,
+      group: Column, period: Int, epochDay: String): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"seasonalDecompose: period must be odd >= 3, got $period")
+    val half = period / 2
+    val w = Window.partitionBy(col("g")).orderBy(col("d"))
+      .rowsBetween(-half, half)
+    val base = df.select(group.as("g"), day.as("d"), value.as("v"))
+      .withColumn("__s", sum(col("v")).over(w))
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("trend_micro", when(col("__c") === period,
+        expr(s"(__s * 1000000) div $period")))
+      .withColumn("detr",
+        col("v") * lit(1000000L) - col("trend_micro"))
+      .withColumn("ph", pmod(datediff(col("d"), lit(epochDay).cast("date")),
+        lit(period)))
+    val sea = base.filter(col("detr").isNotNull)
+      .groupBy(col("g"), col("ph"))
+      .agg(sum(col("detr")).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("savg", expr("sd div nd"))
+    val adj = sea.groupBy(col("g"))
+      .agg(expr(s"sum(savg) div $period").as("adj"))
+    base
+      .join(broadcast(sea.select(col("g"), col("ph"), col("savg"))),
+        Seq("g", "ph"), "left")
+      .join(broadcast(adj), Seq("g"), "left")
+      .withColumn("seasonal_micro", col("savg") - col("adj"))
+      .withColumn("resid_micro",
+        col("v") * lit(1000000L) - col("trend_micro") -
+          col("seasonal_micro"))
+      .select(col("g"), col("d"), col("v"), col("trend_micro"),
+        col("seasonal_micro"), col("resid_micro"))
+  }
 }

@@ -7310,7 +7310,158 @@ object Suite {
              |SELECT event_type,
              |  sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS n_inside,
              |  count(*)::BIGINT AS n
-             |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("h51_url_parts",
+      // the family's URL-dissection surface (protocol / domain / TLD /
+      // firstSignificantSubdomain / path / extractURLParameter) over
+      // deterministically derived messy URLs — pure regex column
+      // algebra the oracle replays with the same RE2-safe patterns.
+      // Map-side until the one (tld, fsd) hash agg
+      (s, d) => {
+        import graft.functions.TextFunctions.Url
+        val id = col("doc_id")
+        val url = concat(lit("https://"),
+          element_at(array(lit("www"), lit("api"), lit("cdn")),
+            (id % 3 + 1).cast("int")),
+          lit(".site"), (id % 5).cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+            (id % 4 + 1).cast("int")),
+          lit("/p/"), id.cast("string"),
+          lit("?id="), (id % 7).cast("string"),
+          lit("&ref="), col("source"))
+        t(s, d, "documents")
+          .withColumn("u", url)
+          .select(
+            Url.topLevelDomain(col("u")).as("tld"),
+            Url.firstSignificantSubdomain(col("u")).as("fsd"),
+            Url.protocol(col("u")).as("proto"),
+            Url.path(col("u")).as("p"),
+            Url.extractParameter(col("u"), "id").cast("long").as("pid"))
+          .groupBy("tld", "fsd", "proto")
+          .agg(count(lit(1)).as("n"), sum(col("pid")).as("sum_id"),
+            count(when(col("p").startsWith("/p/"), 1)).as("n_p_paths"))
+          .orderBy("tld", "fsd")
+      },
+      Some("""WITH urls AS (SELECT
+             |    'https://' ||
+             |    CASE (doc_id % 3) WHEN 0 THEN 'www' WHEN 1 THEN 'api'
+             |      ELSE 'cdn' END ||
+             |    '.site' || (doc_id % 5) || '.' ||
+             |    CASE (doc_id % 4) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |      WHEN 2 THEN 'net' ELSE 'io' END ||
+             |    '/p/' || doc_id || '?id=' || (doc_id % 7)
+             |    || '&ref=' || source AS u
+             |  FROM documents),
+             |parts AS (SELECT
+             |    regexp_extract(lower(regexp_extract(u,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
+             |      '\.([A-Za-z0-9-]+)$', 1) AS tld,
+             |    regexp_extract(lower(regexp_extract(u,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
+             |      '([A-Za-z0-9-]+)\.[A-Za-z0-9-]+$', 1) AS fsd,
+             |    lower(regexp_extract(u,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+             |    regexp_extract(u,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+             |    regexp_extract(u, '[?&]id=([^&#]*)', 1)::BIGINT AS pid
+             |  FROM urls)
+             |SELECT tld, fsd, proto, count(*)::BIGINT AS n,
+             |  sum(pid)::BIGINT AS sum_id,
+             |  count(CASE WHEN p LIKE '/p/%' THEN 1 END)::BIGINT
+             |    AS n_p_paths
+             |FROM parts GROUP BY 1, 2, 3 ORDER BY tld, fsd""".stripMargin)),
+
+    Q("h52_sequence_chain",
+      // multi-step sequenceMatch with PER-GAP limits — view →(≤6h)→
+      // click →(≤48h)→ purchase. Existence DP in one aggregation (a
+      // greedy scan is provably wrong here); the oracle replays the
+      // semantics as EXISTS-chain joins, level by level
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""SELECT user_id,
+                 |  sequence_chain('21600,172800', ts,
+                 |    event_type = 'view',
+                 |    event_type = 'click',
+                 |    event_type = 'purchase') AS level
+                 |FROM events GROUP BY user_id
+                 |HAVING level >= 1
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    floor(epoch(ts))::BIGINT AS sec FROM events),
+             |l3 AS (SELECT DISTINCT v.user_id FROM e v
+             |  JOIN e c ON c.user_id = v.user_id
+             |    AND c.event_type = 'click'
+             |    AND c.sec > v.sec AND c.sec <= v.sec + 21600
+             |  JOIN e p ON p.user_id = v.user_id
+             |    AND p.event_type = 'purchase'
+             |    AND p.sec > c.sec AND p.sec <= c.sec + 172800
+             |  WHERE v.event_type = 'view'),
+             |l2 AS (SELECT DISTINCT v.user_id FROM e v
+             |  JOIN e c ON c.user_id = v.user_id
+             |    AND c.event_type = 'click'
+             |    AND c.sec > v.sec AND c.sec <= v.sec + 21600
+             |  WHERE v.event_type = 'view'),
+             |l1 AS (SELECT DISTINCT user_id FROM e
+             |  WHERE event_type = 'view')
+             |SELECT l1.user_id,
+             |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+             |    WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+             |FROM l1 LEFT JOIN l3 ON l1.user_id = l3.user_id
+             |  LEFT JOIN l2 ON l1.user_id = l2.user_id
+             |ORDER BY l1.user_id""".stripMargin)),
+
+    Q("h53_seasonal_decompose",
+      // classical additive decomposition (the seriesDecomposeSTL
+      // baseline): daily volume = trend (centered 7-day MA) +
+      // day-of-week seasonal (per-phase mean of the detrended series,
+      // centered) + residual — ENTIRELY in integer micro-units
+      // (truncating div both engines), phases from an epoch anchor
+      // rather than locale dayofweek. One window pass, one tiny
+      // (type × 7) agg broadcast back
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.Stats.seasonalDecompose(daily, col("v"),
+            col("day"), col("event_type"), period = 7,
+            epochDay = "2024-01-01")
+          .select(col("g"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("v"), col("trend_micro"), col("seasonal_micro"),
+            col("resid_micro"))
+          .orderBy("g", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type AS g,
+             |    date_trunc('day', ts)::DATE AS d,
+             |    count(*)::BIGINT AS v
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT g, d, v,
+             |    sum(v) OVER (PARTITION BY g ORDER BY d
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS s,
+             |    count(*) OVER (PARTITION BY g ORDER BY d
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS c
+             |  FROM daily),
+             |t2 AS (SELECT g, d, v,
+             |    CASE WHEN c = 7 THEN (s * 1000000) // 7 END AS trend_micro,
+             |    date_diff('day', DATE '2024-01-01', d) % 7 AS ph
+             |  FROM t),
+             |t3 AS (SELECT g, d, v, trend_micro, ph,
+             |    v * 1000000 - trend_micro AS detr FROM t2),
+             |sea AS (SELECT g, ph,
+             |    (sum(detr) // count(*))::BIGINT AS savg
+             |  FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+             |adj AS (SELECT g, (sum(savg) // 7)::BIGINT AS adj
+             |  FROM sea GROUP BY 1)
+             |SELECT t3.g, strftime(t3.d, '%Y-%m-%d') AS day, t3.v,
+             |  t3.trend_micro,
+             |  (sea.savg - adj.adj)::BIGINT AS seasonal_micro,
+             |  (t3.v * 1000000 - t3.trend_micro
+             |    - (sea.savg - adj.adj))::BIGINT AS resid_micro
+             |FROM t3 LEFT JOIN sea ON t3.g = sea.g AND t3.ph = sea.ph
+             |  LEFT JOIN adj ON t3.g = adj.g
+             |ORDER BY t3.g, day""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

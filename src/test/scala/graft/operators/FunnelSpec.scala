@@ -127,4 +127,39 @@ class FunnelSpec extends SparkSpec {
     assert(run("backward", "first_match")(1L) == "view")
     assert(run("backward", "last_match")(1L) == "click")
   }
+
+  test("sequenceChain: per-gap limits, and DP beats the greedy scan") {
+    val base = 1700000000L
+    val rows = Seq(
+      // u1: the greedy trap — BOTH clicks satisfy gap-1 (≤600), but
+      // only the LATE click (base+500) leaves a purchase within its
+      // 100 s gap-2 budget. A greedy earliest-chain scan commits to
+      // click@+10 and reports 2; the existence DP must find 3
+      (1L, "view", base), (1L, "click", base + 10),
+      (1L, "click", base + 500), (1L, "purchase", base + 550),
+      // u2: gap-1 violated (click 700 s after view, limit 600) —
+      // level 1 even though a purchase follows the click closely
+      (2L, "view", base), (2L, "click", base + 700),
+      (2L, "purchase", base + 750),
+      // u3: clean in-gaps chain
+      (3L, "view", base), (3L, "click", base + 50),
+      (3L, "purchase", base + 120),
+      // u4: same-second step never chains (strict increase)
+      (4L, "view", base), (4L, "click", base))
+    val got = Funnel.sequenceChain(ev(rows), "user_id", "ts", steps,
+        gaps = Seq(600L, 100L))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 1), got)
+
+    // SQL surface agrees
+    graft.GraftExtensions.register(spark)
+    ev(rows).createOrReplaceTempView("sc_events")
+    val sql = spark.sql(
+      """SELECT user_id, sequence_chain('600,100', ts,
+        |  event_type = 'view', event_type = 'click',
+        |  event_type = 'purchase') AS level
+        |FROM sc_events GROUP BY user_id HAVING level >= 1
+        |""".stripMargin).as[(Long, Int)].collect().toMap
+    assert(sql == got, s"sql $sql != operator $got")
+  }
 }

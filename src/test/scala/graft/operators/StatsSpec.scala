@@ -409,6 +409,34 @@ class StatsSpec extends SparkSpec {
       .map(r => (r._2, r._3)).sorted.map(_._2).toSeq)
   }
 
+  test("seasonalDecompose recovers a planted weekly pattern exactly") {
+    // v = 100 + seasonal(dow), zero trend slope: the centered MA must
+    // be exactly 100 (each window sees every phase once), seasonal
+    // must equal the planted offsets, residual exactly 0
+    val offsets = Seq(7L, -3L, 0L, 5L, -9L, 2L, -2L) // sums to 0
+    val days = (0 until 28).map { i =>
+      ("g", java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i)), 100L + offsets(i % 7))
+    }
+    val out = Stats.seasonalDecompose(days.toDF("g", "day", "v"),
+        col("v"), col("day"), col("g"), period = 7,
+        epochDay = "2024-01-01")
+      .orderBy("d").collect()
+    assert(out.length == 28)
+    // edges: first 3 and last 3 rows have null trend
+    assert(out.take(3).forall(_.isNullAt(3)))
+    assert(out.takeRight(3).forall(_.isNullAt(3)))
+    val interior = out.drop(3).dropRight(3)
+    interior.foreach { r =>
+      assert(r.getLong(3) == 100000000L, s"trend ${r.getLong(3)}")
+      val i = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(2024, 1, 1), r.getDate(1).toLocalDate).toInt
+      assert(r.getLong(4) == offsets(i % 7) * 1000000L,
+        s"seasonal ${r.getLong(4)} at phase ${i % 7}")
+      assert(r.getLong(5) == 0L, s"residual ${r.getLong(5)}")
+    }
+  }
+
   test("emaByKey weights recency: rising series sits above its mean") {
     val rows = (0L until 100L).map(t => ("g", t * 10L, t))
     val r = Stats.emaByKey(rows.toDF("g", "c", "t"), col("c"), col("t"),
