@@ -897,6 +897,44 @@ object Stats {
       round(meanC * lit(1.0 + mde) / 100.0, 6).as("detect_upper"))
   }
 
+  /** Pairwise Pearson correlations over k integer-valued features in
+    * ONE aggregation (the family's `corrMatrix` shape): the state is
+    * k sums + k square-sums + k(k−1)/2 cross-sums per group — all
+    * exact longs, order-free — and each pair's correlation is one
+    * double expression (sqrt is IEEE-correctly-rounded, so the values
+    * replay bit-identically). Output is the upper triangle unpivoted:
+    * (group, x, y, corr), degenerate features → null. Adding a
+    * feature grows the STATE quadratically but the data passes stay
+    * at exactly one — the property that matters at 100 TB, where a
+    * second scan costs more than any k² of longs. */
+  def corrMatrix(df: DataFrame, feats: Seq[(String, Column)],
+      group: Column): DataFrame = {
+    require(feats.size >= 2, "corrMatrix needs at least two features")
+    val pairs = for {
+      i <- feats.indices; j <- feats.indices if i < j
+    } yield (feats(i), feats(j))
+    val aggs =
+      feats.map { case (nm, c) => sum(c).as(s"s_$nm") } ++
+      feats.map { case (nm, c) => sum(c * c).as(s"q_$nm") } ++
+      pairs.map { case ((na, ca), (nb, cb)) =>
+        sum(ca * cb).as(s"p_${na}_$nb") }
+    val m = df.groupBy(group)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val rows = pairs.map { case ((na, _), (nb, _)) =>
+      val va = nD * d(s"q_$na") - d(s"s_$na") * d(s"s_$na")
+      val vb = nD * d(s"q_$nb") - d(s"s_$nb") * d(s"s_$nb")
+      val cov = nD * d(s"p_${na}_$nb") - d(s"s_$na") * d(s"s_$nb")
+      struct(lit(na).as("x"), lit(nb).as("y"),
+        round(when(va > 0.0 && vb > 0.0,
+          cov / (sqrt(va) * sqrt(vb))), 6).as("corr"))
+    }
+    m.select(group, explode(array(rows: _*)).as("__p"))
+      .select(group, col("__p.x").as("x"), col("__p.y").as("y"),
+        col("__p.corr").as("corr"))
+  }
+
   /** Additive seasonal decomposition (the `seriesDecomposeSTL` shape,
     * classical-decomposition flavor): value = trend + seasonal +
     * residual over a regularly-sampled per-group series.

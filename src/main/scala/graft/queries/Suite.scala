@@ -7461,7 +7461,64 @@ object Suite {
              |    - (sea.savg - adj.adj))::BIGINT AS resid_micro
              |FROM t3 LEFT JOIN sea ON t3.g = sea.g AND t3.ph = sea.ph
              |  LEFT JOIN adj ON t3.g = adj.g
-             |ORDER BY t3.g, day""".stripMargin))
+             |ORDER BY t3.g, day""".stripMargin)),
+
+    Q("h54_corr_matrix",
+      // corrMatrix: the full pairwise correlation triangle over
+      // (quantity, discount, tax) in ONE aggregation — k sums, k
+      // square-sums, k(k−1)/2 cross-sums as exact longs, then each
+      // pair is one double expression (sqrt is correctly rounded, so
+      // the oracle replays it bit-identically)
+      (s, d) => graft.operators.Stats.corrMatrix(t(s, d, "lineitem"),
+          Seq(
+            "qty" -> col("l_quantity").cast("long"),
+            "disc" -> round(col("l_discount") * 100).cast("long"),
+            "tax" -> round(col("l_tax") * 100).cast("long")),
+          col("l_returnflag"))
+        .orderBy("l_returnflag", "x", "y"),
+      Some("""WITH m AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+             |    sum(l_quantity::BIGINT)::BIGINT AS s_qty,
+             |    sum(round(l_discount*100)::BIGINT)::BIGINT AS s_disc,
+             |    sum(round(l_tax*100)::BIGINT)::BIGINT AS s_tax,
+             |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT
+             |      AS q_qty,
+             |    sum(round(l_discount*100)::BIGINT
+             |      * round(l_discount*100)::BIGINT)::BIGINT AS q_disc,
+             |    sum(round(l_tax*100)::BIGINT
+             |      * round(l_tax*100)::BIGINT)::BIGINT AS q_tax,
+             |    sum(l_quantity::BIGINT
+             |      * round(l_discount*100)::BIGINT)::BIGINT AS p_qd,
+             |    sum(l_quantity::BIGINT
+             |      * round(l_tax*100)::BIGINT)::BIGINT AS p_qt,
+             |    sum(round(l_discount*100)::BIGINT
+             |      * round(l_tax*100)::BIGINT)::BIGINT AS p_dt
+             |  FROM lineitem GROUP BY 1),
+             |pairs AS (
+             |  SELECT l_returnflag, 'qty' AS x, 'disc' AS y,
+             |    n::DOUBLE * q_qty::DOUBLE - s_qty::DOUBLE * s_qty::DOUBLE
+             |      AS va,
+             |    n::DOUBLE * q_disc::DOUBLE
+             |      - s_disc::DOUBLE * s_disc::DOUBLE AS vb,
+             |    n::DOUBLE * p_qd::DOUBLE - s_qty::DOUBLE * s_disc::DOUBLE
+             |      AS cov
+             |  FROM m
+             |  UNION ALL
+             |  SELECT l_returnflag, 'qty', 'tax',
+             |    n::DOUBLE * q_qty::DOUBLE - s_qty::DOUBLE * s_qty::DOUBLE,
+             |    n::DOUBLE * q_tax::DOUBLE - s_tax::DOUBLE * s_tax::DOUBLE,
+             |    n::DOUBLE * p_qt::DOUBLE - s_qty::DOUBLE * s_tax::DOUBLE
+             |  FROM m
+             |  UNION ALL
+             |  SELECT l_returnflag, 'disc', 'tax',
+             |    n::DOUBLE * q_disc::DOUBLE
+             |      - s_disc::DOUBLE * s_disc::DOUBLE,
+             |    n::DOUBLE * q_tax::DOUBLE - s_tax::DOUBLE * s_tax::DOUBLE,
+             |    n::DOUBLE * p_dt::DOUBLE - s_disc::DOUBLE * s_tax::DOUBLE
+             |  FROM m)
+             |SELECT l_returnflag, x, y,
+             |  CASE WHEN va > 0 AND vb > 0
+             |    THEN round(cov / (sqrt(va) * sqrt(vb)), 6) END AS corr
+             |FROM pairs ORDER BY l_returnflag, x, y""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

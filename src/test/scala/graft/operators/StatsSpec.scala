@@ -409,6 +409,24 @@ class StatsSpec extends SparkSpec {
       .map(r => (r._2, r._3)).sorted.map(_._2).toSeq)
   }
 
+  test("corrMatrix: planted ±1 pairs and a degenerate feature, one pass") {
+    val rows = (0 until 40).map { i =>
+      ("g", i.toLong, 3L * i + 7, -2L * i + 100, 5L)
+    }
+    val got = Stats.corrMatrix(rows.toDF("g", "a", "b", "c", "k"),
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+          "k" -> col("k")), col("g"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("a", "b")).contains(1.0))   // b = 3a+7
+    assert(got(("a", "c")).contains(-1.0))  // c = -2a+100
+    assert(got(("b", "c")).contains(-1.0))
+    // constant feature: every pair with k is null, not NaN
+    assert(got(("a", "k")).isEmpty && got(("b", "k")).isEmpty &&
+      got(("c", "k")).isEmpty)
+    assert(got.size == 6) // full upper triangle of 4 features
+  }
+
   test("seasonalDecompose recovers a planted weekly pattern exactly") {
     // v = 100 + seasonal(dow), zero trend slope: the centered MA must
     // be exactly 100 (each window sees every phase once), seasonal
