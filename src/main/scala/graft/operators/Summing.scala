@@ -103,4 +103,76 @@ object Summing {
       fs.delete(staging, true)
     stats.toSeq
   }
+
+  /** The family's `TTL … GROUP BY … SET v = sum(v)` storage
+    * lifecycle: partitions OLDER than `cutoff` are aggregated to a
+    * coarser grain instead of dropped — measures summed, the
+    * timestamp carried as the per-group max (stays inside the
+    * partition's date), every other column carried as the per-group
+    * MIN (the family keeps "any value from the group"; min is the
+    * deterministic reading — documented divergence). Fresh partitions
+    * are untouched; totals are invariant by construction; the stored
+    * row count in expired partitions collapses to one per
+    * (date, rollup key).
+    *
+    * Same staged-swap discipline as [[merge]] (crash-healed renames),
+    * and the scan is bounded by the EXPIRED date set, never the
+    * table: the cadenced lifecycle job reads each cold partition
+    * exactly once, on the day it expires. */
+  def ttlRollup(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate, rollupKeys: Seq[String],
+      measureCols: Seq[String], tsCol: String): Seq[MergeStats] = {
+    import org.apache.hadoop.fs.Path
+    val DateCol = PartitionedWriter.DateCol
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val staging = new Path(path + "__merge")
+    PartitionedWriter.healStaging(fs, root, staging)
+
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
+      .map(_.getPath.getName.stripPrefix(s"$DateCol="))
+      .filter(d => java.time.LocalDate.parse(d).isBefore(cutoff))
+      .sorted
+    if (expired.isEmpty) return Nil
+
+    val tbl = spark.read.parquet(path)
+      .filter(col(DateCol).isin(expired.map(java.sql.Date.valueOf): _*))
+    val groupCols = DateCol +: rollupKeys
+    val carried = tbl.columns
+      .filterNot(groupCols.contains).filterNot(measureCols.contains)
+      .filterNot(_ == tsCol)
+    // one aggregation yields both receipts and the foldable set (the
+    // merge discipline): already-collapsed partitions are NOT rewritten
+    val stats = tbl.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(DateCol).cast("string").as("__d"))
+      .agg(sum(col("__n")).as("__before"), count(lit(1)).as("__after"))
+      .collect()
+      .map(r => MergeStats(s"$DateCol=${r.getString(0)}",
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_.partition)
+    val foldable = stats.filter(s => s.rowsAfter < s.rowsBefore)
+    if (foldable.nonEmpty) {
+      val dates = foldable.map(s =>
+        java.sql.Date.valueOf(s.partition.stripPrefix(s"$DateCol=")))
+      val aggs =
+        Seq(max(col(tsCol)).as(tsCol)) ++
+        measureCols.map(m => sum(col(m)).as(m)) ++
+        carried.map(c => min(col(c)).as(c))
+      val folded = tbl.filter(col(DateCol).isin(dates: _*))
+        .groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(tbl.columns.map(col).toIndexedSeq: _*) // original order
+      val stagedOut = new Path(staging, "out")
+      if (fs.exists(stagedOut)) fs.delete(stagedOut, true)
+      folded.write.partitionBy(DateCol).parquet(stagedOut.toString)
+      PartitionedWriter.swapStagedPartitions(fs, root, staging, stagedOut,
+        foldable.map(_.partition).toSeq)
+    }
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
+    stats.toSeq
+  }
 }

@@ -7518,7 +7518,45 @@ object Suite {
              |SELECT l_returnflag, x, y,
              |  CASE WHEN va > 0 AND vb > 0
              |    THEN round(cov / (sqrt(va) * sqrt(vb)), 6) END AS corr
-             |FROM pairs ORDER BY l_returnflag, x, y""".stripMargin))
+             |FROM pairs ORDER BY l_returnflag, x, y""".stripMargin)),
+
+    Q("d31_ttl_rollup",
+      // the family's TTL … GROUP BY … SET v = sum(v): partitions past
+      // retention are AGGREGATED to (date, event_type) instead of
+      // dropped — totals invariant, old partitions collapse to one
+      // row per key. End-to-end: land date-partitioned, roll up
+      // everything before the cutoff, read back the post-lifecycle
+      // row counts and (invariant) totals
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ttlru_").toString
+        val root = tmp + "/counters"
+        val src = t(s, d, "events").select(col("event_id"), col("ts"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        graft.core.PartitionedWriter.append(src, root, "ts",
+          Seq("event_id"))
+        graft.operators.Summing.ttlRollup(s, root,
+          java.time.LocalDate.parse("2024-01-15"),
+          rollupKeys = Seq("event_type"), measureCols = Seq("cents"),
+          tsCol = "ts")
+        s.read.parquet(root)
+          .groupBy(col(graft.core.PartitionedWriter.DateCol)
+            .cast("string").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH src AS (SELECT date_trunc('day', ts)::DATE AS d,
+             |    event_type, round(value*100)::BIGINT AS cents
+             |  FROM events),
+             |g AS (SELECT d, event_type, count(*)::BIGINT AS n,
+             |    sum(cents)::BIGINT AS cents_total
+             |  FROM src GROUP BY 1, 2)
+             |SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+             |  (CASE WHEN d < DATE '2024-01-15' THEN 1 ELSE n
+             |    END)::BIGINT AS n_rows,
+             |  cents_total
+             |FROM g ORDER BY day, event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -71,4 +71,39 @@ class SummingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(view == Set((1L, "2024-01-01", 2L), (1L, "2024-01-02", 10L)))
   }
+
+  test("ttlRollup aggregates expired partitions; totals invariant; idempotent") {
+    val root = Files.createTempDirectory("summing_ttl_").toString + "/t"
+    // day 1 and 2 will expire (many rows per key), day 3 stays raw
+    Summing.appendPartials(partials(Seq(
+      (1L, "1", 3L), (1L, "1", 4L), (2L, "1", 5L),
+      (1L, "2", 7L), (1L, "2", 1L),
+      (1L, "3", 9L), (1L, "3", 2L))), root, "day_ts")
+    val totalBefore = spark.read.parquet(root)
+      .agg(sum("n")).as[Long].collect().head
+
+    val stats = Summing.ttlRollup(spark, root,
+      java.time.LocalDate.parse("2024-01-03"),
+      rollupKeys = Seq("key"), measureCols = Seq("n"), tsCol = "day_ts")
+    assert(stats.map(s => s.partition -> (s.rowsBefore, s.rowsAfter))
+      .toMap == Map(
+        "event_date=2024-01-01" -> ((3L, 2L)),
+        "event_date=2024-01-02" -> ((2L, 1L))), stats.toString)
+
+    val after = spark.read.parquet(root)
+    // totals invariant, fresh partition untouched (still 2 raw rows)
+    assert(after.agg(sum("n")).as[Long].collect().head == totalBefore)
+    assert(after.filter(col("day_ts").cast("date") ===
+      lit("2024-01-03")).count() == 2)
+    // expired partitions: one row per (date, key)
+    assert(after.filter(col("day_ts").cast("date") ===
+      lit("2024-01-01")).count() == 2)
+
+    // a second run finds nothing to shrink (already one row per key)
+    val again = Summing.ttlRollup(spark, root,
+      java.time.LocalDate.parse("2024-01-03"),
+      rollupKeys = Seq("key"), measureCols = Seq("n"), tsCol = "day_ts")
+    assert(again.forall(s => s.rowsBefore == s.rowsAfter), again.toString)
+    assert(after.agg(sum("n")).as[Long].collect().head == totalBefore)
+  }
 }
