@@ -402,7 +402,10 @@ object Bench {
           // algebra — growth should cost only the scan)
           ("h45g_funnel_order", "h45_funnel_strict_order"),
           ("d28g_bitmap", "d28_bitmap_audience"),
-          ("h48g_geo_distance", "h48_geo_distance"))
+          ("h48g_geo_distance", "h48_geo_distance"),
+          // gap-chain DP (per-group achieved-time lists — the
+          // n·(log n + K) cost class under test)
+          ("h52g_seq_chain", "h52_sequence_chain"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
