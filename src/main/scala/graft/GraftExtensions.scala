@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{Decimal, DoubleType, FloatType, IntegerType, LongType}
 
 import graft.functions._
 import graft.operators.Dedup
@@ -52,6 +52,16 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+
+  private def doubleLit(e: Expression, fn: String, arg: String): Double =
+    e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Float, FloatType) => v.toDouble
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case Literal(d: Decimal, _) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
 
   private def stringLit(e: Expression, fn: String, arg: String): String =
     e match {
@@ -204,6 +214,23 @@ object GraftExtensions {
       arity("bottom_k", args, 3)
       BottomK(intLit(args.head, "bottom_k", "k"), args(1), args(2))
         .toAggregateExpression()
+    },
+    // DDSketch relative-error quantiles (Masson et al., VLDB'19):
+    // dd_sketch(alpha, v) builds, dd_merge re-aggregates EXACTLY,
+    // dd_quantile(state, q, alpha) reads
+    "dd_sketch" -> { args =>
+      arity("dd_sketch", args, 2)
+      DdSketchAgg(doubleLit(args.head, "dd_sketch", "alpha"), args(1))
+        .toAggregateExpression()
+    },
+    "dd_merge" -> { args =>
+      arity("dd_merge", args, 1)
+      DdMergeAgg(args.head).toAggregateExpression()
+    },
+    "dd_quantile" -> { args =>
+      arity("dd_quantile", args, 3)
+      DdQuantile(args(0), args(1),
+        doubleLit(args(2), "dd_quantile", "alpha"))
     },
     // EXACT membership-set algebra (groupBitmap/bitmapAnd family):
     // sorted-distinct array<bigint> states, two-pointer set ops

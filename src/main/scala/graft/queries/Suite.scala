@@ -7556,7 +7556,51 @@ object Suite {
              |  (CASE WHEN d < DATE '2024-01-15' THEN 1 ELSE n
              |    END)::BIGINT AS n_rows,
              |  cents_total
-             |FROM g ORDER BY day, event_type""".stripMargin))
+             |FROM g ORDER BY day, event_type""".stripMargin)),
+
+    Q("d32_ddsketch_quantile",
+      // DDSketch (Masson et al., VLDB'19): relative-error quantiles
+      // whose MERGE is exact. Same contract shape as d10/d11: the
+      // sketch estimate is engine-specific, the GUARANTEE — estimate
+      // within α of the exact nearest-rank quantile — is what the
+      // suite pins (flag margin α+1e-3 absorbs the bucket-boundary
+      // ulp); the exact quantiles themselves are oracled
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH c AS (SELECT event_type,
+                 |    cast(round(value*100) AS bigint) AS v FROM events),
+                 |st AS (SELECT event_type, dd_sketch(0.02, v) AS sk,
+                 |    count(*) AS n, sort_array(collect_list(v)) AS vs
+                 |  FROM c GROUP BY event_type)
+                 |SELECT event_type,
+                 |  element_at(vs, cast(ceil(0.5 * n) AS int)) AS p50,
+                 |  element_at(vs, cast(ceil(0.99 * n) AS int)) AS p99,
+                 |  cast(abs(dd_quantile(sk, 0.5D, 0.02)
+                 |      - element_at(vs, cast(ceil(0.5 * n) AS int)))
+                 |    <= 0.021 * element_at(vs, cast(ceil(0.5 * n) AS int))
+                 |    AS int) AS p50_within,
+                 |  cast(abs(dd_quantile(sk, 0.99D, 0.02)
+                 |      - element_at(vs, cast(ceil(0.99 * n) AS int)))
+                 |    <= 0.021 * element_at(vs, cast(ceil(0.99 * n) AS int))
+                 |    AS int) AS p99_within
+                 |FROM st ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH c AS (SELECT event_type, round(value*100)::BIGINT AS v
+             |  FROM events),
+             |n AS (SELECT event_type, count(*)::BIGINT AS n FROM c
+             |  GROUP BY 1),
+             |r AS (SELECT event_type, v, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY v) AS rn FROM c),
+             |p AS (SELECT r.event_type,
+             |    max(CASE WHEN rn = ceil(0.5 * n) THEN v END)::BIGINT
+             |      AS p50,
+             |    max(CASE WHEN rn = ceil(0.99 * n) THEN v END)::BIGINT
+             |      AS p99
+             |  FROM r JOIN n USING (event_type) GROUP BY 1)
+             |SELECT event_type, p50, p99,
+             |  1 AS p50_within, 1 AS p99_within
+             |FROM p ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -181,6 +181,32 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(out.getBoolean(4) && out.getBoolean(5) && out.getBoolean(6))
   }
 
+  test("dd_quantile generated code compiles and evaluates") {
+    val alpha = 0.01
+    val buf = new DdSketchAgg.Buf(scala.collection.mutable.LongMap.empty, 0L)
+    val gLn = math.log(DdSketch.gamma(alpha))
+    (1 to 100).foreach { i =>
+      val b = DdSketch.bucketOf(i.toLong * 10, gLn).toLong
+      buf.counts(b) = buf.counts.getOrElse(b, 0L) + 1L
+    }
+    val bytes = DdSketchAgg(alpha,
+      BoundReference(0, LongType, nullable = true)).serialize(buf)
+    val proj = GenerateUnsafeProjection.generate(Seq(DdQuantile(
+      BoundReference(0, BinaryType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), alpha)))
+    val out = proj(InternalRow(bytes, 0.5))
+    val est = out.getDouble(0)
+    // exact median of 10,20,...,1000 at nearest-rank ceil(0.5*100)=50
+    // is 500; the sketch must sit within alpha of it
+    assert(math.abs(est - 500.0) <= alpha * 500.0 * 1.0001, s"est=$est")
+    // empty state → null
+    val empty = DdSketchAgg(alpha,
+      BoundReference(0, LongType, nullable = true))
+      .serialize(new DdSketchAgg.Buf(
+        scala.collection.mutable.LongMap.empty, 0L))
+    assert(proj(InternalRow(empty, 0.5)).isNullAt(0))
+  }
+
   test("hll_estimate generated code compiles and matches the scalar kernel") {
     val regs = Hll.emptyRegisters()
     (1 to 500).foreach(i => Hll.add(regs,
