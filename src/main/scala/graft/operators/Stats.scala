@@ -897,6 +897,30 @@ object Stats {
       round(meanC * lit(1.0 + mde) / 100.0, 6).as("detect_upper"))
   }
 
+  /** Reset-aware counter delta (the metrics family's `increase()`):
+    * per group, sum the per-sample deltas of a monotone counter,
+    * treating a DROP as a reset — the post-reset reading counts from
+    * zero, so restarts never produce negative rates and never lose
+    * the partial increment before the wrap. One key-partitioned
+    * window pass + one aggregation, all integer arithmetic. Ties at
+    * the same timestamp are ordered by `orderCol` so the lag is
+    * deterministic on every engine. */
+  def counterIncrease(df: DataFrame, value: Column, tsCol: Column,
+      orderCol: Column, group: Column): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(tsCol, orderCol)
+    val prev = lag(value, 1).over(w)
+    val scanned = df
+      .withColumn("__inc", when(prev.isNull, lit(0L))
+        .when(value >= prev, value - prev)
+        .otherwise(value)) // reset: the new reading counts from zero
+      .withColumn("__reset",
+        when(prev.isNotNull && value < prev, 1L).otherwise(0L))
+    scanned.groupBy(group)
+      .agg(sum(col("__inc")).as("increase"),
+        sum(col("__reset")).as("n_resets"),
+        count(lit(1)).as("n_samples"))
+  }
+
   /** Pairwise Pearson correlations over k integer-valued features in
     * ONE aggregation (the family's `corrMatrix` shape): the state is
     * k sums + k square-sums + k(k−1)/2 cross-sums per group — all

@@ -7600,7 +7600,43 @@ object Suite {
              |  FROM r JOIN n USING (event_type) GROUP BY 1)
              |SELECT event_type, p50, p99,
              |  1 AS p50_within, 1 AS p99_within
-             |FROM p ORDER BY event_type""".stripMargin))
+             |FROM p ORDER BY event_type""".stripMargin)),
+
+    Q("h55_counter_increase",
+      // reset-aware counter delta (the metrics family's increase()):
+      // derived wrap-around counters per user (deterministic (rn*37)
+      // mod 1000 wraps naturally), a drop counts from zero — restarts
+      // never go negative, the pre-wrap increment is never lost. One
+      // window pass + one agg, all integer
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val counters = t(s, d, "events")
+          .withColumn("ctr", (row_number().over(w).cast("long") * 37L)
+            % 1000L)
+        graft.operators.Stats.counterIncrease(counters, col("ctr"),
+            col("ts"), col("event_id"), col("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id,
+             |    (row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) * 37) % 1000 AS ctr,
+             |    ts, event_id
+             |  FROM events),
+             |s AS (SELECT user_id, ctr,
+             |    lag(ctr) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM c),
+             |i AS (SELECT user_id,
+             |    CASE WHEN prev IS NULL THEN 0
+             |      WHEN ctr >= prev THEN ctr - prev
+             |      ELSE ctr END AS inc,
+             |    CASE WHEN prev IS NOT NULL AND ctr < prev THEN 1
+             |      ELSE 0 END AS r
+             |  FROM s)
+             |SELECT user_id, sum(inc)::BIGINT AS increase,
+             |  sum(r)::BIGINT AS n_resets, count(*)::BIGINT AS n_samples
+             |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

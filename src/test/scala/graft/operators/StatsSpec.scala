@@ -409,6 +409,20 @@ class StatsSpec extends SparkSpec {
       .map(r => (r._2, r._3)).sorted.map(_._2).toSeq)
   }
 
+  test("counterIncrease: resets count from zero, monotone runs sum deltas") {
+    // 10 → 30 → 5(reset) → 25: increase = 20 + 5 + 20 = 45, 1 reset
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 5L), ("a", 4L, 25L),
+      // pure monotone: increase = last - first, 0 resets
+      ("b", 1L, 100L), ("b", 2L, 150L), ("b", 3L, 400L))
+    val got = Stats.counterIncrease(rows.toDF("g", "t", "v"),
+        col("v"), col("t"), col("t"), col("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((45L, 1L, 4L)), got)
+    assert(got("b") == ((300L, 0L, 3L)), got)
+  }
+
   test("corrMatrix: planted ±1 pairs and a degenerate feature, one pass") {
     val rows = (0 until 40).map { i =>
       ("g", i.toLong, 3L * i + 7, -2L * i + 100, 5L)
