@@ -7636,7 +7636,69 @@ object Suite {
              |  FROM s)
              |SELECT user_id, sum(inc)::BIGINT AS increase,
              |  sum(r)::BIGINT AS n_resets, count(*)::BIGINT AS n_samples
-             |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    Q("c12_salted_skew_join",
+      // skew-buster join: a planted hot key (users 0..49 collapse to
+      // key 0 — a third of all rows on one key) is salted across 8
+      // replicas so no reducer holds the hot key's whole mass; the
+      // result set is EXACTLY the plain join's, which is what the
+      // oracle replays. Census + hot-set broadcast + (key, salt) join
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("kk",
+            when(col("user_id") < 50, lit(0L)).otherwise(col("user_id")))
+        val dim = ev.select(col("kk")).distinct()
+          .withColumn("label", concat(lit("k"), col("kk").cast("string")))
+        graft.operators.Skew.saltedJoin(ev, dim, "kk", "event_id",
+            replicas = 8, hotThreshold = 500L)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("label")
+      },
+      Some("""WITH ev AS (SELECT CASE WHEN user_id < 50 THEN 0
+             |    ELSE user_id END AS kk, value FROM events),
+             |dim AS (SELECT DISTINCT kk, 'k' || kk AS label FROM ev)
+             |SELECT dim.label, count(*)::BIGINT AS n,
+             |  sum(round(ev.value*100)::BIGINT)::BIGINT AS cents
+             |FROM ev JOIN dim ON ev.kk = dim.kk
+             |GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    Q("d33_sample_extrapolate",
+      // the family's SAMPLE clause with _sample_factor extrapolation:
+      // counts from a 25% portable-hash sample scaled by 4 — and
+      // because the sample is a deterministic md5 cut, the EXTRAPOLATED
+      // number itself is oracle-exact, not just banded (the audit
+      // story: any engine recomputes the same sample, the same
+      // estimate). Map-side filter, no shuffle until the count
+      (s, d) => {
+        val sampled = graft.operators.Curation.hashSamplePortable(
+          t(s, d, "events"), col("event_id"), fraction = 0.25, seed = 11)
+        val est = sampled.groupBy(col("event_type"))
+          .agg((count(lit(1)) * 4L).as("est_n"))
+        val exact = t(s, d, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_n"))
+        exact.join(est, Seq("event_type"), "left")
+          .select(col("event_type"), col("exact_n"),
+            coalesce(col("est_n"), lit(0L)).as("est_n"),
+            (abs(coalesce(col("est_n"), lit(0L)) - col("exact_n"))
+              <= col("exact_n") * 0.15).cast("int").as("within_15pct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH s AS (SELECT event_type FROM events
+             |  WHERE ('0x' || substr(md5('11:' || event_id), 1, 15))
+             |    ::BIGINT < ${graft.operators.Curation.portableCut(0.25)}),
+             |est AS (SELECT event_type, count(*)::BIGINT * 4 AS est_n
+             |  FROM s GROUP BY 1),
+             |ex AS (SELECT event_type, count(*)::BIGINT AS exact_n
+             |  FROM events GROUP BY 1)
+             |SELECT ex.event_type, ex.exact_n,
+             |  coalesce(est.est_n, 0)::BIGINT AS est_n,
+             |  (abs(coalesce(est.est_n, 0) - ex.exact_n)
+             |    <= ex.exact_n * 0.15)::INT AS within_15pct
+             |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
+             |ORDER BY ex.event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
