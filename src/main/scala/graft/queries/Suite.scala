@@ -7698,7 +7698,45 @@ object Suite {
              |  (abs(coalesce(est.est_n, 0) - ex.exact_n)
              |    <= ex.exact_n * 0.15)::INT AS within_15pct
              |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
-             |ORDER BY ex.event_type""".stripMargin))
+             |ORDER BY ex.event_type""".stripMargin)),
+
+    Q("h56_scalar_panel",
+      // the scalar-function parity sweep in one pass: bitCount,
+      // roundToExp2 (exact bit math via bin-string length, never
+      // log2's last ulp), avgWeighted (exact long sums, one double
+      // division), hex, reverse — each column oracled, all map-side
+      // to one agg
+      (s, d) => {
+        val cents = round(col("value") * 100).cast("long")
+        val w = (col("event_id") % 5 + 1).cast("long")
+        t(s, d, "events")
+          .select(col("event_type"), cents.as("v"), w.as("w"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("v") * col("w")).cast("double") /
+              sum(col("w")).cast("double"), 6).as("avg_weighted"),
+            sum(bit_count(col("v")).cast("long")).as("sum_bits"),
+            sum(when(col("v") > 0,
+              expr("shiftleft(1L, cast(length(bin(v)) AS int) - 1)")
+                .cast("long")).otherwise(0L)).as("sum_exp2"),
+            max(hex(col("v"))).as("max_hex"),
+            max(reverse(col("event_type"))).as("rev"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    round(value*100)::BIGINT AS v,
+             |    (event_id % 5 + 1)::BIGINT AS w
+             |  FROM events)
+             |SELECT event_type, count(*)::BIGINT AS n,
+             |  round(sum(v * w)::DOUBLE / sum(w)::DOUBLE, 6)
+             |    AS avg_weighted,
+             |  sum(bit_count(v))::BIGINT AS sum_bits,
+             |  sum(CASE WHEN v > 0
+             |    THEN (1::BIGINT << (length(bin(v))::INT - 1))
+             |    ELSE 0 END)::BIGINT AS sum_exp2,
+             |  max(upper(to_hex(v))) AS max_hex,
+             |  max(reverse(event_type)) AS rev
+             |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
