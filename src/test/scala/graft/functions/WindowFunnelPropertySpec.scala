@@ -109,4 +109,52 @@ class WindowFunnelPropertySpec extends SparkSpec {
       assert(bad.isEmpty, bad.take(5).mkString("\n"))
     }
   }
+
+  /** Exhaustive per-gap chain existence: the deepest L with a chain
+    * e1 < e2 < … < eL, step(ei) = i, sec(e_{i+1}) − sec(e_i) ≤ g_i.
+    * Branches over EVERY qualifying event per step — the DP must
+    * equal it everywhere, including where a greedy earliest pick
+    * strands the chain. */
+  private def bruteChain(events: Seq[(Long, Int)], gaps: Seq[Long]): Int = {
+    val k = gaps.size + 1
+    def extend(level: Int, lastSec: Long): Int =
+      if (level == k) k
+      else {
+        val nexts = events.filter { case (s, st) =>
+          st == level + 1 && s > lastSec && s - lastSec <= gaps(level - 1) }
+        if (nexts.isEmpty) level
+        else nexts.map { case (s, _) => extend(level + 1, s) }.max
+      }
+    val starts = events.collect { case (s, 1) => s }
+    if (starts.isEmpty) 0 else starts.map(a => extend(1, a)).max
+  }
+
+  test("sequence_chain DP equals exhaustive search on 300 random keys") {
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    val base = 1700000000L
+    val gaps = Seq(25L, 15L)
+    // dense seconds against tight unequal gaps: plenty of greedy
+    // traps, same-second pileups, and dead-end early matches
+    val cases: Map[Long, Seq[(Long, Int)]] = (1L to 300L).map { key =>
+      val n = 1 + rnd.nextInt(12)
+      key -> Seq.fill(n)((base + rnd.nextInt(80).toLong, 1 + rnd.nextInt(3)))
+    }.toMap
+    cases.toSeq.flatMap { case (key, evs) =>
+      evs.map { case (s, st) => (key, st, new java.sql.Timestamp(s * 1000L)) }
+    }.toDF("user_id", "step", "ts").repartition(8)
+      .createOrReplaceTempView("scp_events")
+    val got = spark.sql(
+      s"""SELECT user_id, sequence_chain('${gaps.mkString(",")}', ts,
+         |  step = 1, step = 2, step = 3) AS level
+         |FROM scp_events GROUP BY user_id""".stripMargin)
+      .as[(Long, Int)].collect().toMap
+    val bad = cases.flatMap { case (key, evs) =>
+      val expect = bruteChain(evs, gaps)
+      if (got.getOrElse(key, 0) != expect)
+        Some(s"key $key: dp=${got.getOrElse(key, 0)} brute=$expect evs=$evs")
+      else None
+    }
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
 }
