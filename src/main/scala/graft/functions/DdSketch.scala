@@ -240,6 +240,13 @@ case class DdQuantile(left: Expression, right: Expression, alpha: Double)
 
   override def prettyName: String = "dd_quantile"
   override def dataType: DataType = DoubleType
+  // an EMPTY state reads as null regardless of input nullability, so
+  // the generated code must own a real isNull variable — default
+  // nullSafeCodeGen hands out a `false` CONSTANT when both inputs are
+  // non-nullable and the assignment fails Janino compilation (a
+  // silent interpreted fallback, the exact trap CodegenCompileSpec
+  // exists to catch)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -248,32 +255,48 @@ case class DdQuantile(left: Expression, right: Expression, alpha: Double)
         s"$prettyName requires (binary state, double q), got $l / $r")
     }
 
-  override protected def nullSafeEval(state: Any, q: Any): Any = {
-    val buf = DdSketchAgg.read(state.asInstanceOf[Array[Byte]])
-    val total = buf.zero + buf.counts.values.sum
-    if (total == 0L) null
-    else DdSketch.quantile(buf.counts, buf.zero, total,
-      q.asInstanceOf[Double], DdSketch.gamma(alpha))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val state = left.eval(input)
+    val q = right.eval(input)
+    if (state == null || q == null) null
+    else {
+      val buf = DdSketchAgg.read(state.asInstanceOf[Array[Byte]])
+      val total = buf.zero + buf.counts.values.sum
+      if (total == 0L) null
+      else DdSketch.quantile(buf.counts, buf.zero, total,
+        q.asInstanceOf[Double], DdSketch.gamma(alpha))
+    }
   }
 
   // the walk is a scalar kernel call — one static invocation keeps the
-  // expression inside whole-stage codegen
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (state, q) => {
-      val buf = ctx.freshName("ddbuf")
-      val tot = ctx.freshName("ddtot")
-      s"""
-         |graft.functions.DdSketchAgg.Buf $buf =
-         |  graft.functions.DdSketchAgg.read($state);
-         |long $tot = $buf.zero() +
-         |  graft.functions.DdSketch.countsTotal($buf);
-         |if ($tot == 0L) { ${ev.isNull} = true; }
-         |else {
-         |  ${ev.value} = graft.functions.DdSketch.quantileOf(
-         |    $buf, $tot, $q, ${DdSketch.gamma(alpha)});
+  // expression inside whole-stage codegen; hand-rolled null handling
+  // because the result can be null on NON-null inputs (empty state)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val buf = ctx.freshName("ddbuf")
+    val tot = ctx.freshName("ddtot")
+    val resultCode =
+      code"""
+         |${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = true;
+         |double ${ev.value} = 0.0;
+         |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+         |  graft.functions.DdSketchAgg.Buf $buf =
+         |    graft.functions.DdSketchAgg.read(${leftGen.value});
+         |  long $tot = $buf.zero() +
+         |    graft.functions.DdSketch.countsTotal($buf);
+         |  if ($tot != 0L) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = graft.functions.DdSketch.quantileOf(
+         |      $buf, $tot, ${rightGen.value}, ${DdSketch.gamma(alpha)});
+         |  }
          |}
        """.stripMargin
-    })
+    ev.copy(code = resultCode)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DdQuantile =

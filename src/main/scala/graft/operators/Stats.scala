@@ -897,6 +897,37 @@ object Stats {
       round(meanC * lit(1.0 + mde) / 100.0, 6).as("detect_upper"))
   }
 
+  /** Two-sample z test with KNOWN population variances (the family's
+    * `meanZTest(pop_var_x, pop_var_y, confidence)` shape): z over the
+    * observed mean difference, plus the confidence interval for the
+    * difference. Means come from exact long sums; the variances are
+    * PARAMETERS (that is the test's premise); the z quantile is
+    * computed once driver-side ([[invNorm]]) and embedded as the same
+    * literal in plan and oracle — so the whole output is one
+    * replayable double expression (sqrt is correctly rounded). */
+  def meanZTest(df: DataFrame, valueCents: Column, group: Column,
+      gx: String, gy: String, popVarX: Double, popVarY: Double,
+      alpha: Double = 0.05): DataFrame = {
+    val zq = invNorm(1.0 - alpha / 2.0)
+    val m = df.filter(group.isin(gx, gy))
+      .groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("s"))
+    val x = m.filter(col("g") === gx)
+      .select(col("n").as("n_x"), col("s").as("s_x"))
+    val y = m.filter(col("g") === gy)
+      .select(col("n").as("n_y"), col("s").as("s_y"))
+    val j = x.crossJoin(y) // two 1-row sides
+    val nx = col("n_x").cast("double")
+    val ny = col("n_y").cast("double")
+    val diff = col("s_x").cast("double") / nx -
+      col("s_y").cast("double") / ny
+    val se = sqrt(lit(popVarX) / nx + lit(popVarY) / ny)
+    j.select(col("n_x"), col("n_y"),
+      round(diff / se, 6).as("z"),
+      round(diff - lit(zq) * se, 6).as("ci_low"),
+      round(diff + lit(zq) * se, 6).as("ci_high"))
+  }
+
   /** Reset-aware counter delta (the metrics family's `increase()`):
     * per group, sum the per-sample deltas of a monotone counter,
     * treating a DROP as a reset — the post-reset reading counts from

@@ -38,6 +38,10 @@ object Suite {
     z * z
   }
 
+  // z_{0.975} for the h57 mean z test — same embed-the-literal contract
+  private val zTwoSided05: Double =
+    graft.operators.Stats.invNorm(1.0 - 0.05 / 2.0)
+
   /** Built IVF-PQ index roots, one per corpus dir (l76: serving is
     * build-once/query-many; bench reps should time the query path). */
   private val ivfPqRoots =
@@ -7736,7 +7740,74 @@ object Suite {
              |    ELSE 0 END)::BIGINT AS sum_exp2,
              |  max(upper(to_hex(v))) AS max_hex,
              |  max(reverse(event_type)) AS rev
-             |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("h57_mean_z_test",
+      // meanZTest(pop_var_x, pop_var_y, confidence): z over the
+      // view-vs-click mean difference with KNOWN variances (the
+      // test's premise — they are parameters), plus the CI of the
+      // difference; the z quantile is one driver-side Acklam literal
+      // shared with the oracle, everything else exact sums + sqrt
+      (s, d) => graft.operators.Stats.meanZTest(t(s, d, "events"),
+          round(col("value") * 100).cast("long"), col("event_type"),
+          gx = "view", gy = "click",
+          popVarX = 8500000.0, popVarY = 8500000.0),
+      Some(s"""WITH m AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+             |    sum(round(value*100)::BIGINT)::BIGINT AS s
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  GROUP BY 1),
+             |x AS (SELECT n AS n_x, s AS s_x FROM m WHERE g = 'view'),
+             |y AS (SELECT n AS n_y, s AS s_y FROM m WHERE g = 'click'),
+             |j AS (SELECT n_x, n_y,
+             |    s_x::DOUBLE / n_x::DOUBLE - s_y::DOUBLE / n_y::DOUBLE
+             |      AS diff,
+             |    sqrt(8500000.0 / n_x::DOUBLE + 8500000.0 / n_y::DOUBLE)
+             |      AS se
+             |  FROM x CROSS JOIN y)
+             |SELECT n_x, n_y, round(diff / se, 6) AS z,
+             |  round(diff - $zTwoSided05 * se, 6) AS ci_low,
+             |  round(diff + $zTwoSided05 * se, 6) AS ci_high
+             |FROM j""".stripMargin)),
+
+    Q("d34_dd_state_flow",
+      // the -State/-Merge lifecycle for DDSketch (the d15 HLL flow's
+      // relative-error sibling): per-day states land once, the reader
+      // dd_merges per event_type — EXACTLY the sketch of the union —
+      // and the p95 guarantee is pinned against the oracled exact
+      // nearest-rank quantile over the same rows
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""WITH c AS (SELECT event_type, to_date(ts) AS day,
+                 |    cast(round(value*100) AS bigint) AS v FROM events),
+                 |daily AS (SELECT event_type, day,
+                 |    dd_sketch(0.02, v) AS sk FROM c GROUP BY 1, 2),
+                 |merged AS (SELECT event_type, dd_merge(sk) AS sk
+                 |  FROM daily GROUP BY 1),
+                 |ex AS (SELECT event_type, count(*) AS n,
+                 |    sort_array(collect_list(v)) AS vs
+                 |  FROM c GROUP BY 1)
+                 |SELECT ex.event_type,
+                 |  element_at(vs, cast(ceil(0.95 * n) AS int)) AS p95,
+                 |  cast(abs(dd_quantile(merged.sk, 0.95D, 0.02)
+                 |      - element_at(vs, cast(ceil(0.95 * n) AS int)))
+                 |    <= 0.021 * element_at(vs, cast(ceil(0.95 * n) AS int))
+                 |    AS int) AS p95_within
+                 |FROM ex JOIN merged ON ex.event_type = merged.event_type
+                 |ORDER BY ex.event_type""".stripMargin)
+      },
+      Some("""WITH c AS (SELECT event_type, round(value*100)::BIGINT AS v
+             |  FROM events),
+             |n AS (SELECT event_type, count(*)::BIGINT AS n FROM c
+             |  GROUP BY 1),
+             |r AS (SELECT event_type, v, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY v) AS rn FROM c),
+             |p AS (SELECT r.event_type,
+             |    max(CASE WHEN rn = ceil(0.95 * n) THEN v END)::BIGINT
+             |      AS p95
+             |  FROM r JOIN n USING (event_type) GROUP BY 1)
+             |SELECT event_type, p95, 1 AS p95_within
+             |FROM p ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")

@@ -191,9 +191,13 @@ class CodegenCompileSpec extends AnyFunSuite {
     }
     val bytes = DdSketchAgg(alpha,
       BoundReference(0, LongType, nullable = true)).serialize(buf)
+    // NON-nullable inputs are the trap: the result can still be null
+    // (empty state), so ev.isNull must be a real variable — with
+    // nullSafeCodeGen it is a `false` constant and Janino rejects the
+    // assignment, silently falling back to interpreted
     val proj = GenerateUnsafeProjection.generate(Seq(DdQuantile(
-      BoundReference(0, BinaryType, nullable = true),
-      BoundReference(1, DoubleType, nullable = true), alpha)))
+      BoundReference(0, BinaryType, nullable = false),
+      BoundReference(1, DoubleType, nullable = false), alpha)))
     val out = proj(InternalRow(bytes, 0.5))
     val est = out.getDouble(0)
     // exact median of 10,20,...,1000 at nearest-rank ceil(0.5*100)=50
