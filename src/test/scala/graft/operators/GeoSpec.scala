@@ -14,6 +14,10 @@ class GeoSpec extends SparkSpec {
     // encodes to ezs42 at precision 5
     assert(graft.functions.GeoOps.geohash(42.605, -5.603, 5)
       .toString == "ezs42")
+    // the geohash.org reference vector: (57.64911, 10.40744) →
+    // u4pruydqqvj at precision 11
+    assert(graft.functions.GeoOps.geohash(57.64911, 10.40744, 11)
+      .toString == "u4pruydqqvj")
     // prefix property: precision-2 is the prefix of precision-5
     assert(graft.functions.GeoOps.geohash(42.605, -5.603, 2)
       .toString == "ez")
