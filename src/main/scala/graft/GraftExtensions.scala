@@ -189,6 +189,23 @@ object GraftExtensions {
         strictDedup = mode != "order",
         strictOrder = mode != "dedup").toAggregateExpression()
     },
+    // strict flags INSIDE the maximizing scan (reference-family
+    // parity): window_funnel_strict_max(window_sec, 'dedup'|'order'|
+    // 'dedup_order', ts, cond1, …) — max over all anchors of the
+    // strict per-anchor chain
+    "window_funnel_strict_max" -> { args =>
+      require(args.length >= 4,
+        s"window_funnel_strict_max expects at least 4 arguments, " +
+          s"got ${args.length}")
+      val w = longLit(args.head, "window_funnel_strict_max", "window_sec")
+      val mode = stringLit(args(1), "window_funnel_strict_max", "mode")
+      require(Set("dedup", "order", "dedup_order")(mode),
+        s"window_funnel_strict_max: mode must be dedup|order|dedup_order, " +
+          s"got $mode")
+      WindowFunnel(w, args(2), args.drop(3), maxOverAnchors = true,
+        strictDedup = mode != "order",
+        strictOrder = mode != "dedup").toAggregateExpression()
+    },
     // multi-step sequenceMatch with PER-GAP limits:
     // sequence_chain('g1,g2,…', ts, cond1, …, condK)
     "sequence_chain" -> { args =>

@@ -56,9 +56,14 @@ object Tables {
     implicit val ec: ExecutionContext = ExecutionContext.global
     // register what the directory HAS: the bench's synthetic-scale
     // dirs materialize only the table under test (events), and a
-    // query that never touches the absent tables must still run
-    val present = all.filter(n =>
-      new java.io.File(s"$sfDir/$n.parquet").exists())
+    // query that never touches the absent tables must still run.
+    // Presence goes through the Hadoop FileSystem API so hdfs:///s3a:/
+    // sfDirs resolve too (java.io.File would silently skip them all).
+    val hconf = spark.sessionState.newHadoopConf()
+    val present = all.filter { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$n.parquet")
+      p.getFileSystem(hconf).exists(p)
+    }
     val fs = present.map(n => Future {
       load(spark, sfDir, n).createOrReplaceTempView(n)
     })

@@ -123,7 +123,11 @@ case class SequenceMatch(
   override def update(buf: ArrayBuffer[Long], input: InternalRow)
       : ArrayBuffer[Long] = {
     val t = ts.eval(input)
-    if (t != null) {
+    // pre-1970 timestamps are rejected, not packed: a negative second
+    // would wrap through `& SecMask` into a huge positive 48-bit value
+    // and silently corrupt ordering (upper bound ~year 8.9M documented
+    // on the mask)
+    if (t != null && t.asInstanceOf[Long] >= 0L) {
       val sec = (t.asInstanceOf[Long] / 1000000L) & SecMask
       val c1 = cond1.eval(input)
       if (c1 != null && c1.asInstanceOf[Boolean]) buf += (1L << 48) | sec
@@ -229,7 +233,11 @@ case class SequenceCount(
   override def update(buf: ArrayBuffer[Long], input: InternalRow)
       : ArrayBuffer[Long] = {
     val t = ts.eval(input)
-    if (t != null) {
+    // pre-1970 timestamps are rejected, not packed: a negative second
+    // would wrap through `& SecMask` into a huge positive 48-bit value
+    // and silently corrupt ordering (upper bound ~year 8.9M documented
+    // on the mask)
+    if (t != null && t.asInstanceOf[Long] >= 0L) {
       val sec = (t.asInstanceOf[Long] / 1000000L) & SecMask
       val c1 = cond1.eval(input)
       if (c1 != null && c1.asInstanceOf[Boolean]) buf += (1L << 48) | sec
@@ -459,7 +467,10 @@ case class SequenceChain(
   override def update(buf: ArrayBuffer[Long], input: InternalRow)
       : ArrayBuffer[Long] = {
     val t = ts.eval(input)
-    if (t != null) {
+    // pre-1970 timestamps are rejected, not packed: a negative second
+    // would wrap through `& SecMask` into a huge positive 48-bit value
+    // and silently corrupt the DP's ordering
+    if (t != null && t.asInstanceOf[Long] >= 0L) {
       val sec = t.asInstanceOf[Long] / 1000000L
       var i = 0
       while (i < conds.length) {

@@ -53,15 +53,14 @@ case class WindowFunnel(
 
   require(conds.nonEmpty, "window_funnel needs at least one step predicate")
   require(conds.size <= 0xfffe, "window_funnel: too many steps")
-  require(!(maxOverAnchors && (strictDedup || strictOrder)),
-    "window_funnel: strict_dedup/strict_order apply to the " +
-      "earliest-anchor scan, not the max-over-anchors DP")
 
   override def children: Seq[Expression] = ts +: conds
   override def nullable: Boolean = false
   override def dataType: DataType = IntegerType
   override def prettyName: String =
-    if (maxOverAnchors) "window_funnel_max"
+    if (maxOverAnchors && (strictDedup || strictOrder))
+      "window_funnel_strict_max"
+    else if (maxOverAnchors) "window_funnel_max"
     else if (strictDedup || strictOrder) "window_funnel_strict"
     else "window_funnel"
 
@@ -85,7 +84,11 @@ case class WindowFunnel(
   override def update(buf: ArrayBuffer[Long], input: InternalRow)
       : ArrayBuffer[Long] = {
     val t = ts.eval(input)
-    if (t != null) {
+    // pre-1970 timestamps are rejected, not packed: a negative second
+    // would wrap through `& SecMask` into a huge positive 48-bit value
+    // and silently corrupt ordering/levels (the mask's upper bound
+    // ~year 8.9M is documented above; this is the lower bound)
+    if (t != null && t.asInstanceOf[Long] >= 0L) {
       val sec = t.asInstanceOf[Long] / 1000000L // TimestampType micros
       var i = 0
       var matched = false
@@ -111,7 +114,8 @@ case class WindowFunnel(
       : ArrayBuffer[Long] = { b1 ++= b2; b1 }
 
   override def eval(buf: ArrayBuffer[Long]): Any =
-    if (maxOverAnchors) evalMaxOverAnchors(buf)
+    if (maxOverAnchors && (strictDedup || strictOrder)) evalStrictMax(buf)
+    else if (maxOverAnchors) evalMaxOverAnchors(buf)
     else if (strictDedup || strictOrder) evalStrict(buf)
     else evalEarliestAnchor(buf)
 
@@ -170,6 +174,60 @@ case class WindowFunnel(
       i += 1
     }
     level
+  }
+
+  /** `strict_dedup`/`strict_order` COMBINED with max-over-anchors —
+    * the engine family applies its strict flags inside the maximizing
+    * scan, so `window_funnel_max` with a strict mode must too. The
+    * semantics are the compositional reading: the reported level is
+    * the MAXIMUM over every candidate anchor (each step-1 event) of
+    * the strict chain walked forward from that anchor — identical
+    * per-chain rules to [[evalStrict]] (strict increase; dedup: a
+    * repeat of an already-satisfied step ends the chain; order: ANY
+    * non-extending event ends it), but an interruption only ends THAT
+    * anchor's chain, never the whole search.
+    *
+    * Cost: the sort dominates. In order mode a walk ends at the first
+    * non-extending event (≤ K extensions per anchor → O(n·K) walk
+    * total); in dedup mode a walk ends at the NEXT step-1 event at the
+    * latest (step 1 ≤ level always), so each event is visited by at
+    * most two walks → O(n). Same packed state as every other mode. */
+  private def evalStrictMax(buf: ArrayBuffer[Long]): Int = {
+    if (buf.isEmpty) return 0
+    val n = buf.length
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    val k = conds.length
+    var best = 0
+    i = 0
+    while (i < n && best < k) {
+      if ((arr(i) & 0xffffL) == 1L) {
+        val anchor = arr(i) >>> 16
+        var level = 1
+        var prev = anchor
+        var j = i + 1
+        var go = true
+        while (go && j < n && level < k) {
+          val sec = arr(j) >>> 16
+          val step = (arr(j) & 0xffffL).toInt
+          if (strictDedup && step >= 1 && step <= level) go = false
+          else if (step == level + 1 && sec > prev &&
+            sec <= anchor + windowSec) {
+            level += 1; prev = sec
+          } else if (strictOrder) go = false
+          j += 1
+        }
+        if (level > best) best = level
+      }
+      i += 1
+    }
+    best
   }
 
   /** Reference-parity DP: max level over every candidate anchor,

@@ -125,8 +125,14 @@ object Funnel {
     * Same single aggregation as [[windowFunnelMax]]; in strict-order
     * mode non-funnel events enter the aggregate's packed-long buffer
     * as step-0 markers (they must be SEEN to interrupt), which is the
-    * cost the reference family pays in that mode too. Returns
-    * (key, level), level ≥ 1 rows only. */
+    * cost the reference family pays in that mode too.
+    *
+    * `maxOverAnchors = true` applies the strict flags INSIDE the
+    * maximizing scan, the way the family's `windowFunnel(w,
+    * 'strict_order')` does: the level is the max over every candidate
+    * anchor of the strict chain walked from that anchor — an
+    * interruption ends that anchor's chain, not the whole search.
+    * Returns (key, level), level ≥ 1 rows only. */
   def windowFunnelStrict(
       events: DataFrame,
       keyCol: String,
@@ -134,7 +140,8 @@ object Funnel {
       steps: Seq[Column],
       windowSec: Long,
       strictDedup: Boolean = false,
-      strictOrder: Boolean = false): DataFrame = {
+      strictOrder: Boolean = false,
+      maxOverAnchors: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnelStrict needs at least one step")
     require(strictDedup || strictOrder,
       "windowFunnelStrict: enable at least one strict mode " +
@@ -143,6 +150,7 @@ object Funnel {
     val agg = toCol(graft.functions.WindowFunnel(windowSec,
         eagerExpression(col(tsCol).cast("timestamp")),
         steps.map(eagerExpression),
+        maxOverAnchors = maxOverAnchors,
         strictDedup = strictDedup,
         strictOrder = strictOrder).toAggregateExpression())
     events.groupBy(col(keyCol)).agg(agg.as("level"))

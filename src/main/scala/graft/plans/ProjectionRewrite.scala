@@ -77,11 +77,28 @@ object Projections {
   /** Register (or replace) the projection for `basePath` and arm the
     * rewrite rule on the session. Call after materializing the
     * summary; keep the summary fresh by appending per-batch partials
-    * exactly as [[graft.operators.Summing.appendPartials]] does. */
+    * exactly as [[graft.operators.Summing.appendPartials]] does.
+    *
+    * Registration validates the summary's SHAPE against the contract
+    * — every key column exists, every measure and the count column
+    * exist as LONG partials — so a mis-built summary fails loudly
+    * here instead of silently returning wrong aggregates later.
+    * Semantic freshness (the partials actually covering the base's
+    * rows) remains the ingest path's contract; a schema check cannot
+    * see staleness. */
   def register(spark: SparkSession, basePath: String, summaryPath: String,
       keys: Seq[String], measures: Seq[String],
       cntCol: String = "cnt"): Unit = {
     require(keys.nonEmpty, "projection needs at least one key column")
+    val schema = spark.read.parquet(summaryPath).schema
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    keys.foreach(k => require(byName.contains(k),
+      s"projection summary $summaryPath is missing key column '$k'"))
+    (measures :+ cntCol).foreach { m =>
+      require(byName.get(m).contains(LongType),
+        s"projection summary $summaryPath: partial column '$m' must be " +
+          s"LONG, found ${byName.get(m).getOrElse("<absent>")}")
+    }
     registry.put(normalize(basePath),
       Projection(normalize(basePath), summaryPath, keys.toSet,
         measures.toSet, cntCol))
@@ -211,9 +228,16 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (mapped.exists(_.isEmpty)) return None
 
-    val newGrouping = grouping.map {
-      case a: AttributeReference => byName(a.name)
+    // same type guard the aggregate-output passthrough applies: a key
+    // that appears ONLY in GROUP BY must still match the summary
+    // column's type, else bail to the base plan
+    val newGroupingOpt: Seq[Option[Attribute]] = grouping.map {
+      case a: AttributeReference =>
+        byName.get(a.name).filter(_.dataType == a.dataType)
+      case _ => None
     }
+    if (newGroupingOpt.exists(_.isEmpty)) return None
+    val newGrouping = newGroupingOpt.map(_.get)
     val newConds = conds.map(_.transform {
       case a: AttributeReference => byName(a.name)
     })

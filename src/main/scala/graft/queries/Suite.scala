@@ -4644,6 +4644,103 @@ object Suite {
              |  LEFT JOIN l2 ON l1.user_id = l2.user_id
              |ORDER BY l1.user_id""".stripMargin)),
 
+    Q("h58_funnel_strict_max",
+      // strict flags INSIDE the maximizing scan (reference-family
+      // parity): per user, the max over every candidate anchor of the
+      // strict chain walked from that anchor — all three modes in one
+      // aggregation pass. The oracle replays each per-anchor walk as
+      // a list_reduce state machine over the (sec, step)-sorted event
+      // list and maxes over anchors, so every interrupt rule is
+      // checked event-for-event, not just the final level shape
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumnBridge.{column => toCol, eagerExpression}
+        val ev = t(s, d, "events")
+        val steps = Seq(
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").map(eagerExpression)
+        def lvl(dedup: Boolean, order: Boolean) =
+          toCol(graft.functions.WindowFunnel(259200L,
+            eagerExpression(col("ts").cast("timestamp")), steps,
+            maxOverAnchors = true, strictDedup = dedup,
+            strictOrder = order).toAggregateExpression())
+        ev.groupBy(col("user_id"))
+          .agg(lvl(dedup = true, order = false).as("level_dedup"),
+            lvl(dedup = false, order = true).as("level_order"),
+            lvl(dedup = true, order = true).as("level_both"))
+          .filter(col("level_dedup") >= 1)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec,
+             |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |      WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT AS step
+             |  FROM events),
+             |lists AS (SELECT user_id,
+             |    list(struct_pack(sec := sec, step := step,
+             |      level := 0::BIGINT, prev := 0::BIGINT,
+             |      anchor := 0::BIGINT, done := 0::BIGINT)
+             |      ORDER BY sec, step) AS evs
+             |  FROM e GROUP BY 1),
+             |anchors AS (SELECT user_id, evs,
+             |    unnest(generate_series(1, len(evs)))::BIGINT AS pos
+             |  FROM lists),
+             |walks AS (SELECT user_id,
+             |  list_reduce(list_prepend(struct_pack(sec := 0::BIGINT,
+             |      step := 0::BIGINT, level := 1::BIGINT,
+             |      prev := evs[pos].sec, anchor := evs[pos].sec,
+             |      done := 0::BIGINT), evs[pos+1:]),
+             |    (acc, x) -> CASE
+             |      WHEN acc.done = 1 OR acc.level >= 3 THEN acc
+             |      WHEN x.step >= 1 AND x.step <= acc.level
+             |        THEN struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |          level := acc.level, prev := acc.prev,
+             |          anchor := acc.anchor, done := 1::BIGINT)
+             |      WHEN x.step = acc.level + 1 AND x.sec > acc.prev
+             |          AND x.sec <= acc.anchor + 259200
+             |        THEN struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |          level := acc.level + 1, prev := x.sec,
+             |          anchor := acc.anchor, done := 0::BIGINT)
+             |      ELSE acc END).level AS lvl_dedup,
+             |  list_reduce(list_prepend(struct_pack(sec := 0::BIGINT,
+             |      step := 0::BIGINT, level := 1::BIGINT,
+             |      prev := evs[pos].sec, anchor := evs[pos].sec,
+             |      done := 0::BIGINT), evs[pos+1:]),
+             |    (acc, x) -> CASE
+             |      WHEN acc.done = 1 OR acc.level >= 3 THEN acc
+             |      WHEN x.step = acc.level + 1 AND x.sec > acc.prev
+             |          AND x.sec <= acc.anchor + 259200
+             |        THEN struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |          level := acc.level + 1, prev := x.sec,
+             |          anchor := acc.anchor, done := 0::BIGINT)
+             |      ELSE struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |        level := acc.level, prev := acc.prev,
+             |        anchor := acc.anchor, done := 1::BIGINT)
+             |      END).level AS lvl_order,
+             |  list_reduce(list_prepend(struct_pack(sec := 0::BIGINT,
+             |      step := 0::BIGINT, level := 1::BIGINT,
+             |      prev := evs[pos].sec, anchor := evs[pos].sec,
+             |      done := 0::BIGINT), evs[pos+1:]),
+             |    (acc, x) -> CASE
+             |      WHEN acc.done = 1 OR acc.level >= 3 THEN acc
+             |      WHEN x.step >= 1 AND x.step <= acc.level
+             |        THEN struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |          level := acc.level, prev := acc.prev,
+             |          anchor := acc.anchor, done := 1::BIGINT)
+             |      WHEN x.step = acc.level + 1 AND x.sec > acc.prev
+             |          AND x.sec <= acc.anchor + 259200
+             |        THEN struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |          level := acc.level + 1, prev := x.sec,
+             |          anchor := acc.anchor, done := 0::BIGINT)
+             |      ELSE struct_pack(sec := 0::BIGINT, step := 0::BIGINT,
+             |        level := acc.level, prev := acc.prev,
+             |        anchor := acc.anchor, done := 1::BIGINT)
+             |      END).level AS lvl_both
+             |  FROM anchors WHERE evs[pos].step = 1)
+             |SELECT user_id, max(lvl_dedup)::INT AS level_dedup,
+             |  max(lvl_order)::INT AS level_order,
+             |  max(lvl_both)::INT AS level_both
+             |FROM walks GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     Q("d10_approx_distinct",
       (s, d) => t(s, d, "events")
         // at 100 TB the HLL sketch IS the distinct count (bounded
@@ -7449,7 +7546,7 @@ object Suite {
              |  FROM daily),
              |t2 AS (SELECT g, d, v,
              |    CASE WHEN c = 7 THEN (s * 1000000) // 7 END AS trend_micro,
-             |    date_diff('day', DATE '2024-01-01', d) % 7 AS ph
+             |    ((date_diff('day', DATE '2024-01-01', d) % 7) + 7) % 7 AS ph
              |  FROM t),
              |t3 AS (SELECT g, d, v, trend_micro, ph,
              |    v * 1000000 - trend_micro AS detr FROM t2),

@@ -56,6 +56,65 @@ class WindowFunnelPropertySpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  /** Per-anchor strict walk over the (sec, step)-sorted event list
+    * (step 0 = non-funnel noise), functional formulation: dedup — a
+    * repeat of an already-satisfied step ends the chain; order — ANY
+    * non-extending event ends it. Max over all step-1 anchors. */
+  private def bruteStrictMax(events: Seq[(Long, Int)], k: Int, w: Long,
+      dedup: Boolean, order: Boolean): Int = {
+    val sorted = events.sortBy(identity).toIndexedSeq
+    val anchors = sorted.indices.filter(i => sorted(i)._2 == 1)
+    if (anchors.isEmpty) return 0
+    anchors.map { ai =>
+      val anchor = sorted(ai)._1
+      val walk = sorted.drop(ai + 1).foldLeft((1, anchor, false)) {
+        case (acc @ (level, prev, stop), (sec, step)) =>
+          if (stop || level == k) acc
+          else if (dedup && step >= 1 && step <= level) (level, prev, true)
+          else if (step == level + 1 && sec > prev && sec <= anchor + w)
+            (level + 1, sec, false)
+          else if (order) (level, prev, true)
+          else acc
+      }
+      walk._1
+    }.max
+  }
+
+  test("strict_max equals per-anchor strict walk on 400 random keys, all modes") {
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    val base = 1700000000L
+    val w = 40L
+    // steps 0..3: step 0 is noise that must interrupt in order mode
+    // and be invisible in dedup mode; dense seconds force same-second
+    // pileups where the (sec, step) sort order decides
+    val cases: Map[Long, Seq[(Long, Int)]] = (1L to 400L).map { key =>
+      val n = 1 + rnd.nextInt(14)
+      key -> Seq.fill(n)((base + rnd.nextInt(100).toLong, rnd.nextInt(4)))
+    }.toMap
+    cases.toSeq.flatMap { case (key, evs) =>
+      evs.map { case (s, st) => (key, st, new java.sql.Timestamp(s * 1000L)) }
+    }.toDF("user_id", "step", "ts").repartition(8)
+      .createOrReplaceTempView("wfsm_events")
+    for ((mode, dedup, order) <- Seq(
+        ("dedup", true, false), ("order", false, true),
+        ("dedup_order", true, true))) {
+      val got = spark.sql(
+        s"""SELECT user_id, window_funnel_strict_max(${w}L, '$mode', ts,
+           |  step = 1, step = 2, step = 3) AS level
+           |FROM wfsm_events GROUP BY user_id""".stripMargin)
+        .as[(Long, Int)].collect().toMap
+      val bad = cases.flatMap { case (key, evs) =>
+        val expect = bruteStrictMax(evs, 3, w, dedup, order)
+        if (got.getOrElse(key, 0) != expect)
+          Some(s"[$mode] key $key: dp=${got.getOrElse(key, 0)} " +
+            s"brute=$expect evs=${evs.sortBy(identity)}")
+        else None
+      }
+      assert(bad.isEmpty, bad.take(5).mkString("\n"))
+    }
+  }
+
   /** Kuhn's augmenting-path maximum bipartite matching: cond1 event i
     * can serve cond2 event j iff sec1 < sec2 and (gap ≤ 0 or
     * sec2 − sec1 ≤ gap). */
