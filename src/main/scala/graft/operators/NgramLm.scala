@@ -35,14 +35,31 @@ import graft.functions.TextFunctions
   */
 object NgramLm {
 
+  /** Tokenize once: (idCol, __tk). Every NgramLm entry point accepts a
+    * frame that already carries a `__tk` column and skips its own
+    * tokenize, so a query that trains several models over one corpus
+    * (the DSIR target/raw pair, cross-scoring) pays ONE tokenize pass
+    * over the text instead of one per vocab/gram/score leg — `.cache()`
+    * the returned frame and pass it everywhere `docs` goes. The token
+    * arrays are a fraction of the raw text and column-pruned reads of
+    * the cache never touch the text again. */
+  def tokenize(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+
+  /** Pass-through for pre-tokenized frames, tokenize otherwise. */
+  private def withTokens(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    if (docs.columns.contains("__tk")) docs.select(col(idCol), col("__tk"))
+    else tokenize(docs, textCol, idCol)
+
   /** One row per n-gram occurrence: (id, ctx, w). Documents with fewer
     * than `order` tokens contribute no rows. */
   private def ngramStream(docs: DataFrame, textCol: String,
       idCol: String, order: Int): DataFrame = {
     require(order >= 2, s"ngram order $order < 2")
     val tk = col("__tk")
-    docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+    withTokens(docs, textCol, idCol)
       .select(col(idCol),
         // sequence() needs size >= order (negative bounds infer a
         // negative step); the `when` guard keeps it unevaluated on
@@ -63,10 +80,11 @@ object NgramLm {
     * parquet write; vocab-bounded, so it broadcasts in [[score]]. */
   def train(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", order: Int = 2): DataFrame = {
-    val vocab = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val tk = withTokens(docs, textCol, idCol)
+    val vocab = tk
+      .select(explode(col("__tk")).as("__t"))
       .agg(count_distinct(col("__t")).as("__nv"))
-    ngramStream(docs, textCol, idCol, order)
+    ngramStream(tk, textCol, idCol, order)
       .groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("__c"))
       .crossJoin(broadcast(vocab))
   }
@@ -194,10 +212,14 @@ object NgramLm {
   }
 
   /** Self-perplexity: the corpus scored under its own LM. Batch-only
-    * (caches the model — [[score]] reads it three ways); streaming
-    * callers should train once, persist, and [[score]] per batch. */
+    * (caches the model — [[score]] reads it three ways — and the
+    * tokenized corpus, which train and score would otherwise each
+    * re-tokenize); streaming callers should train once, persist, and
+    * [[score]] per batch. */
   def perplexity(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", order: Int = 2): DataFrame =
-    score(docs, train(docs, textCol, idCol, order).cache(), textCol,
+      idCol: String = "doc_id", order: Int = 2): DataFrame = {
+    val tk = tokenize(docs, textCol, idCol).cache()
+    score(tk, train(tk, textCol, idCol, order).cache(), textCol,
       idCol, order)
+  }
 }

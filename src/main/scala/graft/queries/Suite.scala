@@ -2045,10 +2045,12 @@ object Suite {
       (s, d) => {
         // the production shape: freeze an LM on a trusted half of the
         // corpus, score EVERY document against it (unseen transitions
-        // pay the add-one floor under the TRAINING vocabulary)
-        val docs = t(s, d, "documents")
-        NgramLm.score(docs,
-            NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache())
+        // pay the add-one floor under the TRAINING vocabulary).
+        // Tokenize ONCE: the cached (doc_id, __tk) frame feeds the
+        // train legs and the scoring pass
+        val tk = NgramLm.tokenize(t(s, d, "documents")).cache()
+        NgramLm.score(tk,
+            NgramLm.train(tk.filter(col("doc_id") % 2 === 0)).cache())
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(
@@ -2197,11 +2199,13 @@ object Suite {
     Q("l51_dsir_gate",
       (s, d) => {
         // streaming-shaped twin of l49: fixed τ=0 keeps every doc the
-        // target LM likes at least as much as the raw LM does
-        val docs = t(s, d, "documents")
-        val target = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
-        val raw = NgramLm.train(docs).cache()
-        NgramLm.dsirGate(docs, target, raw, minLog2Ratio = 0.0)
+        // target LM likes at least as much as the raw LM does.
+        // Tokenize ONCE: both train legs and the scoring pass read the
+        // cached (doc_id, __tk) frame instead of re-tokenizing ~5×
+        val tk = NgramLm.tokenize(t(s, d, "documents")).cache()
+        val target = NgramLm.train(tk.filter(col("doc_id") % 2 === 0)).cache()
+        val raw = NgramLm.train(tk).cache()
+        NgramLm.dsirGate(tk, target, raw, minLog2Ratio = 0.0)
           .select("doc_id", "log2_ratio")
           .orderBy("doc_id")
       },
@@ -2242,10 +2246,12 @@ object Suite {
       (s, d) => {
         // target domain = the even-id half (as l42); raw = full pool.
         // Gumbel-top-k draws k docs ∝ 2^(log-ratio), deterministically.
-        val docs = t(s, d, "documents")
-        val target = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
-        val raw = NgramLm.train(docs).cache()
-        NgramLm.dsirTopK(docs, target, raw, k = 100, seed = 7)
+        // Tokenize ONCE (cached __tk frame shared by both trains and
+        // the single shared scoring pass)
+        val tk = NgramLm.tokenize(t(s, d, "documents")).cache()
+        val target = NgramLm.train(tk.filter(col("doc_id") % 2 === 0)).cache()
+        val raw = NgramLm.train(tk).cache()
+        NgramLm.dsirTopK(tk, target, raw, k = 100, seed = 7)
           .orderBy("rank")
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(
@@ -3632,9 +3638,12 @@ object Suite {
     Q("l43_curation_lm",
       (s, d) => {
         // the full CCNet-style gate chain: rule gates + a frozen LM
-        // trained on the even half of the corpus, cut at 4.9 bits
+        // trained on the even half of the corpus, cut at 4.9 bits.
+        // The train legs (vocab + grams) share ONE cached tokenize of
+        // the training half; curate's gates need the raw text anyway
         val docs = t(s, d, "documents")
-        val lm = NgramLm.train(docs.filter(col("doc_id") % 2 === 0)).cache()
+        val lm = NgramLm.train(NgramLm.tokenize(docs)
+          .filter(col("doc_id") % 2 === 0).cache()).cache()
         graft.streaming.CurationStream.curate(docs, "text",
             lm = Some(lm), maxNllBits = 4.9)
           .select(col("doc_id"), col("lang"), col("quality"),
