@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * columns + typed metadata struct, with batch-oriented per-partition
   * processing (the Scala analogue of `mapInPandas`).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) is
-  * STUBBED — the container ships no media libraries — behind
-  * [[Codecs]], a single seam whose implementations here produce
-  * deterministic fake outputs with the real shapes. Everything Spark
-  * cares about (schema, nullability, partition-wise batching, column
-  * pruning of heavy binary columns) is real and tested.
+  * IMAGE decode is REAL — `javax.imageio` ships BMP/PNG/JPEG/GIF
+  * readers in the JDK, so image-mime assets produce features and
+  * perceptual-hash signatures from actual pixels. The heavyweight
+  * codecs the container doesn't ship (video frame extraction, audio)
+  * stay STUBBED behind [[Codecs]], a single seam whose fakes produce
+  * deterministic outputs with the real shapes. Everything Spark cares
+  * about (schema, nullability, partition-wise batching, column pruning
+  * of heavy binary columns) is real and tested either way.
   */
 object Multimodal {
 
@@ -73,12 +75,74 @@ object Multimodal {
       maxDistance, maxBlockBucket)
   }
 
-  // ---- codec seam (STUBS — deterministic fakes, real signatures) -----
+  // ---- codec seam ----------------------------------------------------
+  // image/* decodes are REAL (javax.imageio ships BMP/PNG/JPEG/GIF
+  // readers in the JDK); the remaining heavyweight formats (video,
+  // audio) stay behind deterministic fakes with real signatures.
 
-  /** The decode seam. Real deployments swap in imageio/ffmpeg-backed
-    * implementations; these fakes derive stable pseudo-features from the
-    * bytes so tests exercise the full pipeline deterministically. */
+  /** The decode seam. Real deployments swap in ffmpeg-backed
+    * implementations for the stubbed video/audio paths; the image path
+    * is real JDK code. */
   object Codecs {
+
+    /** Real JVM image decode: (width, height, lumaSum) with lumaSum =
+      * Σ over pixels of (R+G+B) — an EXACT integer, so features
+      * derived from it replay bit-identically in the oracle. None when
+      * no ImageIO reader accepts the bytes (corrupt asset, or a format
+      * the JDK doesn't ship — those fall to the stub path). */
+    def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+      readImage(bytes).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum)
+      }
+
+    /** 60-bit sampled-threshold pixel hash over the DECODED image:
+      * bit i is set iff the channel sum at sampled position
+      * ((i·7) mod w, (i·11) mod h) is ≥ 384 (half of 765).
+      * Deterministic and analytically replayable — the m-family oracle
+      * recomputes it from the fixture's pixel formula — and brightness
+      * /re-encode variants of one asset flip only near-threshold bits,
+      * which is what the blocked Hamming join exists to catch. A real
+      * deployment swaps a DCT pHash at this seam without touching the
+      * join machinery. */
+    def pixelHash60(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sig = 0L
+      var i = 0
+      while (i < 60) {
+        val rgb = img.getRGB((i * 7) % w, (i * 11) % h)
+        val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        if (s >= 384) sig |= 1L << i
+        i += 1
+      }
+      sig
+    }
+
+    /** ImageIO decode with the disk cache off (a tmp file per decoded
+      * row would be pathological at scan parallelism). Null/garbage
+      * bytes → None, never a throw: a corrupt asset must not kill a
+      * 100 TB scan. */
+    def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        javax.imageio.ImageIO.setUseCache(false)
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** STUB image decode: (width, height, meanLuma) pseudo-derived. */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
       val n = if (bytes == null) 0 else bytes.length
@@ -109,15 +173,68 @@ object Multimodal {
     }
   }
 
+  /** Minimal 24-bit uncompressed BMP encoder (bottom-up rows, 4-byte
+    * row padding, BI_RGB): the fixture for the real-decode path —
+    * hand-rolled HERE, decoded by the JDK's independent BMP reader,
+    * and pinned by an analytic oracle, so an encode/decode bug cannot
+    * self-cancel. `pixel(x, y)` returns (r, g, b) in 0..255. */
+  def encodeBmp(w: Int, h: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeBmp: bad dims ${w}x$h")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-array offset
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0) // BI_RGB, 72 dpi, no palette
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pixel(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = rowSize - w * 3
+      while (p > 0) { b.put(0.toByte); p -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Deterministic synthetic image for the real-decode fixtures:
+    * channel c at (x, y) is an affine-mod-256 formula of the seed the
+    * ORACLE can replay analytically, optionally brightened (clamped at
+    * 255) to make near-threshold pixel-hash bits flip — the
+    * re-encoded-variant scenario [[mediaPixelNearDupPairs]] exists
+    * for. */
+  def syntheticBmp(seed: Long, w: Int, h: Int,
+      brighten: Int = 0): Array[Byte] =
+    encodeBmp(w, h, (x, y) => (
+      math.min(255, ((seed * 7 + x * 13 + y * 31) % 256).toInt + brighten),
+      math.min(255, ((seed * 11 + x * 3 + y * 17) % 256).toInt + brighten),
+      math.min(255, ((seed * 5 + x * 29 + y * 7) % 256).toInt + brighten)))
+
   private val featureSchema = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("mean_luma", DoubleType),
-    StructField("n_bytes", IntegerType)))
+    StructField("n_bytes", IntegerType),
+    StructField("luma_sum", LongType)))
 
   /** Batch feature extraction over the media column — per-partition
     * iterator processing (constant memory, no driver collection), the
-    * shape a vectorized decode needs. Appends a `features` struct. */
+    * shape a vectorized decode needs. Appends a `features` struct.
+    *
+    * Dispatch is mime-driven: image-mime rows take the REAL JDK decode
+    * (width/height/mean_luma from actual pixels, plus the exact
+    * integer `luma_sum` the oracle replays); everything else — and
+    * any image no reader accepts — falls to the deterministic stub
+    * with a null `luma_sum`, so the two paths are distinguishable
+    * downstream. */
   def extractImageFeatures(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("features", featureSchema))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -125,11 +242,51 @@ object Multimodal {
       rows.map { r =>
         val media = r.getAs[Row](MediaCol)
         val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
-        val (w, h, luma) = Codecs.decodeImage(bytes)
+        val mime = if (media == null) null else media.getAs[String]("mime")
         val n = if (bytes == null) 0 else bytes.length
-        Row.fromSeq(r.toSeq :+ Row(w, h, luma, n))
+        val real =
+          if (mime != null && mime.startsWith("image/"))
+            Codecs.decodeImagePixels(bytes)
+          else None
+        val feat = real match {
+          case Some((w, h, sum)) =>
+            Row(w, h, sum.toDouble / (w.toLong * h * 3) / 255.0, n, sum)
+          case None =>
+            val (w, h, luma) = Codecs.decodeImage(bytes)
+            Row(w, h, luma, n, null)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
       }
     }(enc)
+  }
+
+  /** Pixel-level near-duplicate pairs: REAL decode at the scan, a
+    * 60-bit [[Codecs.pixelHash60]] per asset, then the same blocked
+    * Hamming machinery the text SimHash path uses (4×15-bit pigeonhole
+    * blocks, complete to Hamming ≤ 3, hot-bucket census → star-edge
+    * degrade). Only (id, sig, block) longs ever shuffle — pixels and
+    * bytes stay at the scan, which is the whole 100 TB story.
+    * Undecodable assets are skipped (they have no pixels to compare;
+    * [[mediaDedupManifest]] still covers them byte-exactly). Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def mediaPixelNearDupPairs(df: DataFrame, idCol: String,
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__sig", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+    val sigs = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(s"$MediaCol.bytes").as("__bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.readImage(r.getAs[Array[Byte]]("__bytes"))
+            .map(img => Row(r.getLong(0), Codecs.pixelHash60(img)))
+        }
+      }(enc)
+    Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
+      maxDistance, maxBlockBucket)
   }
 
   /** Frame-sample a video media column into one row per frame

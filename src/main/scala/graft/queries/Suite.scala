@@ -3781,6 +3781,85 @@ object Suite {
              |  AS sum_bytes, count(*) AS n
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("m5_image_decode",
+      // the REAL image decode path end to end: synthetic 24-bit BMPs
+      // (hand-rolled encoder, pixel channels an affine-mod-256 formula
+      // of doc_id) decoded by the JDK's independent ImageIO BMP reader
+      // inside extractImageFeatures; width/height/luma come from
+      // actual pixels and the ANALYTIC oracle replays the formula —
+      // an encode/decode bug cannot self-cancel. luma_micro is the
+      // exact integer mean channel value (truncating div both engines)
+      (s, d) => {
+        val mk = udf((id: Long) => Multimodal.syntheticBmp(
+          id, (8 + id % 9).toInt, (8 + id % 7).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "image/bmp")
+        Multimodal.extractImageFeatures(media)
+          .select(col("doc_id"),
+            col("features.width").as("width"),
+            col("features.height").as("height"),
+            expr("features.luma_sum * 1000000L div " +
+              "(features.width * features.height * 3L)").as("luma_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, (8 + doc_id % 9)::BIGINT AS w,
+             |    (8 + doc_id % 7)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |  list_sum(flatten(list_transform(range(0, w), x ->
+             |    list_transform(range(0, h), y ->
+             |      (doc_id*7 + x*13 + y*31) % 256
+             |      + (doc_id*11 + x*3 + y*17) % 256
+             |      + (doc_id*5 + x*29 + y*7) % 256))))::BIGINT AS s
+             |  FROM g)
+             |SELECT doc_id, w::INT AS width, h::INT AS height,
+             |  (s * 1000000 // (w*h*3))::BIGINT AS luma_micro
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    Q("m6_pixel_neardup",
+      // decode → perceptual hash → near-dup from REAL pixels: each
+      // asset's 60-bit sampled-threshold hash is computed from the
+      // DECODED image, re-uploads are re-encodes brightened by +1
+      // (clamped) so only near-threshold bits flip, and the blocked
+      // Hamming join pairs them back up. The oracle recomputes every
+      // signature analytically from the pixel formula and brute-forces
+      // all pairs — decode, hash, and join all face the oracle
+      (s, d) => {
+        val mk = udf((seed: Long, brighten: Int) => Multimodal.syntheticBmp(
+          seed, (8 + seed % 9).toInt, (8 + seed % 7).toInt, brighten))
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val store = ids
+          .select(col("doc_id"), mk(col("doc_id"), lit(0)).as("data"))
+          .unionByName(ids.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              mk(col("doc_id"), lit(1)).as("data")))
+        Multimodal.mediaPixelNearDupPairs(
+            Multimodal.attachMedia(store, "data", "image/bmp"), "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH store AS (SELECT doc_id, doc_id AS seed, 0::BIGINT AS db
+             |  FROM documents
+             |  UNION ALL SELECT doc_id + 100000, doc_id, 1::BIGINT
+             |  FROM documents WHERE doc_id < 10),
+             |g AS (SELECT doc_id, seed, db, (8 + seed % 9)::BIGINT AS w,
+             |    (8 + seed % 7)::BIGINT AS h FROM store),
+             |h2 AS (SELECT doc_id,
+             |  list_sum(list_transform(range(0, 60), i ->
+             |    CASE WHEN
+             |      least((seed*7 + ((i*7) % w)*13 + ((i*11) % h)*31) % 256
+             |        + db, 255)
+             |      + least((seed*11 + ((i*7) % w)*3 + ((i*11) % h)*17) % 256
+             |        + db, 255)
+             |      + least((seed*5 + ((i*7) % w)*29 + ((i*11) % h)*7) % 256
+             |        + db, 255) >= 384
+             |      THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT AS sig
+             |  FROM g)
+             |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |  bit_count(xor(l.sig, r.sig))::INT AS hamming
+             |FROM h2 l JOIN h2 r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("h9_funnel",
       (s, d) => graft.operators.Funnel.windowFunnel(t(s, d, "events"),
           "user_id", "ts",

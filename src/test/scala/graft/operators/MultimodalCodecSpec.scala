@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The real image codec path: the hand-rolled BMP encoder must
+  * round-trip through the JDK's independent ImageIO BMP reader
+  * pixel-exactly (padding, bottom-up rows, channel order), and the
+  * feature/hash layers must compute from those real pixels. */
+class MultimodalCodecSpec extends SparkSpec {
+  import Multimodal.Codecs
+
+  private def fmt(seed: Long, x: Int, y: Int, brighten: Int): (Int, Int, Int) = (
+    math.min(255, ((seed * 7 + x * 13 + y * 31) % 256).toInt + brighten),
+    math.min(255, ((seed * 11 + x * 3 + y * 17) % 256).toInt + brighten),
+    math.min(255, ((seed * 5 + x * 29 + y * 7) % 256).toInt + brighten))
+
+  test("encodeBmp round-trips through ImageIO pixel-exactly, padded widths included") {
+    // w=3 exercises 3-byte row padding, w=4 none, w=5 1-byte padding
+    for (w <- Seq(3, 4, 5, 16); h <- Seq(1, 2, 7)) {
+      val bytes = Multimodal.encodeBmp(w, h,
+        (x, y) => ((x * 40 + y) % 256, (y * 70 + x) % 256, (x + y * 3) % 256))
+      val img = Codecs.readImage(bytes).getOrElse(
+        fail(s"ImageIO rejected the ${w}x$h BMP"))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+          ((x * 40 + y) % 256, (y * 70 + x) % 256, (x + y * 3) % 256),
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  test("decodeImagePixels returns the exact integer luma sum") {
+    val (w, h, seed) = (11, 9, 42L)
+    val expect = (for (x <- 0 until w; y <- 0 until h) yield {
+      val (r, g, b) = fmt(seed, x, y, 0)
+      (r + g + b).toLong
+    }).sum
+    val got = Codecs.decodeImagePixels(Multimodal.syntheticBmp(seed, w, h))
+    assert(got.contains((w, h, expect)))
+  }
+
+  test("pixelHash60: saturated extremes, analytic parity, brightness flips few bits") {
+    val white = Codecs.readImage(
+      Multimodal.encodeBmp(8, 8, (_, _) => (255, 255, 255))).get
+    assert(Codecs.pixelHash60(white) == (1L << 60) - 1)
+    val black = Codecs.readImage(
+      Multimodal.encodeBmp(8, 8, (_, _) => (0, 0, 0))).get
+    assert(Codecs.pixelHash60(black) == 0L)
+
+    def analytic(seed: Long, w: Int, h: Int, brighten: Int): Long =
+      (0 until 60).foldLeft(0L) { (sig, i) =>
+        val (r, g, b) = fmt(seed, (i * 7) % w, (i * 11) % h, brighten)
+        if (r + g + b >= 384) sig | (1L << i) else sig
+      }
+    for (seed <- 0L until 20L) {
+      val (w, h) = (8 + (seed % 9).toInt, 8 + (seed % 7).toInt)
+      val base = Codecs.pixelHash60(
+        Codecs.readImage(Multimodal.syntheticBmp(seed, w, h)).get)
+      assert(base == analytic(seed, w, h, 0), s"seed $seed analytic parity")
+      val bright = Codecs.pixelHash60(
+        Codecs.readImage(Multimodal.syntheticBmp(seed, w, h, brighten = 1)).get)
+      assert(java.lang.Long.bitCount(base ^ bright) <= 3,
+        s"seed $seed: +1 brightness flipped more than the near-threshold bits")
+    }
+  }
+
+  test("undecodable and non-image mimes fall to the stub path (null luma_sum)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticBmp(1L, 9, 8), "image/bmp"),
+      (2L, "not an image at all".getBytes("UTF-8"), "image/bmp"),
+      (3L, Multimodal.syntheticBmp(3L, 9, 8), "text/plain"))
+      .toDF("id", "data", "mime")
+    val media = df.withColumn(Multimodal.MediaCol, struct(
+      col("data").as("bytes"), col("mime").as("mime"),
+      lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+      lit(null).cast("int").as("duration_ms")))
+    val out = Multimodal.extractImageFeatures(media)
+      .select(col("id"), col("features.luma_sum"), col("features.width"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined, "real decode must fill luma_sum")
+    assert(out(2L).isEmpty, "garbage bytes must fall to the stub, not throw")
+    assert(out(3L).isEmpty, "non-image mime must skip the real decode")
+  }
+
+  test("mediaPixelNearDupPairs finds brightened re-uploads from real pixels") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, Multimodal.syntheticBmp(i, 8 + (i % 9).toInt, 8 + (i % 7).toInt)))
+    val reups = (0L until 10L).map(i =>
+      (i + 1000L, Multimodal.syntheticBmp(i, 8 + (i % 9).toInt,
+        8 + (i % 7).toInt, brighten = 1)))
+    val df = (base ++ reups).toDF("id", "data")
+    val media = Multimodal.attachMedia(df, "data", "image/bmp")
+    val pairs = Multimodal.mediaPixelNearDupPairs(media, "id")
+      .as[(Long, Long, Int)].collect().toSet
+    // every re-upload pairs with its original (≤3 near-threshold flips)
+    for (i <- 0L until 10L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 1000L),
+        s"re-upload of $i not found; pairs=$pairs")
+  }
+}
