@@ -113,7 +113,7 @@ object PartitionedWriter {
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
 
-    healStaging(fs, root, staging)
+    healAllStaging(fs, root)
 
     val stats = parts.flatMap { p =>
       val dataFiles = fs.listStatus(p.getPath)
@@ -140,6 +140,21 @@ object PartitionedWriter {
       fs.delete(staging, true)
     stats
   }
+
+  /** The staging-dir suffixes every lifecycle operation may leave a
+    * crash behind in. Healing must cover ALL of them on EVERY
+    * lifecycle entry — a compact-crash bak healed only by the next
+    * compact would survive an intervening purge/TTL drop of the same
+    * partition and resurrect the removed rows when compact finally
+    * runs. Heal-first-everywhere (single writer assumed, as
+    * documented) means no stale bak exists at the moment any
+    * legitimate partition drop happens. */
+  private val StagingSuffixes = Seq("__compact", "__purge")
+
+  private[graft] def healAllStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    StagingSuffixes.foreach(sfx => healStaging(fs, root,
+      new org.apache.hadoop.fs.Path(root.toString + sfx)))
 
   /** Heal a crash from a previous swap: live partition gone, bak
     * present → restore the bak. Live partition PRESENT → the swap
@@ -225,7 +240,7 @@ object PartitionedWriter {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val staging = new Path(path + "__purge")
-    healStaging(fs, root, staging)
+    healAllStaging(fs, root)
 
     val del = keys.select(col(keyCol)).distinct()
     val affected = locateAffected(spark, path, keyCol, del)
@@ -311,6 +326,9 @@ object PartitionedWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    // heal BEFORE deleting anything: a stale bak from a crashed swap
+    // must not outlive this expiry and resurrect the dropped rows
+    healAllStaging(fs, root)
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
       .filter { s =>
