@@ -14,6 +14,78 @@ import org.apache.spark.sql.functions._
   * recordings were 2.6× off from exactly this).
   */
 object Bench {
+
+  /** Salted-skew-join rehearsal under REAL skew (c12's reason to
+    * exist): a synthetic big side with 90% of its mass on one hot key
+    * joins a 1000-key dim, broadcast and AQE skew-mitigation OFF so
+    * the raw shuffle-join straggler is visible, then the same join
+    * through [[graft.operators.Skew.saltedJoin]]. Max/median task time
+    * shows the straggler collapse; equal row counts prove result
+    * equality. Returns the `,"c12g_skew":{…}` JSON fragment. */
+  private[graft] def skewRehearsal(spark: SparkSession, skewRows: Long,
+      cpus: Int): String = {
+    val keys = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    spark.range(skewRows).select(
+      col("id").as("row_id"),
+      when(pmod(col("id"), lit(10L)) < 9L, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(keys))).as("k"),
+      (col("id") % 1000L).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/big.parquet")
+    spark.range(keys).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+      .write.mode("overwrite").parquet(s"$dir/small.parquet")
+    val bigDf = spark.read.parquet(s"$dir/big.parquet")
+    val smallDf = spark.read.parquet(s"$dir/small.parquet")
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val tl = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
+    }
+    def timedTasks(fn: => Long): (Long, Double, Double, Double) = {
+      taskMs.clear()
+      spark.sparkContext.addSparkListener(tl)
+      val t0 = System.nanoTime()
+      val n = fn
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async: wait until the count stabilizes
+      var last = -1
+      var size = taskMs.size
+      while (size != last) { last = size; Thread.sleep(200); size = taskMs.size }
+      spark.sparkContext.removeSparkListener(tl)
+      import scala.jdk.CollectionConverters._
+      val ds = taskMs.asScala.map(_.toLong).toSeq.sorted
+      val mx = ds.lastOption.getOrElse(0L) / 1000.0
+      val md = if (ds.isEmpty) 0.0 else ds(ds.size / 2) / 1000.0
+      (n, wall, mx, md)
+    }
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevS = spark.conf
+      .getOption("spark.sql.adaptive.skewJoin.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      val (nPlain, wPlain, maxP, medP) =
+        timedTasks(bigDf.join(smallDf, "k").count())
+      val (nSalt, wSalt, maxS, medS) = timedTasks(
+        operators.Skew.saltedJoin(bigDf, smallDf, "k", "row_id",
+          replicas = cpus, hotThreshold = skewRows / 100).count())
+      System.err.println(
+        f"[bench] c12g skew x$skewRows%d rows: plain $wPlain%.2f s " +
+          f"(max task $maxP%.2f s / median $medP%.2f s) -> salted " +
+          f"$wSalt%.2f s (max $maxS%.2f s / median $medS%.2f s); " +
+          f"rows $nPlain%d==$nSalt%d")
+      require(nPlain == nSalt,
+        s"salted join changed the result: $nPlain vs $nSalt")
+      f""","c12g_skew":{"rows":$skewRows,"plain_sec":$wPlain%.3f,"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,"salted_sec":$wSalt%.3f,"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +96,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set at build: the e2e BI round-trip's JDBC
+      // sessions share this session's temp-view catalog (the
+      // GraftSession production posture)
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -89,7 +165,12 @@ object Bench {
     }
 
     val only = args.headOption // substring filter for isolated timing
+    // debug knob: SPARK_GRAFT_SUITE=0 skips the query suite so the
+    // rehearsal/e2e blocks can be exercised in isolation (the driver
+    // never sets it; a suite-less run writes no BENCH_FULL)
+    val suiteOn = !sys.env.get("SPARK_GRAFT_SUITE").contains("0")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case _ => suiteOn }
       .filter { case (n, _) => only.forall(n.contains) }
       .map { case (name, fn) =>
         val times = (1 to reps).map(_ => timeOnce(name, fn))
@@ -540,71 +621,11 @@ object Bench {
     // the raw shuffle-join straggler is visible, then the same join
     // through Skew.saltedJoin. Max/median task time shows the
     // straggler collapse; row counts prove result equality.
-    val skewRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "4000000").toLong
+    val skewRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "20000000").toLong
     val skew: String =
       if (only.isDefined || skewRows <= 0) ""
-      else try {
-        val keys = 1000L
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_skew").toString
-        spark.range(skewRows).select(
-          col("id").as("row_id"),
-          when(pmod(col("id"), lit(10L)) < 9L, lit(0L))
-            .otherwise(pmod(hash(col("id")), lit(keys))).as("k"),
-          (col("id") % 1000L).as("v"))
-          .write.mode("overwrite").parquet(s"$dir/big.parquet")
-        spark.range(keys).select(col("id").as("k"),
-          concat(lit("dim_"), col("id")).as("name"))
-          .write.mode("overwrite").parquet(s"$dir/small.parquet")
-        val bigDf = spark.read.parquet(s"$dir/big.parquet")
-        val smallDf = spark.read.parquet(s"$dir/small.parquet")
-        val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-        val tl = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
-        }
-        def timedTasks(fn: => Long): (Long, Double, Double, Double) = {
-          taskMs.clear()
-          spark.sparkContext.addSparkListener(tl)
-          val t0 = System.nanoTime()
-          val n = fn
-          val wall = (System.nanoTime() - t0) / 1e9
-          // listener bus is async: wait until the count stabilizes
-          var last = -1
-          var size = taskMs.size
-          while (size != last) { last = size; Thread.sleep(200); size = taskMs.size }
-          spark.sparkContext.removeSparkListener(tl)
-          import scala.jdk.CollectionConverters._
-          val ds = taskMs.asScala.map(_.toLong).toSeq.sorted
-          val mx = ds.lastOption.getOrElse(0L) / 1000.0
-          val md = if (ds.isEmpty) 0.0 else ds(ds.size / 2) / 1000.0
-          (n, wall, mx, md)
-        }
-        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        val prevS = spark.conf
-          .getOption("spark.sql.adaptive.skewJoin.enabled").getOrElse("true")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        try {
-          val (nPlain, wPlain, maxP, medP) =
-            timedTasks(bigDf.join(smallDf, "k").count())
-          val (nSalt, wSalt, maxS, medS) = timedTasks(
-            operators.Skew.saltedJoin(bigDf, smallDf, "k", "row_id",
-              replicas = cpus.toInt, hotThreshold = skewRows / 100).count())
-          System.err.println(
-            f"[bench] c12g skew x$skewRows%d rows: plain $wPlain%.2f s " +
-              f"(max task $maxP%.2f s / median $medP%.2f s) -> salted " +
-              f"$wSalt%.2f s (max $maxS%.2f s / median $medS%.2f s); " +
-              f"rows $nPlain%d==$nSalt%d")
-          require(nPlain == nSalt,
-            s"salted join changed the result: $nPlain vs $nSalt")
-          f""","c12g_skew":{"rows":$skewRows,"plain_sec":$wPlain%.3f,"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,"salted_sec":$wSalt%.3f,"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
-        } finally {
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
-        }
-      } catch { case e: Throwable =>
+      else try skewRehearsal(spark, skewRows, cpus.toInt)
+      catch { case e: Throwable =>
         System.err.println(s"[bench] c12g skew rehearsal FAILED: ${e.getMessage}")
         ""
       }
@@ -655,7 +676,7 @@ object Bench {
     // gets a compact line sized to survive the capture window intact.
     // filtered runs (isolated timing) must not clobber the committed
     // full-suite artifact README points at
-    if (only.isEmpty)
+    if (only.isEmpty && suiteOn)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL write failed: $e") }
