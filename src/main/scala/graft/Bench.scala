@@ -596,7 +596,11 @@ object Bench {
           ("h48g_geo_distance", "h48_geo_distance"),
           // gap-chain DP (per-group achieved-time lists — the
           // n·(log n + K) cost class under test)
-          ("h52g_seq_chain", "h52_sequence_chain"))
+          ("h52g_seq_chain", "h52_sequence_chain"),
+          // strict-max funnel: three per-anchor walk modes in one
+          // aggregation, order mode buffering step-0 markers — the
+          // sort + walk cost class under test
+          ("h58g_funnel_strict_max", "h58_funnel_strict_max"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)

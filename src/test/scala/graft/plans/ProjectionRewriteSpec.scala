@@ -120,4 +120,55 @@ class ProjectionRewriteSpec extends SparkSpec {
       .agg(sum("n_chars").as("chars"))
     assert(scanPaths(q).exists(_.contains(other)))
   }
+
+  test("register rejects a mis-built summary loudly (missing key, non-LONG partial)") {
+    val base = tempDir("valbase")
+    spark.range(100).selectExpr("concat('s', pmod(id, 2)) AS source",
+      "id AS n_chars").write.mode("overwrite").parquet(base)
+    val noKey = tempDir("valnokey")
+    spark.read.parquet(base).groupBy("source")
+      .agg(sum("n_chars").as("n_chars"), count(lit(1)).as("cnt"))
+      .drop("source").write.mode("overwrite").parquet(noKey)
+    val e1 = intercept[IllegalArgumentException](
+      Projections.register(spark, base, noKey,
+        keys = Seq("source"), measures = Seq("n_chars")))
+    assert(e1.getMessage.contains("missing key column"))
+    val badType = tempDir("valbadtype")
+    spark.read.parquet(base).groupBy("source")
+      .agg(sum("n_chars").cast("double").as("n_chars"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(badType)
+    val e2 = intercept[IllegalArgumentException](
+      Projections.register(spark, base, badType,
+        keys = Seq("source"), measures = Seq("n_chars")))
+    assert(e2.getMessage.contains("must be"))
+  }
+
+  test("a GROUP-BY-only key with a drifted summary type falls back to the base") {
+    val base = tempDir("driftbase")
+    spark.range(1000).selectExpr("pmod(id, 4) AS k", "(id % 7) AS m")
+      .write.mode("overwrite").parquet(base)
+    // summary whose key column drifted to STRING: register passes the
+    // shape check (key present, partials LONG) but the rewrite's type
+    // guard must bail — including when the key appears ONLY in the
+    // GROUP BY, never in the select list
+    val drifted = tempDir("driftsum")
+    spark.read.parquet(base).groupBy(col("k").cast("string").as("k"))
+      .agg(sum(col("m")).as("m"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(drifted)
+    Projections.register(spark, base, drifted,
+      keys = Seq("k"), measures = Seq("m"))
+    try {
+      spark.read.parquet(base).createOrReplaceTempView("drift_base")
+      val q = spark.sql("SELECT sum(m) AS s FROM drift_base GROUP BY k")
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(base)),
+        s"must fall back to the base, read: $paths")
+      assert(!paths.exists(_.contains(drifted)),
+        s"must not read the drifted summary, read: $paths")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+        spark.read.parquet(base).groupBy("k").agg(sum("m"))
+          .collect().map(_.getLong(1)).sorted.toSeq)
+    } finally Projections.unregister(base)
+  }
 }
