@@ -169,10 +169,19 @@ object Bench {
     // rehearsal/e2e blocks can be exercised in isolation (the driver
     // never sets it; a suite-less run writes no BENCH_FULL)
     val suiteOn = !sys.env.get("SPARK_GRAFT_SUITE").contains("0")
+    var sincePurge = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case _ => suiteOn }
       .filter { case (n, _) => only.forall(n.contains) }
       .map { case (name, fn) =>
+        // suite hygiene: Spark's ContextCleaner reclaims broadcast/
+        // shuffle state via WEAK references, so a 700-rep suite in one
+        // JVM can outrun it and tax late queries with earlier queries'
+        // garbage (the aged-JVM heavy-tail suspect). A periodic forced
+        // GC enqueues the refs so the cleaner actually runs; receipts
+        // record whether it mattered.
+        sincePurge += 1
+        if (sincePurge >= 40) { sincePurge = 0; System.gc() }
         val times = (1 to reps).map(_ => timeOnce(name, fn))
         val ok = times.flatten
         val med = if (ok.nonEmpty) Some(median(ok)) else None
@@ -689,7 +698,7 @@ object Bench {
     var heavy = results.collect { case (k, Some(v), _) => (k, v) }.sortBy(-_._2).take(12)
     def compact: String = {
       val hq = heavy.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_ok":$okCount,"failed":$failed,"failed_reps":$failedReps,"queries":$hq,"queries_truncated_to_heaviest":${heavy.size},"detail":"BENCH_FULL.json"$e2e$e2eStream}"""
+      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"n_ok":$okCount,"failed":$failed,"failed_reps":$failedReps,"queries":$hq,"queries_truncated_to_heaviest":${heavy.size},"detail":"BENCH_FULL.json"$e2e$e2eStream$envJson}"""
     }
     while (compact.length > 1800 && heavy.nonEmpty) heavy = heavy.dropRight(1)
     println(compact)
