@@ -211,6 +211,7 @@ object Bench {
       Seq("l2_minhash_neardup", "l21_components", "l26_cluster_sizes",
         "l28_curation_pipeline", "l31_paragraph_dedup", "l33_bm25_topk",
         "l34_duplicate_spans", "l36_remove_dup_spans", "l41_lm_perplexity",
+        "l102_kneser_ney",
         "l46_epoch_shuffle", "l48_quality_band", "l49_dsir_topk",
         "l50_bpe_fertility",
         "l5_cosine_topk", "l6_ivf_ann", "l11_embedding_neardup",

@@ -125,6 +125,62 @@ object NgramLm {
       .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
   }
 
+  /** Interpolated Kneser-Ney scoring of `docs` under a [[train]]ed
+    * BIGRAM model — the smoothing family CCNet's KenLM filter actually
+    * uses (Kneser & Ney 1995), versus [[score]]'s add-one baseline.
+    * Absolute discount `discount` (default 0.75, the standard
+    * heuristic):
+    *
+    *   P(w|ctx) = (max(c(ctx,w)−D, 0) + D·N1+(ctx·)·Pc(w)) / c(ctx·)
+    *   Pc(w)    = (N1+(·w) + 1) / (B + |V|)
+    *
+    * backing off to Pc alone when the context was never seen. Pc is
+    * add-one-floored so words never seen as continuations stay
+    * positive (the model's deterministic OOV rule — documented, and
+    * replayed verbatim by the oracle). Every KN statistic derives from
+    * the SAME (ctx, w, __c, __nv) frame [[train]] persists: the model
+    * rows ARE the distinct bigrams, so the context totals c(ctx·),
+    * continuation counts N1+(·w), left-diversity N1+(ctx·) and the
+    * distinct-bigram total B are each one tiny re-aggregation of the
+    * vocab-bounded model — all broadcastable, none touching the
+    * corpus. Per-gram log2 P rounds to micro-bit longs (the house
+    * fixed-point pattern), so per-doc sums are exact and
+    * engine-portable. Output: (idCol, n_ngrams, avg_nll_bits), the
+    * [[score]] shape. Bigram only: higher orders need the recursive
+    * backoff chain, which this engine models as repeated bigram gates. */
+  def scoreKneserNey(docs: DataFrame, lm: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      discount: Double = 0.75): DataFrame = {
+    val cCtx = lm.groupBy(col("ctx"))
+      .agg(sum(col("__c")).as("__cctx"), count(lit(1)).as("__n1ctx"))
+    val cont = lm.groupBy(col("w")).agg(count(lit(1)).as("__cont"))
+    val tot = lm.agg(count(lit(1)).as("__b"),
+      first(col("__nv")).as("__nv"))
+    val ng = ngramStream(docs, textCol, idCol, 2)
+    val pc = (coalesce(col("__cont"), lit(0L)) + 1).cast("double") /
+      (col("__b") + col("__nv")).cast("double")
+    val p = when(col("__cctx").isNull, pc)
+      .otherwise((greatest(
+        coalesce(col("__c"), lit(0L)).cast("double") - discount,
+        lit(0.0)) +
+        lit(discount) * col("__n1ctx").cast("double") * pc) /
+        col("__cctx").cast("double"))
+    val microBits = round(log2(p) * 1000000).cast("long")
+    val sums = ng
+      .join(lm.drop("__nv"), Seq("ctx", "w"), "left")
+      .join(cCtx, Seq("ctx"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_ngrams"),
+        round((-col("__s")).cast("double") / 1000000.0 / col("__n"), 6)
+          .as("avg_nll_bits"))
+  }
+
   /** DSIR-style importance resampling (Xie et al., NeurIPS'23, "Data
     * Selection for Language Models via Importance Resampling"): pick
     * the `k` candidate documents whose n-gram statistics look most like

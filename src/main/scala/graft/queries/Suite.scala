@@ -2077,6 +2077,54 @@ object Suite {
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l102_kneser_ney",
+      // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
+      // smoothing, vs l42's add-one baseline): model frozen on the
+      // even half, every doc scored; all KN statistics (context
+      // totals, left-diversity, continuation counts, distinct-bigram
+      // total) are tiny re-aggregations of the SAME model frame, and
+      // the oracle re-derives every one of them plus the exact
+      // micro-bit discounted-probability expression
+      (s, d) => {
+        val tk = NgramLm.tokenize(t(s, d, "documents")).cache()
+        NgramLm.scoreKneserNey(tk,
+            NgramLm.train(tk.filter(col("doc_id") % 2 === 0)).cache())
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0) AS tk FROM documents),
+             |big AS (SELECT doc_id,
+             |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             |    unnest(list_slice(tk, 2, len(tk))) AS w2
+             |  FROM toks WHERE len(tk) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |cctx AS (SELECT w1, sum(c12) AS cctx, count(*) AS n1ctx
+             |  FROM c12 GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS cont FROM c12 GROUP BY 1),
+             |tot AS (SELECT count(*) AS b FROM c12),
+             |voc AS (SELECT count(DISTINCT t) AS nv FROM
+             |  (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 2 = 0)),
+             |sc AS (SELECT bg.doc_id,
+             |    sum(CAST(round(log2(
+             |      CASE WHEN cctx IS NULL THEN
+             |        ((coalesce(cont, 0) + 1)::DOUBLE) / ((b + nv)::DOUBLE)
+             |      ELSE (greatest(coalesce(c12, 0)::DOUBLE - 0.75, 0.0)
+             |        + 0.75 * n1ctx::DOUBLE *
+             |          (((coalesce(cont, 0) + 1)::DOUBLE)
+             |            / ((b + nv)::DOUBLE)))
+             |        / cctx::DOUBLE END) * 1000000) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM big bg LEFT JOIN c12 USING (w1, w2)
+             |  LEFT JOIN cctx USING (w1) LEFT JOIN cont USING (w2)
+             |  CROSS JOIN tot CROSS JOIN voc
+             |  GROUP BY bg.doc_id)
+             |SELECT d.doc_id, coalesce(n, 0) AS n_ngrams,
+             |  round((-s) / 1000000.0 / n, 6) AS avg_nll_bits
+             |FROM documents d LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l50_bpe_fertility",
       (s, d) => {
         val docs = t(s, d, "documents")
