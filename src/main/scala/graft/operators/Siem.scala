@@ -197,6 +197,58 @@ object Siem {
       .drop("__ip", "__lo", "__hi")
   }
 
+  /** Longest-prefix-match routing/geo enrichment — the engine family's
+    * `ip_trie` dictionary lookup (`dictGet(geo_dict, attrs,
+    * tuple(ip))`): each event's IPv4 maps to the SINGLE most-specific
+    * prefix that contains it, nested prefixes resolved by length.
+    *
+    * Spark-first at scale: a prefix table has at most 33 distinct
+    * lengths, so LPM needs no trie and no range scan — the event side
+    * emits one (plen, ip >> (32−plen)) candidate key per length
+    * PRESENT in the table (an explode of ≤33 narrow longs, never the
+    * event row itself), and matching is ONE broadcast hash equi-join
+    * on (plen, key) followed by a per-event max over (plen, cidr)
+    * structs (lexicographic max = longest prefix; a genuine tie is
+    * impossible — two distinct same-length prefixes are disjoint).
+    * Everything stays in whole-stage codegen; the event table never
+    * shuffles on anything but its own id for the argmax, and the
+    * prefix table crosses the wire once, broadcast.
+    *
+    * Returns (idCols…, cidr, plen) for events with a match; join the
+    * prefix table's payload columns back on `cidr`. Distinct prefix
+    * lengths are collected driver-side — the prefix table is
+    * broadcast-sized by premise (a full internet routing table is
+    * ~1M rows, ~30 MB). */
+  def lpmMatch(events: DataFrame, ipCol: String, prefixes: DataFrame,
+      idCols: Seq[String]): DataFrame = {
+    val pfx = prefixes
+      // try_cast: a junk length must drop the row, not kill the job
+      .withColumn("__plen",
+        expr("try_cast(split(cidr, '/')[1] AS int)"))
+      .filter(col("__plen").between(0, 32))
+      .withColumn("__base", ipv4ToLong(split(col("cidr"), "/").getItem(0)))
+      .filter(col("__base").isNotNull)
+      // masking happens via the shift itself: base >> (32−plen) keeps
+      // exactly the prefix bits, host bits in a sloppy base fall away
+      .withColumn("__key", expr("shiftright(__base, 32 - __plen)"))
+      .select(col("cidr"), col("__plen"), col("__key"))
+    val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(lens.nonEmpty, "lpmMatch: prefix table has no valid cidr rows")
+    val cand = events
+      .select(idCols.map(col) :+ ipv4ToLong(col(ipCol)).as("__ip"): _*)
+      .filter(col("__ip").isNotNull)
+      .select(idCols.map(col) :+ explode(array(lens.map(l => struct(
+        lit(l).as("__plen"),
+        shiftright(col("__ip"), 32 - l).as("__key"))): _*)).as("__c"): _*)
+      .select(idCols.map(col) :+ col("__c.__plen") :+ col("__c.__key"): _*)
+    cand.join(broadcast(pfx), Seq("__plen", "__key"))
+      .groupBy(idCols.map(col): _*)
+      .agg(max(struct(col("__plen"), col("cidr"))).as("__best"))
+      .select(idCols.map(col) :+ col("__best.cidr").as("cidr") :+
+        col("__best.__plen").as("plen"): _*)
+  }
+
   /** 128-bit sortable key for an IPv6 (or IPv4 — it maps) literal:
     * struct(hi, lo) with each long XOR'd with Long.MinValue, so SIGNED
     * struct comparison equals UNSIGNED 128-bit numeric order

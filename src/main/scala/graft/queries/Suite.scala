@@ -4297,6 +4297,61 @@ object Suite {
              |FROM ip JOIN b ON ip.ipn >= b.lo AND ip.ipn <= b.lo + b.sz - 1
              |GROUP BY 1 ORDER BY cidr""".stripMargin)),
 
+    Q("h59_lpm_route",
+      // longest-prefix-match enrichment (the family's ip_trie
+      // dictionary): NESTED prefixes incl. a default route — each
+      // event maps to its single most-specific match via per-length
+      // masked-key equi-joins + one per-event argmax, never a range
+      // scan. The oracle brute-forces every containing range and
+      // arg_maxes on prefix length
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ip",
+          concat_ws(".", lit(10),
+            pmod(col("user_id"), lit(200)).cast("int"),
+            get_json_object(col("props"), "$.k").cast("int"),
+            pmod(col("event_id"), lit(250)).cast("int")))
+        import s.implicits._
+        val routes = Seq("0.0.0.0/0", "10.0.0.0/8", "10.64.0.0/10",
+          "10.64.0.0/17", "10.100.0.0/14", "10.199.77.0/24")
+          .toDF("cidr")
+        graft.operators.Siem.lpmMatch(ev, "ip", routes,
+            Seq("event_id", "user_id"))
+          .groupBy(col("cidr"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cidr")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    '10.' || (user_id % 200)::INT || '.' ||
+             |    CAST(json_extract_string(props, '$.k') AS INT) || '.' ||
+             |    (event_id % 250)::INT AS ip
+             |  FROM events),
+             |ip AS (SELECT user_id, event_id,
+             |    string_split(ip, '.')[1]::BIGINT * 16777216 +
+             |    string_split(ip, '.')[2]::BIGINT * 65536 +
+             |    string_split(ip, '.')[3]::BIGINT * 256 +
+             |    string_split(ip, '.')[4]::BIGINT AS ipn
+             |  FROM ev),
+             |b AS (SELECT cidr, len,
+             |    (string_split(base, '.')[1]::BIGINT * 16777216 +
+             |     string_split(base, '.')[2]::BIGINT * 65536 +
+             |     string_split(base, '.')[3]::BIGINT * 256 +
+             |     string_split(base, '.')[4]::BIGINT)
+             |      // (1::BIGINT << (32 - len)) * (1::BIGINT << (32 - len))
+             |      AS lo,
+             |    (1::BIGINT << (32 - len)) AS sz
+             |  FROM (SELECT cidr, string_split(cidr, '/')[1] AS base,
+             |      string_split(cidr, '/')[2]::INT AS len
+             |    FROM (VALUES ('0.0.0.0/0'), ('10.0.0.0/8'),
+             |      ('10.64.0.0/10'), ('10.64.0.0/17'), ('10.100.0.0/14'),
+             |      ('10.199.77.0/24')) t(cidr))),
+             |win AS (SELECT user_id, event_id, arg_max(cidr, len) AS cidr
+             |  FROM ip JOIN b ON ip.ipn >= b.lo AND ip.ipn <= b.lo + b.sz - 1
+             |  GROUP BY 1, 2)
+             |SELECT cidr, count(*) AS n_hits,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM win GROUP BY 1 ORDER BY cidr""".stripMargin)),
+
     Q("h17_blast_radius",
       (s, d) => {
         // BFS depth over the same k->k transition graph PageRank uses,

@@ -192,4 +192,36 @@ class SiemSpec extends SparkSpec {
     assert(got == Seq((base + 5 * week + 2 * 86400L, 30L)),
       s"only the true anomaly flags, not the weekly rhythm: $got")
   }
+
+  test("lpmMatch: most-specific prefix wins, default route catches the rest") {
+    val ev = Seq(
+      (1L, "10.64.3.9"),    // in /8, /10 and /17 -> /17 wins
+      (2L, "10.64.200.1"),  // in /8 and /10, ABOVE the /17 half -> /10
+      (3L, "10.5.0.1"),     // /8 only
+      (4L, "192.168.1.1"),  // default route only
+      (5L, "not-an-ip"))    // dropped, no row
+      .toDF("id", "ip")
+    val routes = Seq("0.0.0.0/0", "10.0.0.0/8", "10.64.0.0/10",
+      // sloppy base: host bits set, the shift must mask them away
+      "10.64.99.7/17").toDF("cidr")
+    val got = Siem.lpmMatch(ev, "ip", routes, Seq("id"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "10.64.99.7/17", 17),
+      (2L, "10.64.0.0/10", 10),
+      (3L, "10.0.0.0/8", 8),
+      (4L, "0.0.0.0/0", 0)), got.toString)
+  }
+
+  test("lpmMatch: invalid cidr rows are ignored; all-invalid table refuses") {
+    val ev = Seq((1L, "10.0.0.1")).toDF("id", "ip")
+    val routes = Seq("10.0.0.0/8", "10.0.0.0/33", "junk/abc")
+      .toDF("cidr")
+    val got = Siem.lpmMatch(ev, "ip", routes, Seq("id"))
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "10.0.0.0/8", 8)))
+    val bad = Seq("nope/99").toDF("cidr")
+    assertThrows[IllegalArgumentException](
+      Siem.lpmMatch(ev, "ip", bad, Seq("id")))
+  }
 }
