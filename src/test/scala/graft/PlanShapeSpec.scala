@@ -565,4 +565,13 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected map-side algebra, got:\n$plan")
   }
+
+  test("LPM enrichment is one broadcast hash join — no range scan, no sort-merge") {
+    val plan = planOf(queries.Suite.queries("h59_lpm_route")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LPM must equi-join on (plen, key), not range-scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
