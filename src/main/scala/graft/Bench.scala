@@ -20,8 +20,10 @@ object Bench {
     * joins a 1000-key dim, broadcast and AQE skew-mitigation OFF so
     * the raw shuffle-join straggler is visible, then the same join
     * through [[graft.operators.Skew.saltedJoin]]. Max/median task time
-    * shows the straggler collapse; equal row counts prove result
-    * equality. Returns the `,"c12g_skew":{…}` JSON fragment. */
+    * shows the straggler collapse; equality is checked on an
+    * order-independent CONTENT checksum (sum of per-row hashes), not
+    * just the row count. Returns the `,"c12g_skew":{…}` JSON
+    * fragment. */
   private[graft] def skewRehearsal(spark: SparkSession, skewRows: Long,
       cpus: Int): String = {
     val keys = 1000L
@@ -43,7 +45,7 @@ object Bench {
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
     }
-    def timedTasks(fn: => Long): (Long, Double, Double, Double) = {
+    def timedTasks[T](fn: => T): (T, Double, Double, Double) = {
       taskMs.clear()
       spark.sparkContext.addSparkListener(tl)
       val t0 = System.nanoTime()
@@ -66,18 +68,31 @@ object Bench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try {
-      val (nPlain, wPlain, maxP, medP) =
-        timedTasks(bigDf.join(smallDf, "k").count())
-      val (nSalt, wSalt, maxS, medS) = timedTasks(
+      // (rows, order-independent content checksum) in one action —
+      // equal counts alone could mask a drop+duplicate bug
+      def summarize(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        // per-row hash reduced mod a prime before the sum: full-range
+        // longs would ANSI-overflow the aggregate at these row counts
+        val r = df.select(col("k"), col("row_id"), col("v"), col("name"))
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(xxhash64(col("k"), col("row_id"), col("v"),
+              col("name")), lit(1000000007L))).as("chk"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val (statsPlain, wPlain, maxP, medP) =
+        timedTasks(summarize(bigDf.join(smallDf, "k")))
+      val (statsSalt, wSalt, maxS, medS) = timedTasks(summarize(
         operators.Skew.saltedJoin(bigDf, smallDf, "k", "row_id",
-          replicas = cpus, hotThreshold = skewRows / 100).count())
+          replicas = cpus, hotThreshold = skewRows / 100)))
+      val (nPlain, nSalt) = (statsPlain._1, statsSalt._1)
       System.err.println(
         f"[bench] c12g skew x$skewRows%d rows: plain $wPlain%.2f s " +
           f"(max task $maxP%.2f s / median $medP%.2f s) -> salted " +
           f"$wSalt%.2f s (max $maxS%.2f s / median $medS%.2f s); " +
-          f"rows $nPlain%d==$nSalt%d")
-      require(nPlain == nSalt,
-        s"salted join changed the result: $nPlain vs $nSalt")
+          f"rows $nPlain%d==$nSalt%d checksum match ${statsPlain == statsSalt}%b")
+      require(statsPlain == statsSalt,
+        s"salted join changed the result: $statsPlain vs $statsSalt")
       f""","c12g_skew":{"rows":$skewRows,"plain_sec":$wPlain%.3f,"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,"salted_sec":$wSalt%.3f,"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)

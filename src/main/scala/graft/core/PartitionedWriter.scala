@@ -109,11 +109,17 @@ object PartitionedWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
-    val staging = new Path(path + "__compact")
-    val parts = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
+    // staging is derived from the NORMALIZED root, exactly as
+    // healAllStaging derives it — building it from the raw `path`
+    // string would diverge on a trailing slash (the staging dir would
+    // even land INSIDE the table root) and crash baks would never heal
+    val staging = new Path(root.toString + "__compact")
 
     healAllStaging(fs, root)
+    // list AFTER the heal: a partition the heal just restored must be
+    // visible to this very compaction pass, not deferred a full cycle
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$DateCol="))
 
     val stats = parts.flatMap { p =>
       val dataFiles = fs.listStatus(p.getPath)
@@ -239,7 +245,8 @@ object PartitionedWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
-    val staging = new Path(path + "__purge")
+    // normalized-root staging, same derivation as healAllStaging
+    val staging = new Path(root.toString + "__purge")
     healAllStaging(fs, root)
 
     val del = keys.select(col(keyCol)).distinct()

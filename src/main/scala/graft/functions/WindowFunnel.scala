@@ -78,6 +78,22 @@ case class WindowFunnel(
 
   private val SecMask = (1L << 48) - 1
 
+  /** Repack the buffer's (step<<48)|sec entries as (sec<<16)|step and
+    * sort — every eval mode walks events in (second, step) order.
+    * ONE definition: the three eval modes must never disagree on the
+    * packing. */
+  private def sortedBySec(buf: ArrayBuffer[Long]): Array[Long] = {
+    val arr = new Array[Long](buf.length)
+    var i = 0
+    while (i < arr.length) {
+      val e = buf(i)
+      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   override def createAggregationBuffer(): ArrayBuffer[Long] =
     ArrayBuffer.empty[Long]
 
@@ -140,15 +156,9 @@ case class WindowFunnel(
     * post-completion repeat never demotes a full funnel. */
   private def evalStrict(buf: ArrayBuffer[Long]): Int = {
     if (buf.isEmpty) return 0
-    val n = buf.length
-    val arr = new Array[Long](n)
+    val arr = sortedBySec(buf)
+    val n = arr.length
     var i = 0
-    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
-      val e = buf(i)
-      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
-      i += 1
-    }
-    java.util.Arrays.sort(arr)
     val k = conds.length
     var level = 0
     var anchor = 0L
@@ -194,15 +204,9 @@ case class WindowFunnel(
     * most two walks → O(n). Same packed state as every other mode. */
   private def evalStrictMax(buf: ArrayBuffer[Long]): Int = {
     if (buf.isEmpty) return 0
-    val n = buf.length
-    val arr = new Array[Long](n)
+    val arr = sortedBySec(buf)
+    val n = arr.length
     var i = 0
-    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
-      val e = buf(i)
-      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
-      i += 1
-    }
-    java.util.Arrays.sort(arr)
     val k = conds.length
     var best = 0
     i = 0
@@ -237,15 +241,9 @@ case class WindowFunnel(
     * second — that is exactly strict increase. */
   private def evalMaxOverAnchors(buf: ArrayBuffer[Long]): Int = {
     if (buf.isEmpty) return 0
-    val n = buf.length
-    val arr = new Array[Long](n)
+    val arr = sortedBySec(buf)
+    val n = arr.length
     var i = 0
-    while (i < n) { // (step<<48)|sec  →  (sec<<16)|step, sorts by second
-      val e = buf(i)
-      arr(i) = ((e & SecMask) << 16) | (e >>> 48)
-      i += 1
-    }
-    java.util.Arrays.sort(arr)
     val k = conds.length
     val chain = Array.fill(k)(Long.MinValue) // latest anchor reaching lvl i+1
     val upd = new Array[Long](k)

@@ -95,11 +95,17 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         var sum = 0L
+        // bulk row reads: per-pixel getRGB(x, y) pays a ColorModel
+        // conversion call per pixel — an order of magnitude slower on
+        // the scan hot loop for identical values. Row-wise keeps the
+        // buffer bounded at w ints for arbitrarily tall images.
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }
@@ -131,14 +137,19 @@ object Multimodal {
       sig
     }
 
-    /** ImageIO decode with the disk cache off (a tmp file per decoded
-      * row would be pathological at scan parallelism). Null/garbage
-      * bytes → None, never a throw: a corrupt asset must not kill a
-      * 100 TB scan. */
+    // JVM-global, applied once per executor (not per decoded row): a
+    // tmp cache file per decode would be pathological at scan
+    // parallelism
+    private lazy val imageIoNoDiskCache: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+
+    /** ImageIO decode with the disk cache off. Null/garbage bytes →
+      * None, never a throw: a corrupt asset must not kill a 100 TB
+      * scan. */
     def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.isEmpty) None
       else try {
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoDiskCache
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes)))
       } catch { case scala.util.control.NonFatal(_) => None }

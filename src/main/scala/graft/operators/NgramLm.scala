@@ -96,8 +96,16 @@ object NgramLm {
     * must match the one the model was trained with. */
   def score(docs: DataFrame, lm: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", order: Int = 2): DataFrame =
+    finishScore(docs, sumBits(docs, lm, textCol, idCol, order), idCol)
+
+  /** Shared output shaping of every scorer: (idCol, n_ngrams,
+    * avg_nll_bits), docs too short to form a gram kept with 0 grams
+    * and a null score. ONE definition — the output contract (rounding
+    * scale, null policy) must never drift between smoothers. */
+  private def finishScore(docs: DataFrame, sums: DataFrame,
+      idCol: String): DataFrame =
     docs.select(col(idCol))
-      .join(sumBits(docs, lm, textCol, idCol, order), Seq(idCol), "left")
+      .join(sums, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_ngrams"),
         round((-col("__s")).cast("double") / 1000000.0 / col("__n"), 6)
@@ -173,12 +181,7 @@ object NgramLm {
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
-    docs.select(col(idCol))
-      .join(sums, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_ngrams"),
-        round((-col("__s")).cast("double") / 1000000.0 / col("__n"), 6)
-          .as("avg_nll_bits"))
+    finishScore(docs, sums, idCol)
   }
 
   /** DSIR-style importance resampling (Xie et al., NeurIPS'23, "Data

@@ -55,6 +55,17 @@ class StagedSwapCrashSpec extends SparkSpec {
       assert(f.rename(tmp, live), "protocol step 2: staged -> live")
   }
 
+  test("trailing-slash table path heals the same staging dirs (normalized derivation)") {
+    val (root, part) = freshTable()
+    val before = rowsOf(root)
+    crashMidSwap(root, "__compact", part, stopAfter = 1)
+    // lifecycle entry addressed with a NON-normal path must still find
+    // and heal the bak the normalized-path writer left behind
+    PartitionedWriter.compactPartitions(spark, root + "/", minFiles = 99)
+    assert(rowsOf(root) == before,
+      "heal must converge regardless of path normal form")
+  }
+
   for (sfx <- Seq("__compact", "__purge")) {
 
     test(s"crash between the renames ($sfx): heal restores the old copy, exactly once") {

@@ -150,4 +150,33 @@ class WindowFunnelSpec extends SparkSpec {
         |""".stripMargin).as[(Long, Int)].collect().toMap
     assert(sqlDedup == dedup, s"sql $sqlDedup != operator $dedup")
   }
+
+  test("pre-1970 timestamps are rejected at update — the documented engine contract") {
+    // the packed-long state cannot represent negative seconds (they
+    // would wrap through the 48-bit mask), so pre-epoch events are
+    // DROPPED: they neither extend a chain nor interrupt strict_order.
+    // An oracle replaying these semantics over pre-epoch data must
+    // filter epoch(ts) >= 0 first — pinned here so the contract is
+    // executable, not just a comment.
+    val base = 1700000000L
+    val df = ev(Seq(
+      // u1: a pre-epoch step-1 must not anchor; the real chain counts
+      (1L, "view", -500L), (1L, "view", base),
+      (1L, "click", base + 10), (1L, "purchase", base + 20),
+      // u2: pre-epoch NOISE between steps must not interrupt order mode
+      (2L, "view", base), (2L, "error", -100L),
+      (2L, "click", base + 10), (2L, "purchase", base + 20),
+      // u3: only pre-epoch events -> no rows at all
+      (3L, "view", -50L)))
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val order = graft.operators.Funnel.windowFunnelStrict(df, "user_id",
+        "ts", steps, windowSec = 86400L, strictOrder = true)
+      .as[(Long, Int)].collect().toMap
+    assert(order == Map(1L -> 3, 2L -> 3), order)
+    val maxMode = graft.operators.Funnel.windowFunnelMax(df, "user_id",
+        "ts", steps, windowSec = 86400L)
+      .as[(Long, Int)].collect().toMap
+    assert(maxMode == Map(1L -> 3, 2L -> 3), maxMode)
+  }
 }
