@@ -531,12 +531,33 @@ object Bench {
         val driftSec = (System.nanoTime() - t1) / 1e9
         val driftRows = spark.read.parquet(s"$base/metrics").count()
         refCounts.unpersist()
+        // LM-gated twin: the FULL CCNet shape per micro-batch (rule
+        // gates + frozen-LM perplexity cut). The model trains once
+        // OUTSIDE the timed loop — exactly the production posture —
+        // and is timed separately so the base number stays
+        // round-over-round comparable.
+        val tkLm = operators.NgramLm.tokenize(docs).cache()
+        val lm = operators.NgramLm
+          .train(tkLm.filter(col("doc_id") % 2 === 0)).cache()
+        lm.count()
+        val t2 = System.nanoTime()
+        val lq = streaming.CurationStream.start(src, "text",
+          s"$base/acc_lm", s"$base/rej_lm", s"$base/ckpt_cur_lm",
+          lm = Some(lm), maxNllBits = 4.9,
+          trigger = Trigger.AvailableNow())
+        lq.awaitTermination()
+        val curLmSec = (System.nanoTime() - t2) / 1e9
+        val acceptedLm = spark.read.parquet(s"$base/acc_lm").count()
+        lm.unpersist()
+        tkLm.unpersist()
         System.err.println(
           f"[bench] e2e_stream: $nDocs docs curated in $curSec%.1f s " +
             f"($curBatches batches, ${nDocs / curSec}%.0f docs/s; " +
-            f"$accepted accepted / $rejected rejected); drift " +
+            f"$accepted accepted / $rejected rejected); LM-gated " +
+            f"$curLmSec%.1f s (${nDocs / curLmSec}%.0f docs/s, " +
+            f"$acceptedLm accepted); drift " +
             f"$driftSec%.1f s, $driftRows metric rows")
-        f""","e2e_stream":{"docs":$nDocs,"curation_sec":$curSec%.3f,"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_batches":$curBatches,"accepted":$accepted,"rejected":$rejected,"drift_sec":$driftSec%.3f,"drift_metric_rows":$driftRows}"""
+        f""","e2e_stream":{"docs":$nDocs,"curation_sec":$curSec%.3f,"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_batches":$curBatches,"accepted":$accepted,"rejected":$rejected,"curation_lm_sec":$curLmSec%.3f,"curation_lm_docs_per_sec":${nDocs / curLmSec}%.0f,"accepted_lm":$acceptedLm,"drift_sec":$driftSec%.3f,"drift_metric_rows":$driftRows}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] e2e_stream FAILED: ${e.getMessage}")
         ""
