@@ -249,6 +249,58 @@ object Siem {
         col("__best.__plen").as("plen"): _*)
   }
 
+  /** IPv6 twin of [[lpmMatch]] — same ip_trie semantics over the
+    * 128-bit space (IPv4 literals participate via their v4-mapped
+    * form, so ONE table serves both families). The masked key is the
+    * (hi, lo) long pair logically shifted down to the prefix bits:
+    * plen ≤ 64 keys on (hi >>> (64−plen), 0), plen > 64 on
+    * (hi, lo >>> (128−plen)) — plen 0 pinned explicitly because a
+    * JVM shift count of 64 wraps to 0. At most 129 distinct lengths;
+    * everything else is exactly the v4 shape: per-length candidate
+    * keys, one broadcast hash equi-join, per-event max(struct(plen,
+    * cidr)). */
+  def lpm6Match(events: DataFrame, ipCol: String, prefixes: DataFrame,
+      idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression}
+    def pair(c: org.apache.spark.sql.Column) =
+      toCol(graft.functions.Ipv6Pair(expression(c)))
+    val pfx = prefixes
+      .withColumn("__plen", expr("try_cast(split(cidr, '/')[1] AS int)"))
+      .filter(col("__plen").between(0, 128))
+      .withColumn("__p", pair(split(col("cidr"), "/").getItem(0)))
+      .filter(col("__p").isNotNull)
+      .withColumn("__kh", when(col("__plen") === 0, lit(0L))
+        .when(col("__plen") <= 64,
+          expr("shiftrightunsigned(__p.hi, 64 - __plen)"))
+        .otherwise(col("__p.hi")))
+      .withColumn("__kl", when(col("__plen") <= 64, lit(0L))
+        .when(col("__plen") === 128, col("__p.lo"))
+        .otherwise(expr("shiftrightunsigned(__p.lo, 128 - __plen)")))
+      .select(col("cidr"), col("__plen"), col("__kh"), col("__kl"))
+    val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(lens.nonEmpty, "lpm6Match: prefix table has no valid cidr rows")
+    val cand = events
+      .select(idCols.map(col) :+ pair(col(ipCol)).as("__p"): _*)
+      .filter(col("__p").isNotNull)
+      .select(idCols.map(col) :+ explode(array(lens.map { l =>
+        struct(lit(l).as("__plen"),
+          (if (l == 0) lit(0L)
+           else if (l <= 64) shiftrightunsigned(col("__p.hi"), 64 - l)
+           else col("__p.hi")).as("__kh"),
+          (if (l <= 64) lit(0L)
+           else if (l == 128) col("__p.lo")
+           else shiftrightunsigned(col("__p.lo"), 128 - l)).as("__kl"))
+      }: _*)).as("__c"): _*)
+      .select(idCols.map(col) :+ col("__c.__plen") :+ col("__c.__kh") :+
+        col("__c.__kl"): _*)
+    cand.join(broadcast(pfx), Seq("__plen", "__kh", "__kl"))
+      .groupBy(idCols.map(col): _*)
+      .agg(max(struct(col("__plen"), col("cidr"))).as("__best"))
+      .select(idCols.map(col) :+ col("__best.cidr").as("cidr") :+
+        col("__best.__plen").as("plen"): _*)
+  }
+
   /** 128-bit sortable key for an IPv6 (or IPv4 — it maps) literal:
     * struct(hi, lo) with each long XOR'd with Long.MinValue, so SIGNED
     * struct comparison equals UNSIGNED 128-bit numeric order

@@ -4352,6 +4352,49 @@ object Suite {
              |  count(DISTINCT user_id) AS n_users
              |FROM win GROUP BY 1 ORDER BY cidr""".stripMargin)),
 
+    Q("h60_lpm6_route",
+      // 128-bit LPM over a DUAL-family route table: half the events
+      // are IPv6 literals, half plain IPv4 riding the v4-mapped space;
+      // nested prefixes across the 64-bit boundary (/32, /45, /48,
+      // /112, /120) plus a default route. The oracle is planted truth:
+      // the winning prefix per event is a closed-form CASE over the
+      // generating integers — no IPv6 parsing oracle-side
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ip",
+          when(col("event_id") % 2 === 0,
+            concat(lit("2001:db8:"),
+              lower(conv(pmod(col("user_id"), lit(16)), 10, 16)),
+              lit("::"),
+              lower(conv(pmod(col("event_id"), lit(65536)), 10, 16))))
+          .otherwise(concat_ws(".", lit(10), lit(1),
+            pmod(col("user_id"), lit(200)).cast("int"),
+            pmod(col("event_id"), lit(250)).cast("int"))))
+        import s.implicits._
+        val routes = Seq("::/0", "2001:db8::/32", "2001:db8::/45",
+          "2001:db8:5::/48", "2001:db8:5::/112", "2001:db8:5::ff00/120",
+          "::ffff:a01:0/112").toDF("cidr")
+        graft.operators.Siem.lpm6Match(ev, "ip", routes,
+            Seq("event_id", "user_id"))
+          .groupBy(col("cidr"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cidr")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    (event_id % 2 = 0) AS is6,
+             |    user_id % 16 AS g, event_id % 65536 AS x
+             |  FROM events),
+             |w AS (SELECT user_id, event_id,
+             |  CASE WHEN NOT is6 THEN '::ffff:a01:0/112'
+             |    WHEN g = 5 AND x >= 65280 THEN '2001:db8:5::ff00/120'
+             |    WHEN g = 5 THEN '2001:db8:5::/112'
+             |    WHEN g < 8 THEN '2001:db8::/45'
+             |    ELSE '2001:db8::/32' END AS cidr
+             |  FROM e)
+             |SELECT cidr, count(*) AS n_hits,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM w GROUP BY 1 ORDER BY cidr""".stripMargin)),
+
     Q("h17_blast_radius",
       (s, d) => {
         // BFS depth over the same k->k transition graph PageRank uses,

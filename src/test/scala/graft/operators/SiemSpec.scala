@@ -213,6 +213,29 @@ class SiemSpec extends SparkSpec {
       (4L, "0.0.0.0/0", 0)), got.toString)
   }
 
+  test("lpm6Match: nesting across the 64-bit boundary, host route, v4-mapped, default") {
+    val ev = Seq(
+      (1L, "2001:db8:5::ff42"),  // /32 /48 /120 all match -> /120
+      (2L, "2001:db8:5::1"),     // /32 /48 -> /48
+      (3L, "2001:db8:9::1"),     // /32 only
+      (4L, "2001:db8:5::ffff"),  // exact host route /128 beats /120
+      (5L, "10.1.2.3"),          // v4-mapped /112
+      (6L, "fe80::1"))           // default route only
+      .toDF("id", "ip")
+    val routes = Seq("::/0", "2001:db8::/32", "2001:db8:5::/48",
+      "2001:db8:5::ff00/120", "2001:db8:5::ffff/128", "::ffff:a01:0/112")
+      .toDF("cidr")
+    val got = Siem.lpm6Match(ev, "ip", routes, Seq("id"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "2001:db8:5::ff00/120", 120),
+      (2L, "2001:db8:5::/48", 48),
+      (3L, "2001:db8::/32", 32),
+      (4L, "2001:db8:5::ffff/128", 128),
+      (5L, "::ffff:a01:0/112", 112),
+      (6L, "::/0", 0)), got.toString)
+  }
+
   test("lpmMatch: invalid cidr rows are ignored; all-invalid table refuses") {
     val ev = Seq((1L, "10.0.0.1")).toDF("id", "ip")
     val routes = Seq("10.0.0.0/8", "10.0.0.0/33", "junk/abc")
