@@ -646,7 +646,10 @@ object Bench {
           // strict-max funnel: three per-anchor walk modes in one
           // aggregation, order mode buffering step-0 markers — the
           // sort + walk cost class under test
-          ("h58g_funnel_strict_max", "h58_funnel_strict_max"))
+          ("h58g_funnel_strict_max", "h58_funnel_strict_max"),
+          // LPM enrichment: candidate-key explode + broadcast equi-join
+          // is map-side per event — growth should cost only the scan
+          ("h59g_lpm_route", "h59_lpm_route"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
