@@ -60,4 +60,55 @@ class LpmPropertySpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"winner length mismatches: ${bad.take(5)}")
   }
+
+  test("lpm6Match equals brute force across the 64-bit boundary on 1500 random IPs") {
+    val rnd = new scala.util.Random(20260816L)
+    def hex(n: Long): String = java.lang.Long.toHexString(n)
+    // addresses 2001:db8:A:B::C:D — four random 16-bit groups, so
+    // prefixes of length 32..128 all discriminate
+    def addrOf(a: Int, b: Int, c: Int, dd: Int): String =
+      s"2001:db8:${hex(a)}:${hex(b)}::${hex(c)}:${hex(dd)}"
+    // raw (hi, lo) of that address
+    def bitsOf(a: Int, b: Int, c: Int, dd: Int): (Long, Long) = (
+      (0x2001L << 48) | (0x0db8L << 32) | (a.toLong << 16) | b.toLong,
+      (c.toLong << 16) | dd.toLong)
+    def containsBits(pHi: Long, pLo: Long, plen: Int,
+        hi: Long, lo: Long): Boolean =
+      if (plen == 0) true
+      else if (plen <= 64) (pHi >>> (64 - plen)) == (hi >>> (64 - plen))
+      else pHi == hi && (if (plen == 128) pLo == lo
+        else (pLo >>> (128 - plen)) == (lo >>> (128 - plen)))
+
+    // prefixes: random plen in {0, 32..128}, base from a random address
+    // in the same families so nesting is dense
+    val prefixes: Seq[(String, (Long, Long), Int)] = (0 until 90).map { _ =>
+      val plen = if (rnd.nextInt(10) == 0) 0 else 32 + rnd.nextInt(97)
+      val (a, b, c, dd) = (rnd.nextInt(8), rnd.nextInt(8),
+        rnd.nextInt(8), rnd.nextInt(8))
+      (s"${addrOf(a, b, c, dd)}/$plen", bitsOf(a, b, c, dd), plen)
+    }.distinctBy(_._1)
+    val probes: Seq[(Long, (Int, Int, Int, Int))] = (0L until 1500L).map {
+      i => (i, (rnd.nextInt(8), rnd.nextInt(8), rnd.nextInt(8),
+        rnd.nextInt(8)))
+    }
+    val expect: Map[Long, Int] = probes.flatMap { case (id, (a, b, c, dd)) =>
+      val (hi, lo) = bitsOf(a, b, c, dd)
+      val m = prefixes.filter { case (_, (ph, pl), plen) =>
+        containsBits(ph, pl, plen, hi, lo) }
+      if (m.isEmpty) None else Some(id -> m.map(_._3).max)
+    }.toMap
+
+    val got = Siem.lpm6Match(
+        probes.map { case (id, (a, b, c, dd)) => (id, addrOf(a, b, c, dd)) }
+          .toDF("id", "ip"),
+        "ip", prefixes.map(_._1).toDF("cidr"), Seq("id"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet == expect.keySet,
+      s"match sets differ: only-got=${(got.keySet -- expect.keySet).take(5)} " +
+        s"only-expect=${(expect.keySet -- got.keySet).take(5)}")
+    val bad = expect.collect {
+      case (id, l) if got(id) != l => (id, got(id), l)
+    }
+    assert(bad.isEmpty, s"winner length mismatches: ${bad.take(5)}")
+  }
 }
