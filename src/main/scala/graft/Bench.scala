@@ -535,21 +535,29 @@ object Bench {
         // gates + frozen-LM perplexity cut). The model trains once
         // OUTSIDE the timed loop — exactly the production posture —
         // and is timed separately so the base number stays
-        // round-over-round comparable.
-        val tkLm = operators.NgramLm.tokenize(docs).cache()
-        val lm = operators.NgramLm
-          .train(tkLm.filter(col("doc_id") % 2 === 0)).cache()
-        lm.count()
-        val t2 = System.nanoTime()
-        val lq = streaming.CurationStream.start(src, "text",
-          s"$base/acc_lm", s"$base/rej_lm", s"$base/ckpt_cur_lm",
-          lm = Some(lm), maxNllBits = 4.9,
-          trigger = Trigger.AvailableNow())
-        lq.awaitTermination()
-        val curLmSec = (System.nanoTime() - t2) / 1e9
-        val acceptedLm = spark.read.parquet(s"$base/acc_lm").count()
-        lm.unpersist()
-        tkLm.unpersist()
+        // round-over-round comparable. Only the TRAINING half is
+        // tokenized and cached (the scoring side tokenizes per batch,
+        // as the stream does in production); unpersist is
+        // exception-safe so a failed stream can't pin the cache for
+        // the rest of the bench JVM.
+        val tkLm = operators.NgramLm
+          .tokenize(docs.filter(col("doc_id") % 2 === 0)).cache()
+        val lm = operators.NgramLm.train(tkLm).cache()
+        val (curLmSec, acceptedLm) = try {
+          lm.count()
+          val t2 = System.nanoTime()
+          val lq = streaming.CurationStream.start(src, "text",
+            s"$base/acc_lm", s"$base/rej_lm", s"$base/ckpt_cur_lm",
+            lm = Some(lm), maxNllBits = 4.9,
+            trigger = Trigger.AvailableNow())
+          lq.awaitTermination()
+          ((System.nanoTime() - t2) / 1e9,
+            spark.read.parquet(s"$base/acc_lm").count())
+        } finally {
+          lm.unpersist()
+          tkLm.unpersist()
+          ()
+        }
         System.err.println(
           f"[bench] e2e_stream: $nDocs docs curated in $curSec%.1f s " +
             f"($curBatches batches, ${nDocs / curSec}%.0f docs/s; " +
@@ -646,10 +654,7 @@ object Bench {
           // strict-max funnel: three per-anchor walk modes in one
           // aggregation, order mode buffering step-0 markers — the
           // sort + walk cost class under test
-          ("h58g_funnel_strict_max", "h58_funnel_strict_max"),
-          // LPM enrichment: candidate-key explode + broadcast equi-join
-          // is map-side per event — growth should cost only the scan
-          ("h59g_lpm_route", "h59_lpm_route"))
+          ("h58g_funnel_strict_max", "h58_funnel_strict_max"))
           .flatMap { case (nm, q) =>
             for {
               (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
@@ -661,8 +666,44 @@ object Bench {
               f""""$nm":{"base_rows":$nb,"base":$tb%.3f,"grown_rows":$ng,"grown":$tg%.3f}"""
             }
           }
-        if (entries.isEmpty) ""
-        else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${entries.mkString(",")}}"""
+        // LPM at 10× events, counted on the PER-EVENT winner rows so
+        // the receipt PROVES the grown dir was read (the suite query's
+        // per-cidr aggregate would show the same 5 rows at any scale):
+        // candidate-key explode + broadcast equi-join is map-side, so
+        // growth should cost only the scan
+        def lpmTimed(label: String, d: String): Option[(Long, Double)] = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            val ev = core.Tables.load(spark, d, "events").withColumn("ip",
+              concat_ws(".", lit(10),
+                pmod(col("user_id"), lit(200L)).cast("int"),
+                get_json_object(col("props"), "$.k").cast("int"),
+                pmod(col("event_id"), lit(250L)).cast("int")))
+            import spark.implicits._
+            val routes = Seq("0.0.0.0/0", "10.0.0.0/8", "10.64.0.0/10",
+              "10.64.0.0/17", "10.100.0.0/14", "10.199.77.0/24")
+              .toDF("cidr")
+            val rows = operators.Siem.lpmMatch(ev, "ip", routes,
+              Seq("event_id", "user_id")).count()
+            Some((rows, (System.nanoTime() - t0) / 1e9))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val lpmEntry = for {
+          (nb, tb) <- lpmTimed("synthE:h59g_lpm(base)", sfDir)
+          (ng, tg) <- lpmTimed(s"synthE:h59g_lpm(x$synthEvFactor)", dir)
+        } yield {
+          System.err.println(f"[bench] synthE x$synthEvFactor h59g_lpm_winners " +
+            f"base $nb%7d rows/$tb%5.2f s -> grown $ng%8d rows/" +
+            f"$tg%5.2f s (ratio ${tg / tb}%.1fx)")
+          f""""h59g_lpm_winners":{"base_rows":$nb,"base":$tb%.3f,"grown_rows":$ng,"grown":$tg%.3f}"""
+        }
+        val allEntries = entries ++ lpmEntry.toSeq
+        if (allEntries.isEmpty) ""
+        else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${allEntries.mkString(",")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] synthE rehearsal FAILED: ${e.getMessage}")
         ""

@@ -249,6 +249,15 @@ object Siem {
         col("__best.__plen").as("plen"): _*)
   }
 
+  /** Parse an IPv6/IPv4 literal column to its raw (hi, lo) long pair
+    * via the codegen'd [[graft.functions.Ipv6Pair]] — the one bridge
+    * incantation for every 128-bit operator in this file. Null for
+    * junk. */
+  private def ipv6PairOf(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Ipv6Pair(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** IPv6 twin of [[lpmMatch]] — same ip_trie semantics over the
     * 128-bit space (IPv4 literals participate via their v4-mapped
     * form, so ONE table serves both families). The masked key is the
@@ -261,13 +270,10 @@ object Siem {
     * cidr)). */
   def lpm6Match(events: DataFrame, ipCol: String, prefixes: DataFrame,
       idCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression}
-    def pair(c: org.apache.spark.sql.Column) =
-      toCol(graft.functions.Ipv6Pair(expression(c)))
     val pfx = prefixes
       .withColumn("__plen", expr("try_cast(split(cidr, '/')[1] AS int)"))
       .filter(col("__plen").between(0, 128))
-      .withColumn("__p", pair(split(col("cidr"), "/").getItem(0)))
+      .withColumn("__p", ipv6PairOf(split(col("cidr"), "/").getItem(0)))
       .filter(col("__p").isNotNull)
       .withColumn("__kh", when(col("__plen") === 0, lit(0L))
         .when(col("__plen") <= 64,
@@ -281,7 +287,7 @@ object Siem {
       .collect().map(_.getInt(0)).sorted.toSeq
     require(lens.nonEmpty, "lpm6Match: prefix table has no valid cidr rows")
     val cand = events
-      .select(idCols.map(col) :+ pair(col(ipCol)).as("__p"): _*)
+      .select(idCols.map(col) :+ ipv6PairOf(col(ipCol)).as("__p"): _*)
       .filter(col("__p").isNotNull)
       .select(idCols.map(col) :+ explode(array(lens.map { l =>
         struct(lit(l).as("__plen"),
@@ -307,9 +313,7 @@ object Siem {
     * (`ffff::` must sort above `2001:db8::` even though its raw high
     * long is negative). Null for junk. */
   def ipv6Key(ip: Column): Column = {
-    val p = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.functions.Ipv6Pair(
-        org.apache.spark.sql.GraftColumnBridge.expression(ip)))
+    val p = ipv6PairOf(ip)
     when(p.isNotNull, struct(
       p.getField("hi").bitwiseXOR(lit(Long.MinValue)).as("h"),
       p.getField("lo").bitwiseXOR(lit(Long.MinValue)).as("l")))
@@ -327,10 +331,8 @@ object Siem {
   def cidr6Matches(events: DataFrame, ipCol: String,
       blocklist: DataFrame): DataFrame = {
     val bounds = blocklist
-      .withColumn("__p", org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.Ipv6Pair(
-          org.apache.spark.sql.GraftColumnBridge.expression(
-            split(col("cidr"), "/").getItem(0)))))
+      .withColumn("__p",
+        ipv6PairOf(split(col("cidr"), "/").getItem(0)))
       .withColumn("__plen", split(col("cidr"), "/").getItem(1).cast("int"))
       // free (host) bits in each long half: lo gets min(128-plen, 64),
       // hi gets the overflow past 64
