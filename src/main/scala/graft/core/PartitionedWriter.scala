@@ -27,8 +27,21 @@ object PartitionedWriter {
   def withDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn(DateCol, to_date(col(tsCol)))
 
+  /** Heal-first-everywhere: EVERY write entry point heals crash
+    * staging before touching the table. An append into a partition
+    * whose live dir is missing after a mid-swap crash would otherwise
+    * recreate the live dir, making the next heal treat the bak as
+    * stale and delete it — permanently dropping the pre-crash copy
+    * (the resurrection-window class the swap protocol closes). */
+  private def healFirst(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) healAllStaging(fs, root)
+  }
+
   def append(df: DataFrame, path: String, tsCol: String,
       orderCols: Seq[String] = Nil): DataFrame = {
+    healFirst(df.sparkSession, path)
     val dated = withDate(df, tsCol)
     val sorted =
       if (orderCols.nonEmpty)
@@ -46,6 +59,7 @@ object PartitionedWriter {
   def appendIfAbsent(df: DataFrame, path: String, tsCol: String,
       keys: Seq[String]): Long = {
     val spark = df.sparkSession
+    healFirst(spark, path)
     val dated = withDate(df, tsCol)
     val fresh =
       if (exists(spark, path)) {
@@ -68,9 +82,11 @@ object PartitionedWriter {
   /** Full overwrite of only the partitions present in df (MERGE-style
     * window replacement; requires partitionOverwriteMode=dynamic, set by
     * GraftSession). */
-  def replacePartitions(df: DataFrame, path: String, tsCol: String): Unit =
+  def replacePartitions(df: DataFrame, path: String, tsCol: String): Unit = {
+    healFirst(df.sparkSession, path)
     withDate(df, tsCol).write.mode(SaveMode.Overwrite)
       .partitionBy(DateCol).parquet(path)
+  }
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

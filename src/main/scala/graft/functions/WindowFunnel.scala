@@ -47,12 +47,32 @@ case class WindowFunnel(
     maxOverAnchors: Boolean = false,
     strictDedup: Boolean = false,
     strictOrder: Boolean = false,
+    markerCap: Int = WindowFunnel.DefaultMarkerCap,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Long]] {
 
   require(conds.nonEmpty, "window_funnel needs at least one step predicate")
   require(conds.size <= 0xfffe, "window_funnel: too many steps")
+  require(markerCap >= 1, "window_funnel: markerCap must be >= 1")
+
+  /** strict_order is the one mode whose per-group state is bounded by
+    * EVENTS-per-key, not matches-per-key (every non-funnel event must
+    * be buffered as a step-0 marker to interrupt chains — the honest
+    * cost of the mode). A pathological hot entity therefore has no
+    * natural cap; past `markerCap` buffered entries the aggregate
+    * FAILS LOUDLY (deterministic error naming the cap) rather than
+    * silently eating executor memory or — worse — silently dropping
+    * markers, which could only inflate levels (a dropped marker is an
+    * uninterrupted chain). Callers with a genuine >cap entity should
+    * raise the cap explicitly or pre-filter/split the key. Enforced
+    * in both update and merge, so partial aggregation cannot
+    * assemble an over-cap buffer from under-cap partials. */
+  private def failMarkerCap(size: Int): Nothing =
+    throw new IllegalStateException(
+      s"$prettyName: a single group buffered $size events, over " +
+        s"markerCap=$markerCap (strict_order must see every event of " +
+        "the group). Raise markerCap or pre-filter the hot key.")
 
   override def children: Seq[Expression] = ts +: conds
   override def nullable: Boolean = false
@@ -122,12 +142,17 @@ case class WindowFunnel(
       // whole point of the packed buffer is that unmatched events
       // (the vast majority at 100 TB) cost nothing.
       if (strictOrder && !matched) buf += (sec & SecMask)
+      if (strictOrder && buf.length > markerCap) failMarkerCap(buf.length)
     }
     buf
   }
 
   override def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long])
-      : ArrayBuffer[Long] = { b1 ++= b2; b1 }
+      : ArrayBuffer[Long] = {
+    if (strictOrder && b1.length + b2.length > markerCap)
+      failMarkerCap(b1.length + b2.length)
+    b1 ++= b2; b1
+  }
 
   override def eval(buf: ArrayBuffer[Long]): Any =
     if (maxOverAnchors && (strictDedup || strictOrder)) evalStrictMax(buf)
@@ -328,4 +353,12 @@ case class WindowFunnel(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): WindowFunnel =
     copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
+object WindowFunnel {
+  /** Default strict_order per-group buffer cap: 4M packed longs
+    * (~32 MB of markers for one key) — far above any sane
+    * events-per-entity density, small enough that a runaway hot key
+    * fails an executor's task loudly long before it OOMs it. */
+  val DefaultMarkerCap: Int = 4000000
 }

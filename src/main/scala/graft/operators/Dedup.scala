@@ -531,11 +531,37 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 2): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val prepped = preppedShingles(df, textCol, idCol, shingleN)
+    val pairs = prefixCandidates(prepped, threshold)
+    verifyJaccard(pairs, prepped).filter(col("jaccard") >= threshold)
+  }
+
+  /** The (__id, __sh) shingle frame every PPJoin stage reads, cached
+    * AND eagerly materialized: three independent consumers (gram
+    * frequencies, the sorted-prefix build, the exact verify) fan out
+    * from it inside one query, and AQE submits their exchange jobs
+    * concurrently — pinning the frame with its own tiny job FIRST
+    * guarantees the shingle hashing runs exactly once instead of
+    * racing the cache population. Callers must not unpersist until
+    * the query's action completed. */
+  private def preppedShingles(df: DataFrame, textCol: String,
+      idCol: String, shingleN: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val prepped = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         hashedShingles(col(textCol), shingleN).as("__sh"))
       .cache()
+    prepped.count()
+    prepped
+  }
+
+  /** Candidate (id_a, id_b) pairs of the PPJoin prefix filter BEFORE
+    * the exact verify — package-visible so the bench can receipt the
+    * candidate volume next to the wall time (a quadratic candidate
+    * blowup is the one way this operator degrades, and the receipt
+    * makes it visible instead of inferred). */
+  private[graft] def prefixCandidates(prepped: DataFrame,
+      threshold: Double): DataFrame = {
     val gramDf = prepped.select(explode(col("__sh")).as("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__df"))
     // per-doc grams ordered rarest-first under the global (df, gram) order
@@ -559,7 +585,7 @@ object Dedup {
     // first shared token (rarest) bounds |A∩B| by the shorter suffix
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("l.__n") + col("r.__n")))
-    val pairs = prefixes.as("l")
+    prefixes.as("l")
       .join(prefixes.as("r"),
         col("l.__p") === col("r.__p") && col("l.__id") < col("r.__id") &&
           // length filter: t ≤ jaccard ≤ min/max sizes
@@ -570,7 +596,23 @@ object Dedup {
             >= alpha)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    verifyJaccard(pairs, prepped).filter(col("jaccard") >= threshold)
+  }
+
+  /** Bench receipt hook: (candidate_pairs, verified_pairs) of one
+    * PPJoin run — candidates from [[prefixCandidates]], survivors
+    * after the exact verify. */
+  private[graft] def prefixJoinCensus(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleN: Int = 2): (Long, Long) = {
+    val prepped = preppedShingles(df, textCol, idCol, shingleN)
+    try {
+      val cand = prefixCandidates(prepped, threshold).cache()
+      try {
+        val nCand = cand.count()
+        val nVerified = verifyJaccard(cand, prepped)
+          .filter(col("jaccard") >= threshold).count()
+        (nCand, nVerified)
+      } finally { cand.unpersist(); () }
+    } finally { prepped.unpersist(); () }
   }
 
   /** Benchmark decontamination: for every (corpus doc, benchmark item)

@@ -132,6 +132,14 @@ object Funnel {
     * 'strict_order')` does: the level is the max over every candidate
     * anchor of the strict chain walked from that anchor — an
     * interruption ends that anchor's chain, not the whole search.
+    *
+    * `markerCap` bounds the one unbounded state in the engine: order
+    * mode's per-group buffer grows with EVENTS-per-key (every event
+    * must be seen to interrupt). Past the cap the aggregate fails
+    * loudly with a deterministic error naming the cap — never a
+    * silent drop (a dropped marker could only inflate levels) and
+    * never a quiet executor OOM. Raise it explicitly for a genuine
+    * >4M-events-per-entity workload.
     * Returns (key, level), level ≥ 1 rows only. */
   def windowFunnelStrict(
       events: DataFrame,
@@ -141,7 +149,9 @@ object Funnel {
       windowSec: Long,
       strictDedup: Boolean = false,
       strictOrder: Boolean = false,
-      maxOverAnchors: Boolean = false): DataFrame = {
+      maxOverAnchors: Boolean = false,
+      markerCap: Int = graft.functions.WindowFunnel.DefaultMarkerCap)
+      : DataFrame = {
     require(steps.nonEmpty, "windowFunnelStrict needs at least one step")
     require(strictDedup || strictOrder,
       "windowFunnelStrict: enable at least one strict mode " +
@@ -152,7 +162,8 @@ object Funnel {
         steps.map(eagerExpression),
         maxOverAnchors = maxOverAnchors,
         strictDedup = strictDedup,
-        strictOrder = strictOrder).toAggregateExpression())
+        strictOrder = strictOrder,
+        markerCap = markerCap).toAggregateExpression())
     events.groupBy(col(keyCol)).agg(agg.as("level"))
       .filter(col("level") >= 1)
   }

@@ -159,6 +159,14 @@ object NgramLm {
   def scoreKneserNey(docs: DataFrame, lm: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       discount: Double = 0.75): DataFrame = {
+    // bigram-only guard: an order-3+ model's contexts are space-joined
+    // multi-token strings that match NO bigram (ctx, w) here — every
+    // gram would silently back off to Pc and the scores would be
+    // quietly meaningless. Fail loudly instead; the probe is a
+    // limit(1)-short-circuited scan of the vocab-bounded model.
+    require(lm.filter(col("ctx").contains(" ")).isEmpty,
+      "scoreKneserNey: model must be BIGRAM (train(…, order = 2)); " +
+        "found a multi-token context in the model's ctx column")
     val cCtx = lm.groupBy(col("ctx"))
       .agg(sum(col("__c")).as("__cctx"), count(lit(1)).as("__n1ctx"))
     val cont = lm.groupBy(col("w")).agg(count(lit(1)).as("__cont"))

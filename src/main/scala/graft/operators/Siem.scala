@@ -208,17 +208,29 @@ object Siem {
     * PRESENT in the table (an explode of ≤33 narrow longs, never the
     * event row itself), and matching is ONE broadcast hash equi-join
     * on (plen, key) followed by a per-event max over (plen, cidr)
-    * structs (lexicographic max = longest prefix; a genuine tie is
-    * impossible — two distinct same-length prefixes are disjoint).
+    * structs (lexicographic max = longest prefix; a plen tie is
+    * impossible after the (plen, key) dedupe below — two DISTINCT
+    * same-length prefixes are disjoint).
     * Everything stays in whole-stage codegen; the event table never
     * shuffles on anything but its own id for the argmax, and the
     * prefix table crosses the wire once, broadcast.
     *
-    * Returns (idCols…, cidr, plen) for events with a match; join the
-    * prefix table's payload columns back on `cidr`. Distinct prefix
-    * lengths are collected driver-side — the prefix table is
+    * Returns (idCols…, cidr, plen) for events with a match
+    * ([[lpmEnrich]] wraps the payload join-back). `idCols` must
+    * uniquely identify events: the per-event argmax groups by exactly
+    * these columns, so two distinct events sharing the same idCols
+    * tuple would silently collapse into one output row. Distinct
+    * prefix lengths are collected driver-side — the prefix table is
     * broadcast-sized by premise (a full internet routing table is
-    * ~1M rows, ~30 MB). */
+    * ~1M rows, ~30 MB).
+    *
+    * Non-canonical prefix rows: two literals that normalize to the
+    * SAME (plen, masked key) — '10.0.0.0/8' and a sloppy
+    * '10.1.2.3/8' — are ONE prefix; the table is deduped to a single
+    * row per (plen, key) keeping the numerically-smallest base, which
+    * is the canonical zero-host literal whenever it is present, so
+    * the reported `cidr` (and any payload join-back on it) never
+    * surfaces a sloppy duplicate. */
   def lpmMatch(events: DataFrame, ipCol: String, prefixes: DataFrame,
       idCols: Seq[String]): DataFrame = {
     val pfx = prefixes
@@ -231,6 +243,13 @@ object Siem {
       // masking happens via the shift itself: base >> (32−plen) keeps
       // exactly the prefix bits, host bits in a sloppy base fall away
       .withColumn("__key", expr("shiftright(__base, 32 - __plen)"))
+      // dedupe duplicates that normalize to the same prefix (see
+      // scaladoc): argmin on (base, cidr) keeps the canonical row —
+      // within a (plen, key) group the prefix bits agree, so the
+      // minimal base is the zero-host literal when one exists
+      .groupBy(col("__plen"), col("__key"))
+      .agg(min(struct(col("__base"), col("cidr")))
+        .getField("cidr").as("cidr"))
       .select(col("cidr"), col("__plen"), col("__key"))
     val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -267,7 +286,10 @@ object Siem {
     * JVM shift count of 64 wraps to 0. At most 129 distinct lengths;
     * everything else is exactly the v4 shape: per-length candidate
     * keys, one broadcast hash equi-join, per-event max(struct(plen,
-    * cidr)). */
+    * cidr)) — including [[lpmMatch]]'s contracts: `idCols` must
+    * uniquely identify events, and duplicate literals normalizing to
+    * one (plen, key) are deduped to the numerically-smallest base
+    * (unsigned 128-bit order via the sign-bias trick of [[ipv6Key]]). */
   def lpm6Match(events: DataFrame, ipCol: String, prefixes: DataFrame,
       idCols: Seq[String]): DataFrame = {
     val pfx = prefixes
@@ -282,6 +304,11 @@ object Siem {
       .withColumn("__kl", when(col("__plen") <= 64, lit(0L))
         .when(col("__plen") === 128, col("__p.lo"))
         .otherwise(expr("shiftrightunsigned(__p.lo, 128 - __plen)")))
+      .groupBy(col("__plen"), col("__kh"), col("__kl"))
+      .agg(min(struct(
+        col("__p.hi").bitwiseXOR(lit(Long.MinValue)).as("__bh"),
+        col("__p.lo").bitwiseXOR(lit(Long.MinValue)).as("__bl"),
+        col("cidr"))).getField("cidr").as("cidr"))
       .select(col("cidr"), col("__plen"), col("__kh"), col("__kl"))
     val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -306,6 +333,47 @@ object Siem {
       .select(idCols.map(col) :+ col("__best.cidr").as("cidr") :+
         col("__best.__plen").as("plen"): _*)
   }
+
+  /** One payload row per distinct cidr literal, deterministically:
+    * duplicated cidr strings with diverging payloads collapse to the
+    * lexicographically-smallest payload tuple (min over the struct),
+    * so the enrich join below can never fan an event out — the
+    * payload columns must be min-orderable (atomic) types. */
+  private def payloadByCidr(prefixes: DataFrame,
+      payloadCols: Seq[String]): DataFrame =
+    prefixes.groupBy(col("cidr"))
+      .agg(min(struct(payloadCols.map(col): _*)).as("__pay"))
+      .select(col("cidr") +:
+        payloadCols.map(c => col(s"__pay.$c").as(c)): _*)
+
+  /** [[lpmMatch]] with the payload columns resolved — the full
+    * `dictGet(geo_dict, attrs, tuple(ip))` shape of the engine
+    * family's ip_trie dictionaries: each matched event comes back
+    * with the winning prefix's attribute columns, not just its cidr
+    * (callers were previously told to join payloads back themselves).
+    *
+    * Same plan as [[lpmMatch]] plus ONE more broadcast equi-join on
+    * the winner's cidr (the payload side is the broadcast-sized
+    * prefix table, deduped per cidr — see [[payloadByCidr]]), so the
+    * event side still never shuffles on anything but its own id.
+    * Because [[lpmMatch]] dedupes ties to the canonical (numerically
+    * smallest base) literal, the join-back always hits that row.
+    * Output: (idCols…, cidr, plen, payloadCols…); events with no
+    * matching prefix are absent, exactly as in [[lpmMatch]]. */
+  def lpmEnrich(events: DataFrame, ipCol: String, prefixes: DataFrame,
+      idCols: Seq[String], payloadCols: Seq[String]): DataFrame =
+    lpmMatch(events, ipCol, prefixes, idCols)
+      .join(broadcast(payloadByCidr(prefixes, payloadCols)), Seq("cidr"))
+      .select((idCols.map(col) :+ col("cidr") :+ col("plen")) ++
+        payloadCols.map(col): _*)
+
+  /** IPv6/dual-family twin of [[lpmEnrich]] over [[lpm6Match]]. */
+  def lpm6Enrich(events: DataFrame, ipCol: String, prefixes: DataFrame,
+      idCols: Seq[String], payloadCols: Seq[String]): DataFrame =
+    lpm6Match(events, ipCol, prefixes, idCols)
+      .join(broadcast(payloadByCidr(prefixes, payloadCols)), Seq("cidr"))
+      .select((idCols.map(col) :+ col("cidr") :+ col("plen")) ++
+        payloadCols.map(col): _*)
 
   /** 128-bit sortable key for an IPv6 (or IPv4 — it maps) literal:
     * struct(hi, lo) with each long XOR'd with Long.MinValue, so SIGNED

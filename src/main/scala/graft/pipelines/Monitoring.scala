@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -185,6 +185,45 @@ object Monitoring {
       }
       fresh ++ sla ++ volume ++ drift
     }
+  }
+
+  /** The [[checkSla]] freshness + run-duration policy as COLUMN
+    * ALGEBRA over a status frame — the distributed, engine-oracle-able
+    * twin of the driver-side loop, so the alert SET (which pipeline,
+    * which type, which severity) is pinned by the correctness gate,
+    * not just counted in a bench receipt. One row in, ≤2 alert rows
+    * out, policy identical to checkSla: breach when value > threshold,
+    * `critical` past 2× the threshold else `warning`, all compared as
+    * exact millisecond longs (checkSla's minute doubles are the same
+    * ms quantities divided by a constant, so the flag sets agree).
+    *
+    * `status` carries one row per pipeline:
+    *  - pipeline_id;
+    *  - newest_ts (TIMESTAMP, newest event) + freshness_threshold_min
+    *    (LONG minutes) — the freshness check against `asOfEpochS`;
+    *  - last_run_ms (LONG, nullable — null = no ledger row) +
+    *    sla_min (LONG minutes) — the run-duration SLA check.
+    *
+    * Output: (pipeline_id, alert_type, severity, value_ms,
+    * threshold_ms), one row per breach. Map-side only — no shuffle
+    * beyond whatever produced `status`. */
+  def slaAlertRows(status: DataFrame, asOfEpochS: Column): DataFrame = {
+    val fresh = status.select(col("pipeline_id"),
+      lit("freshness").as("alert_type"),
+      ((asOfEpochS - unix_timestamp(col("newest_ts"))) * 1000L)
+        .as("value_ms"),
+      (col("freshness_threshold_min") * 60000L).as("threshold_ms"))
+    val sla = status.filter(col("last_run_ms").isNotNull)
+      .select(col("pipeline_id"), lit("sla").as("alert_type"),
+        col("last_run_ms").as("value_ms"),
+        (col("sla_min") * 60000L).as("threshold_ms"))
+    fresh.unionByName(sla)
+      .filter(col("value_ms") > col("threshold_ms"))
+      .withColumn("severity",
+        when(col("value_ms") > lit(2L) * col("threshold_ms"), "critical")
+          .otherwise("warning"))
+      .select(col("pipeline_id"), col("alert_type"), col("severity"),
+        col("value_ms"), col("threshold_ms"))
   }
 
   /** Run [[checkSla]] and append any alerts to the `_alerts` table

@@ -107,6 +107,34 @@ class StagedSwapCrashSpec extends SparkSpec {
         s"purged rows resurrected from stale $sfx bak")
     }
 
+    test(s"append after a mid-rename crash ($sfx) heals first — pre-crash rows survive") {
+      // the resurrection-window dual: an append into the crashed
+      // partition would RECREATE the live dir, and the next heal would
+      // then treat the bak as stale and delete it, permanently
+      // dropping the pre-crash copy. append must heal FIRST.
+      val (root, part) = freshTable()
+      val before = rowsOf(root)
+      crashMidSwap(root, sfx, part, stopAfter = 1)
+      PartitionedWriter.append(
+        Seq((9000L, 9L, java.sql.Timestamp.valueOf("2024-02-01 09:00:00")))
+          .toDF("event_id", "user_id", "ts"), root, "ts", Seq("event_id"))
+      assert(rowsOf(root) == before + 9000L,
+        "append must heal the bak back to live, then add its rows")
+      // and a later lifecycle pass finds nothing left to (mis)heal
+      PartitionedWriter.compactPartitions(spark, root, minFiles = 99)
+      assert(rowsOf(root) == before + 9000L)
+      // appendIfAbsent takes the same heal-first path
+      val (root2, part2) = freshTable()
+      val before2 = rowsOf(root2)
+      crashMidSwap(root2, sfx, part2, stopAfter = 1)
+      val n = PartitionedWriter.appendIfAbsent(
+        Seq((9001L, 9L, java.sql.Timestamp.valueOf("2024-02-01 09:00:00")))
+          .toDF("event_id", "user_id", "ts"), root2, "ts", Seq("event_id"))
+      assert(n == 1L)
+      assert(rowsOf(root2) == before2 + 9001L,
+        "appendIfAbsent must heal before its existence anti-join")
+    }
+
     test(s"TTL expiry between crash ($sfx) and heal: expired partition stays expired") {
       val (root, part) = freshTable()
       crashMidSwap(root, sfx, part, stopAfter = 2)

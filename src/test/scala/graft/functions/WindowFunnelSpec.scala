@@ -151,6 +151,44 @@ class WindowFunnelSpec extends SparkSpec {
     assert(sqlDedup == dedup, s"sql $sqlDedup != operator $dedup")
   }
 
+  test("strict_order marker cap fails loudly past the cap, exact under it") {
+    val base = 1700000000L
+    // hot user 1: 50 events (1 anchor + 49 non-funnel markers);
+    // user 2: a clean 3-chain, well under any cap
+    val hot = (1L, "view", base) +:
+      (1 to 49).map(i => (1L, "error", base + i.toLong))
+    val clean = Seq((2L, "view", base), (2L, "click", base + 1),
+      (2L, "purchase", base + 2))
+    val df = ev(hot ++ clean)
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    // under the cap: exact result (hot user interrupted at 1)
+    val ok = graft.operators.Funnel.windowFunnelStrict(df, "user_id",
+        "ts", steps, windowSec = 86400L, strictOrder = true,
+        markerCap = 1000)
+      .as[(Long, Int)].collect().toMap
+    assert(ok == Map(1L -> 1, 2L -> 3), ok.toString)
+    // over the cap: DETERMINISTIC loud failure naming the cap — never
+    // a silent marker drop (which could only inflate levels)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Funnel.windowFunnelStrict(df, "user_id", "ts",
+          steps, windowSec = 86400L, strictOrder = true, markerCap = 10)
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m.contains("markerCap=10")),
+      rootMessages(e).mkString(" | "))
+    // dedup mode buffers only MATCHED events — the same hot key is
+    // fine there at the same tiny cap (the cap is order-mode state)
+    val dedup = graft.operators.Funnel.windowFunnelStrict(df, "user_id",
+        "ts", steps, windowSec = 86400L, strictDedup = true,
+        markerCap = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(dedup == Map(1L -> 1, 2L -> 3), dedup.toString)
+  }
+
   test("pre-1970 timestamps are rejected at update — the documented engine contract") {
     // the packed-long state cannot represent negative seconds (they
     // would wrap through the 48-bit mask), so pre-epoch events are

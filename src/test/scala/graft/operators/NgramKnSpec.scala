@@ -65,6 +65,16 @@ class NgramKnSpec extends SparkSpec {
     assert(pAB > pAZ && pAB > pAA)
   }
 
+  test("a non-bigram model is rejected loudly, not silently backed off") {
+    // an order-3 model's ctx values ('a b') match NO bigram gram —
+    // every probe would silently fall back to Pc and score garbage
+    val lm3 = NgramLm.train(train, order = 3)
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.scoreKneserNey(Seq((30L, "a b a")).toDF("doc_id", "text"), lm3)
+    }
+    assert(e.getMessage.contains("BIGRAM"), e.getMessage)
+  }
+
   test("docs too short to form a bigram report 0 grams and a null score") {
     val lm = NgramLm.train(train)
     val got = NgramLm.scoreKneserNey(

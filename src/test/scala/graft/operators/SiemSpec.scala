@@ -236,6 +236,63 @@ class SiemSpec extends SparkSpec {
       (6L, "::/0", 0)), got.toString)
   }
 
+  test("lpmMatch: duplicate literals of one prefix dedupe to the canonical row") {
+    // '10.0.0.0/8' and a sloppy '10.1.2.3/8' normalize to the SAME
+    // (plen, key) — pre-dedupe these tied on plen and max(struct)
+    // could surface the sloppy literal, breaking payload join-backs
+    val ev = Seq((1L, "10.200.0.1")).toDF("id", "ip")
+    val routes = Seq("10.1.2.3/8", "10.0.0.0/8").toDF("cidr")
+    val got = Siem.lpmMatch(ev, "ip", routes, Seq("id"))
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "10.0.0.0/8", 8)),
+      s"canonical (zero-host) literal must win: $got")
+    // v6 twin, incl. an unsigned-order trap: the sloppy literal's hi
+    // long is NEGATIVE (sign bit set) — a signed min would pick it
+    val ev6 = Seq((1L, "2001:db8::1")).toDF("id", "ip")
+    val routes6 = Seq("ffff::123/0", "::/0").toDF("cidr")
+    val got6 = Siem.lpm6Match(ev6, "ip", routes6, Seq("id"))
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got6 == Seq((1L, "::/0", 0)), got6.toString)
+  }
+
+  test("lpmEnrich resolves payload columns; lpm6Enrich twin") {
+    val ev = Seq((1L, "10.64.3.9"), (2L, "10.5.0.1"), (3L, "8.8.8.8"))
+      .toDF("id", "ip")
+    val routes = Seq(
+      ("10.0.0.0/8", "corp", 64500L),
+      ("10.64.0.0/10", "dc-west", 64501L)).toDF("cidr", "region", "asn")
+    val got = Siem.lpmEnrich(ev, "ip", routes, Seq("id"),
+        Seq("region", "asn"))
+      .as[(Long, String, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "10.64.0.0/10", 10, "dc-west", 64501L),
+      (2L, "10.0.0.0/8", 8, "corp", 64500L)),
+      s"no-match events absent, payloads resolved: $got")
+
+    val ev6 = Seq((1L, "2001:db8:5::1"), (2L, "10.1.2.3")).toDF("id", "ip")
+    val routes6 = Seq(
+      ("2001:db8::/32", "v6-agg", 1L),
+      ("::ffff:a01:0/112", "v4-mapped", 2L)).toDF("cidr", "region", "asn")
+    val got6 = Siem.lpm6Enrich(ev6, "ip", routes6, Seq("id"),
+        Seq("region", "asn"))
+      .as[(Long, String, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got6 == Seq(
+      (1L, "2001:db8::/32", 32, "v6-agg", 1L),
+      (2L, "::ffff:a01:0/112", 112, "v4-mapped", 2L)), got6.toString)
+  }
+
+  test("lpmEnrich: a duplicated canonical cidr with diverging payloads stays one row") {
+    val ev = Seq((1L, "10.0.0.1")).toDF("id", "ip")
+    val routes = Seq(
+      ("10.0.0.0/8", "b-payload", 2L),
+      ("10.0.0.0/8", "a-payload", 1L)).toDF("cidr", "region", "asn")
+    val got = Siem.lpmEnrich(ev, "ip", routes, Seq("id"),
+        Seq("region", "asn"))
+      .as[(Long, String, Int, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "10.0.0.0/8", 8, "a-payload", 1L)),
+      s"deterministic min-payload pick, no fan-out: $got")
+  }
+
   test("lpmMatch: invalid cidr rows are ignored; all-invalid table refuses") {
     val ev = Seq((1L, "10.0.0.1")).toDF("id", "ip")
     val routes = Seq("10.0.0.0/8", "10.0.0.0/33", "junk/abc")

@@ -93,6 +93,51 @@ class GoldViewsSpec extends SparkSpec {
     assert(Monitoring.fileStats(ctx, "no_such_table").isEmpty)
   }
 
+  test("slaAlertRows: the columnar twin replays checkSla's policy exactly") {
+    import graft.pipelines.Monitoring.SlaConfig
+    import spark.implicits._
+    val asOfS = 1700000000L
+    def tsAt(secAgo: Long) = new java.sql.Timestamp((asOfS - secAgo) * 1000L)
+    // every policy cell incl. both 2x boundaries (strict >): no alert,
+    // warning AT exactly 2x, critical just past it, null ledger row
+    val status = Seq(
+      ("p_fresh", tsAt(60), 5L, Some(60000L), 10L),
+      ("p_warn_2x", tsAt(600), 5L, None, 10L),
+      ("p_crit", tsAt(601), 5L, None, 10L),
+      ("p_sla_warn", tsAt(0), 5L, Some(720000L), 10L),
+      ("p_sla_crit", tsAt(0), 5L, Some(1200001L), 10L),
+      ("p_no_ledger", tsAt(0), 5L, Option.empty[Long], 0L))
+      .toDF("pipeline_id", "newest_ts", "freshness_threshold_min",
+        "last_run_ms", "sla_min")
+    val got = Monitoring.slaAlertRows(status, lit(asOfS))
+      .select("pipeline_id", "alert_type", "severity")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("p_warn_2x", "freshness", "warning"),
+      ("p_crit", "freshness", "critical"),
+      ("p_sla_warn", "sla", "warning"),
+      ("p_sla_crit", "sla", "critical")), got.toString)
+
+    // equivalence against the driver-side loop on the REAL warehouse:
+    // same table, same as-of, same thresholds -> same alert set
+    val maxTs = spark.read.parquet(ctx.path("fact_suricata_events"))
+      .agg(max("event_ts")).collect().head.getTimestamp(0).getTime
+    val asOf = maxTs + 3 * 3600 * 1000
+    val driverSide = Monitoring.checkSla(ctx,
+        Seq(SlaConfig("fact_suricata_events", "fact_suricata_events")),
+        asOfMillis = asOf)
+      .filter(a => a.alertType == "freshness" || a.alertType == "sla")
+      .map(a => (a.pipelineId, a.alertType, a.severity)).toSet
+    val twinStatus = Seq(("fact_suricata_events",
+        new java.sql.Timestamp(maxTs), 2L, Option.empty[Long], 10L))
+      .toDF("pipeline_id", "newest_ts", "freshness_threshold_min",
+        "last_run_ms", "sla_min")
+    val twin = Monitoring.slaAlertRows(twinStatus, lit(asOf / 1000))
+      .select("pipeline_id", "alert_type", "severity")
+      .as[(String, String, String)].collect().toSet
+    assert(twin == driverSide, s"twin $twin != checkSla $driverSide")
+  }
+
   test("SLA thresholds: stale table, blown run SLA, volume drop, drift -> alert rows") {
     import graft.pipelines.Monitoring.SlaConfig
     val maxTs = spark.read.parquet(ctx.path("fact_suricata_events"))
