@@ -4395,6 +4395,136 @@ object Suite {
              |  count(DISTINCT user_id) AS n_users
              |FROM w GROUP BY 1 ORDER BY cidr""".stripMargin)),
 
+    Q("h61_lpm_enrich",
+      // LPM with the payload columns resolved (the full dictGet
+      // shape), over a route table that includes a SLOPPY duplicate
+      // of the /8 ('10.11.12.13/8' — same prefix as '10.0.0.0/8'):
+      // the canonical row's payload must win everywhere, pinned here
+      // by the oracle replaying the same dedupe rule (min base per
+      // (len, masked lo)) before its brute-force containment join
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("ip",
+          concat_ws(".", lit(10),
+            pmod(col("user_id"), lit(200)).cast("int"),
+            get_json_object(col("props"), "$.k").cast("int"),
+            pmod(col("event_id"), lit(250)).cast("int")))
+        import s.implicits._
+        val routes = Seq(
+          ("0.0.0.0/0", "internet", 0L),
+          ("10.0.0.0/8", "corp", 64500L),
+          ("10.11.12.13/8", "corp-sloppy-dup", 64999L),
+          ("10.64.0.0/10", "dc-west", 64501L),
+          ("10.64.0.0/17", "dc-west-pod1", 64502L),
+          ("10.100.0.0/14", "dc-east", 64503L),
+          ("10.199.77.0/24", "honeypot", 64504L))
+          .toDF("cidr", "region", "asn")
+        graft.operators.Siem.lpmEnrich(ev, "ip", routes,
+            Seq("event_id", "user_id"), Seq("region", "asn"))
+          .groupBy(col("cidr"), col("region"), col("asn"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cidr")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    '10.' || (user_id % 200)::INT || '.' ||
+             |    CAST(json_extract_string(props, '$.k') AS INT) || '.' ||
+             |    (event_id % 250)::INT AS ip
+             |  FROM events),
+             |ip AS (SELECT user_id, event_id,
+             |    string_split(ip, '.')[1]::BIGINT * 16777216 +
+             |    string_split(ip, '.')[2]::BIGINT * 65536 +
+             |    string_split(ip, '.')[3]::BIGINT * 256 +
+             |    string_split(ip, '.')[4]::BIGINT AS ipn
+             |  FROM ev),
+             |braw AS (SELECT cidr, region, asn, len,
+             |    (string_split(base, '.')[1]::BIGINT * 16777216 +
+             |     string_split(base, '.')[2]::BIGINT * 65536 +
+             |     string_split(base, '.')[3]::BIGINT * 256 +
+             |     string_split(base, '.')[4]::BIGINT) AS basen,
+             |    (1::BIGINT << (32 - len)) AS sz
+             |  FROM (SELECT cidr, region, asn,
+             |      string_split(cidr, '/')[1] AS base,
+             |      string_split(cidr, '/')[2]::INT AS len
+             |    FROM (VALUES
+             |      ('0.0.0.0/0', 'internet', 0),
+             |      ('10.0.0.0/8', 'corp', 64500),
+             |      ('10.11.12.13/8', 'corp-sloppy-dup', 64999),
+             |      ('10.64.0.0/10', 'dc-west', 64501),
+             |      ('10.64.0.0/17', 'dc-west-pod1', 64502),
+             |      ('10.100.0.0/14', 'dc-east', 64503),
+             |      ('10.199.77.0/24', 'honeypot', 64504))
+             |      t(cidr, region, asn))),
+             |b AS (SELECT cidr, region, asn, len,
+             |    (basen // sz) * sz AS lo, sz
+             |  FROM (SELECT *, row_number() OVER (
+             |      PARTITION BY len, basen // sz
+             |      ORDER BY basen, cidr) AS rn FROM braw)
+             |  WHERE rn = 1),
+             |win AS (SELECT user_id, event_id, arg_max(cidr, len) AS cidr
+             |  FROM ip JOIN b ON ip.ipn >= b.lo AND ip.ipn <= b.lo + b.sz - 1
+             |  GROUP BY 1, 2)
+             |SELECT b.cidr, b.region, b.asn::BIGINT AS asn,
+             |  count(*) AS n_hits, count(DISTINCT win.user_id) AS n_users
+             |FROM win JOIN b ON win.cidr = b.cidr
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    Q("h62_sla_alerts",
+      // the monitoring SLA policy's alert ROWS under a +45-min clock
+      // injection (the bench's e2e.sla receipt counts these; here the
+      // SET — which pipeline, which type, which severity — faces the
+      // oracle). Pipelines = the five event_type streams; newest_ts
+      // per pipeline from the data; run duration synthesized
+      // deterministically (100 ms per event — the suite's input
+      // contract is the testdata dir, not a live run ledger);
+      // per-pipeline thresholds from an inline config chosen to spread
+      // the outcomes across none/warning/critical for BOTH alert types
+      (s, d) => {
+        val ev = t(s, d, "events")
+        import s.implicits._
+        val cfg = Seq(
+          ("view", 60L, 100L),
+          ("click", 30L, 2L),
+          ("purchase", 15L, 1L),
+          ("signup", 20L, 3L),
+          ("error", 44L, 5L))
+          .toDF("pipeline_id", "freshness_threshold_min", "sla_min")
+        val status = ev
+          .groupBy(col("event_type").as("pipeline_id"))
+          .agg(max(col("ts")).as("newest_ts"),
+            (count(lit(1)) * 100L).as("last_run_ms"))
+          .join(broadcast(cfg), Seq("pipeline_id"))
+        val asof = ev.agg(
+          (max(unix_timestamp(col("ts"))) + 45L * 60L).as("__asof"))
+        graft.pipelines.Monitoring
+          .slaAlertRows(status.crossJoin(broadcast(asof)), col("__asof"))
+          .orderBy("pipeline_id", "alert_type")
+      },
+      Some("""WITH cfg AS (SELECT * FROM (VALUES
+             |    ('view', 60, 100), ('click', 30, 2), ('purchase', 15, 1),
+             |    ('signup', 20, 3), ('error', 44, 5))
+             |    t(pipeline_id, fmin, smin)),
+             |st AS (SELECT event_type AS pipeline_id,
+             |    max(ts) AS newest_ts, count(*) * 100 AS run_ms
+             |  FROM events GROUP BY 1),
+             |aof AS (SELECT max(floor(epoch(ts))::BIGINT) + 2700 AS a
+             |  FROM events),
+             |u AS (
+             |  SELECT s.pipeline_id, 'freshness' AS alert_type,
+             |    (a.a - floor(epoch(s.newest_ts))::BIGINT) * 1000
+             |      AS value_ms,
+             |    cfg.fmin::BIGINT * 60000 AS threshold_ms
+             |  FROM st s JOIN cfg USING (pipeline_id) CROSS JOIN aof a
+             |  UNION ALL
+             |  SELECT s.pipeline_id, 'sla', s.run_ms::BIGINT,
+             |    cfg.smin::BIGINT * 60000
+             |  FROM st s JOIN cfg USING (pipeline_id))
+             |SELECT pipeline_id, alert_type,
+             |  CASE WHEN value_ms > 2 * threshold_ms THEN 'critical'
+             |    ELSE 'warning' END AS severity,
+             |  value_ms, threshold_ms
+             |FROM u WHERE value_ms > threshold_ms
+             |ORDER BY pipeline_id, alert_type""".stripMargin)),
+
     Q("h17_blast_radius",
       (s, d) => {
         // BFS depth over the same k->k transition graph PageRank uses,
