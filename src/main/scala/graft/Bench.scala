@@ -15,6 +15,48 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  // ---- run-condition receipt plumbing, shared by the suite loop and
+  // every rehearsal block (round-7 finding: the suite's receipts
+  // closed its credibility gap, the synth blocks had none and the
+  // artifact of record carried an unexplainable 14x LPM outlier) ----
+  private def procCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  private def gcSecNow: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum / 1000.0
+  }
+
+  /** One timed block's run condition: wall clock, this JVM's
+    * process-CPU delta, GC-time delta. util = cpu/(wall·cores) — low
+    * util with flat gc reads "the box was busy", cpu ≫ wall·cores is
+    * impossible, cpu ≈ wall·cores is a genuinely hot plan. */
+  private[graft] case class Receipt(wall: Double, cpu: Double, gc: Double) {
+    def util(cpus: Int): Double = if (wall > 0) cpu / (wall * cpus) else 0.0
+    /** The {cpu, gc, util} keys alone, prefixed — for entries whose
+      * wall-time key already exists in another shape. */
+    def metaJson(prefix: String, cpus: Int): String =
+      f""""${prefix}_cpu":$cpu%.3f,"${prefix}_gc":$gc%.3f,"${prefix}_util":${util(cpus)}%.3f"""
+    /** Flat JSON keys `<p>`, `<p>_cpu`, `<p>_gc`, `<p>_util` — flat so
+      * existing per-entry keys (base/grown/…) keep their shape. */
+    def flatJson(prefix: String, cpus: Int): String =
+      f""""$prefix":$wall%.3f,""" + metaJson(prefix, cpus)
+  }
+
+  private def receiptOf[T](fn: => T): (T, Receipt) = {
+    val c0 = procCpuSec
+    val g0 = gcSecNow
+    val t0 = System.nanoTime()
+    val r = fn
+    (r, Receipt((System.nanoTime() - t0) / 1e9, procCpuSec - c0,
+      gcSecNow - g0))
+  }
+
   /** Salted-skew-join rehearsal under REAL skew (c12's reason to
     * exist): a synthetic big side with 90% of its mass on one hot key
     * joins a 1000-key dim, broadcast and AQE skew-mitigation OFF so
@@ -45,12 +87,10 @@ object Bench {
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
     }
-    def timedTasks[T](fn: => T): (T, Double, Double, Double) = {
+    def timedTasks[T](fn: => T): (T, Receipt, Double, Double) = {
       taskMs.clear()
       spark.sparkContext.addSparkListener(tl)
-      val t0 = System.nanoTime()
-      val n = fn
-      val wall = (System.nanoTime() - t0) / 1e9
+      val (n, rc) = receiptOf(fn)
       // listener bus is async: wait until the count stabilizes
       var last = -1
       var size = taskMs.size
@@ -60,7 +100,7 @@ object Bench {
       val ds = taskMs.asScala.map(_.toLong).toSeq.sorted
       val mx = ds.lastOption.getOrElse(0L) / 1000.0
       val md = if (ds.isEmpty) 0.0 else ds(ds.size / 2) / 1000.0
-      (n, wall, mx, md)
+      (n, rc, mx, md)
     }
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevS = spark.conf
@@ -80,20 +120,21 @@ object Bench {
           .collect().head
         (r.getLong(0), r.getLong(1))
       }
-      val (statsPlain, wPlain, maxP, medP) =
+      val (statsPlain, rcPlain, maxP, medP) =
         timedTasks(summarize(bigDf.join(smallDf, "k")))
-      val (statsSalt, wSalt, maxS, medS) = timedTasks(summarize(
+      val (statsSalt, rcSalt, maxS, medS) = timedTasks(summarize(
         operators.Skew.saltedJoin(bigDf, smallDf, "k", "row_id",
           replicas = cpus, hotThreshold = skewRows / 100)))
       val (nPlain, nSalt) = (statsPlain._1, statsSalt._1)
       System.err.println(
-        f"[bench] c12g skew x$skewRows%d rows: plain $wPlain%.2f s " +
-          f"(max task $maxP%.2f s / median $medP%.2f s) -> salted " +
-          f"$wSalt%.2f s (max $maxS%.2f s / median $medS%.2f s); " +
+        f"[bench] c12g skew x$skewRows%d rows: plain ${rcPlain.wall}%.2f s " +
+          f"(max task $maxP%.2f s / median $medP%.2f s, cpu ${rcPlain.cpu}%.1f s) " +
+          f"-> salted ${rcSalt.wall}%.2f s (max $maxS%.2f s / median $medS%.2f s, " +
+          f"cpu ${rcSalt.cpu}%.1f s); " +
           f"rows $nPlain%d==$nSalt%d checksum match ${statsPlain == statsSalt}%b")
       require(statsPlain == statsSalt,
         s"salted join changed the result: $statsPlain vs $statsSalt")
-      f""","c12g_skew":{"rows":$skewRows,"plain_sec":$wPlain%.3f,"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,"salted_sec":$wSalt%.3f,"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
+      f""","c12g_skew":{"rows":$skewRows,${rcPlain.flatJson("plain_sec", cpus)},"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,${rcSalt.flatJson("salted_sec", cpus)},"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
@@ -104,6 +145,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCpu = cpus.toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,17 +175,8 @@ object Bench {
     // cpu/32 with flat gc; heap aging shows as gc growing with suite
     // position. Recorded per query for the heavy tail, plus an env
     // block (load averages) and an end-of-suite aged-JVM re-time.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def loadAvg: Double = osBean.getSystemLoadAverage
-    def procCpuSec: Double = osBean match {
-      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
-      case _ => -1.0
-    }
-    def gcSecNow: Double = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum / 1000.0
-    }
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
     // (name, wall, cpuDelta, gcDelta) per successful rep
     val repReceipts =
@@ -158,21 +191,26 @@ object Bench {
       // operators cache intermediates (LSH tables etc.); drop them so
       // rep N+1 / query N+1 isn't taxed by earlier blocks
       spark.catalog.clearCache()
-      val c0 = procCpuSec
-      val g0 = gcSecNow
-      val t0 = System.nanoTime()
       try {
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val wall = (System.nanoTime() - t0) / 1e9
+        val (_, rc) = receiptOf(
+          fn(spark, dir).write.format("noop").mode("overwrite").save())
         repReceipts.synchronized {
-          repReceipts += ((name, wall, procCpuSec - c0, gcSecNow - g0))
+          repReceipts += ((name, rc.wall, rc.cpu, rc.gc))
         }
-        Some(wall)
+        Some(rc.wall)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
       }
     }
+
+    /** The latest recorded receipt for a [[timeOnce]] label — how the
+      * rehearsal blocks attach {cpu, gc, util} to their entries. */
+    def receiptFor(name: String): Option[Receipt] =
+      repReceipts.synchronized {
+        repReceipts.reverseIterator.find(_._1 == name)
+          .map { case (_, w, c, g) => Receipt(w, c, g) }
+      }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -296,7 +334,11 @@ object Bench {
             }
           }
         val grownItems = grown.map { case (nm, tb, tg) =>
-          f""""$nm":{"base":$tb%.3f,"grown":$tg%.3f}"""
+          val bj = receiptFor(s"synthN:$nm(base)")
+            .map(_.flatJson("base", nCpu)).getOrElse(f""""base":$tb%.3f""")
+          val gj = receiptFor(s"synthN:$nm(x$synthFactor)")
+            .map(_.flatJson("grown", nCpu)).getOrElse(f""""grown":$tg%.3f""")
+          s""""$nm":{$bj,$gj}"""
         }.mkString(",")
         // capped pair-generator rehearsal: candidate output must grow
         // SUBQUADRATICALLY when the hot-bucket caps are active, so the
@@ -306,10 +348,9 @@ object Bench {
         // path is the one being rehearsed, not the cold path.
         def countTimed(label: String,
             fn: String => org.apache.spark.sql.DataFrame,
-            d: String): Option[(Long, Double)] = {
+            d: String): Option[(Long, Receipt)] = {
           spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try Some((fn(d).count(), (System.nanoTime() - t0) / 1e9))
+          try Some(receiptOf(fn(d).count()))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
             None
@@ -332,19 +373,54 @@ object Bench {
           }))
         val capped = cappedGens.flatMap { case (nm, fn) =>
           for {
-            (nb, tb) <- countTimed(s"synthC:$nm(base)", fn, sfDir)
-            (ng, tg) <- countTimed(s"synthC:$nm(x$synthFactor)", fn, dir)
+            (nb, rb) <- countTimed(s"synthC:$nm(base)", fn, sfDir)
+            (ng, rg) <- countTimed(s"synthC:$nm(x$synthFactor)", fn, dir)
           } yield {
             System.err.println(f"[bench] synthC x$synthFactor $nm%-20s " +
-              f"base $nb%7d pairs/$tb%5.2f s -> grown $ng%8d pairs/" +
-              f"$tg%5.2f s (pair ratio ${ng.toDouble / math.max(nb, 1)}%.1fx)")
-            f""""$nm":{"base_pairs":$nb,"base":$tb%.3f,""" +
-              f""""grown_pairs":$ng,"grown":$tg%.3f}"""
+              f"base $nb%7d pairs/${rb.wall}%5.2f s -> grown $ng%8d pairs/" +
+              f"${rg.wall}%5.2f s (pair ratio ${ng.toDouble / math.max(nb, 1)}%.1fx)")
+            s""""$nm":{"base_pairs":$nb,${rb.flatJson("base", nCpu)},""" +
+              s""""grown_pairs":$ng,${rg.flatJson("grown", nCpu)}}"""
           }
         }
+        // PPJoin candidate-volume receipt (round-7 finding 2): the
+        // candidate count is THE degradation axis of the exact prefix
+        // sim-join, so it is recorded next to the wall time at both
+        // scales — a quadratic blowup shows in pair ratio, an in-suite
+        // CPU anomaly shows in the cpu/util keys.
+        def censusTimed(label: String, d: String)
+            : Option[(Long, Long, Receipt)] = {
+          spark.catalog.clearCache()
+          try {
+            val ((cands, pairs), rc) = receiptOf(
+              operators.Dedup.prefixJoinCensus(
+                core.Tables.load(spark, d, "documents"), "text", "doc_id",
+                threshold = 0.8, shingleN = 2))
+            Some((cands, pairs, rc))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val l19Census = (for {
+          (cb, pb, rb) <- censusTimed("synthC:l19c(base)", sfDir)
+          (cg, pg, rg) <- censusTimed(s"synthC:l19c(x$synthFactor)", dir)
+        } yield {
+          System.err.println(f"[bench] synthC x$synthFactor l19c_ppjoin_census " +
+            f"base $cb%d cands/$pb%d pairs/${rb.wall}%5.2f s -> grown " +
+            f"$cg%d cands/$pg%d pairs/${rg.wall}%5.2f s " +
+            f"(cand ratio ${cg.toDouble / math.max(cb, 1)}%.1fx)")
+          s""""l19c_ppjoin_census":{"base_cands":$cb,"base_pairs":$pb,""" +
+            s"""${rb.flatJson("base", nCpu)},"grown_cands":$cg,""" +
+            s""""grown_pairs":$pg,${rg.flatJson("grown", nCpu)}}"""
+        }).toSeq
         val items = (timings
-          .map { case (q, t) => "\"" + q + f"\":$t%.3f" } ++
-          (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped)
+          .map { case (q, t) =>
+            val base = "\"" + q + f"\":$t%.3f"
+            receiptFor(s"synth:$q")
+              .map(r => s"$base,${r.metaJson(q, nCpu)}").getOrElse(base)
+          } ++
+          (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++ l19Census)
           .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
@@ -604,11 +680,9 @@ object Bench {
             pmod(hash(col("id") * 31L), lit(100))).as("props"))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
         def countTimed(label: String, q: String, d: String)
-            : Option[(Long, Double)] = {
+            : Option[(Long, Receipt)] = {
           spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try Some((SparkEntry.queries(q)(spark, d).count(),
-            (System.nanoTime() - t0) / 1e9))
+          try Some(receiptOf(SparkEntry.queries(q)(spark, d).count()))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
             None
@@ -657,24 +731,81 @@ object Bench {
           ("h58g_funnel_strict_max", "h58_funnel_strict_max"))
           .flatMap { case (nm, q) =>
             for {
-              (nb, tb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
-              (ng, tg) <- countTimed(s"synthE:$nm(x$synthEvFactor)", q, dir)
+              (nb, rb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
+              (ng, rg) <- countTimed(s"synthE:$nm(x$synthEvFactor)", q, dir)
             } yield {
               System.err.println(f"[bench] synthE x$synthEvFactor $nm%-18s " +
-                f"base $nb%7d rows/$tb%5.2f s -> grown $ng%8d rows/" +
-                f"$tg%5.2f s (ratio ${tg / tb}%.1fx)")
-              f""""$nm":{"base_rows":$nb,"base":$tb%.3f,"grown_rows":$ng,"grown":$tg%.3f}"""
+                f"base $nb%7d rows/${rb.wall}%5.2f s -> grown $ng%8d rows/" +
+                f"${rg.wall}%5.2f s (ratio ${rg.wall / rb.wall}%.1fx)")
+              s""""$nm":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
+                s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
             }
           }
+        // the l81g entry above times 3 fixed PageRank iterations; the
+        // growth attribution needs the EDGE counts it ran over (edges
+        // per dir = events - distinct users: one lag edge per event
+        // with a predecessor), recorded so super-linearity can be
+        // attributed to |E| instead of guessed at (round-7 item 8)
+        val l81Meta: Seq[String] = try {
+          def edgesOf(d: String): Long = {
+            val ev = core.Tables.load(spark, d, "events")
+            val r = ev.agg(count(lit(1)).as("n"),
+              countDistinct(col("user_id")).as("u")).collect().head
+            r.getLong(0) - r.getLong(1)
+          }
+          Seq(s""""l81g_meta":{"base_edges":${edgesOf(sfDir)},"grown_edges":${edgesOf(dir)},"iters":3}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] l81g_meta FAILED: ${e.getMessage}")
+          Nil
+        }
+        // hot-entity strict_order rehearsal (round-7 item 4): ONE user
+        // owns half the events, so its marker buffer is ~n/2 packed
+        // longs — the mode's documented worst case, exercised well
+        // under the default 4M cap and receipted at both scales. The
+        // count proves the funnel ran (level rows over all users).
+        def hotTimed(label: String, rows: Long): Option[(Long, Receipt)] = {
+          spark.catalog.clearCache()
+          try Some(receiptOf {
+            val users = math.max(2L, rows / 67L)
+            val df = spark.range(rows).select(
+              when(col("id") % 2 === 0, lit(0L))
+                .otherwise(pmod(hash(col("id") * 13L), lit(users))
+                  .cast("long")).as("user_id"),
+              to_timestamp(from_unixtime(lit(1704067200L) +
+                pmod(hash(col("id")), lit(2592000)))).as("ts"),
+              element_at(array(lit("view"), lit("click"), lit("purchase"),
+                lit("signup"), lit("error")),
+                (pmod(hash(col("id") * 7L), lit(5)) + 1).cast("int"))
+                .as("event_type"))
+            operators.Funnel.windowFunnelStrict(df, "user_id", "ts",
+              Seq(col("event_type") === "view",
+                col("event_type") === "click",
+                col("event_type") === "purchase"),
+              windowSec = 86400L, strictOrder = true).count()
+          }) catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val hotEntry = (for {
+          (nb, rb) <- hotTimed("synthE:h45h(base)", baseN)
+          (ng, rg) <- hotTimed(s"synthE:h45h(x$synthEvFactor)", n)
+        } yield {
+          System.err.println(f"[bench] synthE x$synthEvFactor " +
+            f"h45h_funnel_order_hotkey base $nb%7d rows/${rb.wall}%5.2f s " +
+            f"-> grown $ng%8d rows/${rg.wall}%5.2f s " +
+            f"(ratio ${rg.wall / rb.wall}%.1fx; hot key holds half the events)")
+          s""""h45h_funnel_order_hotkey":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
+            s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
+        }).toSeq
         // LPM at 10× events, counted on the PER-EVENT winner rows so
         // the receipt PROVES the grown dir was read (the suite query's
         // per-cidr aggregate would show the same 5 rows at any scale):
         // candidate-key explode + broadcast equi-join is map-side, so
         // growth should cost only the scan
-        def lpmTimed(label: String, d: String): Option[(Long, Double)] = {
+        def lpmTimed(label: String, d: String): Option[(Long, Receipt)] = {
           spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try {
+          try Some(receiptOf {
             val ev = core.Tables.load(spark, d, "events").withColumn("ip",
               concat_ws(".", lit(10),
                 pmod(col("user_id"), lit(200L)).cast("int"),
@@ -684,24 +815,63 @@ object Bench {
             val routes = Seq("0.0.0.0/0", "10.0.0.0/8", "10.64.0.0/10",
               "10.64.0.0/17", "10.100.0.0/14", "10.199.77.0/24")
               .toDF("cidr")
-            val rows = operators.Siem.lpmMatch(ev, "ip", routes,
+            operators.Siem.lpmMatch(ev, "ip", routes,
               Seq("event_id", "user_id")).count()
-            Some((rows, (System.nanoTime() - t0) / 1e9))
-          } catch { case e: Throwable =>
+          }) catch { case e: Throwable =>
             System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
             None
           }
         }
         val lpmEntry = for {
-          (nb, tb) <- lpmTimed("synthE:h59g_lpm(base)", sfDir)
-          (ng, tg) <- lpmTimed(s"synthE:h59g_lpm(x$synthEvFactor)", dir)
+          (nb, rb) <- lpmTimed("synthE:h59g_lpm(base)", sfDir)
+          (ng, rg) <- lpmTimed(s"synthE:h59g_lpm(x$synthEvFactor)", dir)
         } yield {
           System.err.println(f"[bench] synthE x$synthEvFactor h59g_lpm_winners " +
-            f"base $nb%7d rows/$tb%5.2f s -> grown $ng%8d rows/" +
-            f"$tg%5.2f s (ratio ${tg / tb}%.1fx)")
-          f""""h59g_lpm_winners":{"base_rows":$nb,"base":$tb%.3f,"grown_rows":$ng,"grown":$tg%.3f}"""
+            f"base $nb%7d rows/${rb.wall}%5.2f s -> grown $ng%8d rows/" +
+            f"${rg.wall}%5.2f s (ratio ${rg.wall / rb.wall}%.1fx)")
+          s""""h59g_lpm_winners":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
+            s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
         }
-        val allEntries = entries ++ lpmEntry.toSeq
+        // 128-bit twin (round-7 item 7): lpm6's ≤129-length explode is
+        // the more expensive candidate shape (here 7 lengths vs v4's 6,
+        // but each key is a (plen, hi, lo) triple and parsing runs the
+        // Ipv6Pair expression) — same per-event winner count so the
+        // receipt proves the grown dir was read
+        def lpm6Timed(label: String, d: String): Option[(Long, Receipt)] = {
+          spark.catalog.clearCache()
+          try Some(receiptOf {
+            val ev = core.Tables.load(spark, d, "events").withColumn("ip",
+              when(col("event_id") % 2 === 0,
+                concat(lit("2001:db8:"),
+                  lower(conv(pmod(col("user_id"), lit(16)), 10, 16)),
+                  lit("::"),
+                  lower(conv(pmod(col("event_id"), lit(65536)), 10, 16))))
+              .otherwise(concat_ws(".", lit(10), lit(1),
+                pmod(col("user_id"), lit(200)).cast("int"),
+                pmod(col("event_id"), lit(250)).cast("int"))))
+            import spark.implicits._
+            val routes = Seq("::/0", "2001:db8::/32", "2001:db8::/45",
+              "2001:db8:5::/48", "2001:db8:5::/112",
+              "2001:db8:5::ff00/120", "::ffff:a01:0/112").toDF("cidr")
+            operators.Siem.lpm6Match(ev, "ip", routes,
+              Seq("event_id", "user_id")).count()
+          }) catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val lpm6Entry = for {
+          (nb, rb) <- lpm6Timed("synthE:h60g_lpm6(base)", sfDir)
+          (ng, rg) <- lpm6Timed(s"synthE:h60g_lpm6(x$synthEvFactor)", dir)
+        } yield {
+          System.err.println(f"[bench] synthE x$synthEvFactor h60g_lpm6_winners " +
+            f"base $nb%7d rows/${rb.wall}%5.2f s -> grown $ng%8d rows/" +
+            f"${rg.wall}%5.2f s (ratio ${rg.wall / rb.wall}%.1fx)")
+          s""""h60g_lpm6_winners":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
+            s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
+        }
+        val allEntries = entries ++ l81Meta ++ hotEntry ++
+          lpmEntry.toSeq ++ lpm6Entry.toSeq
         if (allEntries.isEmpty) ""
         else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${allEntries.mkString(",")}}"""
       } catch { case e: Throwable =>
@@ -742,18 +912,23 @@ object Bench {
       }
 
     // per-query receipts for the heavy tail: the rep closest to the
-    // recorded median, with its process-CPU and GC shares. util =
-    // cpu / (wall × cores): low util with flat gc = the box was busy,
-    // not the plan.
+    // recorded median (top-level keys), PLUS every individual rep —
+    // round-7's l19 finding was only diagnosable per-rep (rep 1 warm-up
+    // burning 3x the CPU of reps 2-3 is invisible in a median receipt).
+    // util = cpu / (wall × cores): low util with flat gc = the box was
+    // busy, not the plan.
     val receipts: String = {
       val items = results.collect { case (k, Some(v), _) => (k, v) }
         .sortBy(-_._2).take(12).flatMap { case (nm, med) =>
-          repReceipts.synchronized {
-            repReceipts.filter(_._1 == nm)
-              .minByOption(r => math.abs(r._2 - med))
-          }.map { case (_, w, c, g) =>
-            val util = if (w > 0) c / (w * cpus.toInt) else 0.0
-            "\"" + nm + f"""":{"wall":$w%.3f,"cpu":$c%.3f,"gc":$g%.3f,"util":$util%.3f}"""
+          val reps = repReceipts.synchronized {
+            repReceipts.filter(_._1 == nm).toSeq
+          }
+          reps.minByOption(r => math.abs(r._2 - med)).map { case (_, w, c, g) =>
+            val util = if (w > 0) c / (w * nCpu) else 0.0
+            val repsJson = reps.map { case (_, w2, c2, g2) =>
+              f"""{"wall":$w2%.3f,"cpu":$c2%.3f,"gc":$g2%.3f}"""
+            }.mkString("[", ",", "]")
+            "\"" + nm + f"""":{"wall":$w%.3f,"cpu":$c%.3f,"gc":$g%.3f,"util":$util%.3f,"reps":$repsJson}"""
           }
         }
       if (items.isEmpty) "" else s""","receipts":{${items.mkString(",")}}"""
