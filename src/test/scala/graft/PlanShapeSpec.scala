@@ -574,4 +574,13 @@ class PlanShapeSpec extends SparkSpec {
       s"LPM must equi-join on (plen, key), not range-scan:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("LPM payload join-back stays broadcast — the event side never re-shuffles") {
+    val plan = planOf(queries.Suite.queries("h61_lpm_enrich")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the per-cidr payload table must broadcast, not sort-merge:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
