@@ -8268,7 +8268,113 @@ object Suite {
              |      AS p95
              |  FROM r JOIN n USING (event_type) GROUP BY 1)
              |SELECT event_type, p95, 1 AS p95_within
-             |FROM p ORDER BY event_type""".stripMargin))
+             |FROM p ORDER BY event_type""".stripMargin)),
+
+    Q("d35_collapsing_final",
+      // CollapsingMergeTree FINAL over a planted (+1/−1) ledger: every
+      // event rewrites its user's state atomically (cancel of the old
+      // payload + new state at the SAME order key — the +1-wins tie
+      // is what makes the rewrite land), and every 7th user gets a
+      // trailing cancel (delete). FINAL must therefore equal
+      // latest-event-per-user minus the deleted users — planted truth
+      // the oracle computes directly, certifying the whole
+      // cancellation machinery end to end
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          epochS(col("ts")).as("ts_s"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_s"), col("event_id"))
+        val withPrev = ev.withColumn("prev_kv", lag(col("kv"), 1).over(w))
+        val states = withPrev.select(col("user_id"), col("ts_s"),
+          col("event_id"), lit(1).as("sign"), col("kv"))
+        val cancels = withPrev.filter(col("prev_kv").isNotNull)
+          .select(col("user_id"), col("ts_s"), col("event_id"),
+            lit(-1).as("sign"), col("prev_kv").as("kv"))
+        val lastRow = ev.groupBy(col("user_id"))
+          .agg(max(struct(col("ts_s"), col("event_id"), col("kv")))
+            .as("__l"))
+        val deletes = lastRow.filter(col("user_id") % 7 === 0)
+          .select(col("user_id"), (col("__l.ts_s") + 1).as("ts_s"),
+            col("__l.event_id").as("event_id"), lit(-1).as("sign"),
+            col("__l.kv").as("kv"))
+        graft.operators.Collapsing.finalState(
+            states.unionByName(cancels).unionByName(deletes),
+            Seq("user_id"), "sign", Seq("ts_s", "event_id"), Seq("kv"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    floor(epoch(ts))::BIGINT AS ts_s, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+             |  FROM events),
+             |sel AS (SELECT user_id, ts_s, event_id, kv, row_number()
+             |    OVER (PARTITION BY user_id
+             |      ORDER BY ts_s DESC, event_id DESC) AS rn FROM ev)
+             |SELECT user_id, ts_s, event_id, kv FROM sel
+             |WHERE rn = 1 AND user_id % 7 <> 0
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("d36_versioned_collapse",
+      // VersionedCollapsingMergeTree FINAL: versions are event ids;
+      // every non-latest version gets a cancel (arrival order
+      // scrambled by construction — cancels ride a different frame),
+      // every 5th user's LATEST version is cancelled too (all state
+      // annihilated → the key disappears). Survivor = the latest
+      // version of every other user — planted truth
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        val maxE = ev.groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("__maxe"))
+        val states = ev.select(col("user_id"),
+          col("event_id").as("v"), lit(1).as("sign"), col("kv"))
+        val joined = ev.join(maxE, Seq("user_id"))
+        val cancels = joined
+          .filter(col("event_id") =!= col("__maxe") ||
+            col("user_id") % 5 === 0)
+          .select(col("user_id"), col("event_id").as("v"),
+            lit(-1).as("sign"), col("kv"))
+        graft.operators.Collapsing.versionedFinal(
+            cancels.unionByName(states), // cancels FIRST — order must not matter
+            Seq("user_id"), "sign", "v", Seq("kv"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+             |  FROM events)
+             |SELECT user_id, max(event_id) AS v,
+             |  arg_max(kv, event_id) AS kv
+             |FROM ev GROUP BY user_id HAVING user_id % 5 <> 0
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("d37_collapsed_sum",
+      // the family's canonical ledger aggregate — sum(x·sign) with
+      // HAVING sum(sign) > 0 — correct totals WITHOUT collapsing
+      // first (aggregation and cancellation commute). Refund shape:
+      // every event books +kv; users divisible by 3 charge back
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        val states = ev.select(col("event_type"), lit(1).as("sign"),
+          col("kv"))
+        val refunds = ev.filter(col("user_id") % 3 === 0)
+          .select(col("event_type"), lit(-1).as("sign"), col("kv"))
+        graft.operators.Collapsing.collapsedSum(
+            states.unionByName(refunds), Seq("event_type"), "sign",
+            Seq("kv"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+             |  FROM events)
+             |SELECT event_type,
+             |  (count(*) FILTER (WHERE user_id % 3 <> 0))::BIGINT
+             |    AS net_rows,
+             |  COALESCE(sum(kv) FILTER (WHERE user_id % 3 <> 0), 0)::BIGINT
+             |    AS net_kv
+             |FROM ev GROUP BY 1
+             |HAVING count(*) FILTER (WHERE user_id % 3 <> 0) > 0
+             |ORDER BY event_type""".stripMargin))
   )
 
   private def try_cast_int(c: Column): Column = c.try_cast("int")
