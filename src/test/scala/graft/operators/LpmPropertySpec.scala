@@ -61,6 +61,77 @@ class LpmPropertySpec extends SparkSpec {
     assert(bad.isEmpty, s"winner length mismatches: ${bad.take(5)}")
   }
 
+  test("lpmEnrich equals brute force with sloppy and exact duplicates planted") {
+    val rnd = new scala.util.Random(20260817L)
+    // canonical prefixes, then ~1/3 get a SLOPPY duplicate (host bits
+    // set, different payload) and a few get an EXACT duplicate cidr
+    // string with a second payload — the two duplicate classes the
+    // dedupe rules must resolve deterministically
+    val canon: Seq[(Long, Int)] = (0 until 80).map { _ =>
+      val plen = rnd.nextInt(33)
+      val base = (rnd.nextLong().abs % (1L << 32)) &
+        (if (plen == 0) 0L else ((1L << plen) - 1) << (32 - plen))
+      if (rnd.nextBoolean() && plen >= 8)
+        ((10L << 24) | (base & ((1L << 24) - 1)), plen)
+      else (base, plen)
+    }.distinct
+    case class P(cidr: String, base: Long, plen: Int, pay: String)
+    var rows = scala.collection.mutable.ArrayBuffer[P]()
+    canon.zipWithIndex.foreach { case ((b, l), i) =>
+      rows += P(s"${ipOf(b)}/$l", b, l, s"pay$i")
+      if (i % 3 == 0 && l > 0 && l < 32) {
+        // sloppy literal: same prefix, host bits set
+        val sloppy = b | (rnd.nextLong().abs % (1L << (32 - l)))
+        rows += P(s"${ipOf(sloppy)}/$l", sloppy, l, s"sloppy$i")
+      }
+      if (i % 7 == 0) // exact duplicate cidr, second payload
+        rows += P(s"${ipOf(b)}/$l", b, l, s"dup$i")
+    }
+    val ips: Seq[(Long, Long)] = (0L until 1000L).map { i =>
+      val n = if (rnd.nextBoolean()) (10L << 24) | rnd.nextInt(1 << 24).toLong
+        else rnd.nextLong().abs % (1L << 32)
+      (i, n)
+    }
+
+    def keyOf(p: P): Long = if (p.plen == 0) 0L else p.base >>> (32 - p.plen)
+    val groups = rows.toSeq.groupBy(p => (p.plen, keyOf(p)))
+    // brute-force replica of the documented dedupe: canonical row =
+    // min (base, cidr) of the group; payload = min payload among rows
+    // sharing the kept cidr STRING
+    val kept: Map[(Int, Long), (String, String)] = groups.map {
+      case (k, g) =>
+        val c = g.minBy(p => (p.base, p.cidr))
+        val pay = rows.filter(_.cidr == c.cidr).map(_.pay).min
+        k -> ((c.cidr, pay))
+    }
+    def contains(plen: Int, key: Long, ip: Long): Boolean =
+      plen == 0 || key == (ip >>> (32 - plen))
+    val expect: Map[Long, (String, Int, String)] = ips.flatMap {
+      case (id, ip) =>
+        val ks = groups.keys.filter { case (l, k) => contains(l, k, ip) }
+        if (ks.isEmpty) None
+        else {
+          val (l, k) = ks.maxBy(_._1)
+          val (cidr, pay) = kept((l, k))
+          Some(id -> ((cidr, l, pay)))
+        }
+    }.toMap
+
+    val got = Siem.lpmEnrich(
+        ips.map { case (id, n) => (id, ipOf(n)) }.toDF("id", "ip"),
+        "ip", rows.toSeq.map(p => (p.cidr, p.pay)).toDF("cidr", "pay"),
+        Seq("id"), Seq("pay"))
+      .as[(Long, String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == expect.keySet,
+      s"match sets differ: only-got=${(got.keySet -- expect.keySet).take(5)} " +
+        s"only-expect=${(expect.keySet -- got.keySet).take(5)}")
+    val bad = expect.collect {
+      case (id, e) if got(id) != e => (id, got(id), e)
+    }
+    assert(bad.isEmpty, s"winner/payload mismatches: ${bad.take(5)}")
+  }
+
   test("lpm6Match equals brute force across the 64-bit boundary on 1500 random IPs") {
     val rnd = new scala.util.Random(20260816L)
     def hex(n: Long): String = java.lang.Long.toHexString(n)
