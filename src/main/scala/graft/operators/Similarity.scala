@@ -62,6 +62,39 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Matryoshka / truncated-dimension retrieval evaluation (Kusupati
+    * et al., NeurIPS'22 "Matryoshka Representation Learning"): the
+    * decision tool for "can the ANN index store only the first `dims`
+    * dimensions?" — per query, recall@k of the ranking under the
+    * TRUNCATED embedding (first `dims` dims, cosine over truncated
+    * norms) against the full-dimension ranking. Output: (queryIdCol,
+    * n_overlap, recall_at_k), every query kept (0 overlap included).
+    *
+    * Scale shape: two broadcast-query brute scans (the evaluation
+    * harness shape — queries are a small sample by construction; at
+    * index-selection time this runs over a sampled corpus slice, not
+    * the full 100 TB), one equi-join of two k-row-per-query sets. */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1 && dims >= 1, "truncatedRecall: k and dims must be >= 1")
+    def trunc(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val truncated = bruteForceTopK(trunc(corpus), trunc(queries), k,
+        idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val overlap = full.join(truncated, Seq(queryIdCol, idCol))
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(queryIdCol))
+      .join(overlap, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as(s"recall_at_$k"))
+  }
+
   /** Semantic decontamination: flag corpus vectors whose max cosine
     * against ANY benchmark vector clears `threshold` — the
     * embedding-space counterpart of the n-gram decontamination in

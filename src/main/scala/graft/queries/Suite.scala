@@ -2077,6 +2077,51 @@ object Suite {
              |FROM documents d LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("l103_mrl_recall",
+      // Matryoshka truncation eval: recall@10 of the 16-dim-truncated
+      // cosine ranking vs the full 64-dim ranking, per query — the
+      // index-sizing decision tool. Oracle brute-forces BOTH rankings
+      // (cos DESC, vec_id ASC tiebreak, the l5 discipline) and counts
+      // the overlap; zero-overlap queries kept with recall 0
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.truncatedRecall(emb, qs, k = 10, dims = 16)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+             |  FROM embeddings WHERE vec_id < 20),
+             |sf AS (SELECT q.query_id, c.vec_id,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+             |    AS cos FROM embeddings c CROSS JOIN q),
+             |rf AS (SELECT query_id, vec_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+             |    AS r FROM sf),
+             |st AS (SELECT q.query_id, c.vec_id,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, 17),
+             |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, 17),
+             |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+             |    AS cos FROM embeddings c CROSS JOIN q),
+             |rt AS (SELECT query_id, vec_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+             |    AS r FROM st),
+             |o AS (SELECT rf.query_id, count(*)::BIGINT AS n
+             |  FROM rf JOIN rt USING (query_id, vec_id)
+             |  WHERE rf.r <= 10 AND rt.r <= 10 GROUP BY 1)
+             |SELECT q.query_id, COALESCE(o.n, 0) AS n_overlap,
+             |  round(COALESCE(o.n, 0) / 10.0, 6) AS recall_at_10
+             |FROM q LEFT JOIN o USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the

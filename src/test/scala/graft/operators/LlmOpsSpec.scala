@@ -311,6 +311,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.length == 2)
   }
 
+  test("truncatedRecall: full dims give recall 1; a truncation-confusable pair drops it") {
+    import spark.implicits._
+    // vectors whose FIRST two dims are identical for 1 and 2 but whose
+    // tails diverge: under dims=2 the ranking cannot tell them apart
+    // from the query's true neighbor, under full dims it can
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // query
+      (1L, Array(1.0f, 0.0f, 0.9f, 0.1f)),   // true #2 (tail agrees)
+      (2L, Array(1.0f, 0.0f, -1.0f, 0.0f)),  // tail OPPOSES — full rank last
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f))    // orthogonal everywhere
+    ).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // full dims: recall must be exactly 1 (identical rankings)
+    val full = Similarity.truncatedRecall(vecs, qs, k = 2, dims = 4)
+      .collect().head
+    assert(full.getLong(1) == 2L && full.getDouble(2) == 1.0, full.toString)
+    // dims=2: truncated top-2 = {0, then min-id of the 1/2 cos tie} =
+    // {0, 1}; full top-2 = {0, 1} too — overlap 2. Make the tie
+    // resolve AGAINST the true neighbor by id: swap ids 1 and 2
+    val swapped = vecs.withColumn("vec_id",
+      when($"vec_id" === 1, 2L).when($"vec_id" === 2, 1L)
+        .otherwise($"vec_id"))
+    val tr = Similarity.truncatedRecall(swapped, qs, k = 2, dims = 2)
+      .collect().head
+    // truncated picks {0, 1(=opposing tail)}, full picks {0, 2(=true)}
+    assert(tr.getLong(1) == 1L && tr.getDouble(2) == 0.5, tr.toString)
+    // a query with an empty corpus-overlap still appears (left join)
+    val out = Similarity.truncatedRecall(vecs, qs, k = 2, dims = 2)
+    assert(out.count() == 1)
+  }
+
   test("sign-bit signatures pack components into the expected halves") {
     import spark.implicits._
     // bits 0 and 2 positive -> lo = 0b101; component 32 positive -> hi bit 0
