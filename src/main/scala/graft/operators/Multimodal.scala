@@ -271,6 +271,64 @@ object Multimodal {
     }(enc)
   }
 
+  private val resizedSchema = StructType(Seq(
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("rgb_sum", LongType),
+    StructField("phase_sum", LongType)))
+
+  /** REAL image resize over the media column — the third leg of the
+    * decode/feature/resize/frame-sample quartet, and like the decode
+    * it runs on ACTUAL pixels: JDK reader at the scan, then
+    * nearest-neighbor sampling with the integer rule
+    * `src = (out · srcDim) div outDim` — truncating division, exactly
+    * replayable by an oracle. Appends a `resized` struct
+    * (out_w, out_h, rgb_sum, phase_sum): rgb_sum = Σ(r+g+b) over the
+    * resized raster, phase_sum = Σ(x·r + y·g) binds every sampled
+    * value to its output POSITION, so picking the wrong source pixel
+    * cannot hide behind an unchanged value multiset. Output stays
+    * exact-integer columnar rather than re-encoded bytes — the sums
+    * are the witness; a deployment needing the resized bytes plugs
+    * its encoder into the same per-partition loop ([[encodeBmp]]
+    * shows the shape). Undecodable/non-image rows get a null struct.
+    * Per-partition iterator, constant memory, bytes never shuffle. */
+  def resizeImageFeatures(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"resizeImageFeatures: bad dims ${outW}x$outH")
+    val schema = StructType(df.schema.fields :+
+      StructField("resized", resizedSchema))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val media = r.getAs[Row](MediaCol)
+        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        val resized = Codecs.readImage(bytes).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var rgbSum = 0L
+          var phaseSum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x.toLong * w / outW).toInt
+              val p = img.getRGB(sx, sy)
+              val rr = (p >> 16) & 0xff
+              val gg = (p >> 8) & 0xff
+              val bb = p & 0xff
+              rgbSum += rr + gg + bb
+              phaseSum += x.toLong * rr + y.toLong * gg
+              x += 1
+            }
+            y += 1
+          }
+          Row(outW, outH, rgbSum, phaseSum)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   /** Pixel-level near-duplicate pairs: REAL decode at the scan, a
     * 60-bit [[Codecs.pixelHash60]] per asset, then the same blocked
     * Hamming machinery the text SimHash path uses (4×15-bit pigeonhole

@@ -3909,6 +3909,46 @@ object Suite {
              |  (s * 1000000 // (w*h*3))::BIGINT AS luma_micro
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    Q("m7_image_resize",
+      // the REAL resize path: decode the synthetic BMPs with the JDK
+      // reader, nearest-neighbor-sample to 5x4 with the integer rule
+      // src = (out*srcDim) div outDim, and emit exact raster sums —
+      // rgb_sum (values) + phase_sum (values BOUND to positions, so a
+      // wrong source pixel can't hide in an unchanged multiset). The
+      // analytic oracle replays formula-at-sampled-coordinates
+      (s, d) => {
+        val mk = udf((id: Long) => Multimodal.syntheticBmp(
+          id, (8 + id % 9).toInt, (8 + id % 7).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "image/bmp")
+        Multimodal.resizeImageFeatures(media, outW = 5, outH = 4)
+          .select(col("doc_id"),
+            col("resized.out_w").as("out_w"),
+            col("resized.out_h").as("out_h"),
+            col("resized.rgb_sum").as("rgb_sum"),
+            col("resized.phase_sum").as("phase_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, (8 + doc_id % 9)::BIGINT AS w,
+             |    (8 + doc_id % 7)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id,
+             |  list_sum(flatten(list_transform(range(0, 5), x ->
+             |    list_transform(range(0, 4), y ->
+             |      (doc_id*7 + ((x*w)//5)*13 + ((y*h)//4)*31) % 256
+             |      + (doc_id*11 + ((x*w)//5)*3 + ((y*h)//4)*17) % 256
+             |      + (doc_id*5 + ((x*w)//5)*29 + ((y*h)//4)*7) % 256))))
+             |    ::BIGINT AS rgb_sum,
+             |  list_sum(flatten(list_transform(range(0, 5), x ->
+             |    list_transform(range(0, 4), y ->
+             |      x * ((doc_id*7 + ((x*w)//5)*13 + ((y*h)//4)*31) % 256)
+             |      + y * ((doc_id*11 + ((x*w)//5)*3 + ((y*h)//4)*17) % 256)))))
+             |    ::BIGINT AS phase_sum
+             |  FROM g)
+             |SELECT doc_id, 5::INT AS out_w, 4::INT AS out_h,
+             |  rgb_sum, phase_sum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each
       // asset's 60-bit sampled-threshold hash is computed from the

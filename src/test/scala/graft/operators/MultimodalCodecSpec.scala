@@ -88,6 +88,41 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(3L).isEmpty, "non-image mime must skip the real decode")
   }
 
+  test("resizeImageFeatures: identity resize reproduces the decode's exact sums; non-image null") {
+    import spark.implicits._
+    val w = 9
+    val h = 6
+    val media = Multimodal.attachMedia(
+      Seq((1L, Multimodal.syntheticBmp(1L, w, h)),
+        (2L, "not an image".getBytes("UTF-8")))
+        .toDF("id", "data"), "data", "image/bmp")
+    // identity dims: src = (x·w) div w = x — rgb_sum must equal the
+    // decoder's luma_sum over the SAME pixels, and phase_sum the
+    // hand-replayed formula
+    val got = Multimodal.resizeImageFeatures(media, w, h)
+      .select(col("id"), col("resized")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val expRgb = (for (x <- 0 until w; y <- 0 until h) yield {
+      val (r, g, b) = fmt(1L, x, y, 0); (r + g + b).toLong
+    }).sum
+    val expPhase = (for (x <- 0 until w; y <- 0 until h) yield {
+      val (r, g, _) = fmt(1L, x, y, 0); x.toLong * r + y.toLong * g
+    }).sum
+    val s1 = got(1L).getOrElse(fail("image row must resize"))
+    assert(s1.getInt(0) == w && s1.getInt(1) == h)
+    assert(s1.getLong(2) == expRgb, s"rgb_sum ${s1.getLong(2)} != $expRgb")
+    assert(s1.getLong(3) == expPhase, s"phase_sum ${s1.getLong(3)} != $expPhase")
+    assert(got(2L).isEmpty, "non-image must carry a null resized struct")
+    // downscale to 3x2 samples exactly the formula at (x*w div 3, y*h div 2)
+    val down = Multimodal.resizeImageFeatures(media, 3, 2)
+      .filter(col("id") === 1L).select("resized.rgb_sum")
+      .as[Long].collect().head
+    val expDown = (for (x <- 0 until 3; y <- 0 until 2) yield {
+      val (r, g, b) = fmt(1L, x * w / 3, y * h / 2, 0); (r + g + b).toLong
+    }).sum
+    assert(down == expDown, s"downscale rgb_sum $down != $expDown")
+  }
+
   test("mediaPixelNearDupPairs finds brightened re-uploads from real pixels") {
     import spark.implicits._
     val base = (0L until 40L).map(i =>
