@@ -122,6 +122,16 @@ object Bench {
       }
       val (statsPlain, rcPlain, maxP, medP) =
         timedTasks(summarize(bigDf.join(smallDf, "k")))
+      // third leg: Spark's OWN mitigation (AQE skew-join splitting) on
+      // the same shuffle join — the measured answer to "when is the
+      // salted operator worth it vs just turning AQE on": AQE splits
+      // oversized post-shuffle partitions of sort-merge joins, the
+      // salted rewrite also collapses the hash-aggregate pressure of a
+      // hot KEY; both legs recorded so the trade reads from the artifact
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (statsAqe, rcAqe, maxA, medA) =
+        timedTasks(summarize(bigDf.join(smallDf, "k")))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       val (statsSalt, rcSalt, maxS, medS) = timedTasks(summarize(
         operators.Skew.saltedJoin(bigDf, smallDf, "k", "row_id",
           replicas = cpus, hotThreshold = skewRows / 100)))
@@ -129,12 +139,15 @@ object Bench {
       System.err.println(
         f"[bench] c12g skew x$skewRows%d rows: plain ${rcPlain.wall}%.2f s " +
           f"(max task $maxP%.2f s / median $medP%.2f s, cpu ${rcPlain.cpu}%.1f s) " +
+          f"-> aqe ${rcAqe.wall}%.2f s (max $maxA%.2f s) " +
           f"-> salted ${rcSalt.wall}%.2f s (max $maxS%.2f s / median $medS%.2f s, " +
           f"cpu ${rcSalt.cpu}%.1f s); " +
           f"rows $nPlain%d==$nSalt%d checksum match ${statsPlain == statsSalt}%b")
       require(statsPlain == statsSalt,
         s"salted join changed the result: $statsPlain vs $statsSalt")
-      f""","c12g_skew":{"rows":$skewRows,${rcPlain.flatJson("plain_sec", cpus)},"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,${rcSalt.flatJson("salted_sec", cpus)},"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
+      require(statsPlain == statsAqe,
+        s"aqe join changed the result: $statsPlain vs $statsAqe")
+      f""","c12g_skew":{"rows":$skewRows,${rcPlain.flatJson("plain_sec", cpus)},"plain_max_task_sec":$maxP%.3f,"plain_median_task_sec":$medP%.3f,${rcAqe.flatJson("aqe_sec", cpus)},"aqe_max_task_sec":$maxA%.3f,"aqe_median_task_sec":$medA%.3f,${rcSalt.flatJson("salted_sec", cpus)},"salted_max_task_sec":$maxS%.3f,"salted_median_task_sec":$medS%.3f,"join_rows":$nPlain}"""
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
