@@ -170,6 +170,93 @@ object Similarity {
     c
   }
 
+  /** ENGINE-EXACT Lloyd k-means — the oracle-able twin of
+    * [[kmeansRefine]], for when the cluster assignment is itself a
+    * data-curation artifact (topic balancing, per-cluster quotas,
+    * cluster-stratified sampling) and must replay bit-identically in
+    * any engine. Everything is integer arithmetic under the house
+    * fixed-point convention:
+    *
+    *  - coordinates quantize ONCE to micro-units (round(x·1e6) longs);
+    *  - distance = exact squared-L2 over longs (dim·(2·10⁶)² ≈ 2.6e14
+    *    at dim 64 — far inside long range);
+    *  - assignment = min over (d2, centroid_id) — deterministic ties;
+    *  - centroid update = per-dimension `sum div count` (truncating
+    *    division, which Spark `div` and DuckDB `//` agree on);
+    *  - a cluster that loses all members keeps its previous centroid.
+    *
+    * Seeds are the k lowest-id vectors (deterministic, replayable).
+    * Scale shape per iteration: one broadcast map-side assignment (no
+    * corpus shuffle — centroids are k·dim longs) + one
+    * (cluster, position) hash aggregation whose map-side combine
+    * shrinks the shuffle to k·dim rows per partition; the only
+    * driver-side state is the k·dim centroid table, the same bound
+    * [[IvfIndex]] already accepts. Returns the LAST iteration's
+    * assignment: (idCol, cluster, d2) where d2 is squared micro-unit
+    * distance to the centroid used in that assignment. */
+  def kmeansIntAssign(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansIntAssign: k and iters must be >= 1")
+    val spark = corpus.sparkSession
+    val micro = corpus.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * 1e6)
+        .cast("long")).as("__m"))
+    var cents: Seq[(Long, Array[Long])] = micro
+      .orderBy(col(idCol)).limit(k).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).toArray)
+      }.toSeq
+    require(cents.size == k,
+      s"kmeansIntAssign: corpus has only ${cents.size} vectors, need k=$k")
+
+    def assigned: DataFrame = {
+      // one (d2, cid) struct per centroid, min = nearest (ties to the
+      // lower id); centroids enter as literals — pure map-side codegen
+      val cands = cents.map { case (cid, arr) =>
+        struct(
+          aggregate(
+            zip_with(col("__m"), typedLit(arr.toSeq),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(cid).as("cluster"))
+      }
+      micro.select(col(idCol), array_min(array(cands: _*)).as("__w"),
+        col("__m"))
+    }
+
+    var last: DataFrame = null
+    for (it <- 1 to iters) {
+      val a = assigned
+      if (it < iters) {
+        val sums = a
+          .select(col("__w.cluster").as("__c"),
+            posexplode(col("__m")).as(Seq("__p", "__x")))
+          .groupBy(col("__c"), col("__p"))
+          .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getLong(0))
+        cents = cents.map { case (cid, old) =>
+          byCluster.get(cid) match {
+            case Some(rows) =>
+              val arr = old.clone()
+              rows.foreach { r =>
+                arr(r.getInt(1)) = {
+                  val s = r.getLong(2)
+                  val n = r.getLong(3)
+                  // truncate toward zero, matching SQL integer div
+                  s / n
+                }
+              }
+              (cid, arr)
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      } else last = a
+    }
+    last.select(col(idCol), col("__w.cluster").as("cluster"),
+      col("__w.d2").as("d2"))
+  }
+
   /** Assign each corpus vector to its nearest centroid (one broadcast
     * pass; cosine metric; ties break toward the lower centroid id).
     *

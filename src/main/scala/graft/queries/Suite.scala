@@ -2122,6 +2122,47 @@ object Suite {
              |FROM q LEFT JOIN o USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
+    Q("l105_kmeans_balance",
+      // engine-exact Lloyd k-means (topic-balancing workhorse): 2
+      // assignment rounds, k=4, micro-quantized integer distances,
+      // truncating-div centroid means — the oracle unrolls both
+      // rounds in SQL (composite d2*8+cid argmin, per-dim sums via a
+      // constant range join) and must agree on every cluster's size
+      // and exact inertia
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.kmeansIntAssign(emb, k = 4, iters = 2)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
+          .orderBy("cluster")
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding,
+             |    x -> round(x::DOUBLE * 1e6)::BIGINT) AS m
+             |  FROM embeddings),
+             |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+             |    AS cid, m AS c
+             |  FROM v ORDER BY vec_id LIMIT 4),
+             |a1 AS (SELECT v.vec_id, v.m, min(list_sum(
+             |    list_transform(range(1, 65),
+             |      i -> (v.m[i] - c0.c[i]) * (v.m[i] - c0.c[i]))) * 8
+             |    + c0.cid) AS comp
+             |  FROM v CROSS JOIN c0 GROUP BY 1, 2),
+             |s1 AS (SELECT a1.comp % 8 AS cid, r.i,
+             |    sum(a1.m[r.i]) AS s, count(*) AS n
+             |  FROM a1 CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+             |u1 AS (SELECT cid,
+             |    list(s // n ORDER BY i) AS c FROM s1 GROUP BY 1),
+             |c1 AS (SELECT c0.cid, COALESCE(u1.c, c0.c) AS c
+             |  FROM c0 LEFT JOIN u1 USING (cid)),
+             |a2 AS (SELECT v.vec_id, min(list_sum(
+             |    list_transform(range(1, 65),
+             |      i -> (v.m[i] - c1.c[i]) * (v.m[i] - c1.c[i]))) * 8
+             |    + c1.cid) AS comp
+             |  FROM v CROSS JOIN c1 GROUP BY 1)
+             |SELECT (comp % 8)::BIGINT AS cluster,
+             |  count(*) AS n_vectors, sum(comp // 8)::BIGINT AS inertia
+             |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the

@@ -311,6 +311,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.length == 2)
   }
 
+  test("kmeansIntAssign: splits planted clusters; equals a driver-side replication") {
+    import spark.implicits._
+    // planted: ids 0,1 are the seeds — one in each tight group
+    val groupA = Seq(0L -> 0.0f, 2L -> 0.1f, 4L -> -0.1f)
+    val groupB = Seq(1L -> 10.0f, 3L -> 10.1f, 5L -> 9.9f)
+    val vecs = (groupA ++ groupB).map { case (id, base) =>
+      (id, Array(base, base + 0.05f, base - 0.05f, base))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansIntAssign(vecs, k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 2L, 4L).map(got) == Set(0L), got.toString)
+    assert(Set(1L, 3L, 5L).map(got) == Set(1L), got.toString)
+
+    // random data: the operator must equal an independent driver-side
+    // replication of the exact integer algorithm (seeds, quantize,
+    // d2 argmin with id ties, truncating-div means, empty-keeps-old)
+    val rnd = new scala.util.Random(8L)
+    val dim = 8
+    val n = 60
+    val data = (0L until n).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val k = 3
+    val iters = 4
+    val micro = data.map { case (id, v) =>
+      (id, v.map(x => math.round(x.toDouble * 1e6)))
+    }
+    var cents = micro.sortBy(_._1).take(k).zipWithIndex
+      .map { case ((_, m), i) => (i.toLong, m.clone()) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var lastAssign: Map[Long, (Long, Long)] = Map.empty
+    for (it <- 1 to iters) {
+      lastAssign = micro.map { case (id, m) =>
+        val (cd, cid) = cents.map { case (c, arr) => (d2(m, arr), c) }.min
+        id -> ((cid, cd))
+      }.toMap
+      if (it < iters) {
+        cents = cents.map { case (cid, old) =>
+          val members = micro.filter(v => lastAssign(v._1)._1 == cid)
+          if (members.isEmpty) (cid, old)
+          else (cid, Array.tabulate(dim)(p =>
+            members.map(_._2(p)).sum / members.size))
+        }
+      }
+    }
+    val gotR = Similarity.kmeansIntAssign(data.toDF("vec_id", "embedding"),
+        k, iters)
+      .select("vec_id", "cluster", "d2").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotR == lastAssign,
+      s"diff: ${gotR.toSet.diff(lastAssign.toSet).take(3)} vs " +
+        s"${lastAssign.toSet.diff(gotR.toSet).take(3)}")
+  }
+
   test("truncatedRecall: full dims give recall 1; a truncation-confusable pair drops it") {
     import spark.implicits._
     // vectors whose FIRST two dims are identical for 1 and 2 but whose
