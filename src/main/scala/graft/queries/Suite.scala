@@ -4073,6 +4073,72 @@ object Suite {
              |  LEFT JOIN s3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    Q("h63_funnel_latency",
+      // per-step conversion-latency distribution over the
+      // deterministic earliest-anchor chain (the funnel variant that
+      // RETURNS timestamps exists for exactly this): for each step
+      // transition, exact n/total/min/max plus the exact lower-median
+      // latency via sorted-position selection — no approximate
+      // percentile, so the distribution replays engine-identically
+      (s, d) => {
+        val f = graft.operators.Funnel.windowFunnel(t(s, d, "events"),
+          "user_id", "ts",
+          Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"),
+          windowSec = 604800L)
+        val lats = f.select(explode(array(
+            struct(lit(2).as("step"), (col("t2") - col("t1")).as("lat")),
+            struct(lit(3).as("step"), (col("t3") - col("t2")).as("lat"))))
+            .as("x"))
+          .select(col("x.step").as("step"), col("x.lat").as("lat"))
+          .filter(col("lat").isNotNull)
+        val byLat = Window.partitionBy("step").orderBy("lat")
+        val perStep = Window.partitionBy("step")
+        lats
+          .withColumn("rn", row_number().over(byLat))
+          .withColumn("cnt", count(lit(1)).over(perStep))
+          .groupBy(col("step"))
+          .agg(max(col("cnt")).as("n_users"),
+            sum(col("lat")).as("total_lat_s"),
+            min(col("lat")).as("min_lat_s"),
+            max(col("lat")).as("max_lat_s"),
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("lat")))
+              .as("p50_lat_s"))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id,
+             |    min(floor(epoch(ts))::BIGINT) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click'
+             |    AND floor(epoch(e.ts))::BIGINT > s1.t1
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |    min(floor(epoch(e.ts))::BIGINT) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |    JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND floor(epoch(e.ts))::BIGINT > s2.t2
+             |    AND floor(epoch(e.ts))::BIGINT <= s1.t1 + 604800
+             |  GROUP BY 1),
+             |lats AS (SELECT 2 AS step, s2.t2 - s1.t1 AS lat
+             |    FROM s2 JOIN s1 USING (user_id)
+             |  UNION ALL SELECT 3, s3.t3 - s2.t2
+             |    FROM s3 JOIN s2 USING (user_id)),
+             |r AS (SELECT step, lat,
+             |    row_number() OVER (PARTITION BY step ORDER BY lat) AS rn,
+             |    count(*) OVER (PARTITION BY step) AS cnt FROM lats)
+             |SELECT step, max(cnt)::BIGINT AS n_users,
+             |  sum(lat)::BIGINT AS total_lat_s,
+             |  min(lat)::BIGINT AS min_lat_s, max(lat)::BIGINT AS max_lat_s,
+             |  max(CASE WHEN rn = (cnt + 1) // 2 THEN lat END)::BIGINT
+             |    AS p50_lat_s
+             |FROM r GROUP BY 1 ORDER BY step""".stripMargin)),
+
     Q("h10_retention",
       (s, d) => graft.operators.Funnel.retention(t(s, d, "events"),
           "user_id", Seq(
