@@ -291,7 +291,12 @@ object Bench {
         "l66_strip_markup", "l67_ivfpq_ann", "l69_quality_auc",
         "l70_data_card", "l71_span_corrupt", "l72_nfc_dedup",
         "l74_sentence_chunks", "l77_phrases", "l78_snapshot_diff",
-        "l80_quality_psi")
+        "l80_quality_psi",
+        // round-8 additions: truncated-recall (two brute scans, linear
+        // in corpus at fixed query count) and integer k-means (fixed k
+        // is a model choice, not corpus-bound — per-iteration cost is
+        // one linear scan + a k·dim-bounded aggregation)
+        "l103_mrl_recall", "l105_kmeans_balance")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =
@@ -741,7 +746,15 @@ object Bench {
           // strict-max funnel: three per-anchor walk modes in one
           // aggregation, order mode buffering step-0 markers — the
           // sort + walk cost class under test
-          ("h58g_funnel_strict_max", "h58_funnel_strict_max"))
+          ("h58g_funnel_strict_max", "h58_funnel_strict_max"),
+          // round-8 event ops: sign-collapsing (one map-side-combined
+          // hash agg each — growth should cost only the scan; the
+          // ledger construction's lag window is the d35 cost class)
+          ("d35g_collapsing", "d35_collapsing_final"),
+          ("d36g_versioned", "d36_versioned_collapse"),
+          // funnel latency: the K-round shrinking aggregation plus one
+          // per-step sort of CONVERTED users only
+          ("h63g_funnel_latency", "h63_funnel_latency"))
           .flatMap { case (nm, q) =>
             for {
               (nb, rb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
