@@ -179,7 +179,10 @@ object Similarity {
     *
     *  - coordinates quantize ONCE to micro-units (round(x·1e6) longs);
     *  - distance = exact squared-L2 over longs (dim·(2·10⁶)² ≈ 2.6e14
-    *    at dim 64 — far inside long range);
+    *    at dim 64 — far inside long range; coordinates must satisfy
+    *    |x| ≤ ~180/√(dim/64) for the sum to stay under 2⁶³ — any
+    *    normalized or near-unit embedding qualifies by orders of
+    *    magnitude);
     *  - assignment = min over (d2, centroid_id) — deterministic ties;
     *  - centroid update = per-dimension `sum div count` (truncating
     *    division, which Spark `div` and DuckDB `//` agree on);
