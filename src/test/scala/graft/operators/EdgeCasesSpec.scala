@@ -36,6 +36,40 @@ class EdgeCasesSpec extends SparkSpec {
     assert(card.count() == 2) // token-free rows still summarize
   }
 
+  test("round-8 operators: empty inputs and refused degenerate parameters") {
+    // lpmEnrich: empty event side -> empty result, schema intact
+    val routes = Seq(("10.0.0.0/8", "corp")).toDF("cidr", "region")
+    val noEvents = Seq.empty[(Long, String)].toDF("id", "ip")
+    val enr = Siem.lpmEnrich(noEvents, "ip", routes, Seq("id"), Seq("region"))
+    assert(enr.isEmpty &&
+      enr.columns.toSeq == Seq("id", "cidr", "plen", "region"))
+    // collapsing: empty ledgers are empty, not errors
+    val noLedger = Seq.empty[(Long, Long, Long, Int, Long)]
+      .toDF("k", "o", "v", "sign", "x")
+    assert(Collapsing.finalState(noLedger, Seq("k"), "sign", Seq("o"),
+      Seq("x")).isEmpty)
+    assert(Collapsing.versionedFinal(noLedger, Seq("k"), "sign", "v",
+      Seq("x")).isEmpty)
+    assert(Collapsing.collapsedSum(noLedger, Seq("k"), "sign",
+      Seq("x")).isEmpty)
+    // kmeans: k larger than the corpus refuses loudly
+    val tiny = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      Similarity.kmeansIntAssign(tiny, k = 5, iters = 1))
+    // truncatedRecall: dims past the vector length degrade to the full
+    // ranking (slice truncates), never an index error
+    val qs = tiny.select(col("vec_id").as("query_id"), col("embedding"))
+    val tr = Similarity.truncatedRecall(tiny, qs, k = 1, dims = 99)
+      .collect().head
+    assert(tr.getLong(1) == 1L && tr.getDouble(2) == 1.0, tr.toString)
+    // slaAlertRows: empty status frame -> no alerts
+    val noStatus = Seq.empty[(String, java.sql.Timestamp, Long, Option[Long], Long)]
+      .toDF("pipeline_id", "newest_ts", "freshness_threshold_min",
+        "last_run_ms", "sla_min")
+    assert(graft.pipelines.Monitoring
+      .slaAlertRows(noStatus, lit(0L)).isEmpty)
+  }
+
   test("vector operators: empty corpora and empty query sets") {
     val q = emptyVecs.select(col("vec_id").as("query_id"), col("embedding"))
     assert(Similarity.int8TopK(emptyVecs, q, 5, rerank = 10).isEmpty)
