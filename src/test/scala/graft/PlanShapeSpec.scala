@@ -575,6 +575,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("integer k-means assignment never shuffles or joins the corpus") {
+    // centroids ride as literals into a map-side argmin; the returned
+    // assignment frame must be scan -> project, nothing else (the
+    // per-iteration centroid updates run during construction and are
+    // k*dim-bounded)
+    val emb = core.Tables.load(spark, sf, "embeddings")
+    val plan = planOf(operators.Similarity.kmeansIntAssign(emb, 4, 2))
+    assert(!plan.contains("Exchange"), s"corpus must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("collapsing FINAL is one hash aggregation — no join, no window") {
+    import spark.implicits._
+    val ledger = core.Tables.load(spark, sf, "events")
+      .select(col("user_id").as("k"),
+        col("event_id").as("o"),
+        lit(1).as("sign"),
+        col("user_id").as("x"))
+    val plan = planOf(operators.Collapsing.finalState(
+      ledger, Seq("k"), "sign", Seq("o"), Seq("x")))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"one key shuffle expected:\n$plan")
+  }
+
   test("LPM payload join-back stays broadcast — the event side never re-shuffles") {
     val plan = planOf(queries.Suite.queries("h61_lpm_enrich")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
