@@ -67,11 +67,14 @@ object Collapsing {
     * highest surviving version's row wins the key. Two chained
     * aggregations on (key, version) then (key): both map-side
     * combined, the second over version-cardinality rows only. */
-  def versionedFinal(df: DataFrame, keyCols: Seq[String],
+  /** The (key, version) pair-cancel stage shared by the versioned
+    * reads: one hash aggregation netting signs per (key, version),
+    * keeping groups with net > 0 and the deterministic max state row
+    * as the version's payload. */
+  private def netPerVersion(df: DataFrame, keyCols: Seq[String],
       signCol: String, versionCol: String,
-      payloadCols: Seq[String]): DataFrame = {
-    val perVersion = df
-      .groupBy((keyCols :+ versionCol).map(col): _*)
+      payloadCols: Seq[String]): DataFrame =
+    df.groupBy((keyCols :+ versionCol).map(col): _*)
       .agg(sum(checkSign(df, signCol)).as("__net"),
         // payload of the version = its max state row (+1 first, then
         // payload) — retries may duplicate the state row; determinism
@@ -79,6 +82,25 @@ object Collapsing {
         max(struct(col(signCol).as("__sign") +:
           payloadCols.map(col): _*)).as("__row"))
       .filter(col("__net") > 0)
+
+  /** VersionedCollapsingMergeTree FINAL proper: EVERY surviving
+    * (key, version) state row — the family's ORDER BY usually
+    * includes the version, so FINAL keeps one row per surviving
+    * version, not one per key ([[versionedFinal]] is the
+    * latest-version convenience on top of this). One hash
+    * aggregation; output cardinality = surviving versions. */
+  def versionedSurvivors(df: DataFrame, keyCols: Seq[String],
+      signCol: String, versionCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    netPerVersion(df, keyCols, signCol, versionCol, payloadCols)
+      .select((keyCols :+ versionCol).map(col) ++
+        payloadCols.map(c => col(s"__row.$c").as(c)): _*)
+
+  def versionedFinal(df: DataFrame, keyCols: Seq[String],
+      signCol: String, versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val perVersion =
+      netPerVersion(df, keyCols, signCol, versionCol, payloadCols)
     perVersion
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct(col(versionCol) +: payloadCols.map(c =>

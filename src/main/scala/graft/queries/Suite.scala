@@ -8539,6 +8539,31 @@ object Suite {
              |FROM ev GROUP BY user_id HAVING user_id % 5 <> 0
              |ORDER BY user_id""".stripMargin)),
 
+    Q("d38_versioned_survivors",
+      // VersionedCollapsing FINAL proper — ALL surviving (key,
+      // version) state rows (the family's ORDER BY includes the
+      // version, so FINAL keeps one row per surviving version;
+      // d36 is the latest-only convenience). Ledger: every event is a
+      // state row, EVEN event ids also get a cancel delivered FIRST —
+      // survivors are exactly the odd-id versions, planted truth
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        val states = ev.select(col("user_id"),
+          col("event_id").as("v"), lit(1).as("sign"), col("kv"))
+        val cancels = ev.filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("event_id").as("v"),
+            lit(-1).as("sign"), col("kv"))
+        graft.operators.Collapsing.versionedSurvivors(
+            cancels.unionByName(states), Seq("user_id"), "sign", "v",
+            Seq("kv"))
+          .orderBy("user_id", "v")
+      },
+      Some("""SELECT user_id, event_id AS v,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+             |FROM events WHERE event_id % 2 = 1
+             |ORDER BY user_id, v""".stripMargin)),
+
     Q("d37_collapsed_sum",
       // the family's canonical ledger aggregate — sum(x·sign) with
       // HAVING sum(sign) > 0 — correct totals WITHOUT collapsing

@@ -60,6 +60,26 @@ class CollapsingSpec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("versionedSurvivors keeps EVERY surviving version, not just the latest") {
+    val df = ledger(Seq(
+      // k1: v1 and v3 survive, v2 cancelled out of order
+      (1L, 10L, 2L, -1, 20L), (1L, 11L, 1L, 1, 10L),
+      (1L, 12L, 2L, 1, 20L), (1L, 13L, 3L, 1, 30L),
+      // k2: everything cancelled — absent entirely
+      (2L, 1L, 1L, 1, 5L), (2L, 2L, 1L, -1, 5L)))
+    val got = Collapsing.versionedSurvivors(df, Seq("k"), "sign", "v",
+        Seq("x"))
+      .select("k", "v", "x").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1L, 1L, 10L), (1L, 3L, 30L)),
+      got.toSeq.toString)
+    // the latest-only read is the max-version row of exactly this set
+    val latest = Collapsing.versionedFinal(df, Seq("k"), "sign", "v",
+        Seq("x"))
+      .select("k", "v", "x").as[(Long, Long, Long)].collect().toSeq
+    assert(latest == Seq((1L, 3L, 30L)), latest.toString)
+  }
+
   test("collapsedSum: aggregation commutes with cancellation, net-zero keys drop") {
     val df = ledger(Seq(
       (1L, 1L, 0L, 1, 10L), (1L, 2L, 0L, -1, 10L), (1L, 3L, 0L, 1, 25L),
