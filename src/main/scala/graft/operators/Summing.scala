@@ -35,9 +35,17 @@ object Summing {
 
   /** Append a batch of partial sums to the date-partitioned store —
     * blind and cheap by design (dedup/merging is the readers' and
-    * [[merge]]'s job, exactly the MergeTree write discipline). */
+    * [[merge]]'s job, exactly the MergeTree write discipline).
+    *
+    * Partials are SMALL by construction (pre-aggregated), so each
+    * date's rows are routed to one task before the partitioned write:
+    * a blind append otherwise emits one file per (task × date) and a
+    * cadence of appends grows the store's file count ~32× faster than
+    * it needs to — every later merge, read and listing pays for it.
+    * (Bronze ingest keeps the unrouted fast path: raw batches are big
+    * and date-skewed, where per-date routing would bottleneck.) */
   def appendPartials(df: DataFrame, path: String, tsCol: String): Unit = {
-    PartitionedWriter.append(df, path, tsCol)
+    PartitionedWriter.append(df.repartition(to_date(col(tsCol))), path, tsCol)
     ()
   }
 
@@ -95,7 +103,10 @@ object Summing {
         .select(tbl.columns.map(col).toIndexedSeq: _*) // original order
       val stagedOut = new Path(staging, "out")
       if (fs.exists(stagedOut)) fs.delete(stagedOut, true)
-      folded.write.partitionBy(DateCol).parquet(stagedOut.toString)
+      // one file per folded partition — the merge's entire point is
+      // shrinking the stored row/file count
+      folded.repartition(col(DateCol))
+        .write.partitionBy(DateCol).parquet(stagedOut.toString)
       PartitionedWriter.swapStagedPartitions(fs, root, staging, stagedOut,
         foldable.map(_.partition).toSeq)
     }
@@ -167,7 +178,8 @@ object Summing {
         .select(tbl.columns.map(col).toIndexedSeq: _*) // original order
       val stagedOut = new Path(staging, "out")
       if (fs.exists(stagedOut)) fs.delete(stagedOut, true)
-      folded.write.partitionBy(DateCol).parquet(stagedOut.toString)
+      folded.repartition(col(DateCol))
+        .write.partitionBy(DateCol).parquet(stagedOut.toString)
       PartitionedWriter.swapStagedPartitions(fs, root, staging, stagedOut,
         foldable.map(_.partition).toSeq)
     }
