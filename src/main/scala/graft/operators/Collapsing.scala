@@ -123,7 +123,10 @@ object Collapsing {
     df.groupBy(keyCols.map(col): _*)
       .agg(sum(sign).as("net_rows"),
         measureCols.map(m =>
-          sum(col(m).cast("long") * sign).as(s"net_$m")): _*)
+          // coalesce: a surviving key whose measure values are all NULL
+          // must net to 0, not NULL — net_<m> is an exact-long column
+          coalesce(sum(col(m).cast("long") * sign), lit(0L))
+            .as(s"net_$m")): _*)
       .filter(col("net_rows") > 0)
   }
 }

@@ -848,7 +848,7 @@ object Curation {
       col("f"), lit("corpus").as("g"))
     val fit = Stats.linFit(pts, col("x"), col("y"), col("g"))
     val tot = pts.agg(sum(col("f")).as("total_tokens"))
-    fit.crossJoin(tot).select(col("n").as("n_ranks"),
+    fit.crossJoin(broadcast(tot)).select(col("n").as("n_ranks"),
       col("total_tokens"), col("slope"), col("intercept"))
   }
 

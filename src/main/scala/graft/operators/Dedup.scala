@@ -532,8 +532,17 @@ object Dedup {
       threshold: Double, shingleN: Int = 2): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     val prepped = preppedShingles(df, textCol, idCol, shingleN)
-    val pairs = prefixCandidates(prepped, threshold)
-    verifyJaccard(pairs, prepped).filter(col("jaccard") >= threshold)
+    try {
+      // Materialize the verified pairs eagerly (localCheckpoint blocks
+      // are ContextCleaner-reclaimed once the caller drops the frame,
+      // unlike .cache()), so the big shingle frame can be unpersisted
+      // HERE instead of leaking one pinned cache per call. The result
+      // is the small side by construction — pairs at jaccard >= t, not
+      // the corpus-sized shingle table.
+      verifyJaccard(prefixCandidates(prepped, threshold), prepped)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally { prepped.unpersist(); () }
   }
 
   /** The (__id, __sh) shingle frame every PPJoin stage reads, cached

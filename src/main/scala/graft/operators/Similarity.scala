@@ -29,6 +29,14 @@ object Similarity {
 
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
+  /** Ceiling on k·dim before [[kmeansIntAssign]] stops embedding
+    * centroids as plan literals and switches to a broadcast-join
+    * assignment: 64 centroids × 64 dims of long literals codegens to
+    * roughly half of Janino's 64KB method limit; past this the literal
+    * plan either falls back to interpreted projection or balloons the
+    * serialized plan itself, so the join path (data, not plan) wins. */
+  private[graft] val MaxLiteralCentroidCells = 4096L
+
   /** Σ aᵢbᵢ over two float arrays — native fused-loop expression
     * ([[graft.functions.VecDot]]): the builtin
     * `aggregate(zip_with(a,b,_*_),0d,_+_)` formulation is codegen'd
@@ -78,8 +86,21 @@ object Similarity {
       dims: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1 && dims >= 1, "truncatedRecall: k and dims must be >= 1")
+    // dims must not OVERRUN the vector: slice(vec, 1, dims) with dims
+    // past the full dimension silently returns the whole vector and
+    // recall reads a trivially-perfect 1.0 while the user believes a
+    // 99-dim index was evaluated — fail loudly instead (the
+    // index-sizing decision this evaluator exists for would otherwise
+    // be silently wrong). dims == length stays allowed: that is the
+    // identity-calibration leg (recall exactly 1 by construction)
+    // harness sanity checks rely on. raise_error fires per-row at scan
+    // time, so an over-long dims aborts on the first vector it meets.
     def trunc(df: DataFrame): DataFrame =
-      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+      df.withColumn(vecCol,
+        when(size(col(vecCol)) < dims, raise_error(concat(
+          lit(s"truncatedRecall: dims=$dims exceeds embedding length "),
+          size(col(vecCol)).cast("string"))))
+        .otherwise(slice(col(vecCol), 1, dims)))
     val full = bruteForceTopK(corpus, queries, k, idCol, vecCol, queryIdCol)
       .select(col(queryIdCol), col(idCol))
     val truncated = bruteForceTopK(trunc(corpus), trunc(queries), k,
@@ -192,7 +213,12 @@ object Similarity {
     * Scale shape per iteration: one broadcast map-side assignment (no
     * corpus shuffle — centroids are k·dim longs) + one
     * (cluster, position) hash aggregation whose map-side combine
-    * shrinks the shuffle to k·dim rows per partition; the only
+    * shrinks the shuffle to k·dim rows per partition; above
+    * [[MaxLiteralCentroidCells]] (k·dim > 4096) the assignment
+    * switches from plan literals to a broadcast centroid JOIN +
+    * min-of-struct aggregate — same answers (pinned by spec), one
+    * extra id-keyed shuffle, no codegen blowup at k in the
+    * thousands; the only
     * driver-side state is the k·dim centroid table, the same bound
     * [[IvfIndex]] already accepts. Returns the LAST iteration's
     * assignment: (idCol, cluster, d2) where d2 is squared micro-unit
@@ -213,18 +239,41 @@ object Similarity {
       s"kmeansIntAssign: corpus has only ${cents.size} vectors, need k=$k")
 
     def assigned: DataFrame = {
-      // one (d2, cid) struct per centroid, min = nearest (ties to the
-      // lower id); centroids enter as literals — pure map-side codegen
-      val cands = cents.map { case (cid, arr) =>
-        struct(
-          aggregate(
-            zip_with(col("__m"), typedLit(arr.toSeq),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
-          lit(cid).as("cluster"))
+      if (k.toLong * cents.head._2.length <= MaxLiteralCentroidCells) {
+        // one (d2, cid) struct per centroid, min = nearest (ties to the
+        // lower id); centroids enter as literals — pure map-side codegen
+        val cands = cents.map { case (cid, arr) =>
+          struct(
+            aggregate(
+              zip_with(col("__m"), typedLit(arr.toSeq),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d2"),
+            lit(cid).as("cluster"))
+        }
+        micro.select(col(idCol), array_min(array(cands: _*)).as("__w"),
+          col("__m"))
+      } else {
+        // Large-k fallback: k·dim literals would blow past codegen's
+        // 64KB method limit (Spark silently falls back to interpreted
+        // projection, or the serialized plan itself grows to MBs).
+        // Instead the centroid table rides a broadcast join — data, not
+        // plan — and the per-vector winner is a min-of-struct hash
+        // aggregate. Costs one id-keyed shuffle per iteration that the
+        // literal path avoids, but the shuffle carries one row per
+        // vector (map-side combined), not corpus × k.
+        import spark.implicits._
+        val centDf = cents.map { case (cid, arr) => (cid, arr.toSeq) }
+          .toDF("__cid", "__cm")
+        val d2 = aggregate(
+          zip_with(col("__m"), col("__cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        micro.join(broadcast(centDf))
+          .select(col(idCol),
+            struct(d2.as("d2"), col("__cid").as("cluster")).as("__s"),
+            col("__m"))
+          .groupBy(col(idCol))
+          .agg(min(col("__s")).as("__w"), first(col("__m")).as("__m"))
       }
-      micro.select(col(idCol), array_min(array(cands: _*)).as("__w"),
-        col("__m"))
     }
 
     var last: DataFrame = null

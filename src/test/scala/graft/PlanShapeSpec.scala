@@ -587,6 +587,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("k-means at k=4096/dim=64 takes the broadcast-join plan, no literal blowup") {
+    // k*dim = 262144 literals would blow Janino's 64KB method limit
+    // (silent interpreted fallback) and balloon the serialized plan;
+    // past MaxLiteralCentroidCells the assignment must be a broadcast
+    // centroid join + min-of-struct hash aggregate instead — and the
+    // action must complete (no OOM, no codegen failure)
+    import spark.implicits._
+    val dim = 64
+    val k = 4096
+    val vecs = spark.range(k.toLong)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), j =>
+          ((col("id") * 131 + j * 17) % 1000).cast("float") / 100f)
+          .as("embedding"))
+    val df = operators.Similarity.kmeansIntAssign(vecs, k, iters = 1)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"large-k assignment must join broadcast centroids:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    // min-of-struct aggregates via SortAggregate (structs have no
+    // mutable hash-agg buffer) — either aggregate shape is fine, a
+    // window/join-back winner resolution is not
+    assert(plan.contains("Aggregate"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+    // plan stays data-sized: 262144 centroid longs must NOT be inlined
+    // as expression literals (the join ships them as a relation)
+    assert(plan.length < 200000, s"plan text is ${plan.length} chars")
+    assert(df.count() == k.toLong)
+  }
+
   test("collapsing FINAL is one hash aggregation — no join, no window") {
     import spark.implicits._
     val ledger = core.Tables.load(spark, sf, "events")

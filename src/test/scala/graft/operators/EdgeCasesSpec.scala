@@ -56,10 +56,20 @@ class EdgeCasesSpec extends SparkSpec {
     val tiny = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException](
       Similarity.kmeansIntAssign(tiny, k = 5, iters = 1))
-    // truncatedRecall: dims past the vector length degrade to the full
-    // ranking (slice truncates), never an index error
+    // truncatedRecall: dims past the vector length must fail LOUDLY —
+    // slice would silently return the whole vector and recall would
+    // read a trivially-perfect 1.0 for an index size that was never
+    // actually evaluated
     val qs = tiny.select(col("vec_id").as("query_id"), col("embedding"))
-    val tr = Similarity.truncatedRecall(tiny, qs, k = 1, dims = 99)
+    val overrun = intercept[Exception] {
+      Similarity.truncatedRecall(tiny, qs, k = 1, dims = 99).collect()
+    }
+    assert(overrun.getMessage.contains("exceeds embedding length"),
+      overrun.getMessage)
+    // dims == length is the identity-calibration leg: recall exactly 1
+    val dim = tiny.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val tr = Similarity.truncatedRecall(tiny, qs, k = 1, dims = dim)
       .collect().head
     assert(tr.getLong(1) == 1L && tr.getDouble(2) == 1.0, tr.toString)
     // slaAlertRows: empty status frame -> no alerts

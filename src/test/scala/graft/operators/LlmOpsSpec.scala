@@ -334,6 +334,21 @@ class LlmOpsSpec extends SparkSpec {
       (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
     val k = 3
     val iters = 4
+    val lastAssign = lloydReplica(data, k, iters, dim)
+    val gotR = Similarity.kmeansIntAssign(data.toDF("vec_id", "embedding"),
+        k, iters)
+      .select("vec_id", "cluster", "d2").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotR == lastAssign,
+      s"diff: ${gotR.toSet.diff(lastAssign.toSet).take(3)} vs " +
+        s"${lastAssign.toSet.diff(gotR.toSet).take(3)}")
+  }
+
+  // the independent driver-side Lloyd replication both kmeans tests
+  // compare against (seeds = k lowest ids, quantize once, d2 argmin
+  // with id ties, truncating-div means, empty cluster keeps centroid)
+  private def lloydReplica(data: Seq[(Long, Array[Float])], k: Int,
+      iters: Int, dim: Int): Map[Long, (Long, Long)] = {
     val micro = data.map { case (id, v) =>
       (id, v.map(x => math.round(x.toDouble * 1e6)))
     }
@@ -356,13 +371,30 @@ class LlmOpsSpec extends SparkSpec {
         }
       }
     }
-    val gotR = Similarity.kmeansIntAssign(data.toDF("vec_id", "embedding"),
+    lastAssign
+  }
+
+  test("kmeansIntAssign large-k broadcast-join fallback equals the literal algorithm") {
+    import spark.implicits._
+    // k*dim = 70*64 = 4480 > MaxLiteralCentroidCells (4096): this run
+    // takes the broadcast-join assignment path; answers must still
+    // match the driver-side replication bit-for-bit
+    val rnd = new scala.util.Random(19L)
+    val dim = 64
+    val n = 140
+    val k = 70
+    val iters = 2
+    assert(k.toLong * dim > Similarity.MaxLiteralCentroidCells)
+    val data = (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val expect = lloydReplica(data, k, iters, dim)
+    val got = Similarity.kmeansIntAssign(data.toDF("vec_id", "embedding"),
         k, iters)
       .select("vec_id", "cluster", "d2").as[(Long, Long, Long)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(gotR == lastAssign,
-      s"diff: ${gotR.toSet.diff(lastAssign.toSet).take(3)} vs " +
-        s"${lastAssign.toSet.diff(gotR.toSet).take(3)}")
+    assert(got == expect,
+      s"diff: ${got.toSet.diff(expect.toSet).take(3)} vs " +
+        s"${expect.toSet.diff(got.toSet).take(3)}")
   }
 
   test("truncatedRecall: full dims give recall 1; a truncation-confusable pair drops it") {
