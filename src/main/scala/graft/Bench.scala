@@ -432,13 +432,61 @@ object Bench {
             s"""${rb.flatJson("base", nCpu)},"grown_cands":$cg,""" +
             s""""grown_pairs":$pg,${rg.flatJson("grown", nCpu)}}"""
         }).toSeq
+        // Unigram-encode rehearsal (round-8 item 2): the model
+        // broadcasts and Viterbi segmentation runs ON EXECUTORS over
+        // the distinct-words frame, so 10× documents — and with them
+        // ~10× distinct words (every synthetic variant injects unique
+        // tokens) — must cost ~scan growth with NO driver-side
+        // segmentation loop. The distinct-word counts are recorded so
+        // the vocabulary growth is a fact of the artifact, and the
+        // cpu/util receipts expose a driver bottleneck if one returns
+        // (a single-threaded driver loop shows as util ≈ 1/cores).
+        def encTimed(label: String, model: operators.Unigram.Model,
+            d: String): Option[(Long, Long, Receipt)] = {
+          spark.catalog.clearCache()
+          try {
+            val ((words, rows), rc) = receiptOf {
+              val docs = core.Tables.load(spark, d, "documents")
+              val w = docs.select(explode(
+                  graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+                .agg(countDistinct(col("w"))).collect().head.getLong(0)
+              val n = operators.Unigram.encode(docs, model).count()
+              (w, n)
+            }
+            Some((words, rows, rc))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val l96g = (try {
+          val model = operators.Unigram.train(
+            core.Tables.load(spark, sfDir, "documents"),
+            vocabSize = 60, seedSize = 200, maxPieceLen = 3, minCount = 2)
+          for {
+            (wb, nb, rb) <- encTimed("synthC:l96g(base)", model, sfDir)
+            (wg, ng, rg) <- encTimed(s"synthC:l96g(x$synthFactor)", model, dir)
+          } yield {
+            System.err.println(f"[bench] synthC x$synthFactor l96g_unigram_encode " +
+              f"base $wb%d words/$nb%d tokens/${rb.wall}%5.2f s -> grown " +
+              f"$wg%d words/$ng%d tokens/${rg.wall}%5.2f s " +
+              f"(word ratio ${wg.toDouble / math.max(wb, 1)}%.1fx)")
+            s""""l96g_unigram_encode":{"base_words":$wb,"base_tokens":$nb,""" +
+              s"""${rb.flatJson("base", nCpu)},"grown_words":$wg,""" +
+              s""""grown_tokens":$ng,${rg.flatJson("grown", nCpu)}}"""
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] l96g FAILED: ${e.getMessage}")
+          None
+        }).toSeq
         val items = (timings
           .map { case (q, t) =>
             val base = "\"" + q + f"\":$t%.3f"
             receiptFor(s"synth:$q")
               .map(r => s"$base,${r.metaJson(q, nCpu)}").getOrElse(base)
           } ++
-          (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++ l19Census)
+          (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++
+          l19Census ++ l96g)
           .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
@@ -665,6 +713,94 @@ object Bench {
         ""
       }
 
+    // LLM training-data chain at factor×: the full curate → near-dup
+    // keep-best → decontaminate → shuffle/pack path (the l28/l58/l59/
+    // l46+packSequences shapes CHAINED, each stage boundary
+    // materialized via eager localCheckpoint and receipted with its
+    // row count) at sf base and factor× documents. The synth
+    // rehearsals above time operators singly; this proves the STAGE
+    // SEAMS — what each stage hands the next, and what that handoff
+    // costs — stay flat when the corpus grows (round-8 stretch 7).
+    val chainFactor =
+      sys.env.getOrElse("SPARK_GRAFT_CHAIN_FACTOR", "10").toInt
+    val chain: String =
+      if (only.isDefined || chainFactor <= 1) ""
+      else try {
+        def runChain(tag: String, d: String): Option[String] = try {
+          spark.catalog.clearCache()
+          val docs = core.Tables.load(spark, d, "documents")
+            .select("doc_id", "text")
+          // stand-in eval benchmark, the l22/l59 construction: doc
+          // prefixes — guaranteed hits so the decontam stage provably
+          // removes rows at both scales
+          val bench = docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id"), substring(col("text"), 1, 150)
+              .as("text"))
+          val stages = scala.collection.mutable.ArrayBuffer[String]()
+          var totalSec = 0.0
+          def staged(name: String)(
+              mk: => org.apache.spark.sql.DataFrame)
+              : org.apache.spark.sql.DataFrame = {
+            val ((out, rows), rc) = receiptOf {
+              val f = mk.localCheckpoint(true)
+              (f, f.count())
+            }
+            totalSec += rc.wall
+            stages += s""""$name":{"rows":$rows,${rc.flatJson("sec", nCpu)}}"""
+            out
+          }
+          val curated = staged("curate") {
+            streaming.CurationStream.curate(docs, "text")
+              .filter(col("accepted"))
+              .select("doc_id", "text")
+          }
+          val deduped = staged("dedup_keep_best") {
+            val pairs = operators.Dedup
+              .minhashCandidates(curated, "text", "doc_id")
+              .filter(col("jaccard") >= 0.8)
+            operators.Dedup.keepBestPerCluster(curated, pairs, "doc_id",
+                size(graft.functions.TextFunctions.tokens(col("text"))))
+              .select("doc_id", "text")
+          }
+          val clean = staged("decontaminate") {
+            val flags = operators.Dedup.bloomDecontaminate(deduped,
+              bench, "text", "doc_id")
+            deduped.join(flags.filter(col("contaminated"))
+              .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          }
+          val packed = staged("shuffle_pack") {
+            val withTok = clean.withColumn("n_tokens",
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long"))
+            val sh = operators.Curation.epochShuffle(withTok,
+              col("doc_id"), numShards = 32, seed = 9)
+            operators.Curation.packSequences(sh, "n_tokens", "shard_pos",
+              budget = 2048, groupCols = Seq("shard"))
+          }
+          val nPacks = packed.select(col("shard"), col("pack_id"))
+            .distinct().count()
+          val nDocs = docs.count()
+          System.err.println(f"[bench] e2e_chain $tag: $nDocs%d docs -> " +
+            f"$nPacks%d packs in $totalSec%.1f s")
+          Some(s""""$tag":{"docs":$nDocs,"packs":$nPacks,""" +
+            f""""total_sec":$totalSec%.3f,${stages.mkString(",")}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] e2e_chain($tag) FAILED: ${e.getMessage}")
+          None
+        }
+        val dirC = java.nio.file.Files
+          .createTempDirectory("graft_chain").toString
+        sources.SyntheticDocs.materialize(spark, sfDir, dirC, chainFactor)
+        (for {
+          b <- runChain("base", sfDir)
+          g <- runChain(s"grown_x$chainFactor", dirC)
+        } yield s""","e2e_chain":{"factor":$chainFactor,$b,$g}""")
+          .getOrElse("")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] e2e_chain FAILED: ${e.getMessage}")
+        ""
+      }
+
     // sequential-analytics growth rehearsal: funnel, sequence match
     // and PageRank are linear in events/edges (funnel: one shrinking
     // aggregation per step; sequence match: one window pass; pagerank:
@@ -763,27 +899,27 @@ object Bench {
               System.err.println(f"[bench] synthE x$synthEvFactor $nm%-18s " +
                 f"base $nb%7d rows/${rb.wall}%5.2f s -> grown $ng%8d rows/" +
                 f"${rg.wall}%5.2f s (ratio ${rg.wall / rb.wall}%.1fx)")
+              // the pagerank entry carries its OWN growth attribution:
+              // iterations and the edge counts it ran over (edges per
+              // dir = events - distinct users: one lag edge per event
+              // with a predecessor), so super-linearity, if it ever
+              // returns, is attributable to |E| from this entry alone
+              val extra = if (nm != "l81g_pagerank") "" else try {
+                def edgesOf(d: String): Long = {
+                  val ev = core.Tables.load(spark, d, "events")
+                  val r = ev.agg(count(lit(1)).as("n"),
+                    countDistinct(col("user_id")).as("u")).collect().head
+                  r.getLong(0) - r.getLong(1)
+                }
+                s""","iters":3,"base_edges":${edgesOf(sfDir)},"grown_edges":${edgesOf(dir)}"""
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] l81g edges FAILED: ${e.getMessage}")
+                ""
+              }
               s""""$nm":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
-                s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
+                s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}$extra}"""
             }
           }
-        // the l81g entry above times 3 fixed PageRank iterations; the
-        // growth attribution needs the EDGE counts it ran over (edges
-        // per dir = events - distinct users: one lag edge per event
-        // with a predecessor), recorded so super-linearity can be
-        // attributed to |E| instead of guessed at (round-7 item 8)
-        val l81Meta: Seq[String] = try {
-          def edgesOf(d: String): Long = {
-            val ev = core.Tables.load(spark, d, "events")
-            val r = ev.agg(count(lit(1)).as("n"),
-              countDistinct(col("user_id")).as("u")).collect().head
-            r.getLong(0) - r.getLong(1)
-          }
-          Seq(s""""l81g_meta":{"base_edges":${edgesOf(sfDir)},"grown_edges":${edgesOf(dir)},"iters":3}""")
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] l81g_meta FAILED: ${e.getMessage}")
-          Nil
-        }
         // hot-entity strict_order rehearsal (round-7 item 4): ONE user
         // owns half the events, so its marker buffer is ~n/2 packed
         // longs — the mode's documented worst case, exercised well
@@ -896,7 +1032,7 @@ object Bench {
           s""""h60g_lpm6_winners":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
             s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
         }
-        val allEntries = entries ++ l81Meta ++ hotEntry ++
+        val allEntries = entries ++ hotEntry ++
           lpmEntry.toSeq ++ lpm6Entry.toSeq
         if (allEntries.isEmpty) ""
         else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${allEntries.mkString(",")}}"""
@@ -923,9 +1059,15 @@ object Bench {
     // end-of-suite AGED-JVM re-time of the heavy tail: if these match
     // the in-suite medians, suite position / JVM aging does not explain
     // a slow recorded run (points at box load); if they are faster,
-    // the JVM aged. Either way the artifact answers it.
-    val heavyNames = results.collect { case (k, Some(v), _) => (k, v) }
-      .sortBy(-_._2).take(8).map(_._1)
+    // the JVM aged. Either way the artifact answers it. Tail = top 8
+    // by median UNION everything over 2 s — round 8's unexplained
+    // l67/l66 inflation sat exactly in the >2 s band the fixed top-8
+    // could miss, so the band itself is now the contract.
+    val heavyMedians = results.collect { case (k, Some(v), _) => (k, v) }
+      .sortBy(-_._2)
+    val heavyNames =
+      (heavyMedians.take(8) ++ heavyMedians.filter(_._2 > 2.0))
+        .map(_._1).distinct
     val retime: String =
       if (only.isDefined) ""
       else {
@@ -942,10 +1084,14 @@ object Bench {
     // round-7's l19 finding was only diagnosable per-rep (rep 1 warm-up
     // burning 3x the CPU of reps 2-3 is invisible in a median receipt).
     // util = cpu / (wall × cores): low util with flat gc = the box was
-    // busy, not the plan.
+    // busy, not the plan. Coverage contract: top 12 UNION every query
+    // over 2 s, so the artifact can adjudicate ANY heavy-tail outlier
+    // from its own reps instead of storing one bare float (round 8's
+    // l67/l66 gap was un-adjudicable for exactly that reason).
     val receipts: String = {
-      val items = results.collect { case (k, Some(v), _) => (k, v) }
-        .sortBy(-_._2).take(12).flatMap { case (nm, med) =>
+      val items =
+        (heavyMedians.take(12) ++ heavyMedians.filter(_._2 > 2.0))
+          .distinct.flatMap { case (nm, med) =>
           val reps = repReceipts.synchronized {
             repReceipts.filter(_._1 == nm).toSeq
           }
@@ -964,7 +1110,7 @@ object Bench {
       f""","env":{"cpus":${cpus.toInt},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadAvg%.2f,"gc_total_sec":$gcSecNow%.1f,"heap_max_gb":$heapGb%.1f}"""
     }
 
-    val fullJson = f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$synthEv$skew$retime$receipts$envJson}"""
+    val fullJson = f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$chain$synthEv$skew$retime$receipts$envJson}"""
     // The driver's bench capture keeps only the LAST ~2000 chars of stdout;
     // a 7 KB line gets its head truncated and can never parse (rounds 1-5
     // recorded parsed:null). Full artifact goes to a file + stderr; stdout

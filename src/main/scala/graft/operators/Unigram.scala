@@ -18,10 +18,11 @@ import graft.functions.TextFunctions
   *  - seed census, EM lattice passes and pruning run DRIVER-LOCAL
   *    over the bounded dictionary (every production unigram trainer
   *    is single-node over word counts — the corpus never re-enters);
-  *  - encoding is a broadcast join of the corpus tokens against the
-  *    dictionary's precomputed Viterbi segmentations; OOV words fall
-  *    back to character pieces (single chars are never pruned, so
-  *    coverage is total).
+  *  - encoding broadcasts the MODEL (vocab-sized map), segments the
+  *    distinct-words frame on executors, and joins tokens against the
+  *    segmentations (broadcast under 10⁵ words, word-keyed shuffle
+  *    above); OOV words fall back to character pieces (single chars
+  *    are never pruned, so coverage is total).
   *
   * Determinism: the seed is ranked by (count desc, piece asc); EM is
   *  a fixed-order fold over the sorted dictionary (float math in one
@@ -271,27 +272,51 @@ object Unigram {
     best(len)
   }
 
-  /** Encode the corpus: tokenize, broadcast-join each token against
-    * the dictionary's precomputed Viterbi segmentation (computed
-    * driver-side once per DISTINCT dict word, never per occurrence);
-    * OOV words fall back to character pieces. Output one row per
+  /** Dictionaries at or under this word count broadcast their
+    * segmentation table to the token join; larger ones shuffle on the
+    * word key instead (a 2²²-row broadcast would blow the default
+    * 8GB broadcast-table limit and pin executor memory for no win —
+    * past ~10⁵ words the hash side stops being "small"). */
+  private[graft] val BroadcastDictMaxWords = 100000L
+
+  /** Encode the corpus: tokenize, join each token occurrence against
+    * the dictionary's precomputed Viterbi segmentation; OOV words
+    * fall back to character pieces. Output one row per
     * (doc, token_idx): (idCol, token_idx, word, subwords) — the same
-    * surface as [[Bpe.encode]], so [[Bpe.fertility]] reads both. */
+    * surface as [[Bpe.encode]], so [[Bpe.fertility]] reads both.
+    *
+    * Scale shape: the MODEL broadcasts (vocab-sized `Map` — a few
+    * hundred KB even at 32k pieces) and Viterbi runs ON EXECUTORS
+    * over the distinct-words frame, once per distinct word — the
+    * driver never touches the dictionary (the round-8 formulation
+    * collected up to 2²² words, segmented them single-threaded, and
+    * broadcast a millions-of-rows frame back out). The segmentation
+    * table is materialized via eager localCheckpoint (blocks are
+    * ContextCleaner-reclaimed; counting it is then free) and joins
+    * broadcast below [[BroadcastDictMaxWords]] words, word-keyed
+    * shuffle above. */
   def encode(docs: DataFrame, model: Model, textCol: String = "text",
       idCol: String = "doc_id", maxDictWords: Int = 1 << 22): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dictWords = wordCounts(docs, textCol)
+    val bm = spark.sparkContext.broadcast(model)
+    val seg = wordCounts(docs, textCol)
       .orderBy(col("__n").desc, col("word").asc)
       .limit(maxDictWords)
-      .select("word").collect().map(_.getString(0))
-    val seg = dictWords.map(w => (w, viterbi(model, w))).toSeq
+      .select("word").as[String]
+      .mapPartitions { it =>
+        val m = bm.value
+        it.map(w => (w, viterbi(m, w)))
+      }
       .toDF("word", "pieces")
+      .localCheckpoint(true)
+    val dictSide =
+      if (seg.count() <= BroadcastDictMaxWords) broadcast(seg) else seg
     docs
       .select(col(idCol),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("token_idx", "word")))
-      .join(broadcast(seg), Seq("word"), "left")
+      .join(dictSide, Seq("word"), "left")
       .select(col(idCol), col("token_idx"), col("word"),
         coalesce(col("pieces"),
           filter(split(col("word"), ""), s => length(s) > 0))

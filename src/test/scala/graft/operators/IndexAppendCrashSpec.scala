@@ -1,0 +1,173 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crash injection for the STREAMING index-append paths: the batch
+  * writers' staged-swap lifecycle has StagedSwapCrashSpec; this is the
+  * same discipline for [[LshIndex.append]]/[[IvfIndex.append]], whose
+  * batch-replay tolerance the streaming twins rely on. A crash is just
+  * disk state, so each test constructs the exact state a kill leaves
+  * at an interruption point, replays the SAME batch (what a restarted
+  * streaming query does on at-least-once re-delivery), and asserts the
+  * probe/query results are identical to one clean append — and that no
+  * doubled rows survive.
+  *
+  * Interruption points per append protocol:
+  *  - LSH writes TWO tables (members, then grams): a kill between them
+  *    leaves members committed for the batch and grams absent — the
+  *    two-table seam is LSH-specific and the most dangerous state.
+  *  - Within one dynamic-overwrite parquet write, a kill between task
+  *    staging and job commit leaves `_temporary` staging junk but NO
+  *    visible files (FileOutputCommitter renames at commit) — the
+  *    replay must converge and the junk must not poison reads.
+  */
+class IndexAppendCrashSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def fs(root: String) = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def batch0 = docsDF((0L until 40L).map(i =>
+    (i, s"document $i discusses topic ${i % 5} covering alpha beta gamma " +
+      s"delta epsilon zeta eta theta word${i % 11} tail${i % 3}")))
+  private def batch1 = docsDF(Seq(
+    (100L, "document 0 discusses topic 0 covering alpha beta gamma " +
+      "delta epsilon zeta eta theta word0 tail9"),
+    (101L, "an entirely novel text unlike anything else in the corpus"),
+    (102L, "an entirely novel text unlike anything else in the corpus too")))
+  private def batch2 = docsDF(Seq(
+    (200L, "document 3 discusses topic 3 covering alpha beta gamma " +
+      s"delta epsilon zeta eta theta word3 tail0"),
+    (201L, "fresh verification text probing the crashed-and-replayed index")))
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+
+  /** One clean LSH root with batches 0 and 1 appended — the reference
+    * state every crashed-and-replayed root must converge to. */
+  private def cleanLshRoot(): String = {
+    val root = tmp("graft_lshcrash_clean")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
+    LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
+    root
+  }
+
+  private def rowCount(path: String): Long =
+    try spark.read.parquet(path).count() catch { case _: Throwable => -1L }
+
+  test("LSH: kill between the members and grams writes, replay converges") {
+    val clean = cleanLshRoot()
+
+    // crashed root: full batch-1 append, then construct the exact disk
+    // state of a kill after the members commit — grams has no batch-1
+    // partitions (dynamic overwrite commits per table, in order)
+    val root = tmp("graft_lshcrash_seam")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
+    LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
+    val f = fs(root)
+    val gramsB1 = f.globStatus(
+      new Path(s"$root/grams/${LshIndex.BatchCol}=1"))
+    assert(gramsB1.nonEmpty, "fixture: batch-1 grams must exist pre-crash")
+    gramsB1.foreach(s => f.delete(s.getPath, true))
+    // the torn state IS torn: a probe over it would miss batch-1 grams
+    assert(rowCount(s"$root/grams") < rowCount(s"$clean/grams"))
+
+    // at-least-once replay of the SAME batch
+    LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
+
+    val probe = Dedup.buildIndex(batch2, "text", "doc_id")
+    assert(pairSet(LshIndex.probe(probe, root)) ==
+      pairSet(LshIndex.probe(probe, clean)))
+    assert(rowCount(s"$root/members") == rowCount(s"$clean/members"),
+      "replay must overwrite its own member partitions, not double them")
+    assert(rowCount(s"$root/grams") == rowCount(s"$clean/grams"))
+  }
+
+  test("LSH: kill between task staging and job commit, replay converges") {
+    val clean = cleanLshRoot()
+
+    val root = tmp("graft_lshcrash_stage")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
+    // the state a kill leaves mid-job: staged task output under
+    // _temporary, nothing committed for the batch
+    val f = fs(root)
+    val staged = new Path(
+      s"$root/members/_temporary/0/_temporary/attempt_x/part-00000.parquet")
+    f.mkdirs(staged.getParent)
+    val out = f.create(staged, true)
+    try out.write(Array.fill(64)(0x5A.toByte)) finally out.close()
+
+    // staging junk must not poison reads of the committed batches
+    assert(rowCount(s"$root/members") == rowCount(s"$clean/members") -
+      spark.read.parquet(s"$clean/members")
+        .filter(col(LshIndex.BatchCol) === 1L).count())
+
+    LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
+    val probe = Dedup.buildIndex(batch2, "text", "doc_id")
+    assert(pairSet(LshIndex.probe(probe, root)) ==
+      pairSet(LshIndex.probe(probe, clean)))
+    assert(rowCount(s"$root/members") == rowCount(s"$clean/members"))
+  }
+
+  private def vec(i: Long): Array[Float] = {
+    val a = Array.fill(8)(0.05f + (i % 3) * 0.01f)
+    a((i % 8).toInt) = 1.0f
+    a(((i / 8) % 8).toInt) += 0.2f
+    a
+  }
+
+  private def corpus(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, vec(i.toLong))).toDF("vec_id", "embedding")
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSet
+
+  test("IVF: kill mid-append leaves staging junk; replay converges") {
+    val q = corpus(0 until 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val clean = tmp("graft_ivfcrash_clean")
+    IvfIndex.build(corpus(0 until 100), clean, nlist = 8)
+    IvfIndex.append(corpus(100 until 150), clean, batchId = 1L)
+
+    val root = tmp("graft_ivfcrash")
+    IvfIndex.build(corpus(0 until 100), root, nlist = 8)
+    // kill state 1: staged-but-uncommitted task output for batch 1
+    val f = fs(root)
+    val staged = new Path(
+      s"$root/cells/_temporary/0/_temporary/attempt_y/part-00000.parquet")
+    f.mkdirs(staged.getParent)
+    val out = f.create(staged, true)
+    try out.write(Array.fill(64)(0x5A.toByte)) finally out.close()
+
+    IvfIndex.append(corpus(100 until 150), root, batchId = 1L)
+    assert(resultSet(IvfIndex.query(spark, root, q, k = 5, nprobe = 3)) ==
+      resultSet(IvfIndex.query(spark, clean, q, k = 5, nprobe = 3)))
+    assert(rowCount(s"$root/cells") == rowCount(s"$clean/cells"))
+
+    // kill state 2: batch committed, THEN re-delivered (the plain
+    // at-least-once replay) — partitions overwrite, rows don't double
+    IvfIndex.append(corpus(100 until 150), root, batchId = 1L)
+    assert(rowCount(s"$root/cells") == rowCount(s"$clean/cells"))
+    assert(resultSet(IvfIndex.query(spark, root, q, k = 5, nprobe = 3)) ==
+      resultSet(IvfIndex.query(spark, clean, q, k = 5, nprobe = 3)))
+  }
+}
