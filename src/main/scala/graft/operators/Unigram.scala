@@ -14,20 +14,29 @@ import graft.functions.TextFunctions
   *
   * Shapes for 100 TB (the same discipline as [[Bpe]]):
   *  - ONE corpus pass builds the (word, count) dictionary —
-  *    map-side-combined, vocab-bounded, capped at `maxDictWords`;
-  *  - seed census, EM lattice passes and pruning run DRIVER-LOCAL
-  *    over the bounded dictionary (every production unigram trainer
-  *    is single-node over word counts — the corpus never re-enters);
+  *    map-side-combined, vocab-bounded, capped at `maxDictWords`,
+  *    and it STAYS distributed (never collected);
+  *  - the seed census is a distributed substring enumeration over the
+  *    dictionary; the E-step of every EM round runs ON EXECUTORS
+  *    (model broadcast, per-word lattices independent) and reduces to
+  *    one vocab-sized expected-count map via exact decimal sums —
+  *    order-free, so the distributed result is bit-identical run to
+  *    run and to a single-threaded fold; only the vocab-sized M-step
+  *    and pruning run on the driver (the corpus never re-enters);
   *  - encoding broadcasts the MODEL (vocab-sized map), segments the
   *    distinct-words frame on executors, and joins tokens against the
   *    segmentations (broadcast under 10⁵ words, word-keyed shuffle
   *    above); OOV words fall back to character pieces (single chars
   *    are never pruned, so coverage is total).
   *
-  * Determinism: the seed is ranked by (count desc, piece asc); EM is
-  *  a fixed-order fold over the sorted dictionary (float math in one
-  *  thread, one order — reproducible run-to-run); Viterbi ties
-  *  prefer the longer final piece. The float-free seed census is the
+  * Determinism: the seed is ranked by (count desc, piece asc); the
+  *  E-step quantizes every per-word expected-count contribution to
+  *  1e-12 and accumulates with EXACT BigDecimal addition, which is
+  *  associative and commutative — partition count, merge order and
+  *  thread schedule cannot change the totals (the same order-free
+  *  trick as the house fixed-point longs, with decimal headroom
+  *  because expected counts are corpus-sized); Viterbi ties prefer
+  *  the longer final piece. The float-free seed census is the
   *  SQL-replayable surface (suite l96); the EM/Viterbi core is
   *  pinned by exhaustive-search property specs (UnigramSpec), the
   *  same proof pattern as the funnel DP.
@@ -68,19 +77,83 @@ object Unigram {
     else if (a > b) a + math.log1p(math.exp(b - a))
     else b + math.log1p(math.exp(a - b))
 
+  /** Accumulate one word's E-step contributions (forward-backward
+    * posteriors over its segmentation lattice, O(len·maxPieceLen))
+    * into `acc`, quantized to 1e-12 — runs per-word on EXECUTORS.
+    * Exact BigDecimal addition makes the global sum independent of
+    * partitioning and merge order. */
+  private def accumWord(acc: EAcc, w: String, n: Long,
+      logp: Map[String, Double], maxPieceLen: Int): Unit = {
+    val len = w.length
+    val alpha = Array.fill(len + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(len + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      while (l <= maxPieceLen && l <= i) {
+        logp.get(w.substring(i - l, i)).foreach { lp =>
+          alpha(i) = logAdd(alpha(i), alpha(i - l) + lp)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    beta(len) = 0.0
+    i = len - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= maxPieceLen && i + l <= len) {
+        logp.get(w.substring(i, i + l)).foreach { lp =>
+          beta(i) = logAdd(beta(i), lp + beta(i + l))
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    val z = alpha(len)
+    if (z != Double.NegativeInfinity) {
+      i = 0
+      while (i < len) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= len) {
+          val p = w.substring(i, i + l)
+          logp.get(p).foreach { lp =>
+            val post = math.exp(alpha(i) + lp + beta(i + l) - z)
+            if (post > 0.0) {
+              val c = java.math.BigDecimal.valueOf(n * post)
+                .setScale(12, java.math.RoundingMode.HALF_EVEN)
+              acc.update(p, acc.getOrElse(p, java.math.BigDecimal.ZERO).add(c))
+            }
+          }
+          l += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Per-partition (and merged) expected-count accumulator. */
+  private type EAcc =
+    scala.collection.mutable.HashMap[String, java.math.BigDecimal]
+
   /** Train a unigram model over the corpus word dictionary.
     *
-    * Exactly ONE Spark job touches the corpus (the word-count
-    * collect). Driver-local after that: seed = the `seedSize` most
-    * frequent substrings (plus all single characters, which are
-    * never pruned — total coverage); then rounds of (EM ×`emIters` →
-    * prune the lowest-expected-count multi-char pieces to
-    * `pruneKeep` of the vocabulary) until ≤ `vocabSize` pieces
-    * survive, and one settling EM round. The E-step is the standard
-    * forward-backward over each word's segmentation lattice
-    * (O(len·maxPieceLen) per word); the M-step renormalizes expected
-    * counts. Pruning by expected count is the common simplification
-    * of Kudo's held-out-likelihood loss (e.g. Bostrom & Durrett 2020
+    * One corpus pass builds the (word, count) dictionary, which stays
+    * DISTRIBUTED (materialized once via localCheckpoint — every EM
+    * round re-reads it without replay). Seed = the `seedSize` most
+    * frequent substrings by a distributed census (plus all single
+    * characters, which are never pruned — total coverage); then rounds
+    * of (EM ×`emIters` → prune the lowest-expected-count multi-char
+    * pieces to `pruneKeep` of the vocabulary) until ≤ `vocabSize`
+    * pieces survive, and one settling EM round. Each E-step broadcasts
+    * the vocab-sized model, runs every word's forward-backward lattice
+    * on executors, and tree-reduces ONE vocab-sized expected-count map
+    * (exact decimal sums — order-free, so distributed ≡ sequential
+    * bit-for-bit); the vocab-sized M-step renormalizes on the driver.
+    * Driver state is never larger than the vocabulary. Pruning by
+    * expected count is the common simplification of Kudo's
+    * held-out-likelihood loss (e.g. Bostrom & Durrett 2020
     * replication); the spec pins that corpus log-likelihood is
     * non-decreasing across EM iterations, which is EM's guarantee.
     */
@@ -91,88 +164,62 @@ object Unigram {
     require(vocabSize > 0 && seedSize >= vocabSize,
       s"need seedSize ($seedSize) >= vocabSize ($vocabSize) > 0")
     require(pruneKeep > 0.0 && pruneKeep < 1.0, "pruneKeep must be in (0,1)")
-    val dict: Array[(String, Long)] = wordCounts(docs, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // repartition after the top-K: TakeOrdered leaves one partition,
+    // which would single-thread every EM pass
+    val dictDf = wordCounts(docs, textCol)
       .filter(col("__n") >= minCount)
       .orderBy(col("__n").desc, col("word").asc)
       .limit(maxDictWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .repartition(par, col("word"))
+      .localCheckpoint(true)
 
-    // driver-side census over the bounded dict (same enumeration as
-    // [[seedCensus]]; overlapping occurrences all count)
-    val census = scala.collection.mutable.HashMap.empty[String, Long]
-    dict.foreach { case (w, n) =>
-      var i = 0
-      while (i < w.length) {
-        var l = 1
-        while (l <= maxPieceLen && i + l <= w.length) {
-          val p = w.substring(i, i + l)
-          census.update(p, census.getOrElse(p, 0L) + n)
-          l += 1
-        }
-        i += 1
-      }
-    }
-    val singles = census.keysIterator.filter(_.length == 1).toSet
-    val multis = census.iterator.filter(_._1.length > 1).toArray
-      .sortBy { case (p, c) => (-c, p) }
-      .take(math.max(0, seedSize - singles.size)).map(_._1)
-    var pieces: Array[String] = (singles ++ multis).toArray.sorted
+    // distributed census (same enumeration as [[seedCensus]];
+    // overlapping occurrences all count); only the vocab-sized seed
+    // selection is collected
+    val censusDf = dictDf
+      .select(col("word"), col("__n"),
+        explode(sequence(lit(1), length(col("word")))).as("__i"))
+      .select(col("word"), col("__n"), col("__i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .filter(col("__i") + col("__l") - lit(1) <= length(col("word")))
+      .select(col("word").substr(col("__i"), col("__l")).as("piece"),
+        col("__n"))
+      .groupBy("piece").agg(sum(col("__n")).as("cnt"))
+      .localCheckpoint(true)
+    val singles: Array[(String, Long)] = censusDf
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multis: Array[(String, Long)] = censusDf
+      .filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(math.max(0, seedSize - singles.length))
+      .as[(String, Long)].collect()
+    val census: Map[String, Long] = (singles ++ multis).toMap
+    var pieces: Array[String] = census.keysIterator.toArray.sorted
     var logp: collection.Map[String, Double] = {
       val tot = pieces.iterator.map(census(_)).sum.toDouble
       pieces.iterator.map(p => p -> math.log(census(p) / tot)).toMap
     }
 
-    /** One EM pass: (expected piece counts, corpus log-likelihood). */
-    def emStep(): (scala.collection.mutable.HashMap[String, Double], Double) = {
-      val exp = scala.collection.mutable.HashMap.empty[String, Double]
-      var ll = 0.0
-      dict.foreach { case (w, n) =>
-        val len = w.length
-        val alpha = Array.fill(len + 1)(Double.NegativeInfinity)
-        val beta = Array.fill(len + 1)(Double.NegativeInfinity)
-        alpha(0) = 0.0
-        var i = 1
-        while (i <= len) {
-          var l = 1
-          while (l <= maxPieceLen && l <= i) {
-            logp.get(w.substring(i - l, i)).foreach { lp =>
-              alpha(i) = logAdd(alpha(i), alpha(i - l) + lp)
-            }
-            l += 1
+    val dictRdd = dictDf.as[(String, Long)].rdd
+    val mpl = maxPieceLen
+
+    /** One distributed EM E-step: expected piece counts. */
+    def emStep(): collection.Map[String, Double] = {
+      val bLogp = spark.sparkContext.broadcast(logp.toMap)
+      val agg = dictRdd.treeAggregate(new EAcc)(
+        (acc, wn) => { accumWord(acc, wn._1, wn._2, bLogp.value, mpl); acc },
+        (a, b) => {
+          b.foreach { case (k, v) =>
+            a.update(k, a.getOrElse(k, java.math.BigDecimal.ZERO).add(v))
           }
-          i += 1
-        }
-        beta(len) = 0.0
-        i = len - 1
-        while (i >= 0) {
-          var l = 1
-          while (l <= maxPieceLen && i + l <= len) {
-            logp.get(w.substring(i, i + l)).foreach { lp =>
-              beta(i) = logAdd(beta(i), lp + beta(i + l))
-            }
-            l += 1
-          }
-          i -= 1
-        }
-        val z = alpha(len)
-        if (z != Double.NegativeInfinity) {
-          ll += n * z
-          i = 0
-          while (i < len) {
-            var l = 1
-            while (l <= maxPieceLen && i + l <= len) {
-              val p = w.substring(i, i + l)
-              logp.get(p).foreach { lp =>
-                val post = math.exp(alpha(i) + lp + beta(i + l) - z)
-                if (post > 0.0) exp.update(p, exp.getOrElse(p, 0.0) + n * post)
-              }
-              l += 1
-            }
-            i += 1
-          }
-        }
-      }
-      (exp, ll)
+          a
+        })
+      bLogp.unpersist(blocking = false)
+      agg.iterator.map { case (k, v) => k -> v.doubleValue }.toMap
     }
 
     def mStep(exp: collection.Map[String, Double]): Unit = {
@@ -189,7 +236,7 @@ object Unigram {
     def emRound(): Unit = {
       var it = 0
       while (it < emIters) {
-        val (exp, _) = emStep()
+        val exp = emStep()
         mStep(exp)
         lastExp = exp
         it += 1

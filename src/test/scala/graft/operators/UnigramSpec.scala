@@ -97,6 +97,25 @@ class UnigramSpec extends SparkSpec {
       .as[String].collect().head == "zzzqqq")
   }
 
+  test("training is layout-independent: 1 partition ≡ 16 partitions, bit-for-bit") {
+    // the distributed E-step accumulates exact 1e-12-quantized decimal
+    // contributions, so partition count and merge order must not change
+    // the model AT ALL — the property that makes distributed training
+    // reproducible on any cluster layout
+    val texts = (0 until 60).map(i =>
+      s"alpha${i % 7} beta${i % 5} alphabeta gamma${i % 3} abab baba")
+    val one = Unigram.train(corpus(texts).repartition(1),
+      vocabSize = 40, seedSize = 80, maxPieceLen = 3, emIters = 3)
+    val many = Unigram.train(corpus(texts).repartition(16),
+      vocabSize = 40, seedSize = 80, maxPieceLen = 3, emIters = 3)
+    assert(one.logp == many.logp,
+      s"layout must not change the model; diff keys: " +
+        s"${(one.logp.keySet diff many.logp.keySet) ++
+          (many.logp.keySet diff one.logp.keySet)}; " +
+        s"value diffs: ${one.logp.collect { case (k, v)
+          if many.logp.get(k).exists(_ != v) => k }.take(5)}")
+  }
+
   test("training is deterministic and frequent substrings become pieces") {
     val docs = corpus(Seq.fill(20)("lowlow lowerlower newestnewest"))
     val m1 = Unigram.train(docs, vocabSize = 25, seedSize = 50)
