@@ -463,6 +463,48 @@ object Curation {
         .as("rate"))
   }
 
+  /** Exact integer apportionment of a token budget across sources —
+    * the auditable twin of [[mixtureWeights]]' float rates: when the
+    * training recipe says "exactly `budget` tokens, split
+    * proportionally", the per-source quotas must be integers that SUM
+    * EXACTLY to the budget, reproducible in any engine. This is the
+    * largest-remainder (Hamilton) method: base quota
+    * ⌊budget·nᵢ/N⌋ per source, then the `budget − Σ base` leftover
+    * seats go to the largest remainders (ties → source asc).
+    *
+    * All arithmetic is exact: products ride decimal(38,0) (budget·nᵢ
+    * must stay under 10³⁸ — any real budget/corpus does by orders of
+    * magnitude), the floor is computed as (p − p mod N)/N so no
+    * decimal-division rounding can off-by-one a quota, and remainders
+    * compare as exact decimals. Scale shape: one map-side-combined
+    * aggregate to #sources rows, then window work over that
+    * vocabulary-sized frame — negligible by construction. */
+  def apportionTokens(df: DataFrame, groupCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(tokenCount).cast(dec).as("__n"))
+    val all = Window.partitionBy()
+    // NB: Spark resolves column names case-insensitively by default,
+    // so the total must NOT be spelled "__N" next to "__n"
+    val withTot = counts.withColumn("__tot", sum(col("__n")).over(all))
+    val prod = lit(budget).cast(dec) * col("__n")
+    val rem = prod % col("__tot")
+    val base = ((prod - rem) / col("__tot")).cast("long")
+    val ranked = withTot
+      .withColumn("__base", base)
+      .withColumn("__rem", rem)
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(
+        all.orderBy(col("__rem").desc, col(groupCol).asc)))
+    ranked.select(col(groupCol),
+      col("__n").cast("long").as("n_tokens"),
+      (col("__base") +
+        when(col("__rk") <= col("__left"), lit(1L)).otherwise(lit(0L)))
+        .as("quota"))
+  }
+
   /** Weighted source mixing: keep each group at the given sampling rate
     * (missing groups keep everything). The per-group cut is the same
     * deterministic keyed hash as [[hashSample]], so a mix is stable

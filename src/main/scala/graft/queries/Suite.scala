@@ -2163,6 +2163,33 @@ object Suite {
              |  count(*) AS n_vectors, sum(comp // 8)::BIGINT AS inertia
              |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin)),
 
+    Q("l104_token_apportion",
+      // exact integer apportionment of a token budget across sources
+      // (largest-remainder / Hamilton): quotas are integers that sum
+      // EXACTLY to the budget — the auditable twin of l30's float
+      // mixture rates. All arithmetic exact (decimal products, modulo
+      // floor, remainder ranking with source-asc ties), so every
+      // engine computes the identical quota vector
+      (s, d) => Curation.apportionTokens(
+          t(s, d, "documents"), "source",
+          TextFunctions.tokenCount(col("text")), budget = 100000L)
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(sum(len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT *, sum(n_tokens) OVER () AS N FROM c),
+             |b AS (SELECT source, n_tokens,
+             |    (100000::HUGEINT * n_tokens) // N AS base,
+             |    (100000::HUGEINT * n_tokens) % N AS rem FROM t),
+             |r AS (SELECT *, row_number() OVER (
+             |      ORDER BY rem DESC, source ASC) AS rk,
+             |    100000 - sum(base) OVER () AS leftover FROM b)
+             |SELECT source, n_tokens,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             |    AS BIGINT) AS quota
+             |FROM r ORDER BY source""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the

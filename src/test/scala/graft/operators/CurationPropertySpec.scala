@@ -244,6 +244,32 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("apportionTokens == driver-side Hamilton; quotas sum EXACTLY to budget") {
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(1, 5000)))
+    forSamples(Gen.zip(rowGen, Gen.choose(0L, 3000000L))) {
+      case (rows, budget) =>
+        val df = rows.zipWithIndex.map { case ((g, n), i) =>
+          (i.toLong, s"src$g", n.toLong) }.toDF("id", "source", "n_tok")
+        val got = Curation.apportionTokens(df, "source", col("n_tok"), budget)
+          .as[(String, Long, Long)].collect().sortBy(_._1)
+        // independent replication with BigInt arithmetic
+        val counts = rows.groupBy(_._1).map { case (g, rs) =>
+          (s"src$g", rs.map(_._2.toLong).sum) }.toSeq.sortBy(_._1)
+        val tot = counts.map(_._2).sum
+        val base = counts.map { case (g, n) =>
+          (g, n, (BigInt(budget) * n / tot).toLong,
+            (BigInt(budget) * n % tot)) }
+        val leftover = budget - base.map(_._3).sum
+        val winners = base.sortBy { case (g, _, _, r) => (-r, g) }
+          .take(leftover.toInt).map(_._1).toSet
+        val want = base.map { case (g, n, b, _) =>
+          (g, n, b + (if (winners(g)) 1L else 0L)) }.sortBy(_._1)
+        assert(got.toSeq == want, s"budget=$budget\n got=${got.toSeq}\nwant=$want")
+        assert(got.map(_._3).sum == budget, "quotas must sum exactly to budget")
+    }
+  }
+
   test("packSequences: every pack except a group's last starts under budget") {
     val tokGen = Gen.listOfN(60, Gen.choose(1, 900))
     forSamples(Gen.zip(tokGen, Gen.choose(100, 1000))) { case (toks, budget) =>
