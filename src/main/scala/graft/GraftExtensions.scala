@@ -95,6 +95,8 @@ object GraftExtensions {
     "sorted_intersect_size" -> { args =>
       arity("sorted_intersect_size", args, 2)
       SortedIntersectSize(args(0), args(1)) },
+    "token_lcs" -> { args =>
+      arity("token_lcs", args, 2); TokenLcs(args(0), args(1)) },
     "simhash64" -> { args =>
       arity("simhash64", args, 1); SimHash64(args.head) },
     "hyperplane_sig" -> { args =>

@@ -2190,6 +2190,68 @@ object Suite {
              |    AS BIGINT) AS quota
              |FROM r ORDER BY source""".stripMargin)),
 
+    Q("l106_rouge_l",
+      // ROUGE-L (Lin 2004): token-LCS F between overlapping windows of
+      // each document — closes the MT/summarization metric panel next
+      // to BLEU (l99), chrF (l101) and Levenshtein (l100) with the
+      // order-preserving-recall view. LCS runs in the fused codegen'd
+      // TokenLcs expression (integer-exact two-row DP, token arrays
+      // capped at 40 to bound the per-row O(n·m) — the l100 prefix
+      // discipline); the oracle replays the DP as a recursive CTE,
+      // expressing each new row as a running max of
+      // max(prev[j], prev[j-1] + eq) — the scan-free reformulation of
+      // the classic recurrence. β=1 F folds to one integer division:
+      // 2·lcs/(|a|+|b|).
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+        val ta = slice(TextFunctions.tokens(
+          substring(col("text"), 1, 240)), 1, 40)
+        val tb = slice(TextFunctions.tokens(
+          substring(col("text"), 120, 240)), 1, 40)
+        t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), ta.as("__a"), tb.as("__b"))
+          .select(col("doc_id"),
+            column(graft.functions.TokenLcs(
+              expression(col("__a")), expression(col("__b")))).as("lcs"),
+            size(col("__a")).as("len_a"), size(col("__b")).as("len_b"))
+          .select(col("doc_id"), col("lcs"), col("len_a"), col("len_b"),
+            round(lit(2.0) * col("lcs") /
+              greatest(col("len_a") + col("len_b"), lit(1)), 6)
+              .as("rouge_l_f1"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE p AS (SELECT doc_id,
+             |    list_slice(list_filter(string_split_regex(
+             |      lower(trim(substr(text, 1, 240))), '\s+'),
+             |      t -> len(t) > 0), 1, 40) AS ta,
+             |    list_slice(list_filter(string_split_regex(
+             |      lower(trim(substr(text, 120, 240))), '\s+'),
+             |      t -> len(t) > 0), 1, 40) AS tb
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |pp AS (SELECT doc_id, ta, tb, len(ta) AS na, len(tb) AS nb
+             |  FROM p),
+             |dp AS (
+             |  SELECT doc_id, 0 AS i,
+             |    list_transform(range(0, nb + 1), x -> 0) AS r FROM pp
+             |  UNION ALL
+             |  SELECT d.doc_id, d.i + 1,
+             |    list_transform(range(1, q.nb + 2), jj ->
+             |      CASE WHEN jj = 1 THEN 0 ELSE
+             |        list_max(list_transform(range(2, jj + 1), kk ->
+             |          greatest(d.r[kk], d.r[kk - 1] +
+             |            CASE WHEN q.ta[d.i + 1] = q.tb[kk - 1]
+             |              THEN 1 ELSE 0 END)))
+             |      END)
+             |  FROM dp d JOIN pp q ON q.doc_id = d.doc_id
+             |  WHERE d.i < q.na),
+             |fin AS (SELECT d.doc_id, d.r[q.nb + 1] AS lcs, q.na, q.nb
+             |  FROM dp d JOIN pp q ON q.doc_id = d.doc_id
+             |  WHERE d.i = q.na)
+             |SELECT doc_id, lcs::INT AS lcs, na::INT AS len_a,
+             |  nb::INT AS len_b,
+             |  round(2.0 * lcs / greatest(na + nb, 1), 6) AS rouge_l_f1
+             |FROM fin ORDER BY doc_id""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the

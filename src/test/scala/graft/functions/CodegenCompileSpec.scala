@@ -48,6 +48,40 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(already.getUTF8String(0).toString == "caf\u00e9")
   }
 
+  test("token_lcs generated code compiles; DP matches brute subsequences") {
+    val arrT = ArrayType(StringType, containsNull = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(TokenLcs(
+      BoundReference(0, arrT, nullable = true),
+      BoundReference(1, arrT, nullable = true))))
+    def arr(ws: String*): ArrayData =
+      ArrayData.toArrayData(ws.map(w =>
+        if (w == null) null else UTF8String.fromString(w)).toArray)
+    // brute-force LCS over all subsequences of the shorter side
+    def brute(a: Seq[String], b: Seq[String]): Int =
+      (0 until (1 << a.length)).map { m =>
+        val sub = a.indices.filter(i => (m & (1 << i)) != 0).map(a)
+        // is sub a subsequence of b?
+        var j = 0
+        b.foreach { w => if (j < sub.length && sub(j) == w) j += 1 }
+        if (j == sub.length) sub.length else 0
+      }.max
+    val cases = Seq(
+      (Seq("the", "cat", "sat", "on", "mat"),
+        Seq("a", "cat", "on", "a", "mat")),
+      (Seq("a", "b", "a", "b"), Seq("b", "a", "b", "a")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq.empty[String]),
+      (Seq("q", "q", "q"), Seq("z", "z")))
+    cases.foreach { case (a, b) =>
+      val got = proj(InternalRow(arr(a: _*), arr(b: _*))).getInt(0)
+      assert(got == brute(a, b), s"$a vs $b")
+    }
+    // null elements never match (SQL equality semantics)
+    val withNull = proj(InternalRow(
+      arr("a", null, "b"), arr(null, "a", "b"))).getInt(0)
+    assert(withNull == 2)
+  }
+
   test("vec_dot_int generated code compiles and accumulates in long") {
     val arrT = ArrayType(IntegerType, containsNull = false)
     val proj = GenerateUnsafeProjection.generate(Seq(VecDotInt(
