@@ -117,6 +117,8 @@ object GraftExtensions {
     "lang_id" -> composed("lang_id", 1)(c => TextFunctions.langId(c.head)),
     "quality_score" ->
       composed("quality_score", 1)(c => TextFunctions.qualityScore(c.head)),
+    "encoding_damage" ->
+      composed("encoding_damage", 1)(c => TextFunctions.encodingDamage(c.head)),
     "token_count" ->
       composed("token_count", 1)(c => TextFunctions.tokenCount(c.head)),
     "subword_count" ->

@@ -76,6 +76,35 @@ object TextFunctions {
       expression(a), expression(b)))
   }
 
+  /** Encoding-damage census — the ftfy-class cleanliness signal a web
+    * corpus screens on before training: counts of U+FFFD replacement
+    * characters (a decoder already gave up), C1 control codepoints
+    * U+0080–U+009F (classic cp1252-as-Latin-1 smoke), and the
+    * UTF-8-read-as-Latin-1 lead characters Ã/Â (the "cafÃ©" mojibake
+    * family — a heuristic lead, legitimate in e.g. Portuguese, which is
+    * why it feeds a RATE, not a verdict by itself). Returns a struct
+    * (n_replacement, n_c1_controls, n_moji_leads, damage_ppm, damaged):
+    * damage_ppm = ⌊damage·10⁶/len⌋ exact integer parts-per-million;
+    * damaged = any U+FFFD, or rate ≥ 5000 ppm (0.5%).
+    *
+    * Counting is translate-delete arithmetic (len − len(stripped)) —
+    * no regex, no unicode-class dialect to disagree across engines;
+    * every count replays in SQL as the identical expression. Pure
+    * map-side codegen'd column algebra. */
+  def encodingDamage(text: Column): Column = {
+    val len = length(text).cast("long")
+    def gone(matching: String): Column =
+      (length(text) - length(translate(text, matching, ""))).cast("long")
+    val nRepl = gone("\uFFFD")
+    val nC1 = gone((0x80 to 0x9F).map(_.toChar).mkString)
+    val nLead = gone("\u00C3\u00C2")
+    val ppm = idiv((nRepl + nC1 + nLead) * lit(1000000L),
+      greatest(len, lit(1L)))
+    struct(nRepl.as("n_replacement"), nC1.as("n_c1_controls"),
+      nLead.as("n_moji_leads"), ppm.as("damage_ppm"),
+      (nRepl > 0 || ppm >= lit(5000L)).as("damaged"))
+  }
+
   /** Deterministic [0,1] quality score: length saturation, low
     * punctuation density, stopword presence, sane mean word length.
     * Computed entirely in fixed-point micro-units (Long, 1e6 = 1.0)

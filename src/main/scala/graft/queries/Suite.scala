@@ -2252,6 +2252,50 @@ object Suite {
              |  round(2.0 * lcs / greatest(na + nb, 1), 6) AS rouge_l_f1
              |FROM fin ORDER BY doc_id""".stripMargin)),
 
+    Q("l107_encoding_damage",
+      // encoding-damage census (the ftfy-class screen): U+FFFD
+      // replacement chars, C1 controls, UTF-8-as-Latin-1 mojibake
+      // leads, exact integer damage ppm + the damaged verdict. The
+      // corpus is clean by construction, so damage is PLANTED in-query
+      // for every 5th doc (the l66 wrap-and-measure pattern) — one
+      // 'cafÃ©' mojibake, one U+FFFD, one NEL control. Counting is
+      // translate-delete arithmetic, no regex dialect to disagree.
+      (s, d) => {
+        val planted = when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" caf\u00C3\u00A9 bad\uFFFD ctl\u0085end")))
+          .otherwise(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.encodingDamage(planted).as("e"))
+          .select(col("doc_id"),
+            col("e.n_replacement").as("n_replacement"),
+            col("e.n_c1_controls").as("n_c1_controls"),
+            col("e.n_moji_leads").as("n_moji_leads"),
+            col("e.damage_ppm").as("damage_ppm"),
+            col("e.damaged").as("damaged"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c1 AS (SELECT string_agg(chr(i::INT), '') AS cs
+             |  FROM range(128, 160) r(i)),
+             |w AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' caf' || chr(195) || chr(169) || ' bad' ||
+             |      chr(65533) || ' ctl' || chr(133) || 'end'
+             |    ELSE text END AS t FROM documents),
+             |m AS (SELECT doc_id, length(t) AS len,
+             |    length(t) - length(replace(t, chr(65533), '')) AS nr,
+             |    length(t) - length(translate(t, cs, '')) AS nc,
+             |    length(t) - length(translate(t,
+             |      chr(195) || chr(194), '')) AS nl
+             |  FROM w CROSS JOIN c1)
+             |SELECT doc_id, nr::BIGINT AS n_replacement,
+             |  nc::BIGINT AS n_c1_controls, nl::BIGINT AS n_moji_leads,
+             |  ((nr + nc + nl) * 1000000) // greatest(len, 1)
+             |    AS damage_ppm,
+             |  (nr > 0 OR ((nr + nc + nl) * 1000000) //
+             |    greatest(len, 1) >= 5000) AS damaged
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the
