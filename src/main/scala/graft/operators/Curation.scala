@@ -463,6 +463,36 @@ object Curation {
         .as("rate"))
   }
 
+  /** Length-grouped batch assembly — the dynamic-batching step a
+    * training loader runs so padding doesn't burn FLOPs: order
+    * documents by (token count, id) within each group and assign
+    * consecutive fixed-size batches; a batch of near-equal lengths
+    * pads to its max with minimal waste (the "sorted batching" /
+    * bucketed-batch trick every serious trainer ships). Deterministic:
+    * the (len, id) order is total, so batch membership replays
+    * anywhere.
+    *
+    * Returns the input plus `batch_id` (0-based within each group).
+    * Scale shape: one window sort per group — groups parallelize, ONE
+    * group is a single sorted partition, so group by an
+    * [[epochShuffle]] shard at corpus scale (the same contract as
+    * [[quantileBand]]); the waste audit downstream is a
+    * map-side-combined aggregate over (group, batch). */
+  def lengthBatches(df: DataFrame, tokensCol: String, idCol: String,
+      batchSize: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(batchSize > 0, "batchSize must be > 0")
+    val w0 = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val w = w0.orderBy(col(tokensCol).asc, col(idCol).asc)
+    // (rn - rn mod b)/b: the division is over an exact multiple, so
+    // the IEEE quotient is the true integer — a plain rn/b double
+    // division can round UP across an integer boundary at 2^50-row
+    // groups and mis-batch one row
+    val rn = row_number().over(w) - 1
+    df.withColumn("batch_id",
+      ((rn - pmod(rn, lit(batchSize))) / batchSize).cast("long"))
+  }
+
   /** Exact integer apportionment of a token budget across sources —
     * the auditable twin of [[mixtureWeights]]' float rates: when the
     * training recipe says "exactly `budget` tokens, split

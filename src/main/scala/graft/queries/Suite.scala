@@ -2296,6 +2296,40 @@ object Suite {
              |    greatest(len, 1) >= 5000) AS damaged
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Q("l108_length_batching",
+      // length-grouped batch assembly (sorted/bucketed batching): per
+      // source, docs ordered by (token count, id) fill fixed-size-32
+      // batches; the audit reports each batch's padded size and the
+      // padding waste n·max − Σlen that the length grouping exists to
+      // minimize. All integers — batch membership and waste replay
+      // exactly in SQL
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        Curation.lengthBatches(toks, "n_tok", "doc_id", batchSize = 32,
+            groupCols = Seq("source"))
+          .groupBy(col("source"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_tok")).as("max_len"),
+            sum(col("n_tok")).as("tokens"),
+            (count(lit(1)) * max(col("n_tok")) - sum(col("n_tok")))
+              .as("pad_waste"))
+          .orderBy("source", "batch_id")
+      },
+      Some("""WITH x AS (SELECT doc_id, source, len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::BIGINT AS n_tok FROM documents),
+             |b AS (SELECT source, n_tok,
+             |    ((row_number() OVER (PARTITION BY source
+             |        ORDER BY n_tok ASC, doc_id ASC) - 1) // 32)::BIGINT
+             |      AS batch_id FROM x)
+             |SELECT source, batch_id, count(*) AS n_docs,
+             |  max(n_tok) AS max_len, CAST(sum(n_tok) AS BIGINT) AS tokens,
+             |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+             |    AS pad_waste
+             |FROM b GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin)),
+
     Q("l102_kneser_ney",
       // interpolated Kneser-Ney cross-scoring (the KenLM/CCNet
       // smoothing, vs l42's add-one baseline): model frozen on the

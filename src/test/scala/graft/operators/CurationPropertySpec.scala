@@ -244,6 +244,39 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("lengthBatches: contiguous length ranges, full batches, beats id-order waste") {
+    val tokGen = Gen.listOfN(70, Gen.choose(1, 800))
+    forSamples(Gen.zip(tokGen, Gen.choose(2, 16))) { case (toks, bs) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+        .toDF("doc_id", "n_tok")
+      val got = Curation.lengthBatches(df, "n_tok", "doc_id", bs)
+        .as[(Long, Long, Long)].collect()
+      val byBatch = got.groupBy(_._3)
+      val last = byBatch.keys.max
+      // every batch full except the last; ids partition exactly
+      byBatch.foreach { case (b, rs) =>
+        assert(rs.length == bs || b == last, s"batch $b size ${rs.length}")
+      }
+      assert(got.map(_._1).toSet == toks.indices.map(_.toLong).toSet)
+      // batches are contiguous length ranges: max(batch b) <= min(b+1)
+      val ordered = byBatch.toSeq.sortBy(_._1)
+      ordered.sliding(2).foreach {
+        case Seq((_, a), (_, c)) =>
+          assert(a.map(_._2).max <= c.map(_._2).min)
+        case _ => ()
+      }
+      // the whole point: length-sorted batching never wastes more
+      // padding than naive id-order batching
+      def waste(batches: Seq[Seq[Long]]): Long =
+        batches.map(b => b.length * b.max - b.sum).sum
+      val sortedWaste = waste(ordered.map(_._2.map(_._2).toSeq))
+      val naiveWaste = waste(
+        toks.map(_.toLong).grouped(bs).toSeq)
+      assert(sortedWaste <= naiveWaste,
+        s"sorted $sortedWaste > naive $naiveWaste")
+    }
+  }
+
   test("apportionTokens == driver-side Hamilton; quotas sum EXACTLY to budget") {
     val rowGen = Gen.listOfN(40,
       Gen.zip(Gen.choose(0, 11), Gen.choose(1, 5000)))
