@@ -137,7 +137,13 @@ object Retrieval {
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // eager pin BEFORE the fan-out (the l19/PPJoin discipline): the
+    // postings frame has THREE consumers (first-pass scoring, the
+    // feedback-term aggregation, second-pass scoring) whose exchange
+    // jobs AQE submits concurrently — racing the cache population
+    // re-tokenizes the corpus once per consumer
     val post = postings(docs, textCol, idCol).cache()
+    post.count()
     val stats = corpusStats(docs, textCol, idCol)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val touched1 = post
