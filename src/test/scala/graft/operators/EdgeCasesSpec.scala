@@ -80,6 +80,43 @@ class EdgeCasesSpec extends SparkSpec {
       .slaAlertRows(noStatus, lit(0L)).isEmpty)
   }
 
+  test("round-9 operators: empty inputs, degenerate parameters, zero budget") {
+    // apportionTokens: empty corpus -> empty quotas; zero budget ->
+    // all-zero quotas that still sum exactly to the budget
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("id", "source", "n_tok")
+    assert(Curation.apportionTokens(noDocs, "source", col("n_tok"), 100L)
+      .isEmpty)
+    val docs = Seq((1L, "a", 10L), (2L, "b", 30L)).toDF("id", "source", "n_tok")
+    val zero = Curation.apportionTokens(docs, "source", col("n_tok"), 0L)
+      .select("quota").as[Long].collect()
+    assert(zero.toSeq == Seq(0L, 0L))
+    assertThrows[IllegalArgumentException](
+      Curation.apportionTokens(docs, "source", col("n_tok"), -1L))
+    // a budget smaller than the source count: largest remainders win,
+    // the rest get zero — never negative, still exact
+    val one = Curation.apportionTokens(docs, "source", col("n_tok"), 1L)
+      .orderBy("source").select("quota").as[Long].collect()
+    assert(one.sum == 1L && one.forall(_ >= 0L), one.toSeq.toString)
+    // lengthBatches: batchSize 1 = singleton batches; 0 refused
+    val lb = Curation.lengthBatches(docs.select(col("id"), col("n_tok")),
+      "n_tok", "id", batchSize = 1)
+    assert(lb.select(countDistinct(col("batch_id"))).head().getLong(0) == 2L)
+    assertThrows[IllegalArgumentException](
+      Curation.lengthBatches(docs, "n_tok", "id", batchSize = 0))
+    // TokenLcs via SQL surface: empty arrays -> 0, no error
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val lcs0 = Seq((Seq.empty[String], Seq("x"))).toDF("a", "b")
+      .select(column(graft.functions.TokenLcs(
+        expression(col("a")), expression(col("b")))).as("l"))
+      .head().getInt(0)
+    assert(lcs0 == 0)
+    // encodingDamage: empty string -> all zero, not a division error
+    val e = Seq(Tuple1("")).toDF("t")
+      .select(graft.functions.TextFunctions.encodingDamage(col("t")).as("e"))
+      .select("e.damage_ppm", "e.damaged").head()
+    assert(e.getLong(0) == 0L && !e.getBoolean(1))
+  }
+
   test("vector operators: empty corpora and empty query sets") {
     val q = emptyVecs.select(col("vec_id").as("query_id"), col("embedding"))
     assert(Similarity.int8TopK(emptyVecs, q, 5, rerank = 10).isEmpty)
