@@ -726,16 +726,20 @@ object Bench {
     val chain: String =
       if (only.isDefined || chainFactor <= 1) ""
       else try {
+        // the eval benchmark is FIXED (drawn from the base corpus, the
+        // l22/l59 prefix construction) — a real benchmark doesn't grow
+        // with the training corpus, and a corpus-relative one would
+        // contaminate ~everything at 10× (each doc's 10 variants share
+        // its prefix), starving the downstream stages of rows
+        val chainBench = core.Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), substring(col("text"), 1, 150)
+            .as("text"))
         def runChain(tag: String, d: String): Option[String] = try {
           spark.catalog.clearCache()
           val docs = core.Tables.load(spark, d, "documents")
             .select("doc_id", "text")
-          // stand-in eval benchmark, the l22/l59 construction: doc
-          // prefixes — guaranteed hits so the decontam stage provably
-          // removes rows at both scales
-          val bench = docs.filter(col("doc_id") % 97 === 0)
-            .select(col("doc_id"), substring(col("text"), 1, 150)
-              .as("text"))
+          val bench = chainBench
           val stages = scala.collection.mutable.ArrayBuffer[String]()
           var totalSec = 0.0
           def staged(name: String)(
@@ -763,10 +767,14 @@ object Bench {
               .select("doc_id", "text")
           }
           val clean = staged("decontaminate") {
-            val flags = operators.Dedup.bloomDecontaminate(deduped,
-              bench, "text", "doc_id")
-            deduped.join(flags.filter(col("contaminated"))
-              .select(col("doc_id")), Seq("doc_id"), "left_anti")
+            // the l22 containment rule (>= 0.5 of a benchmark item's
+            // grams), not the bloom any-gram hard filter: the synthetic
+            // corpus has a ~31-word vocabulary, so any-gram contact
+            // flags ~everything and would starve the pack stage of rows
+            val contaminated = operators.Dedup.containmentPairs(deduped,
+                bench, "text", "doc_id", n = 3, minContainment = 0.5)
+              .select(col("doc_id")).distinct()
+            deduped.join(contaminated, Seq("doc_id"), "left_anti")
           }
           val packed = staged("shuffle_pack") {
             val withTok = clean.withColumn("n_tokens",
