@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL — `javax.imageio` ships BMP/PNG/JPEG/GIF
   * readers in the JDK, so image-mime assets produce features and
-  * perceptual-hash signatures from actual pixels. The heavyweight
-  * codecs the container doesn't ship (video frame extraction, audio)
+  * perceptual-hash signatures from actual pixels. AUDIO decode is
+  * REAL for WAV/PCM — `javax.sound.sampled` ships the reader in the
+  * JDK, so audio-mime assets produce exact integer amplitude/phase
+  * witnesses from actual samples. The heavyweight codecs the
+  * container doesn't ship (video frame extraction, compressed audio)
   * stay STUBBED behind [[Codecs]], a single seam whose fakes produce
   * deterministic outputs with the real shapes. Everything Spark cares
   * about (schema, nullability, partition-wise batching, column pruning
@@ -77,12 +80,13 @@ object Multimodal {
 
   // ---- codec seam ----------------------------------------------------
   // image/* decodes are REAL (javax.imageio ships BMP/PNG/JPEG/GIF
-  // readers in the JDK); the remaining heavyweight formats (video,
-  // audio) stay behind deterministic fakes with real signatures.
+  // readers in the JDK) and so is audio/* WAV-PCM (javax.sound); the
+  // remaining heavyweight formats (video, compressed audio) stay
+  // behind deterministic fakes with real signatures.
 
   /** The decode seam. Real deployments swap in ffmpeg-backed
-    * implementations for the stubbed video/audio paths; the image path
-    * is real JDK code. */
+    * implementations for the stubbed video / compressed-audio paths;
+    * the image and WAV-PCM audio paths are real JDK code. */
   object Codecs {
 
     /** Real JVM image decode: (width, height, lumaSum) with lumaSum =
@@ -164,6 +168,50 @@ object Multimodal {
       (w, h, luma)
     }
 
+    /** Real JVM audio decode (WAV/PCM via javax.sound.sampled — pure
+      * JDK, no external codec): (n_samples, sample_rate_hz, amp_sum,
+      * phase_sum) over 16-bit signed PCM samples of the FIRST channel.
+      * amp_sum = Σ s(i) and phase_sum = Σ i·s(i) are EXACT integers —
+      * phase binds every sample value to its position, so a reader
+      * that returns the right multiset in the wrong order still fails
+      * the oracle (the m7 rgb/phase discipline on the audio axis).
+      * None when the JDK can't parse the bytes or the format isn't
+      * 16-bit signed PCM (compressed formats fall to the stub seam,
+      * where a deployment plugs ffmpeg). */
+    def decodeAudioPcm(bytes: Array[Byte]): Option[(Long, Int, Long, Long)] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val ok = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+          if (!ok) None
+          else {
+            val frame = f.getFrameSize // bytes per frame, all channels
+            val data = in.readAllBytes()
+            val n = data.length / frame
+            var amp = 0L
+            var phase = 0L
+            var i = 0
+            while (i < n) {
+              val off = i * frame // first channel at frame start
+              val lo = data(off) & 0xff
+              val hi = data(off + 1).toInt
+              val s = if (f.isBigEndian) (lo << 8) | (hi & 0xff)
+                else (hi << 8) | lo
+              val v = s.toShort.toLong
+              amp += v
+              phase += i.toLong * v
+              i += 1
+            }
+            Some((n.toLong, f.getSampleRate.toInt, amp, phase))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** STUB resize: returns a deterministic re-hash of the input sized
       * proportionally to the target area. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -228,6 +276,74 @@ object Multimodal {
       math.min(255, ((seed * 7 + x * 13 + y * 31) % 256).toInt + brighten),
       math.min(255, ((seed * 11 + x * 3 + y * 17) % 256).toInt + brighten),
       math.min(255, ((seed * 5 + x * 29 + y * 7) % 256).toInt + brighten)))
+
+  /** Minimal RIFF/WAVE PCM16 mono encoder — the audio twin of
+    * [[encodeBmp]]: hand-rolled HERE, decoded by the JDK's independent
+    * javax.sound reader, pinned by an analytic oracle, so an
+    * encode/decode bug cannot self-cancel. `sample(i)` returns a
+    * signed 16-bit value. */
+  def encodeWav(n: Int, sampleRate: Int,
+      sample: Int => Int): Array[Byte] = {
+    require(n > 0 && sampleRate > 0, s"encodeWav: bad n=$n sr=$sampleRate")
+    val dataSize = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { b.putShort(sample(i).toShort); i += 1 }
+    b.array()
+  }
+
+  /** Deterministic synthetic waveform for the real-decode fixtures:
+    * sample i = ((seed·31 + i·17) mod 4096) − 2048 — inside 16-bit
+    * range, analytically replayable by the oracle. */
+  def syntheticWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] =
+    encodeWav(n, sampleRate,
+      i => (((seed * 31 + i.toLong * 17) % 4096) - 2048).toInt)
+
+  private val audioSchema = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("sample_rate_hz", IntegerType),
+    StructField("amp_sum", LongType),
+    StructField("phase_sum", LongType)))
+
+  /** REAL audio decode over the media column — the audio leg of the
+    * decode quartet, same shape as [[extractImageFeatures]]:
+    * per-partition iterator, constant memory, bytes never shuffle.
+    * audio-mime rows go through the JDK javax.sound WAV/PCM reader and
+    * get exact integer (n_samples, sample_rate_hz, amp_sum, phase_sum)
+    * — amp = value witness, phase = position-bound witness; anything
+    * else (or undecodable/compressed audio) gets a null struct, the
+    * documented seam where a deployment plugs ffmpeg. */
+  def extractAudioFeatures(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio", audioSchema))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val media = r.getAs[Row](MediaCol)
+        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        val mime = if (media == null) null else media.getAs[String]("mime")
+        val feat =
+          if (mime != null && mime.startsWith("audio/"))
+            Codecs.decodeAudioPcm(bytes) match {
+              case Some((n, sr, amp, phase)) => Row(n, sr, amp, phase)
+              case None => null
+            }
+          else null
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
 
   private val featureSchema = StructType(Seq(
     StructField("width", IntegerType),

@@ -4157,6 +4157,41 @@ object Suite {
              |  rgb_sum, phase_sum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    Q("m8_audio_decode",
+      // the REAL audio decode path end to end: synthetic PCM16 WAVs
+      // (hand-rolled RIFF encoder, sample i an affine-mod-4096 formula
+      // of doc_id) decoded by the JDK's independent javax.sound reader
+      // inside extractAudioFeatures; n_samples/amp/phase come from
+      // actual decoded samples and the ANALYTIC oracle replays the
+      // formula — an encode/decode bug cannot self-cancel. phase_sum
+      // (Σ i·s(i)) binds every sample to its position, the m7
+      // discipline on the audio axis
+      (s, d) => {
+        val mk = udf((id: Long) =>
+          Multimodal.syntheticWav(id, (64 + id % 57).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "audio/wav")
+        Multimodal.extractAudioFeatures(media)
+          .select(col("doc_id"),
+            col("audio.n_samples").as("n_samples"),
+            col("audio.sample_rate_hz").as("sample_rate_hz"),
+            col("audio.amp_sum").as("amp_sum"),
+            col("audio.phase_sum").as("phase_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (64 + doc_id % 57)::BIGINT AS n FROM documents),
+             |s AS (SELECT doc_id, n,
+             |    list_sum(list_transform(range(0, n), i ->
+             |      (doc_id*31 + i*17) % 4096 - 2048))::BIGINT AS amp,
+             |    list_sum(list_transform(range(0, n), i ->
+             |      i * ((doc_id*31 + i*17) % 4096 - 2048)))::BIGINT AS ph
+             |  FROM g)
+             |SELECT doc_id, n AS n_samples, 8000::INT AS sample_rate_hz,
+             |  amp AS amp_sum, ph AS phase_sum
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each
       // asset's 60-bit sampled-threshold hash is computed from the

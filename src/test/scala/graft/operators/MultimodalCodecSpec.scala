@@ -123,6 +123,44 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(down == expDown, s"downscale rgb_sum $down != $expDown")
   }
 
+  test("encodeWav round-trips through javax.sound sample-exactly; garbage is None") {
+    // hand-rolled RIFF writer vs the JDK's independent WAV reader —
+    // decoded samples must match the formula the writer used
+    def sample(seed: Long, i: Int): Int =
+      (((seed * 31 + i.toLong * 17) % 4096) - 2048).toInt
+    for (seed <- Seq(0L, 3L, 19L); n <- Seq(1, 64, 301)) {
+      val got = Multimodal.Codecs.decodeAudioPcm(
+        Multimodal.syntheticWav(seed, n))
+      val expAmp = (0 until n).map(i => sample(seed, i).toLong).sum
+      val expPhase = (0 until n).map(i => i.toLong * sample(seed, i)).sum
+      assert(got.contains((n.toLong, 8000, expAmp, expPhase)),
+        s"seed=$seed n=$n got=$got")
+    }
+    // garbage / empty bytes: None, never a throw
+    assert(Multimodal.Codecs.decodeAudioPcm(Array.fill(64)(0x5A.toByte)).isEmpty)
+    assert(Multimodal.Codecs.decodeAudioPcm(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.Codecs.decodeAudioPcm(null).isEmpty)
+  }
+
+  test("extractAudioFeatures: audio mime decodes, others and corrupt get null struct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(1L, 64)),
+      (2L, Array.fill(32)(0x42.toByte)),          // corrupt audio
+      (3L, Multimodal.syntheticWav(3L, 10))
+    ).toDF("id", "data")
+    val audio = Multimodal.extractAudioFeatures(
+      Multimodal.attachMedia(df, "data", "audio/wav"))
+    val rows = audio.select(col("id"), col("audio")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isDefined && rows(3L).isDefined && rows(2L).isEmpty)
+    // a non-audio mime never enters the decoder
+    val txt = Multimodal.extractAudioFeatures(
+      Multimodal.attachMedia(Seq((9L, "abc".getBytes("UTF-8")))
+        .toDF("id", "data"), "data", "text/plain"))
+    assert(txt.filter(col("audio").isNotNull).isEmpty)
+  }
+
   test("mediaPixelNearDupPairs finds brightened re-uploads from real pixels") {
     import spark.implicits._
     val base = (0L until 40L).map(i =>
