@@ -212,6 +212,44 @@ object Multimodal {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** 60-bit sign fingerprint over DECODED audio samples: bit i is
+      * set iff sample ((i·7) mod n) ≥ 0 — the audio twin of
+      * [[pixelHash60]], deterministic and analytically replayable.
+      * Amplitude-shifted re-encodes of one asset flip only the
+      * near-zero bits, which is what the blocked Hamming join catches.
+      * A real deployment swaps a chromaprint/spectral hash at this
+      * seam without touching the join machinery. None when the bytes
+      * don't decode or the clip is empty. */
+    def audioHash60(bytes: Array[Byte]): Option[Long] =
+      decodeAudioPcm(bytes).flatMap { case (n, _, _, _) =>
+        if (n <= 0) None
+        else {
+          // re-decode once into the sampled positions only: n is
+          // bounded per asset, so a second pass is simpler than
+          // buffering all samples — but samples come back cheap from
+          // the byte array, so decode them directly here
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            val frame = f.getFrameSize
+            val data = in.readAllBytes()
+            var sig = 0L
+            var i = 0
+            while (i < 60) {
+              val off = (((i * 7) % n).toInt) * frame
+              val lo = data(off) & 0xff
+              val hi = data(off + 1).toInt
+              val s = if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
+                else ((hi << 8) | lo).toShort
+              if (s >= 0) sig |= 1L << i
+              i += 1
+            }
+            Some(sig)
+          } finally in.close()
+        }
+      }
+
     /** STUB resize: returns a deterministic re-hash of the input sized
       * proportionally to the target area. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -305,10 +343,14 @@ object Multimodal {
 
   /** Deterministic synthetic waveform for the real-decode fixtures:
     * sample i = ((seed·31 + i·17) mod 4096) − 2048 — inside 16-bit
-    * range, analytically replayable by the oracle. */
-  def syntheticWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] =
-    encodeWav(n, sampleRate,
-      i => (((seed * 31 + i.toLong * 17) % 4096) - 2048).toInt)
+    * range, analytically replayable by the oracle. `shift` raises the
+    * whole waveform (clamped at 2047), the audio analogue of the BMP
+    * fixture's `brighten`: a re-encode that flips only the
+    * near-threshold sign bits [[Codecs.audioHash60]] samples. */
+  def syntheticWav(seed: Long, n: Int, sampleRate: Int = 8000,
+      shift: Int = 0): Array[Byte] =
+    encodeWav(n, sampleRate, i => math.min(
+      (((seed * 31 + i.toLong * 17) % 4096) - 2048).toInt + shift, 2047))
 
   private val audioSchema = StructType(Seq(
     StructField("n_samples", LongType),
@@ -468,6 +510,35 @@ object Multimodal {
         rows.flatMap { r =>
           Codecs.readImage(r.getAs[Array[Byte]]("__bytes"))
             .map(img => Row(r.getLong(0), Codecs.pixelHash60(img)))
+        }
+      }(enc)
+    Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
+      maxDistance, maxBlockBucket)
+  }
+
+  /** NEAR-duplicate audio pairs by 60-bit sign-fingerprint Hamming
+    * distance over REAL decoded samples — the audio leg of
+    * [[mediaPixelNearDupPairs]]: amplitude-shifted re-encodes of one
+    * clip flip only the near-zero fingerprint bits and land within
+    * `maxDistance`. Same shared pairing machinery (4×15-bit pigeonhole
+    * blocks, complete to Hamming ≤ 3, hot-bucket census degrade); only
+    * (id, sig, block) longs shuffle — the audio bytes stay at the
+    * scan. Undecodable clips drop (a corrupt asset must not kill the
+    * scan). Output: (id_a, id_b, hamming), id_a < id_b. */
+  def audioNearDupPairs(df: DataFrame, idCol: String,
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__sig", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+    val sigs = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(s"$MediaCol.bytes").as("__bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.audioHash60(r.getAs[Array[Byte]]("__bytes"))
+            .map(sig => Row(r.getLong(0), sig))
         }
       }(enc)
     Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),

@@ -4236,6 +4236,57 @@ object Suite {
              |WHERE bit_count(xor(l.sig, r.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("m9_audio_neardup",
+      // decode → sign fingerprint → near-dup from REAL audio samples
+      // (the m6 shape on the audio axis): each clip's 60-bit
+      // fingerprint is computed from the DECODED waveform, re-encodes
+      // are amplitude-shifted by +64 (clamped) so only near-zero sign
+      // bits flip, and the shared blocked Hamming join pairs them
+      // back up. The oracle recomputes every fingerprint analytically
+      // from the sample formula and brute-forces all pairs
+      (s, d) => {
+        // per-seed QUADRATIC waveform (sd·(j²+7) + 17j): two different
+        // clips differ by Δsd·(j²+7) — varying with position, so
+        // unrelated fingerprints sit ~30 bits apart; the linear
+        // syntheticWav sawtooth differs only by a constant phase and
+        // would pair half the corpus. Re-encodes (+64, clamped) flip
+        // only the near-zero sign bits of their own base
+        val mk = udf((id: Long, shift: Int) => {
+          val sd = id * 1103515245L + 12345L
+          Multimodal.encodeWav((64 + id % 57).toInt, 8000, j => math.min(
+            ((sd * (j.toLong * j + 7) + j.toLong * 17) % 4096 - 2048).toInt
+              + shift, 2047))
+        })
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val store = ids
+          .select(col("doc_id"), mk(col("doc_id"), lit(0)).as("data"))
+          .unionByName(ids.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              mk(col("doc_id"), lit(64)).as("data")))
+        Multimodal.audioNearDupPairs(
+            Multimodal.attachMedia(store, "data", "audio/wav"), "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH store AS (SELECT doc_id, doc_id AS seed, 0::BIGINT AS sh
+             |  FROM documents
+             |  UNION ALL SELECT doc_id + 100000, doc_id, 64::BIGINT
+             |  FROM documents WHERE doc_id < 10),
+             |g AS (SELECT doc_id, seed * 1103515245 + 12345 AS sd, sh,
+             |    (64 + seed % 57)::BIGINT AS n FROM store),
+             |h2 AS (SELECT doc_id,
+             |  list_sum(list_transform(range(0, 60), i ->
+             |    CASE WHEN least(
+             |      (sd*(((i*7) % n)*((i*7) % n) + 7) + ((i*7) % n)*17)
+             |        % 4096 - 2048 + sh, 2047)
+             |      >= 0
+             |      THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT AS sig
+             |  FROM g)
+             |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |  bit_count(xor(l.sig, r.sig))::INT AS hamming
+             |FROM h2 l JOIN h2 r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("h9_funnel",
       (s, d) => graft.operators.Funnel.windowFunnel(t(s, d, "events"),
           "user_id", "ts",

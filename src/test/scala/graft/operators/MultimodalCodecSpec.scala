@@ -161,6 +161,34 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(txt.filter(col("audio").isNotNull).isEmpty)
   }
 
+  test("audioNearDupPairs finds amplitude-shifted re-encodes from real samples") {
+    import spark.implicits._
+    def wav(id: Long, shift: Int): Array[Byte] = {
+      val sd = id * 1103515245L + 12345L
+      Multimodal.encodeWav((64 + id % 57).toInt, 8000, j => math.min(
+        ((sd * (j.toLong * j + 7) + j.toLong * 17) % 4096 - 2048).toInt
+          + shift, 2047))
+    }
+    val base = (0L until 30L).map(i => (i, wav(i, 0)))
+    val reups = (0L until 8L).map(i => (i + 1000L, wav(i, 64)))
+    val media = Multimodal.attachMedia(
+      (base ++ reups).toDF("id", "data"), "data", "audio/wav")
+    val pairs = Multimodal.audioNearDupPairs(media, "id")
+      .as[(Long, Long, Int)].collect().toSet
+    for (i <- 0L until 8L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 1000L),
+        s"re-encode of $i not found; pairs=$pairs")
+    // unrelated clips (quadratic per-seed waveforms) never pair
+    assert(pairs.forall(p => p._2 == p._1 + 1000L), pairs.toString)
+    // and the fingerprint itself: a shifted re-encode stays within 3
+    // bits of its base while unrelated clips sit far apart
+    val s0 = Multimodal.Codecs.audioHash60(wav(0L, 0)).get
+    val s0r = Multimodal.Codecs.audioHash60(wav(0L, 64)).get
+    val s1 = Multimodal.Codecs.audioHash60(wav(1L, 0)).get
+    assert(java.lang.Long.bitCount(s0 ^ s0r) <= 3)
+    assert(java.lang.Long.bitCount(s0 ^ s1) > 10)
+  }
+
   test("mediaPixelNearDupPairs finds brightened re-uploads from real pixels") {
     import spark.implicits._
     val base = (0L until 40L).map(i =>
