@@ -296,7 +296,15 @@ object Bench {
         // in corpus at fixed query count) and integer k-means (fixed k
         // is a model choice, not corpus-bound — per-iteration cost is
         // one linear scan + a k·dim-bounded aggregation)
-        "l103_mrl_recall", "l105_kmeans_balance")
+        "l103_mrl_recall", "l105_kmeans_balance",
+        // round-9 additions: ROUGE-L (per-row bounded DP, map-only),
+        // encoding damage (map-only translate arithmetic), length
+        // batching (per-source window sort — the cost class under
+        // test), audio decode (per-row JDK PCM read, map-only) and
+        // audio near-dup (blocked Hamming join — collision volume is
+        // the degradation axis, rehearsed at 10× clips)
+        "l106_rouge_l", "l107_encoding_damage", "l108_length_batching",
+        "m8_audio_decode", "m9_audio_neardup")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =
