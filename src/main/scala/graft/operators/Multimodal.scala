@@ -221,34 +221,39 @@ object Multimodal {
       * seam without touching the join machinery. None when the bytes
       * don't decode or the clip is empty. */
     def audioHash60(bytes: Array[Byte]): Option[Long] =
-      decodeAudioPcm(bytes).flatMap { case (n, _, _, _) =>
-        if (n <= 0) None
-        else {
-          // re-decode once into the sampled positions only: n is
-          // bounded per asset, so a second pass is simpler than
-          // buffering all samples — but samples come back cheap from
-          // the byte array, so decode them directly here
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val f = in.getFormat
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        // ONE decode per asset — this sits on the scan hot loop
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val ok = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+          if (!ok) None
+          else {
             val frame = f.getFrameSize
             val data = in.readAllBytes()
-            var sig = 0L
-            var i = 0
-            while (i < 60) {
-              val off = (((i * 7) % n).toInt) * frame
-              val lo = data(off) & 0xff
-              val hi = data(off + 1).toInt
-              val s = if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
-                else ((hi << 8) | lo).toShort
-              if (s >= 0) sig |= 1L << i
-              i += 1
+            val n = data.length / frame
+            if (n <= 0) None
+            else {
+              var sig = 0L
+              var i = 0
+              while (i < 60) {
+                val off = ((i * 7) % n) * frame
+                val lo = data(off) & 0xff
+                val hi = data(off + 1).toInt
+                val s = if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
+                  else ((hi << 8) | lo).toShort
+                if (s >= 0) sig |= 1L << i
+                i += 1
+              }
+              Some(sig)
             }
-            Some(sig)
-          } finally in.close()
-        }
-      }
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** STUB resize: returns a deterministic re-hash of the input sized
       * proportionally to the target area. */
