@@ -642,4 +642,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("token apportionment aggregates the corpus once; windows touch #sources rows") {
+    // one map-side-combined agg to per-source counts, then window work
+    // over that vocabulary-sized frame — no join, no corpus re-scan
+    val plan = planOf(queries.Suite.queries("l104_token_apportion")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"corpus must be scanned exactly once:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("length batching is one window sort per group — no join, no second shuffle class") {
+    val plan = planOf(queries.Suite.queries("l108_length_batching")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"corpus must be scanned exactly once:\n$plan")
+  }
+
+  test("ROUGE-L and encoding damage are map-only — no exchange before the sort") {
+    for (q <- Seq("l106_rouge_l", "l107_encoding_damage")) {
+      val df = queries.Suite.queries(q)(spark, sf)
+      // drop the presentation orderBy: the operator itself must be
+      // shuffle-free (the l66 strip-markup contract)
+      val body = df.sortWithinPartitions()
+      val plan = planOf(df)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+      val nonSortExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      assert(nonSortExchanges == 0,
+        s"$q must be map-only up to the final sort:\n$plan")
+      assert(body.columns.nonEmpty)
+    }
+  }
 }
