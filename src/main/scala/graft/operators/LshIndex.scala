@@ -124,18 +124,24 @@ object LshIndex {
     * `IN` on the partition column is what parquet prunes at file level
     * (PlanShapeSpec asserts selectedPartitions == touched). */
   private[graft] def prunedMembers(spark: SparkSession, root: String,
-      touchedPb: Seq[Long]): DataFrame = {
+      touchedPb: Seq[Long], sinceBatch: Option[Long] = None): DataFrame = {
     val all = spark.read.parquet(membersPath(root))
-    if (touchedPb.isEmpty) all.where(lit(false))
-    else all.where(col(MemberPart).isin(touchedPb: _*))
+    val horizon = sinceBatch
+      .map(b => all.where(col(BatchCol) >= b)).getOrElse(all)
+    if (touchedPb.isEmpty) horizon.where(lit(false))
+    else horizon.where(col(MemberPart).isin(touchedPb: _*))
   }
 
-  /** Gram read restricted to the partitions owning the given prefixes. */
+  /** Gram read restricted to the partitions owning the given prefixes
+    * (and, under a dedup horizon, to batches ≥ `sinceBatch` — grams
+    * are batch-partitioned first, same as members). */
   private[graft] def prunedGrams(spark: SparkSession, root: String,
-      touchedGp: Seq[Long]): DataFrame = {
+      touchedGp: Seq[Long], sinceBatch: Option[Long] = None): DataFrame = {
     val all = spark.read.parquet(gramsPath(root))
-    if (touchedGp.isEmpty) all.where(lit(false))
-    else all.where(col(GramPart).isin(touchedGp: _*))
+    val horizon = sinceBatch
+      .map(b => all.where(col(BatchCol) >= b)).getOrElse(all)
+    if (touchedGp.isEmpty) horizon.where(lit(false))
+    else horizon.where(col(GramPart).isin(touchedGp: _*))
   }
 
   /** Incremental near-dup probe of a new batch against the persisted
@@ -150,13 +156,27 @@ object LshIndex {
     * candidate pair list with `localCheckpoint` (O(collisions) rows)
     * so the pair ids are known before the gram read is planned. */
   def probe(newIndex: DataFrame, root: String,
-      maxBandBucket: Int = 1024): DataFrame = {
+      maxBandBucket: Int = 1024): DataFrame =
+    probeSince(newIndex, root, sinceBatch = None, maxBandBucket)
+
+  /** [[probe]] restricted to index batches with id ≥ `sinceBatch` —
+    * the dedup-horizon policy ("near-dup only against the last N
+    * days/batches") every rolling web-crawl pipeline runs: content
+    * older than the horizon is allowed to recur. The batch floor is a
+    * predicate on the FIRST partition column (`partitionBy(batch,
+    * bucket)`), so parquet prunes whole batch directories at file
+    * level before the bucket pruning applies — probing a 90-day
+    * horizon of a years-deep index reads 90 days of files, not the
+    * index. `sinceBatch = None` probes everything (the [[probe]]
+    * contract). */
+  def probeSince(newIndex: DataFrame, root: String,
+      sinceBatch: Option[Long], maxBandBucket: Int = 1024): DataFrame = {
     val spark = newIndex.sparkSession
     val n = readNumBuckets(spark, root)
     val newB = Dedup.bandMembers(newIndex, isNew = true)
     val touched = newB.select(pb(col("__bh"), n).as("__p")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val oldB = prunedMembers(spark, root, touched)
+    val oldB = prunedMembers(spark, root, touched, sinceBatch)
       .select(col("__id"), col("__b"), col("__bh"), lit(false).as("__new"))
     val pairs = Dedup
       .incrementalPairs(newB, oldB.unionByName(newB), maxBandBucket)
@@ -168,7 +188,7 @@ object LshIndex {
       .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
     // partition pruning cuts the file set; the broadcast semi-join cuts
     // the surviving rows to exactly the pair ids before the verify join
-    val oldGrams = prunedGrams(spark, root, touchedGp)
+    val oldGrams = prunedGrams(spark, root, touchedGp, sinceBatch)
       .join(broadcast(pairIds), Seq("__id"), "left_semi")
       .select(col("__id"), col("__sh"))
     // a replayed batch sits in BOTH newIndex and the persisted index —

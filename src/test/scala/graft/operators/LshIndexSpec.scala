@@ -94,6 +94,45 @@ class LshIndexSpec extends SparkSpec {
       touched.exists(p => f.contains(s"${LshIndex.MemberPart}=$p/"))))
   }
 
+  test("probeSince: dedup horizon drops old batches, file-pruned, probe-equivalent") {
+    val root = tmp("graft_lshhorizon")
+    val n = 16
+    // batch 0: the 40-doc corpus (contains doc 0, the near-dup target)
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, n)
+    // batch 1: unrelated filler
+    LshIndex.append(Dedup.buildIndex(docsDF(Seq(
+      (300L, "completely different filler content about nothing at all"))),
+      "text", "doc_id"), root, 1L, n)
+    val newIdx = Dedup.buildIndex(batch1, "text", "doc_id")
+
+    // full probe sees the batch-0 near-dup; a horizon at batch 1 must
+    // NOT (content older than the horizon is allowed to recur)
+    val full = pairSet(LshIndex.probe(newIdx, root))
+    assert(full.exists { case (a, b, _) => a == 0L && b == 100L })
+    val recent = pairSet(LshIndex.probeSince(newIdx, root, Some(1L)))
+    assert(!recent.exists { case (a, b, _) => a == 0L || b == 0L },
+      s"horizon must exclude batch-0 members: $recent")
+    // within-new-batch pairs survive either way
+    assert(recent.exists { case (a, b, _) => a == 101L && b == 102L })
+    // sinceBatch = None ≡ probe; floor 0 ≡ everything
+    assert(pairSet(LshIndex.probeSince(newIdx, root, None)) == full)
+    assert(pairSet(LshIndex.probeSince(newIdx, root, Some(0L))) == full)
+
+    // the batch floor prunes whole batch DIRECTORIES at file level
+    def scanOf(df: DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.get
+    val touched = Dedup.bandMembers(newIdx, isNew = true)
+      .select(pmod(col("__bh"), lit(n.toLong)).as("__p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val files = scanOf(LshIndex.prunedMembers(spark, root, touched, Some(1L)))
+      .selectedPartitions.toPartitionArray.map(_.filePath.toString)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"${LshIndex.BatchCol}=1/")),
+      s"horizon scan must touch only batch >= 1 dirs: ${files.take(3).toSeq}")
+  }
+
   test("numBuckets is pinned by the index metadata") {
     val root = tmp("graft_lshmeta")
     LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
