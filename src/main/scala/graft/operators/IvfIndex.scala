@@ -127,10 +127,12 @@ object IvfIndex {
     * partition column is what parquet prunes at file level
     * (IvfIndexSpec asserts selectedPartitions == probed cells). */
   private[graft] def prunedCells(spark: SparkSession, root: String,
-      probed: Seq[Long]): DataFrame = {
+      probed: Seq[Long], sinceBatch: Option[Long] = None): DataFrame = {
     val all = spark.read.parquet(cellsPath(root))
-    if (probed.isEmpty) all.where(lit(false))
-    else all.where(col(CellPart).isin(probed: _*))
+    val horizon = sinceBatch
+      .map(b => all.where(col(BatchCol) >= b)).getOrElse(all)
+    if (probed.isEmpty) horizon.where(lit(false))
+    else horizon.where(col(CellPart).isin(probed: _*))
   }
 
   /** ANN top-k against the persisted index, with file-level pruning.
@@ -143,6 +145,19 @@ object IvfIndex {
     * a literal partition filter. */
   def query(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame =
+    querySince(spark, root, queries, k, nprobe, sinceBatch = None,
+      idCol, vecCol, queryIdCol)
+
+  /** [[query]] restricted to index batches with id ≥ `sinceBatch` —
+    * the freshness-horizon policy ("retrieve only against vectors
+    * ingested in the last N batches/days"). The batch floor is a
+    * predicate on the FIRST partition column (`partitionBy(batch,
+    * cell)`), so parquet prunes whole batch directories before the
+    * probed-cell pruning applies. `sinceBatch = None` is [[query]]. */
+  def querySince(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int, sinceBatch: Option[Long],
+      idCol: String = "vec_id",
       vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids(spark, root)
@@ -157,7 +172,7 @@ object IvfIndex {
       .localCheckpoint() // probed-cell collect + probe join share one eval
     val probed = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = prunedCells(spark, root, probed)
+    val cells = prunedCells(spark, root, probed, sinceBatch)
       // replay/compaction tolerance: one row per vector id
       .dropDuplicates(idCol)
       .select(col(idCol), col(vecCol).as("__cv"),

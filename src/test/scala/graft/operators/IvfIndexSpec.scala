@@ -109,6 +109,28 @@ class IvfIndexSpec extends SparkSpec {
       .select("vec_id").distinct().count() == 200)
   }
 
+  test("querySince: freshness horizon equals in-memory search over recent batches") {
+    val root = tmp("graft_ivfhorizon")
+    IvfIndex.build(corpus(0 until 100), root, nlist = 8)
+    IvfIndex.append(corpus(100 until 150), root, batchId = 1L)
+    IvfIndex.append(corpus(150 until 200), root, batchId = 2L)
+    val q = queriesDF(3)
+    val cents = IvfIndex.centroids(spark, root)
+    // horizon >= 1 must equal an in-memory search over ONLY the
+    // batch-1/2 vectors, under the same frozen centroids
+    val got = resultSet(IvfIndex.querySince(spark, root, q, k = 5,
+      nprobe = 3, sinceBatch = Some(1L)))
+    val want = resultSet(Similarity.ivfTopK(
+      Similarity.assignCells(corpus(100 until 200), cents), cents, q, 5, 3))
+    assert(got == want)
+    // no horizon / floor 0 ≡ the plain query
+    val full = resultSet(IvfIndex.query(spark, root, q, 5, 3))
+    assert(resultSet(IvfIndex.querySince(spark, root, q, 5, 3, None)) == full)
+    assert(resultSet(IvfIndex.querySince(spark, root, q, 5, 3,
+      Some(0L))) == full)
+    assert(got != full, "fixture must make the horizon visible")
+  }
+
   test("layout misuse is refused: double build, bad batch id, no meta") {
     val root = tmp("graft_ivfmeta")
     IvfIndex.build(corpus(0 until 50), root, nlist = 4)
