@@ -1486,6 +1486,80 @@ object Suite {
       // in-memory IVF answer — same oracle as l6 by construction
       Some(ivfOracleSql)),
 
+    Q("l109_ann_horizon",
+      // freshness-horizon ANN against the persisted IVF index: build
+      // on the even-id half (centroids freeze there — the production
+      // posture), append the odd half as batch 1, then querySince
+      // batch ≥ 1: answers must equal an IVF search over ONLY the
+      // odd-id vectors under the frozen even-seeded centroids. The
+      // oracle replays seed-stride → assign → probe → score with the
+      // corpus restricted to the horizon
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfh_suite").toString
+        IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), root,
+          nlist = 16)
+        IvfIndex.append(emb.filter(col("vec_id") % 2 === 1), root,
+          batchId = 1L)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        IvfIndex.querySince(s, root, queries, k = 5, nprobe = 4,
+            sinceBatch = Some(1L))
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+             |odd AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+             |cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1
+             |      AS centroid_id, embedding AS ce FROM ev
+             |  WHERE vec_id % greatest(1, (SELECT count(*) FROM ev) // 16) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |asg AS (
+             |  SELECT vec_id, embedding, centroid_id FROM (
+             |    SELECT vec_id, embedding, centroid_id, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn
+             |    FROM (SELECT c.vec_id, c.embedding, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM odd c CROSS JOIN cent t))
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, qe, centroid_id FROM (
+             |    SELECT query_id, qe, centroid_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, centroid_id ASC) AS rn
+             |    FROM (SELECT q.vec_id AS query_id, q.embedding AS qe, t.centroid_id,
+             |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+             |        i -> q.embedding[i]::DOUBLE * t.ce[i]::DOUBLE)) /
+             |      (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+             |        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+             |       sqrt(list_sum(list_transform(range(1, len(t.ce) + 1),
+             |        i -> t.ce[i]::DOUBLE * t.ce[i]::DOUBLE)))) AS cos
+             |      FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 3))
+             |  WHERE rn <= 4),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id,
+             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * p.qe[i]::DOUBLE)) /
+             |    (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             |     sqrt(list_sum(list_transform(range(1, len(p.qe) + 1),
+             |      i -> p.qe[i]::DOUBLE * p.qe[i]::DOUBLE)))) AS cos
+             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, round(cos, 6) AS cosine, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("l56_line_dedup",
       // within-document repeated-line removal (Dolma/RefinedWeb step):
       // line-ize every 5 words so intra-doc repeats become visible,
