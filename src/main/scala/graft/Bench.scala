@@ -487,6 +487,44 @@ object Bench {
           System.err.println(s"[bench] l96g FAILED: ${e.getMessage}")
           None
         }).toSeq
+        // horizon-probe rehearsal (round 9): probing a 10-batch-deep
+        // LSH index with a 1-batch dedup horizon must cost ~the
+        // horizon, not the index — the batch floor file-prunes whole
+        // batch directories. Recorded: wall + pair counts for the
+        // full probe vs the horizon probe against the SAME index.
+        val horizon = (try {
+          val idxRoot = java.nio.file.Files
+            .createTempDirectory("graft_lsh_horizon").toString
+          val all = core.Tables.load(spark, dir, "documents")
+          val nBatches = 10
+          (0 until nBatches).foreach { b =>
+            operators.LshIndex.append(
+              operators.Dedup.buildIndex(
+                all.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b),
+                "text", "doc_id"),
+              idxRoot, b.toLong, numBuckets = 64)
+          }
+          val probeDocs = core.Tables.load(spark, sfDir, "documents")
+            .filter(col("doc_id") < 200)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          val probeIdx = operators.Dedup.buildIndex(probeDocs, "text", "doc_id")
+          spark.catalog.clearCache()
+          val (nFull, rFull) = receiptOf(
+            operators.LshIndex.probe(probeIdx, idxRoot).count())
+          spark.catalog.clearCache()
+          val (nHor, rHor) = receiptOf(operators.LshIndex.probeSince(
+            probeIdx, idxRoot, Some((nBatches - 1).toLong)).count())
+          System.err.println(f"[bench] synthH horizon_probe full " +
+            f"$nFull%d pairs/${rFull.wall}%5.2f s -> 1-of-$nBatches-batch " +
+            f"horizon $nHor%d pairs/${rHor.wall}%5.2f s " +
+            f"(wall ratio ${rHor.wall / rFull.wall}%.2fx)")
+          Seq(s""""l110g_horizon_probe":{"index_batches":$nBatches,""" +
+            s""""full_pairs":$nFull,${rFull.flatJson("full", nCpu)},""" +
+            s""""horizon_pairs":$nHor,${rHor.flatJson("horizon", nCpu)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] l110g FAILED: ${e.getMessage}")
+          Nil
+        })
         val items = (timings
           .map { case (q, t) =>
             val base = "\"" + q + f"\":$t%.3f"
@@ -494,7 +532,7 @@ object Bench {
               .map(r => s"$base,${r.metaJson(q, nCpu)}").getOrElse(base)
           } ++
           (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++
-          l19Census ++ l96g)
+          l19Census ++ l96g ++ horizon)
           .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
