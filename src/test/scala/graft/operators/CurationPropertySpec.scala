@@ -301,6 +301,25 @@ class CurationPropertySpec extends SparkSpec {
         assert(got.toSeq == want, s"budget=$budget\n got=${got.toSeq}\nwant=$want")
         assert(got.map(_._3).sum == budget, "quotas must sum exactly to budget")
     }
+    // decimal headroom: a 10^15-token budget over 10^12-token sources
+    // (products ~10^27, inside decimal(38,0)) still sums exactly and
+    // matches the BigInt replication — the long path would overflow
+    val big = Seq((1L, "a", 999999999999L), (2L, "b", 123456789012L),
+      (3L, "c", 1L)).toDF("id", "source", "n_tok")
+    val B = 1000000000000000L
+    val gotBig = Curation.apportionTokens(big, "source", col("n_tok"), B)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(gotBig.map(_._3).sum == B, gotBig.toSeq.toString)
+    val tot = BigInt(999999999999L) + BigInt(123456789012L) + 1
+    val base = Seq(("a", BigInt(999999999999L)), ("b", BigInt(123456789012L)),
+      ("c", BigInt(1))).map { case (g, n) =>
+      (g, n, (BigInt(B) * n / tot).toLong, BigInt(B) * n % tot) }
+    val left = B - base.map(_._3).sum
+    val win = base.sortBy { case (g, _, _, r) => (-r, g) }
+      .take(left.toInt).map(_._1).toSet
+    val wantBig = base.map { case (g, n, b, _) =>
+      (g, n.toLong, b + (if (win(g)) 1L else 0L)) }.sortBy(_._1)
+    assert(gotBig.toSeq == wantBig, s"got=${gotBig.toSeq}\nwant=$wantBig")
   }
 
   test("packSequences: every pack except a group's last starts under budget") {
