@@ -118,6 +118,11 @@ class LshIndexSpec extends SparkSpec {
     assert(pairSet(LshIndex.probeSince(newIdx, root, None)) == full)
     assert(pairSet(LshIndex.probeSince(newIdx, root, Some(0L))) == full)
 
+    // an EMPTY probe batch under a horizon: no candidates, no error
+    val emptyIdx = Dedup.buildIndex(
+      docsDF(Seq.empty[(Long, String)]), "text", "doc_id")
+    assert(LshIndex.probeSince(emptyIdx, root, Some(1L)).isEmpty)
+
     // the batch floor prunes whole batch DIRECTORIES at file level
     def scanOf(df: DataFrame): FileSourceScanExec =
       df.queryExecution.executedPlan.collectFirst {
