@@ -236,6 +236,40 @@ object TextFunctions {
     column(NfcNormalize(expression(text)))
   }
 
+  // ---- confusable-skeleton normalization -------------------------------
+
+  /** Homoglyph source characters for [[confusableSkeleton]]: the
+    * Cyrillic and Greek letters that render identically (or nearly so)
+    * to a Latin letter — the standard spoofing alphabet (Unicode
+    * TR#39's highest-traffic confusables). Public so oracles and
+    * external replays embed the identical mapping. Kept 1:1 with
+    * [[confusableTo]]. */
+  val confusableFrom: String =
+    "аеорсхуіѕԁј" + // Cyrillic а е о р с х у і ѕ ԁ ј
+      "αονρυκ" // Greek α ο ν ρ υ κ
+  /** Latin skeleton targets, positionally matching [[confusableFrom]]. */
+  val confusableTo: String = "aeopcxyisdj" + "aovpyk"
+
+  /** Confusable skeleton: lowercase, strip zero-width characters
+    * (ZWSP/ZWNJ/ZWJ/BOM — the invisible dedupe-evasion bytes), then map
+    * the high-traffic Cyrillic/Greek homoglyphs onto their Latin
+    * skeleton. Two visually-identical strings that differ only by
+    * script spoofing or invisible characters collapse to one skeleton —
+    * the dedupe key that catches adversarial near-duplicates exact and
+    * NFC dedupe both miss (NFC is a normalization within one script;
+    * the spoofed duplicate *is* NFC-normal). Pure codegen'd column
+    * algebra (one regex strip + one translate); the full TR#39 table
+    * plugs in at the same two constants. */
+  /** The zero-width strip class, RE2-safe (`\x{…}` escapes work in both
+    * java.util.regex and RE2, unlike `\uXXXX`) and escaped so the source
+    * file carries no invisible characters. */
+  val zeroWidthClass: String = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  def confusableSkeleton(text: Column): Column =
+    translate(
+      regexp_replace(lower(text), zeroWidthClass, ""),
+      confusableFrom, confusableTo)
+
   // ---- markup stripping ----------------------------------------------
 
   /** HTML/markup → text: drop script/style blocks wholesale (their

@@ -1048,4 +1048,105 @@ object Curation {
       round(when(col("tot1") > 0 && col("tot2") > 0,
         bp * sqrt(p1 * p2)), 6).as("bleu2"))
   }
+
+  // ---- license / provenance screening --------------------------------
+
+  /** Permissive-license allowlist for [[licenseScreen]]'s `license_ok`
+    * verdict — the code-corpus inclusion policy every permissively-
+    * licensed-code pipeline ships (SPDX identifiers). Public so the
+    * oracle and downstream policy tables embed the same literal set. */
+  val permissiveLicenses: Seq[String] = Seq(
+    "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+    "Unlicense", "CC0-1.0")
+
+  /** License screening for code/document corpora: classify each row by
+    * its detected license and flag whether it clears the permissive
+    * allowlist. Detection order is deliberate — a machine-readable
+    * `SPDX-License-Identifier:` tag wins outright; otherwise the three
+    * highest-precision header phrases (MIT grant clause, Apache header,
+    * GPL preamble) are tried; anything else is `unknown` (a compliance
+    * pipeline treats unknown as NOT ok, which `license_ok` encodes).
+    *
+    * Scale shape: pure codegen'd per-row regex work — no shuffle, no
+    * UDF; the regexes anchor on rare literal substrings so RE2/Java
+    * regex both scan in one pass. Adds `license` and `license_ok`. */
+  def licenseScreen(df: DataFrame, textCol: String): DataFrame = {
+    val spdx = regexp_extract(col(textCol),
+      "(?i)spdx-license-identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+    val heur =
+      when(col(textCol).rlike("(?i)permission is hereby granted, free of charge"), "MIT")
+        .when(col(textCol).rlike("(?i)licensed under the apache license"), "Apache-2.0")
+        .when(col(textCol).rlike("(?i)gnu general public license"), "GPL-3.0")
+    df.withColumn("license",
+        when(spdx =!= "", spdx).otherwise(coalesce(heur, lit("unknown"))))
+      .withColumn("license_ok",
+        col("license").isInCollection(permissiveLicenses))
+  }
+
+  // ---- code-quality filters (StarCoder-style) -------------------------
+
+  /** Per-document code-quality statistics + keep verdict — the
+    * StarCoder/StackV2-style structural screen for code corpora: a file
+    * with kilobyte-long lines is minified/generated, a file whose mean
+    * line is very long is data-not-code, and a file that is mostly
+    * non-alphanumeric is binary junk. Emits `n_lines`, `max_line_len`,
+    * `avg_line_len`, `alnum_frac`, and `keep` (max ≤ maxLineLen AND
+    * avg ≤ maxAvgLineLen AND alnum ≥ minAlnumFrac).
+    *
+    * Scale shape: one codegen'd pass — split on newline, a single
+    * higher-order reduce for the two line stats (the lines array is
+    * let-bound so the split runs once), one regex strip for the
+    * alphanumeric count. No shuffle, no UDF; at 100 TB this is a pure
+    * map stage fused into the scan. */
+  def codeFilters(df: DataFrame, textCol: String, idCol: String,
+      maxLineLen: Int = 1000, maxAvgLineLen: Int = 100,
+      minAlnumFrac: Double = 0.25): DataFrame = {
+    def letBind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    val stats = letBind(split(col(textCol), "\n")) { lines =>
+      struct(
+        size(lines).as("n_lines"),
+        array_max(transform(lines, l => length(l))).as("max_line_len"),
+        (aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+          .cast("double") / size(lines)).as("avg_line_len"))
+    }
+    val alnum = length(regexp_replace(col(textCol), "[^A-Za-z0-9]", ""))
+      .cast("double") / greatest(length(col(textCol)), lit(1)).cast("double")
+    df.withColumn("__cs", stats)
+      .withColumn("alnum_frac", alnum)
+      .select(df.columns.map(col) ++ Seq(
+        col("__cs.n_lines").as("n_lines"),
+        col("__cs.max_line_len").as("max_line_len"),
+        col("__cs.avg_line_len").as("avg_line_len"),
+        col("alnum_frac")): _*)
+      .withColumn("keep",
+        col("max_line_len") <= maxLineLen &&
+          col("avg_line_len") <= maxAvgLineLen &&
+          col("alnum_frac") >= minAlnumFrac)
+  }
+
+  /** Engine-portable twin of [[mixSources]]: materialize a source
+    * mixture at fixed per-source rates with the md5 hash-cut of
+    * [[hashSamplePortable]]. Each cut is computed once in Scala via
+    * [[portableCut]] so any engine replaying the sample embeds the
+    * identical integer literal — this is the step that turns
+    * [[mixtureWeights]]'s planned `rate` column into the actual
+    * training corpus, auditable outside Spark. Sources absent from
+    * `rates` fall back to `defaultRate`. Pure map-side filter: the
+    * per-source cut is a CASE chain over a small literal map, the hash
+    * is one md5 per row, no shuffle. */
+  def mixSourcesPortable(df: DataFrame, groupCol: String, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: Long = 0L): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate)
+      .forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val h = conv(substring(md5(
+      concat(lit(seed.toString), lit(":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(
+        lit(portableCut(defaultRate)): Column) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(portableCut(r))).otherwise(acc)
+    }
+    df.filter(h < cut)
+  }
 }

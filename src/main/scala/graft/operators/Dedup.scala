@@ -1104,4 +1104,57 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
   }
+
+  // ---- asymmetric containment (doc-inside-doc) ------------------------
+
+  /** Directional shingle-containment pairs: |A∩B| / |A| ≥ `threshold`,
+    * emitted for BOTH directions (a,b) with id_a ≠ id_b. Jaccard dedupe
+    * ([[minhashLsh]]/[[ngramJaccardPairs]]) misses the quote-inclusion
+    * case — a short document wholly embedded in a much longer one has
+    * tiny Jaccard but containment ≈ 1 from the short side — and that
+    * case is exactly how boilerplate-wrapped mirrors and quote farms
+    * survive symmetric dedupe.
+    *
+    * Shingles with document frequency > `maxDf` are dropped from BOTH
+    * the numerator and the denominator before pairing (the PPJoin-style
+    * stop-shingle cut): they are corpus boilerplate that would otherwise
+    * make candidate generation quadratic in the hottest bucket, and
+    * removing them from both sides keeps the ratio a true containment
+    * over the informative shingles. Documents whose informative shingle
+    * set is empty are dropped (containment undefined).
+    *
+    * Scale shape: the shuffle carries (64-bit gram hash, id) pairs only
+    * — never text; the pair census is a map-side-combined count; pair
+    * cardinality is Σ_g df(g)² over kept grams, bounded by maxDf·|rows|.
+    * Output: (id_a, id_b, containment) where containment = common/|A|. */
+  def selfContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // cached: the census, the size aggregate and both join sides all
+    // read the exploded grams (same fork-point rationale as minhash)
+    val grams = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        explode(hashedShingles(col(textCol), shingleN)).as("__g"))
+      .cache()
+    val hot = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__g"))
+    val kept = grams.join(broadcast(hot), Seq("__g"), "left_anti")
+    val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val common = kept.as("l")
+      .join(kept.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__id") =!= col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")),
+        Seq("id_a"))
+      .withColumn("containment",
+        col("__common").cast("double") / col("__sa").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -1560,6 +1560,195 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l111_license_screen",
+      // license screening for a code corpus: a deterministic slice of
+      // docs arrives with SPDX tags or license-header phrases planted
+      // (doc_id mod 7 picks the header); the screen classifies each doc
+      // and gates on the permissive allowlist. SPDX tag wins over the
+      // phrase heuristics; absent both, unknown (= not ok)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val planted = docs.withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("SPDX-License-Identifier: MIT\n"), col("text")))
+            .when(col("doc_id") % 7 === 1,
+              concat(lit("SPDX-License-Identifier: GPL-3.0-only\n"), col("text")))
+            .when(col("doc_id") % 7 === 2,
+              concat(lit("Permission is hereby granted, free of charge, "),
+                col("text")))
+            .when(col("doc_id") % 7 === 3,
+              concat(lit("Licensed under the Apache License, Version 2.0. "),
+                col("text")))
+            .otherwise(col("text")))
+        Curation.licenseScreen(planted, "text")
+          .select(col("doc_id"), col("source"), col("license"),
+            col("license_ok"))
+          .orderBy("doc_id")
+      },
+      // the allowlist literal is interpolated from the SAME Scala
+      // constant the operator gates on — policy can't silently diverge
+      Some(s"""WITH planted AS (SELECT doc_id, source,
+              |  CASE WHEN doc_id % 7 = 0
+              |    THEN 'SPDX-License-Identifier: MIT' || chr(10) || text
+              |  WHEN doc_id % 7 = 1
+              |    THEN 'SPDX-License-Identifier: GPL-3.0-only' || chr(10) || text
+              |  WHEN doc_id % 7 = 2
+              |    THEN 'Permission is hereby granted, free of charge, ' || text
+              |  WHEN doc_id % 7 = 3
+              |    THEN 'Licensed under the Apache License, Version 2.0. ' || text
+              |  ELSE text END AS text FROM documents),
+              |cls AS (SELECT doc_id, source,
+              |  CASE WHEN regexp_extract(text,
+              |      '(?i)spdx-license-identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) <> ''
+              |    THEN regexp_extract(text,
+              |      '(?i)spdx-license-identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+              |  WHEN regexp_matches(text,
+              |    '(?i)permission is hereby granted, free of charge') THEN 'MIT'
+              |  WHEN regexp_matches(text,
+              |    '(?i)licensed under the apache license') THEN 'Apache-2.0'
+              |  WHEN regexp_matches(text,
+              |    '(?i)gnu general public license') THEN 'GPL-3.0'
+              |  ELSE 'unknown' END AS license FROM planted)
+              |SELECT doc_id, source, license, license IN (${
+                Curation.permissiveLicenses.map(l => s"'$l'").mkString(", ")
+              }) AS license_ok
+              |FROM cls ORDER BY doc_id""".stripMargin)),
+
+    Q("l112_code_filters",
+      // StarCoder-style structural screen: line-ize every 5 words (the
+      // l56 injection) so line statistics are real, then gate on max
+      // line length, mean line length and alphanumeric fraction
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1\n"))
+        Curation.codeFilters(docs, "text", "doc_id",
+            maxLineLen = 35, maxAvgLineLen = 28, minAlnumFrac = 0.8)
+          .select(col("doc_id"), col("n_lines"), col("max_line_len"),
+            round(col("avg_line_len"), 6).as("avg_line_len"),
+            round(col("alnum_frac"), 6).as("alnum_frac"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (SELECT doc_id, regexp_replace(text,
+             |    '((\w+ ){4}\w+) ', '\1' || chr(10), 'g') AS text
+             |  FROM documents),
+             |s AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+             |  FROM lined),
+             |st AS (SELECT doc_id,
+             |  len(ls)::INT AS n_lines,
+             |  list_max(list_transform(ls, x -> len(x)))::INT AS max_line_len,
+             |  list_sum(list_transform(ls, x -> len(x)))::DOUBLE / len(ls)
+             |    AS avg_line,
+             |  len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE /
+             |    greatest(len(text), 1) AS alnum FROM s)
+             |SELECT doc_id, n_lines, max_line_len,
+             |  round(avg_line, 6) AS avg_line_len,
+             |  round(alnum, 6) AS alnum_frac,
+             |  (max_line_len <= 35 AND avg_line <= 28 AND alnum >= 0.8) AS keep
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    Q("l113_mixture_sample",
+      // materialize the source mixture: fixed per-source rates (the
+      // output of an l24 mixtureWeights run) applied as portable md5
+      // hash-cuts — the exact training-corpus row set, replayable in
+      // any engine. Cuts are Scala-computed literals (portableCut), so
+      // the oracle embeds the identical integers
+      (s, d) => Curation.mixSourcesPortable(
+          t(s, d, "documents").select("doc_id", "source"),
+          "source", col("doc_id"),
+          rates = Map("src0" -> 0.9, "src1" -> 0.7, "src2" -> 0.5,
+            "src3" -> 0.3, "src4" -> 0.1),
+          defaultRate = 0.25, seed = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM documents
+              |WHERE ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT <
+              |  CASE source
+              |    WHEN 'src0' THEN ${Curation.portableCut(0.9)}
+              |    WHEN 'src1' THEN ${Curation.portableCut(0.7)}
+              |    WHEN 'src2' THEN ${Curation.portableCut(0.5)}
+              |    WHEN 'src3' THEN ${Curation.portableCut(0.3)}
+              |    WHEN 'src4' THEN ${Curation.portableCut(0.1)}
+              |    ELSE ${Curation.portableCut(0.25)} END
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("l114_containment_dedup",
+      // doc-inside-doc detection: plant a 12-word excerpt of each of
+      // the first 40 docs as a new doc; symmetric Jaccard misses these
+      // (tiny vs host), directional containment ≥ 0.9 catches each
+      // excerpt→host edge. 4-gram shingles, df-capped on both sides
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val excerpts = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12)).as("text"))
+        Dedup.selfContainmentPairs(docs.unionByName(excerpts), "text", "doc_id",
+            shingleN = 4, threshold = 0.9, maxDf = 64)
+          .select(col("id_a"), col("id_b"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 200000, array_to_string(
+             |    (list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0))[1:12], ' ')
+             |  FROM documents WHERE doc_id < 40),
+             |t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM base),
+             |sh AS (SELECT doc_id, list_distinct(
+             |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |        || ' ' || toks[i+3]) END) AS g FROM t),
+             |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+             |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+             |kept AS (SELECT e.doc_id, e.s FROM ex e JOIN dfc USING (s)
+             |  WHERE df <= 64),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS c FROM kept a JOIN kept b
+             |  ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(c::DOUBLE / sz, 6) AS containment
+             |FROM common JOIN sizes ON sizes.doc_id = common.id_a
+             |WHERE c::DOUBLE / sz >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("l115_confusable_skeleton",
+      // adversarial near-dup: re-crawled copies of the first 60 docs
+      // arrive with Cyrillic homoglyphs swapped in for a/e/o plus a
+      // trailing zero-width space — visually identical, NFC-normal, so
+      // exact AND nfc dedupe both miss them. The confusable skeleton
+      // collapses each copy onto its original (min id wins)
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val spoofed = docs.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(translate(col("text"), "aeo", "аео"),
+              lit("\u200B")).as("text"))
+        Dedup.exact(
+            docs.unionByName(spoofed).withColumn("text",
+              TextFunctions.confusableSkeleton(col("text"))),
+            "text", "doc_id")
+          .select(col("doc_id"), md5(col("text")).as("skeleton_md5"))
+          .orderBy("doc_id")
+      },
+      // the confusable map and zero-width class are interpolated from
+      // the SAME Scala constants the expression uses — the mapping
+      // can't silently diverge from its oracle
+      Some(s"""WITH store AS (SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 300000,
+              |    translate(text, 'aeo', chr(1072) || chr(1077) || chr(1086))
+              |      || chr(8203)
+              |  FROM documents WHERE doc_id < 60),
+              |sk AS (SELECT doc_id, translate(regexp_replace(lower(text),
+              |    '${TextFunctions.zeroWidthClass}', '', 'g'),
+              |    '${TextFunctions.confusableFrom}',
+              |    '${TextFunctions.confusableTo}') AS text FROM store),
+              |keep AS (SELECT text, min(doc_id) AS doc_id FROM sk
+              |  GROUP BY text)
+              |SELECT doc_id, md5(text) AS skeleton_md5 FROM keep
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("l56_line_dedup",
       // within-document repeated-line removal (Dolma/RefinedWeb step):
       // line-ize every 5 words so intra-doc repeats become visible,

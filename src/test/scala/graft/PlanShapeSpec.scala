@@ -677,4 +677,43 @@ class PlanShapeSpec extends SparkSpec {
       assert(body.columns.nonEmpty)
     }
   }
+
+  test("license screen, code filters and skeleton are map-only column work") {
+    for (q <- Seq("l111_license_screen", "l112_code_filters")) {
+      val plan = planOf(queries.Suite.queries(q)(spark, sf))
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+        s"$q must be map-only up to the final sort:\n$plan")
+    }
+    // the skeleton expression itself stays inside whole-stage codegen
+    val skel = core.Tables.load(spark, sf, "documents")
+      .select(functions.TextFunctions.confusableSkeleton(col("text")).as("s"))
+    skel.collect() // AQE finalizes codegen on execution
+    assert(planOf(skel).contains("*("),
+      "translate+strip must not break the WSCG span")
+  }
+
+  test("portable mixture sampling pushes to a scan-fused filter — no shuffle") {
+    val df = operators.Curation.mixSourcesPortable(
+      core.Tables.load(spark, sf, "documents").select("doc_id", "source"),
+      "source", col("doc_id"), Map("src0" -> 0.9, "src1" -> 0.1),
+      defaultRate = 0.25, seed = 7)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"pure map-side filter:\n$plan")
+    assert(plan.contains("Filter"), plan)
+    // column pruning survives the md5-cut filter
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string"),
+      plan)
+  }
+
+  test("self-containment shuffles gram hashes, never text; census broadcasts") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Dedup.selfContainmentPairs(
+      docs, "text", "doc_id", shingleN = 4, threshold = 0.9))
+    // the hot-shingle census reaches the pair join as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no sort-merge join anywhere: pair generation is hash-equi on __g
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
