@@ -304,7 +304,14 @@ object Bench {
         // audio near-dup (blocked Hamming join — collision volume is
         // the degradation axis, rehearsed at 10× clips)
         "l106_rouge_l", "l107_encoding_damage", "l108_length_batching",
-        "m8_audio_decode", "m9_audio_neardup")
+        "m8_audio_decode", "m9_audio_neardup",
+        // round-9b additions: license screen + code filters (map-only
+        // regex/HOF column work), portable mixture (scan-fused filter),
+        // containment dedupe (df-capped pair join — collision volume is
+        // the degradation axis, same class as l63) and the confusable
+        // skeleton (translate + exact dedupe, one hash shuffle)
+        "l111_license_screen", "l112_code_filters", "l113_mixture_sample",
+        "l114_containment_dedup", "l115_confusable_skeleton")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -1129,32 +1129,44 @@ object Dedup {
     * Output: (id_a, id_b, containment) where containment = common/|A|. */
   def selfContainmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 64): DataFrame = {
+      maxDf: Int = 64, materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // cached: the census, the size aggregate and both join sides all
-    // read the exploded grams (same fork-point rationale as minhash)
-    val grams = df.repartition(par, col(idCol))
+    // cached when materializing: the census, the size aggregate and both
+    // join sides all read the exploded grams (same fork-point rationale
+    // as minhash). The lazy path skips the cache entirely — no pinned
+    // blocks to leak, consumers re-derive the grams
+    val base = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         explode(hashedShingles(col(textCol), shingleN)).as("__g"))
-      .cache()
-    val hot = grams.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(col("__g"))
-    val kept = grams.join(broadcast(hot), Seq("__g"), "left_anti")
-    val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val common = kept.as("l")
-      .join(kept.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__id") =!= col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .agg(count(lit(1)).as("__common"))
-    common
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")),
-        Seq("id_a"))
-      .withColumn("containment",
-        col("__common").cast("double") / col("__sa").cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+    val grams = if (materialize) base.cache() else base
+    try {
+      val hot = grams.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(col("__g"))
+      val kept = grams.join(broadcast(hot), Seq("__g"), "left_anti")
+      val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      val common = kept.as("l")
+        .join(kept.as("r"),
+          col("l.__g") === col("r.__g") && col("l.__id") =!= col("r.__id"))
+        .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+        .agg(count(lit(1)).as("__common"))
+      val out = common
+        .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")),
+          Seq("id_a"))
+        .withColumn("containment",
+          col("__common").cast("double") / col("__sa").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("containment"))
+      // materialize eagerly so the corpus-sized gram cache can be
+      // unpersisted HERE instead of leaking one pinned cache per call
+      // (the prefixJaccardPairs contract); the result is the small side
+      // by construction — pairs above threshold, not the gram table.
+      // materialize=false keeps the declarative plan (plan inspection /
+      // composition into a larger job); that path re-reads the grams
+      // per consumer, since the cache is released on return either way
+      if (materialize) out.localCheckpoint(true) else out
+    } finally { if (materialize) { grams.unpersist(); () } }
   }
 }

@@ -709,8 +709,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("self-containment shuffles gram hashes, never text; census broadcasts") {
     val docs = core.Tables.load(spark, sf, "documents")
+    // materialize=false keeps the declarative plan for inspection (the
+    // default eagerly checkpoints, which collapses the plan to an RDD scan)
     val plan = planOf(operators.Dedup.selfContainmentPairs(
-      docs, "text", "doc_id", shingleN = 4, threshold = 0.9))
+      docs, "text", "doc_id", shingleN = 4, threshold = 0.9,
+      materialize = false))
     // the hot-shingle census reaches the pair join as a broadcast
     assert(plan.contains("BroadcastHashJoin"), plan)
     // no sort-merge join anywhere: pair generation is hash-equi on __g

@@ -156,6 +156,25 @@ class ScreeningSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 4L)))
   }
 
+  test("null text: screens degrade to safe verdicts, dedupes drop the row") {
+    val in = Seq((1L, Option("real text here")), (2L, None))
+      .toDF("doc_id", "text")
+    // license: null text → unknown / not ok (never a null verdict)
+    val lic = Curation.licenseScreen(in, "text")
+      .filter(col("doc_id") === 2L)
+      .select("license", "license_ok").as[(String, Boolean)].head()
+    assert(lic == (("unknown", false)))
+    // code filters: null text → keep=false, stats null (no crash)
+    val cf = Curation.codeFilters(in, "text", "doc_id")
+      .filter(col("doc_id") === 2L).select("keep")
+      .as[Option[Boolean]].head()
+    assert(!cf.getOrElse(false))
+    // containment: the null-text row simply contributes no shingles
+    val pairs = Dedup.selfContainmentPairs(in, "text", "doc_id",
+      shingleN = 3, threshold = 0.1)
+    assert(pairs.count() == 0)
+  }
+
   test("confusable map stays 1:1 (translate contract)") {
     assert(TextFunctions.confusableFrom.length ==
       TextFunctions.confusableTo.length)
