@@ -307,9 +307,10 @@ object Bench {
         "m8_audio_decode", "m9_audio_neardup",
         // round-9b additions: license screen + code filters (map-only
         // regex/HOF column work), portable mixture (scan-fused filter),
-        // containment dedupe (df-capped pair join — collision volume is
-        // the degradation axis, same class as l63) and the confusable
-        // skeleton (translate + exact dedupe, one hash shuffle)
+        // containment dedupe (directional prefix filter — candidate
+        // volume is the degradation axis, receipted by l114c below)
+        // and the confusable skeleton (translate + exact dedupe, one
+        // hash shuffle)
         "l111_license_screen", "l112_code_filters", "l113_mixture_sample",
         "l114_containment_dedup", "l115_confusable_skeleton")
     val synthFactor =
@@ -447,6 +448,35 @@ object Bench {
             s"""${rb.flatJson("base", nCpu)},"grown_cands":$cg,""" +
             s""""grown_pairs":$pg,${rg.flatJson("grown", nCpu)}}"""
         }).toSeq
+        // containment candidate-volume receipt (l114's l19c twin): the
+        // directional prefix filter bounds candidates by
+        // maxDf·(1−t)·|gram rows| — the ratio at 10× is the proof
+        def containTimed(label: String, d: String)
+            : Option[(Long, Long, Receipt)] = {
+          spark.catalog.clearCache()
+          try {
+            val ((cands, pairs), rc) = receiptOf(
+              operators.Dedup.containmentCensus(
+                core.Tables.load(spark, d, "documents"), "text", "doc_id",
+                threshold = 0.9, shingleN = 4))
+            Some((cands, pairs, rc))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $label FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        val l114Census = (for {
+          (cb, pb, rb) <- containTimed("synthC:l114c(base)", sfDir)
+          (cg, pg, rg) <- containTimed(s"synthC:l114c(x$synthFactor)", dir)
+        } yield {
+          System.err.println(f"[bench] synthC x$synthFactor l114c_containment_census " +
+            f"base $cb%d cands/$pb%d pairs/${rb.wall}%5.2f s -> grown " +
+            f"$cg%d cands/$pg%d pairs/${rg.wall}%5.2f s " +
+            f"(cand ratio ${cg.toDouble / math.max(cb, 1)}%.1fx)")
+          s""""l114c_containment_census":{"base_cands":$cb,"base_pairs":$pb,""" +
+            s"""${rb.flatJson("base", nCpu)},"grown_cands":$cg,""" +
+            s""""grown_pairs":$pg,${rg.flatJson("grown", nCpu)}}"""
+        }).toSeq
         // Unigram-encode rehearsal (round-8 item 2): the model
         // broadcasts and Viterbi segmentation runs ON EXECUTORS over
         // the distinct-words frame, so 10× documents — and with them
@@ -539,7 +569,7 @@ object Bench {
               .map(r => s"$base,${r.metaJson(q, nCpu)}").getOrElse(base)
           } ++
           (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++
-          l19Census ++ l96g ++ horizon)
+          l19Census ++ l114Census ++ l96g ++ horizon)
           .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>

@@ -1123,50 +1123,117 @@ object Dedup {
     * over the informative shingles. Documents whose informative shingle
     * set is empty are dropped (containment undefined).
     *
+    * Candidate generation is the DIRECTIONAL prefix filter: order each
+    * doc's kept grams rarest-first; if |A∩B| ≥ t·|A| then among A's
+    * first |A| − ⌈t·|A|⌉ + 1 grams at least one is in B (more misses
+    * than that contradict the threshold — lossless for any order; the
+    * rarity order just minimizes collisions). So only A-prefix grams
+    * join against the full gram index, with the length filter
+    * |B| ≥ ⌈t·|A|⌉ (B must hold the intersection). Candidates verify
+    * exactly via the sorted-array intersect expression. At t = 0.9 the
+    * prefix is ~10% of each doc's grams — candidate volume drops ~10×
+    * vs the naive Σ_g df(g)² self-join, and there is no corpus-sized
+    * pair groupBy at all.
+    *
     * Scale shape: the shuffle carries (64-bit gram hash, id) pairs only
-    * — never text; the pair census is a map-side-combined count; pair
-    * cardinality is Σ_g df(g)² over kept grams, bounded by maxDf·|rows|.
-    * Output: (id_a, id_b, containment) where containment = common/|A|. */
+    * — never text; candidate cardinality is Σ_g prefixDf(g)·df(g) ≤
+    * maxDf·Σ prefixDf ≈ maxDf·(1−t)·|gram rows|. Output:
+    * (id_a, id_b, containment) where containment = common/|A|. */
   def selfContainmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 64, materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // cached when materializing: the census, the size aggregate and both
-    // join sides all read the exploded grams (same fork-point rationale
-    // as minhash). The lazy path skips the cache entirely — no pinned
-    // blocks to leak, consumers re-derive the grams
-    val base = df.repartition(par, col(idCol))
-      .select(col(idCol).as("__id"),
-        explode(hashedShingles(col(textCol), shingleN)).as("__g"))
-    val grams = if (materialize) base.cache() else base
+    val docs = containmentDocs(df, textCol, idCol, shingleN, maxDf,
+      materialize)
     try {
-      val hot = grams.groupBy(col("__g"))
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf)
-        .select(col("__g"))
-      val kept = grams.join(broadcast(hot), Seq("__g"), "left_anti")
-      val sizes = kept.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-      val common = kept.as("l")
-        .join(kept.as("r"),
-          col("l.__g") === col("r.__g") && col("l.__id") =!= col("r.__id"))
-        .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-        .agg(count(lit(1)).as("__common"))
-      val out = common
-        .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")),
-          Seq("id_a"))
-        .withColumn("containment",
-          col("__common").cast("double") / col("__sa").cast("double"))
-        .filter(col("containment") >= threshold)
-        .select(col("id_a"), col("id_b"), col("containment"))
-      // materialize eagerly so the corpus-sized gram cache can be
+      val out = containmentVerify(
+        containmentCandidates(docs, threshold), docs, threshold)
+      // materialize eagerly so the corpus-sized doc-gram cache can be
       // unpersisted HERE instead of leaking one pinned cache per call
       // (the prefixJaccardPairs contract); the result is the small side
       // by construction — pairs above threshold, not the gram table.
       // materialize=false keeps the declarative plan (plan inspection /
-      // composition into a larger job); that path re-reads the grams
-      // per consumer, since the cache is released on return either way
+      // composition into a larger job); that path re-derives the grams
+      // per consumer, since nothing is cached
       if (materialize) out.localCheckpoint(true) else out
-    } finally { if (materialize) { grams.unpersist(); () } }
+    } finally { if (materialize) { docs.unpersist(); () } }
+  }
+
+  /** Per-doc kept (df ≤ maxDf) gram arrays, twice over: hash-sorted for
+    * the exact verify merge, rarest-first for the prefix cut. Cached +
+    * eagerly pinned when `materialize` (prefix, probe and verify sides
+    * all fan out from here — the preppedShingles fork-point rationale);
+    * callers own the unpersist. */
+  private def containmentDocs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, maxDf: Int, materialize: Boolean): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val exploded = df.repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        explode(hashedShingles(col(textCol), shingleN)).as("__g"))
+    val keptDf = exploded.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val docsBase = exploded.join(keptDf, "__g")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(col("__g"))).as("__sh"),
+        transform(
+          array_sort(collect_list(struct(col("__df"), col("__g")))),
+          s => s.getField("__g")).as("__sorted"))
+    if (materialize) { val c = docsBase.cache(); c.count(); c }
+    else docsBase
+  }
+
+  /** Directional prefix-filter candidates BEFORE the exact verify —
+    * package-visible so the bench can receipt the candidate volume next
+    * to the wall time (the l19c contract: a candidate blowup is the one
+    * way this operator degrades, and the receipt makes it visible).
+    * Prefix = the rarest n − ⌈t·n⌉ + 1 grams of each doc (its allowed
+    * misses + 1); probe side = every kept gram, with the
+    * |B| ≥ ⌈t·|A|⌉ length filter (B must hold the intersection). */
+  private[graft] def containmentCandidates(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val prefixes = docs.select(col("__id"), size(col("__sorted")).as("__n"),
+      explode(slice(col("__sorted"), lit(1),
+        (size(col("__sorted")) -
+          ceil(lit(threshold) * size(col("__sorted"))).cast("int") + 1)))
+        .as("__p"))
+    val probe = docs.select(col("__id"), size(col("__sorted")).as("__n"),
+      explode(col("__sorted")).as("__p"))
+    prefixes.as("l")
+      .join(probe.as("r"),
+        col("l.__p") === col("r.__p") && col("l.__id") =!= col("r.__id") &&
+          col("r.__n") >= ceil(lit(threshold) * col("l.__n")))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact containment on candidate pairs via the sorted-array merge. */
+  private def containmentVerify(candidates: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sh_a")),
+        "id_a")
+      .join(docs.select(col("__id").as("id_b"), col("__sh").as("__sh_b")),
+        "id_b")
+      .withColumn("containment",
+        intersectSize(col("__sh_a"), col("__sh_b")).cast("double") /
+          size(col("__sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Bench receipt hook: (candidate_pairs, verified_pairs) of one
+    * containment run — the l114 twin of [[prefixJoinCensus]]. */
+  private[graft] def containmentCensus(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleN: Int = 4,
+      maxDf: Int = 64): (Long, Long) = {
+    val docs = containmentDocs(df, textCol, idCol, shingleN, maxDf,
+      materialize = true)
+    try {
+      val cand = containmentCandidates(docs, threshold).cache()
+      try {
+        val nCand = cand.count()
+        val nVerified = containmentVerify(cand, docs, threshold).count()
+        (nCand, nVerified)
+      } finally { cand.unpersist(); () }
+    } finally { docs.unpersist(); () }
   }
 }

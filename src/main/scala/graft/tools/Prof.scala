@@ -116,6 +116,19 @@ object Prof {
       case "l19" =>
         run("prefixJaccard")(
           Dedup.prefixJaccardPairs(docs, "text", "doc_id", 0.3, 2))
+      case "l114" =>
+        import org.apache.spark.sql.functions._
+        val excerpts = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12)).as("text"))
+        val store = docs.select(col("doc_id"), col("text"))
+          .unionByName(excerpts)
+        for (i <- 1 to 3)
+          run(s"containment#$i")(Dedup.selfContainmentPairs(
+            store, "text", "doc_id", shingleN = 4, threshold = 0.9))
+        val (c, p) = Dedup.containmentCensus(store, "text", "doc_id",
+          threshold = 0.9, shingleN = 4)
+        println(s"census: cands=$c verified=$p")
       case "l19stages" =>
         import org.apache.spark.sql.functions._
         val th = sys.env.getOrElse("GRAFT_T", "0.8").toDouble

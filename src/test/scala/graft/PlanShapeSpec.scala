@@ -707,16 +707,16 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
-  test("self-containment shuffles gram hashes, never text; census broadcasts") {
+  test("self-containment pairs are prefix-filtered hash-equi — never cartesian") {
     val docs = core.Tables.load(spark, sf, "documents")
     // materialize=false keeps the declarative plan for inspection (the
     // default eagerly checkpoints, which collapses the plan to an RDD scan)
     val plan = planOf(operators.Dedup.selfContainmentPairs(
       docs, "text", "doc_id", shingleN = 4, threshold = 0.9,
       materialize = false))
-    // the hot-shingle census reaches the pair join as a broadcast
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    // no sort-merge join anywhere: pair generation is hash-equi on __g
-    assert(!plan.contains("SortMergeJoin"), plan)
+    // every join is hash-equi on the gram hash or the doc id — a
+    // cartesian/nested-loop anywhere means the prefix filter fell out
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }

@@ -114,6 +114,13 @@ class ScreeningSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     // every excerpt trigram is in the host: containment 1.0 that way only
     assert(out == Set((2L, 1L, 1.0)))
+    // the directional prefix filter is lossless AND selective: every
+    // verified pair was a candidate, and no candidate from the disjoint
+    // doc survives to the verify stage's output
+    val (cands, verified) = Dedup.containmentCensus(in, "text", "doc_id",
+      threshold = 0.9, shingleN = 3)
+    assert(verified == 1L && cands >= verified && cands <= 4L,
+      s"cands=$cands verified=$verified")
   }
 
   test("selfContainmentPairs df-cap drops boilerplate from both sides") {
