@@ -57,7 +57,7 @@ object Dedup {
     }
 
   /** |A∩B| of two sorted long arrays (native merge expression). */
-  private def intersectSize(a: Column, b: Column): Column = {
+  private[operators] def intersectSize(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(graft.functions.SortedIntersectSize(expression(a), expression(b)))
   }

@@ -1713,6 +1713,59 @@ object Suite {
              |WHERE c::DOUBLE / sz >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("l116_containment_probe",
+      // the serving path of l114: history (even ids) lives in the
+      // persisted gram-postings index; the arriving batch (odd ids +
+      // excerpts of the first 40 even docs) probes it. Directional-new
+      // contract: emitted pairs have id_a in the arriving batch; df for
+      // the stop-gram cut is exact over old ∪ new because every posting
+      // of a batch gram lives in a touched partition. The oracle
+      // replays the closed-corpus computation restricted to those ids
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val arriving = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(evens.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12))
+                .as("text")))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cidx_suite").toString
+        graft.operators.ContainmentIndex.append(evens, "text", "doc_id",
+          root, batchId = 0L, shingleN = 4, numBuckets = 32)
+        graft.operators.ContainmentIndex.probe(arriving, "text", "doc_id",
+            root, threshold = 0.9, maxDf = 64)
+          .select(col("id_a"), col("id_b"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 200000, array_to_string(
+             |    (list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0))[1:12], ' ')
+             |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+             |t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM base),
+             |sh AS (SELECT doc_id, list_distinct(
+             |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |        || ' ' || toks[i+3]) END) AS g FROM t),
+             |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+             |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+             |kept AS (SELECT e.doc_id, e.s FROM ex e JOIN dfc USING (s)
+             |  WHERE df <= 64),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS c FROM kept a JOIN kept b
+             |  ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(c::DOUBLE / sz, 6) AS containment
+             |FROM common JOIN sizes ON sizes.doc_id = common.id_a
+             |WHERE c::DOUBLE / sz >= 0.9
+             |  AND (id_a % 2 = 1 OR id_a >= 200000)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("l115_confusable_skeleton",
       // adversarial near-dup: re-crawled copies of the first 60 docs
       // arrive with Cyrillic homoglyphs swapped in for a/e/o plus a
