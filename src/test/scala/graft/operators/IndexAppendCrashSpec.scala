@@ -170,4 +170,41 @@ class IndexAppendCrashSpec extends SparkSpec {
     assert(resultSet(IvfIndex.query(spark, root, q, k = 5, nprobe = 3)) ==
       resultSet(IvfIndex.query(spark, clean, q, k = 5, nprobe = 3)))
   }
+
+  test("Containment: kill between the postings and docs writes, replay converges") {
+    // same two-table seam as LSH (postings commit, then docs): the
+    // torn state has batch-1 postings but no batch-1 doc arrays — a
+    // probe would find candidates it cannot verify
+    def cleanRoot(): String = {
+      val root = tmp("graft_cidxcrash_clean")
+      ContainmentIndex.append(batch0, "text", "doc_id", root, 0L, 4, 16)
+      ContainmentIndex.append(batch1, "text", "doc_id", root, 1L, 4, 16)
+      root
+    }
+    val clean = cleanRoot()
+
+    val root = tmp("graft_cidxcrash_seam")
+    ContainmentIndex.append(batch0, "text", "doc_id", root, 0L, 4, 16)
+    ContainmentIndex.append(batch1, "text", "doc_id", root, 1L, 4, 16)
+    val f = fs(root)
+    val docsB1 = f.globStatus(
+      new Path(s"$root/docs/${ContainmentIndex.BatchCol}=1"))
+    assert(docsB1.nonEmpty, "fixture: batch-1 docs must exist pre-crash")
+    docsB1.foreach(s => f.delete(s.getPath, true))
+    assert(rowCount(s"$root/docs") < rowCount(s"$clean/docs"))
+
+    // at-least-once replay of the SAME batch, then probe with a batch
+    // containing an excerpt of a batch-1 doc (verify must read the
+    // replayed doc arrays)
+    ContainmentIndex.append(batch1, "text", "doc_id", root, 1L, 4, 16)
+    val probe = docsDF(Seq(
+      (900L, "an entirely novel text unlike anything else"),
+      (901L, "document 5 discusses topic 0 covering alpha beta")))
+    def probed(r: String) = pairSet(ContainmentIndex.probe(
+      probe, "text", "doc_id", r, threshold = 0.9))
+    assert(probed(root) == probed(clean))
+    assert(rowCount(s"$root/postings") == rowCount(s"$clean/postings"),
+      "replay must overwrite its own posting partitions, not double them")
+    assert(rowCount(s"$root/docs") == rowCount(s"$clean/docs"))
+  }
 }
