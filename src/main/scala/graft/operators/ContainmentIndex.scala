@@ -118,9 +118,15 @@ object ContainmentIndex {
     val spark = df.sparkSession
     ensureMeta(spark, root, numBuckets, shingleN)
     val sh = shingled(df, textCol, idCol, shingleN).localCheckpoint()
+    // route rows to their partition BEFORE the write (the d8 summing
+    // file discipline): without it every shuffle task writes into every
+    // partition dir — numBuckets × parallelism tiny files per batch,
+    // and the probe pays the listing/open cost forever after. Routed,
+    // each (batch, bucket) dir holds one file
     sh.select(col("__id"), explode(col("__sh")).as("__g"))
       .withColumn(PostPart, pp(col("__g"), numBuckets))
       .withColumn(BatchCol, lit(batchId))
+      .repartition(col(PostPart))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol, PostPart)
@@ -128,6 +134,7 @@ object ContainmentIndex {
     sh.select(col("__id"), col("__sh"))
       .withColumn(DocPart, dp(col("__id"), numBuckets))
       .withColumn(BatchCol, lit(batchId))
+      .repartition(col(DocPart))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol, DocPart)
