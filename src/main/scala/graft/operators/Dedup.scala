@@ -56,6 +56,19 @@ object Dedup {
             i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*)))))
     }
 
+  /** ⌈t·n⌉ as a column, guarded against IEEE double-rounding: 0.9·10
+    * evaluates to 9.000000000000002, whose plain ceil is 10 — which
+    * would shrink the containment prefix one gram short of lossless
+    * and over-tighten the |B| ≥ ⌈t·|A|⌉ length filter, silently
+    * dropping pairs that sit exactly at the threshold. The epsilon is
+    * orders of magnitude above the product's representation error
+    * (≤ n·2⁻⁵² ≈ 2·10⁻¹⁰ even at n = 10⁶ grams) and orders below 1,
+    * so it can never cross a genuinely non-integer bound. Shared by
+    * [[containmentCandidates]] and [[ContainmentIndex.probe]] so the
+    * two candidate generators cannot diverge at the boundary. */
+  private[operators] def thresholdCeil(threshold: Double, n: Column): Column =
+    ceil(lit(threshold) * n - lit(1e-9))
+
   /** |A∩B| of two sorted long arrays (native merge expression). */
   private[operators] def intersectSize(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -1194,14 +1207,14 @@ object Dedup {
     val prefixes = docs.select(col("__id"), size(col("__sorted")).as("__n"),
       explode(slice(col("__sorted"), lit(1),
         (size(col("__sorted")) -
-          ceil(lit(threshold) * size(col("__sorted"))).cast("int") + 1)))
+          thresholdCeil(threshold, size(col("__sorted"))).cast("int") + 1)))
         .as("__p"))
     val probe = docs.select(col("__id"), size(col("__sorted")).as("__n"),
       explode(col("__sorted")).as("__p"))
     prefixes.as("l")
       .join(probe.as("r"),
         col("l.__p") === col("r.__p") && col("l.__id") =!= col("r.__id") &&
-          col("r.__n") >= ceil(lit(threshold) * col("l.__n")))
+          col("r.__n") >= thresholdCeil(threshold, col("l.__n")))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
   }

@@ -37,17 +37,25 @@ object ContainmentStream {
   def processBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexPath: String, pairsPath: String,
       threshold: Double = 0.9, maxDf: Int = 64, shingleN: Int = 4,
-      numBuckets: Int = 256): Unit = {
+      numBuckets: Int = ContainmentIndex.DefaultNumBuckets): Unit = {
     val spark = batch.sparkSession
+    val indexed = ContainmentIndex.exists(spark, indexPath)
+    // an existing index fixes the gram space: derive shingleN/numBuckets
+    // from its meta so a restarted stream (or one started with defaults
+    // against a non-default index) probes AND appends consistently —
+    // passed values only seed the very first append
+    val (sn, nb) =
+      if (indexed) { val (n, s) = ContainmentIndex.readMeta(spark, indexPath); (s, n) }
+      else (shingleN, numBuckets)
     val pairs =
-      if (ContainmentIndex.exists(spark, indexPath))
+      if (indexed)
         ContainmentIndex.probe(batch, textCol, idCol, indexPath,
           threshold, maxDf)
       else {
         // first batch: only within-batch containment exists — the
         // batch operator restricted to itself is exactly that
         graft.operators.Dedup.selfContainmentPairs(batch, textCol, idCol,
-          shingleN, threshold, maxDf)
+          sn, threshold, maxDf)
       }
     pairs
       .withColumn(BatchCol, lit(batchId))
@@ -56,7 +64,7 @@ object ContainmentStream {
       .partitionBy(BatchCol)
       .parquet(pairsPath)
     ContainmentIndex.append(batch, textCol, idCol, indexPath, batchId,
-      shingleN, numBuckets)
+      sn, nb)
   }
 
   /** Fold old batch partitions of all three sinks into one compacted
@@ -72,14 +80,15 @@ object ContainmentStream {
 
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, pairsPath: String, checkpointDir: String,
-      threshold: Double = 0.9,
+      threshold: Double = 0.9, maxDf: Int = 64, shingleN: Int = 4,
+      numBuckets: Int = ContainmentIndex.DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, idCol, indexPath, pairsPath,
-          threshold)
+          threshold, maxDf, shingleN, numBuckets)
       }
       .start()
 }

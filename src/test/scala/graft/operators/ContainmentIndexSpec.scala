@@ -101,6 +101,32 @@ class ContainmentIndexSpec extends SparkSpec {
       sinceBatch = Some(1L)).isEmpty)
   }
 
+  test("pairs exactly AT the threshold survive candidate generation (ceil rounding)") {
+    // 0.9·10 in IEEE doubles is 9.000000000000002: a plain ceil reads
+    // 10, shrinking the prefix to 1 gram and demanding |B| ≥ 10 — both
+    // silently drop pairs whose containment is exactly the threshold.
+    // Fixture (shingleN = 1 → grams = distinct tokens): A has 10
+    // tokens, B holds 9 of them and nothing else. A-in-B containment
+    // is exactly 0.9; A's rarest gram (the one only A has) leads its
+    // prefix, so the buggy 1-gram prefix misses B entirely, and the
+    // buggy length filter rejects |B| = 9 < 10. Both directions must
+    // be emitted, by the batch operator AND the index probe.
+    val words = (1 to 10).map(i => f"tok$i%02d")
+    val a = (2000L, words.mkString(" "))
+    val b = (2001L, words.drop(1).mkString(" "))
+    val both = docsDF(Seq(a, b))
+    val batch = pairSet(Dedup.selfContainmentPairs(both, "text", "doc_id",
+      shingleN = 1, threshold = 0.9, maxDf = 64))
+    assert(batch.contains((2000L, 2001L, 0.9)), s"A-in-B at 0.9: $batch")
+    assert(batch.contains((2001L, 2000L, 1.0)), s"B-in-A: $batch")
+    val root = tmp("graft_cidx_boundary")
+    ContainmentIndex.append(docsDF(Seq(b)), "text", "doc_id", root, 0L,
+      shingleN = 1, numBuckets = 16)
+    val probed = pairSet(ContainmentIndex.probe(docsDF(Seq(a)),
+      "text", "doc_id", root, threshold = 0.9))
+    assert(probed.contains((2000L, 2001L, 0.9)), s"probe at 0.9: $probed")
+  }
+
   test("probe scans only touched posting partitions (file-level pruning)") {
     val root = tmp("graft_cidx_prune")
     val n = 16

@@ -171,10 +171,10 @@ class IndexAppendCrashSpec extends SparkSpec {
       resultSet(IvfIndex.query(spark, clean, q, k = 5, nprobe = 3)))
   }
 
-  test("Containment: kill between the postings and docs writes, replay converges") {
-    // same two-table seam as LSH (postings commit, then docs): the
-    // torn state has batch-1 postings but no batch-1 doc arrays — a
-    // probe would find candidates it cannot verify
+  test("Containment: kill between the docs and postings writes, replay converges") {
+    // same two-table seam as LSH (docs commit first, then postings):
+    // the torn state has batch-1 doc arrays but no batch-1 postings —
+    // a probe would miss batch-1 partners until the replay lands
     def cleanRoot(): String = {
       val root = tmp("graft_cidxcrash_clean")
       ContainmentIndex.append(batch0, "text", "doc_id", root, 0L, 4, 16)
@@ -187,15 +187,15 @@ class IndexAppendCrashSpec extends SparkSpec {
     ContainmentIndex.append(batch0, "text", "doc_id", root, 0L, 4, 16)
     ContainmentIndex.append(batch1, "text", "doc_id", root, 1L, 4, 16)
     val f = fs(root)
-    val docsB1 = f.globStatus(
-      new Path(s"$root/docs/${ContainmentIndex.BatchCol}=1"))
-    assert(docsB1.nonEmpty, "fixture: batch-1 docs must exist pre-crash")
-    docsB1.foreach(s => f.delete(s.getPath, true))
-    assert(rowCount(s"$root/docs") < rowCount(s"$clean/docs"))
+    val postB1 = f.globStatus(
+      new Path(s"$root/postings/${ContainmentIndex.BatchCol}=1"))
+    assert(postB1.nonEmpty, "fixture: batch-1 postings must exist pre-crash")
+    postB1.foreach(s => f.delete(s.getPath, true))
+    assert(rowCount(s"$root/postings") < rowCount(s"$clean/postings"))
 
     // at-least-once replay of the SAME batch, then probe with a batch
-    // containing an excerpt of a batch-1 doc (verify must read the
-    // replayed doc arrays)
+    // containing an excerpt of a batch-1 doc (candidates must come from
+    // the replayed postings)
     ContainmentIndex.append(batch1, "text", "doc_id", root, 1L, 4, 16)
     val probe = docsDF(Seq(
       (900L, "an entirely novel text unlike anything else"),
@@ -206,5 +206,60 @@ class IndexAppendCrashSpec extends SparkSpec {
     assert(rowCount(s"$root/postings") == rowCount(s"$clean/postings"),
       "replay must overwrite its own posting partitions, not double them")
     assert(rowCount(s"$root/docs") == rowCount(s"$clean/docs"))
+  }
+
+  test("Containment: torn FIRST batch reads as no-index; replayed stream batch converges") {
+    // crash between the two table writes of the very first append:
+    // docs/ committed, postings/ absent. exists() requires both, so
+    // the replayed ContainmentStream batch takes the clean first-batch
+    // path (selfContainmentPairs + full append) instead of probing a
+    // half-written index and throwing
+    val root = tmp("graft_cidxcrash_first")
+    ContainmentIndex.append(batch0, "text", "doc_id", root, 0L, 4, 16)
+    val f = fs(root)
+    f.delete(new Path(s"$root/postings"), true)
+    assert(f.exists(new Path(s"$root/docs")))
+    assert(!ContainmentIndex.exists(spark, root),
+      "torn first-batch state must read as 'no index yet'")
+
+    val pairsDir = tmp("graft_cidxcrash_first_pairs")
+    graft.streaming.ContainmentStream.processBatch(batch0, 0L, "text",
+      "doc_id", root, pairsDir, threshold = 0.9, maxDf = 64,
+      shingleN = 4, numBuckets = 16)
+    val clean = tmp("graft_cidxcrash_first_clean")
+    ContainmentIndex.append(batch0, "text", "doc_id", clean, 0L, 4, 16)
+    assert(rowCount(s"$root/postings") == rowCount(s"$clean/postings"))
+    assert(rowCount(s"$root/docs") == rowCount(s"$clean/docs"))
+    // and the rebuilt index serves probes identically
+    val probe = docsDF(Seq(
+      (901L, "document 5 discusses topic 0 covering alpha beta")))
+    assert(pairSet(ContainmentIndex.probe(probe, "text", "doc_id", root)) ==
+      pairSet(ContainmentIndex.probe(probe, "text", "doc_id", clean)))
+  }
+
+  test("Containment: effectively-empty batch writes nothing and wedges nothing") {
+    val root = tmp("graft_cidxcrash_empty")
+    // all-null first batch (blank-but-non-null text is a real document
+    // with one empty-string gram, same as the batch operator): no table
+    // dirs may appear — a fileless postings/ dir would flip exists()
+    // true and break the next probe's schema inference
+    ContainmentIndex.append(docsDF(Seq((1L, null: String))),
+      "text", "doc_id", root, 0L, 4, 16)
+    assert(!ContainmentIndex.exists(spark, root))
+    // the stream's first REAL batch after the empty one proceeds as a
+    // clean first append
+    ContainmentIndex.append(batch0, "text", "doc_id", root, 1L, 4, 16)
+    assert(ContainmentIndex.exists(spark, root))
+    // an empty LATER batch is a no-op, not a fileless batch partition
+    val before = rowCount(s"$root/postings")
+    ContainmentIndex.append(docsDF(Seq.empty[(Long, String)]),
+      "text", "doc_id", root, 2L, 4, 16)
+    assert(rowCount(s"$root/postings") == before)
+    val probe = docsDF(Seq(
+      (901L, "document 5 discusses topic 0 covering alpha beta")))
+    val clean = tmp("graft_cidxcrash_empty_clean")
+    ContainmentIndex.append(batch0, "text", "doc_id", clean, 0L, 4, 16)
+    assert(pairSet(ContainmentIndex.probe(probe, "text", "doc_id", root)) ==
+      pairSet(ContainmentIndex.probe(probe, "text", "doc_id", clean)))
   }
 }

@@ -98,4 +98,31 @@ class ContainmentStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/index/docs")
       .select("__id").distinct().count() == 5)
   }
+
+  test("restarted stream derives shingleN/numBuckets from the index meta") {
+    // index created with non-default gram space; a restarted stream
+    // driving processBatch with DEFAULT params must probe AND append
+    // against the existing meta instead of crashing ensureMeta
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmeta").toString
+    val b0 = (0L until 3L).map(i => (i, host(i))).toDF("doc_id", "text")
+    ContainmentStream.processBatch(b0, 0L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", shingleN = 3, numBuckets = 16)
+    val b1 = Seq(
+      (100L, (0 until 8).map(w => s"h1w$w").mkString(" "))).toDF("doc_id", "text")
+    // defaults here ≠ the index's (3, 16): must not throw
+    ContainmentStream.processBatch(b1, 1L, "text", "doc_id",
+      s"$base/index", s"$base/pairs")
+    val pairs = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with shingleN = 3 (from meta) the 8-word excerpt of host 1 is
+    // still a containment hit
+    assert(pairs.contains((100L, 1L)), s"$pairs")
+    // and the appended batch joined the SAME gram space
+    val (nb, sn) = graft.operators.ContainmentIndex.readMeta(
+      spark, s"$base/index")
+    assert((nb, sn) == (16, 3))
+    assert(spark.read.parquet(s"$base/index/docs").count() == 4)
+  }
 }
