@@ -67,21 +67,37 @@ object Retrieval {
     *
     * Output: (queryIdCol, idCol, score, rank), score in units of 1e-6.
     */
+  /** Postings of `docs` restricted to `terms` — the term cut applied
+    * BEFORE the (doc, term) aggregate, so the shuffle carries only the
+    * touched terms' rows. `postings(docs).join(broadcast(terms))` is
+    * semantically identical but shuffles the corpus's ENTIRE term
+    * explosion first (Catalyst cannot push a join below the aggregate);
+    * at 100 TB that full-postings exchange is the whole query cost.
+    * `terms` must be one `term` column and small (it broadcasts). */
+  private def touchedPostings(docs: DataFrame, terms: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), termsOf(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs, textCol, idCol)
     val stats = corpusStats(docs, textCol, idCol)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    // Restrict the index to terms any query mentions (broadcast — the
-    // query set is small by construction of a top-k serving path), then
-    // df per surviving term is a tiny aggregate.
+    // Restrict to terms any query mentions BEFORE aggregating (the
+    // query set is small by construction of a top-k serving path).
     // cache() is load-bearing: df-count and the scorer both read the
-    // restricted postings; uncached, the full explode+groupBy index
-    // build runs twice
-    val touched = post.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .cache()
+    // restricted postings; uncached, the corpus tokenize runs twice.
+    // The cached frame is query-term postings only — a few rows per
+    // (term, matching doc), never the corpus
+    val touched = touchedPostings(docs, qterms.select("term").distinct(),
+      textCol, idCol).cache()
     scoreBm25(touched, stats, qterms, k, k1, b, idCol, queryIdCol)
   }
 
@@ -126,10 +142,15 @@ object Retrieval {
     * (exact longs; ties break on the term string), so the whole
     * two-pass pipeline replays in SQL — no float term weights.
     *
-    * Scale shape: both passes ride the broadcast-term-restricted
-    * postings path of [[bm25TopK]] (the corpus never shuffles whole);
-    * the feedback set (queries × fbDocs rows) and the expanded term
-    * set broadcast. One postings build is shared by both passes.
+    * Scale shape: both scoring passes ride the term-restricted
+    * postings path of [[bm25TopK]] — the term cut lands BEFORE the
+    * (doc, term) aggregate, so the corpus's full term explosion never
+    * shuffles; the feedback docs' own term census tokenizes just those
+    * fbDocs·|queries| documents (broadcast semi-join on the id before
+    * tokenize — the [[PostingsIndex.prfQuery]] shape); the feedback
+    * set and the expanded term set broadcast. Everything this pins, it
+    * unpersists before returning — the result is one small
+    * eagerly-materialized checkpoint (queries × k rows).
     *
     * Output: (queryIdCol, idCol, score, rank) — the rescored top-k. */
   def prfTopK(docs: DataFrame, queries: DataFrame, k: Int,
@@ -137,35 +158,51 @@ object Retrieval {
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // eager pin BEFORE the fan-out (the l19/PPJoin discipline): the
-    // postings frame has THREE consumers (first-pass scoring, the
-    // feedback-term aggregation, second-pass scoring) whose exchange
-    // jobs AQE submits concurrently — racing the cache population
-    // re-tokenizes the corpus once per consumer
-    val post = postings(docs, textCol, idCol).cache()
-    post.count()
     val stats = corpusStats(docs, textCol, idCol)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    val touched1 = post
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .cache()
-    val fb = scoreBm25(touched1, stats, qterms, fbDocs, k1, b,
-        idCol, queryIdCol)
-      .select(col(queryIdCol), col(idCol))
-    val expTerms = post.join(broadcast(fb), Seq(idCol))
-      .groupBy(col(queryIdCol), col("term"))
-      .agg(sum(col("tf")).as("__w"))
-      .join(qterms, Seq(queryIdCol, "term"), "left_anti")
-      .withColumn("__trank", row_number().over(
-        Window.partitionBy(col(queryIdCol))
-          .orderBy(col("__w").desc, col("term").asc)))
-      .filter(col("__trank") <= fbTerms)
-      .select(col(queryIdCol), col("term"))
-    val q2 = qterms.unionByName(expTerms).distinct()
-    val touched2 = post
-      .join(broadcast(q2.select("term").distinct()), Seq("term"))
-      .cache()
-    scoreBm25(touched2, stats, q2, k, k1, b, idCol, queryIdCol)
+    // pass-1 postings have two consumers inside scoreBm25 (term df +
+    // the scoring join) — pin, materialize BEFORE the fan-out (the
+    // l19/PPJoin discipline: AQE submits the consumers' exchange jobs
+    // concurrently, and racing the cache population re-tokenizes the
+    // corpus once per consumer), unpersist on exit
+    val touched1 = touchedPostings(docs, qterms.select("term").distinct(),
+      textCol, idCol).persist()
+    var touched2: DataFrame = null
+    try {
+      touched1.count()
+      // feedback set: tiny (queries × fbDocs) — sever and materialize
+      // once; its ids drive both the census semi-join and the weights
+      val fb = scoreBm25(touched1, stats, qterms, fbDocs, k1, b,
+          idCol, queryIdCol)
+        .select(col(queryIdCol), col(idCol))
+        .localCheckpoint(true)
+      // term census of ONLY the feedback documents: semi-join the ids
+      // (broadcast) before tokenizing — the corpus is never touched
+      val fbPost = docs
+        .join(broadcast(fb.select(idCol).distinct()), Seq(idCol))
+        .select(col(idCol), explode(termsOf(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val expTerms = fbPost.join(broadcast(fb), Seq(idCol))
+        .groupBy(col(queryIdCol), col("term"))
+        .agg(sum(col("tf")).as("__w"))
+        .join(qterms, Seq(queryIdCol, "term"), "left_anti")
+        .withColumn("__trank", row_number().over(
+          Window.partitionBy(col(queryIdCol))
+            .orderBy(col("__w").desc, col("term").asc)))
+        .filter(col("__trank") <= fbTerms)
+        .select(col(queryIdCol), col("term"))
+      val q2 = qterms.unionByName(expTerms).distinct().localCheckpoint(true)
+      touched2 = touchedPostings(docs, q2.select("term").distinct(),
+        textCol, idCol).persist()
+      touched2.count()
+      scoreBm25(touched2, stats, q2, k, k1, b, idCol, queryIdCol)
+        .localCheckpoint(true)
+    } finally {
+      touched1.unpersist()
+      if (touched2 != null) touched2.unpersist()
+      ()
+    }
   }
 
   /** Sparse tf-idf document-similarity pairs — the embedding-free
