@@ -19,18 +19,9 @@ object Bench {
   // every rehearsal block (round-7 finding: the suite's receipts
   // closed its credibility gap, the synth blocks had none and the
   // artifact of record carried an unexplainable 14x LPM outlier) ----
-  private def procCpuSec: Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case b: com.sun.management.OperatingSystemMXBean =>
-        b.getProcessCpuTime / 1e9
-      case _ => -1.0
-    }
+  private def procCpuSec: Double = core.JvmStats.procCpuSec
 
-  private def gcSecNow: Double = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionTime).sum / 1000.0
-  }
+  private def gcSecNow: Double = core.JvmStats.gcSec
 
   /** One timed block's run condition: wall clock, this JVM's
     * process-CPU delta, GC-time delta. util = cpu/(wall·cores) — low
@@ -562,6 +553,32 @@ object Bench {
           System.err.println(s"[bench] l110g FAILED: ${e.getMessage}")
           Nil
         })
+        // containment-probe IO honesty (round 10): the touched-bucket
+        // read returns every posting of every batch gram (exact-df
+        // guarantee) PLUS the unrelated grams sharing those buckets;
+        // the df aggregate semi-joins the latter away, and this records
+        // both counts so the over-read ratio is a fact of the artifact,
+        // not a scaladoc claim. Default bucket count = the production
+        // posture.
+        val l116c = (try {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_cidx_census").toString
+          val cdocs = core.Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"), col("text"))
+          operators.ContainmentIndex.append(
+            cdocs.filter(col("doc_id") % 2 === 0), "text", "doc_id", root, 0L)
+          val ((readRows, batchRows), rc) = receiptOf(
+            operators.ContainmentIndex.probeCensus(
+              cdocs.filter(col("doc_id") % 2 === 1), "text", "doc_id", root))
+          val ratio = readRows.toDouble / math.max(batchRows, 1L)
+          System.err.println(f"[bench] l116c containment_io_census: " +
+            f"$readRows%d postings read, $batchRows%d batch-gram " +
+            f"($ratio%.2fx over-read) in ${rc.wall}%.2f s")
+          Seq(f""""l116c_containment_io_census":{"num_buckets":${operators.ContainmentIndex.DefaultNumBuckets}%d,"postings_read":$readRows%d,"batch_gram_postings":$batchRows%d,"read_ratio":$ratio%.3f,${rc.flatJson("census", nCpu)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] l116c FAILED: ${e.getMessage}")
+          Nil
+        })
         val items = (timings
           .map { case (q, t) =>
             val base = "\"" + q + f"\":$t%.3f"
@@ -569,7 +586,7 @@ object Bench {
               .map(r => s"$base,${r.metaJson(q, nCpu)}").getOrElse(base)
           } ++
           (if (grown.isEmpty) Nil else Seq(grownItems)) ++ capped ++
-          l19Census ++ l114Census ++ l96g ++ horizon)
+          l19Census ++ l114Census ++ l96g ++ horizon ++ l116c)
           .mkString(",")
         s""","synth":{"factor":$synthFactor,"docs":$n,$items}"""
       } catch { case e: Throwable =>
@@ -612,12 +629,22 @@ object Bench {
         val ingestSec = (System.nanoTime() - t0) / 1e9
         val nBatches = ingestQ.recentProgress.length
         val w = TimeWindow.of("2026-01-08 00:00:00", "2026-01-08 00:10:00")
-        val t1 = System.nanoTime()
-        Registry.run(ctx, w)
-        val goldSec = (System.nanoTime() - t1) / 1e9
-        val t2 = System.nanoTime()
-        val rerunStats = Registry.run(ctx, w)
-        val rerunSec = (System.nanoTime() - t2) / 1e9
+        // per-pipeline {wall,cpu,gc,util} receipts from the run ledger
+        // itself (round-9 finding: the gold block emitted ONE float, so
+        // a 4x driver-run outlier could not be attributed to a pipeline,
+        // box load, or JVM aging from the artifact alone)
+        def pipeJson(sts: Seq[Registry.RunStats]): String =
+          sts.map { st =>
+            val wallS = st.durationMs / 1000.0
+            val cpuS = st.cpuMs / 1000.0
+            val util = if (wallS > 0) cpuS / (wallS * nCpu) else 0.0
+            "\"" + st.pipelineId + "\":" +
+              f"""{"wall":$wallS%.3f,"cpu":$cpuS%.3f,"gc":${st.gcMs / 1000.0}%.3f,"util":$util%.3f,"rows":${st.rowsAppended}%d}"""
+          }.mkString(",")
+        val (goldStats, rcGold) = receiptOf(Registry.run(ctx, w))
+        val goldSec = rcGold.wall
+        val (rerunStats, rcRerun) = receiptOf(Registry.run(ctx, w))
+        val rerunSec = rcRerun.wall
         // the delivery-guarantee receipt: a full re-run of the same
         // window must append zero rows anywhere (anti-join dedupe)
         val rerunAppended = rerunStats.map(_.rowsAppended).sum
@@ -626,6 +653,36 @@ object Bench {
             f"($nBatches micro-batches, ${e2eEvents / ingestSec}%.0f ev/s " +
             f"vs 333 target); 16 pipelines $goldSec%.1f s (cadence 300 s); " +
             f"idempotent re-run $rerunSec%.1f s appended $rerunAppended rows")
+        // fresh-WAREHOUSE rebuild in the same aged JVM: the rerun above
+        // appends zero rows, so it cannot re-time first-build
+        // semantics. Copying bronze into a clean root and rebuilding
+        // isolates the two remaining explanations for a slow first
+        // build — JVM state (fresh ≈ first ⇒ aging/codegen is not it)
+        // vs box load at the time of the first build (receipts differ)
+        val goldFresh: String = try {
+          val hc = spark.sessionState.newHadoopConf()
+          val whPath = new org.apache.hadoop.fs.Path(wh)
+          val fsys = whPath.getFileSystem(hc)
+          val wh2 = java.nio.file.Files
+            .createTempDirectory("graft_e2e_wh2").toString
+          fsys.listStatus(whPath)
+            .filter(_.getPath.getName.startsWith("bronze_"))
+            .foreach(st => org.apache.hadoop.fs.FileUtil.copy(
+              fsys, st.getPath, fsys,
+              new org.apache.hadoop.fs.Path(wh2, st.getPath.getName),
+              false, hc))
+          val ctx2 = new GoldContext(spark, wh2, "Asia/Jakarta")
+          val (freshStats, rcFresh) = receiptOf(Registry.run(ctx2, w))
+          System.err.println(
+            f"[bench] e2e.gold fresh-warehouse rebuild ${rcFresh.wall}%.1f s " +
+              f"(first build $goldSec%.1f s)")
+          s""","gold_fresh_rebuild":{${rcFresh.flatJson("total", nCpu)},"pipelines":{${pipeJson(freshStats)}}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] e2e.gold fresh rebuild FAILED: ${e.getMessage}")
+          ""
+        }
+        val goldJson =
+          s""","gold":{${rcGold.flatJson("total", nCpu)},"pipelines":{${pipeJson(goldStats)}},${rcRerun.metaJson("rerun", nCpu)}}$goldFresh"""
 
         // SLA evaluation against the freshly built warehouse: healthy
         // "now" = newest event_ts + 1 min (all 16 pipelines inside the
@@ -708,7 +765,7 @@ object Bench {
           ""
         }
 
-        f""","e2e":{"events":$e2eEvents,"ingest_mode":"checkpointed_stream","ingest_batches":$nBatches,"ingest_sec":$ingestSec%.3f,"ingest_events_per_sec":${e2eEvents / ingestSec}%.0f,"gold_16_pipelines_sec":$goldSec%.3f,"gold_rerun_sec":$rerunSec%.3f,"rerun_appended":$rerunAppended$slaJson$biJson}"""
+        f""","e2e":{"events":$e2eEvents,"ingest_mode":"checkpointed_stream","ingest_batches":$nBatches,"ingest_sec":$ingestSec%.3f,"ingest_events_per_sec":${e2eEvents / ingestSec}%.0f,"gold_16_pipelines_sec":$goldSec%.3f,"gold_rerun_sec":$rerunSec%.3f,"rerun_appended":$rerunAppended$goldJson$slaJson$biJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] e2e FAILED: ${e.getMessage}")
         ""
@@ -859,6 +916,20 @@ object Bench {
               .select(col("doc_id")).distinct()
             deduped.join(contaminated, Seq("doc_id"), "left_anti")
           }
+          // budget apportionment over the surviving corpus (l104): the
+          // recipe-audit step a real run does before packing — exact
+          // integer quotas per source that sum to the budget. Output is
+          // #sources rows; the cost that must stay flat at 10× is the
+          // one map-side-combined aggregate over the cleaned corpus
+          val apportioned = staged("apportion_budget") {
+            operators.Curation.apportionTokens(
+              clean.withColumn("n_tokens",
+                size(graft.functions.TextFunctions.tokens(col("text")))
+                  .cast("long"))
+                .join(core.Tables.load(spark, d, "documents")
+                  .select("doc_id", "source"), Seq("doc_id")),
+              "source", col("n_tokens"), budget = 10000000L)
+          }
           val packed = staged("shuffle_pack") {
             val withTok = clean.withColumn("n_tokens",
               size(graft.functions.TextFunctions.tokens(col("text")))
@@ -868,12 +939,28 @@ object Bench {
             operators.Curation.packSequences(sh, "n_tokens", "shard_pos",
               budget = 2048, groupCols = Seq("shard"))
           }
+          // length-grouped batching (l108) over the same sharded corpus:
+          // one window sort per shard — shards parallelize, so 10× docs
+          // must cost ~sort growth, never a global single-partition sort
+          val batched = staged("length_batch") {
+            val withTok = clean.withColumn("n_tokens",
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long"))
+            val sh = operators.Curation.epochShuffle(withTok,
+              col("doc_id"), numShards = 32, seed = 9)
+            operators.Curation.lengthBatches(sh, "n_tokens", "doc_id",
+              batchSize = 16, groupCols = Seq("shard"))
+          }
+          val nBatched = batched.select(col("shard"), col("batch_id"))
+            .distinct().count()
+          val nSources = apportioned.count()
           val nPacks = packed.select(col("shard"), col("pack_id"))
             .distinct().count()
           val nDocs = docs.count()
           System.err.println(f"[bench] e2e_chain $tag: $nDocs%d docs -> " +
-            f"$nPacks%d packs in $totalSec%.1f s")
-          Some(s""""$tag":{"docs":$nDocs,"packs":$nPacks,""" +
+            f"$nPacks%d packs / $nBatched%d length-batches / " +
+            f"$nSources%d source quotas in $totalSec%.1f s")
+          Some(s""""$tag":{"docs":$nDocs,"packs":$nPacks,"length_batches":$nBatched,"sources":$nSources,""" +
             f""""total_sec":$totalSec%.3f,${stages.mkString(",")}}""")
         } catch { case e: Throwable =>
           System.err.println(s"[bench] e2e_chain($tag) FAILED: ${e.getMessage}")

@@ -178,38 +178,58 @@ object Multimodal {
       * None when the JDK can't parse the bytes or the format isn't
       * 16-bit signed PCM (compressed formats fall to the stub seam,
       * where a deployment plugs ffmpeg). */
+    /** Normalize a decoded audio stream to 16-bit signed PCM: identity
+      * for PCM16; REAL companded-codec expansion for G.711 μ-law/A-law
+      * (the JDK ships both converters, and the μ-law expansion matches
+      * the CCITT table EXACTLY — MultimodalCodecSpec pins all 256
+      * codes against the analytic formula); None for formats the JDK
+      * can't expand (MP3/AAC — the documented ffmpeg seam). */
+    private def pcm16(in: javax.sound.sampled.AudioInputStream)
+        : Option[javax.sound.sampled.AudioInputStream] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val f = in.getFormat
+      val enc = f.getEncoding
+      if (enc == AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16) Some(in)
+      else if (enc == AudioFormat.Encoding.ULAW ||
+        enc == AudioFormat.Encoding.ALAW)
+        Some(AudioSystem.getAudioInputStream(
+          new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate,
+            16, f.getChannels, 2 * f.getChannels, f.getSampleRate, false),
+          in))
+      else None
+    }
+
     def decodeAudioPcm(bytes: Array[Byte]): Option[(Long, Int, Long, Long)] =
       if (bytes == null || bytes.isEmpty) None
       else try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
-          val f = in.getFormat
-          val ok = f.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16
-          if (!ok) None
-          else {
-            val frame = f.getFrameSize // bytes per frame, all channels
-            val data = in.readAllBytes()
-            val n = data.length / frame
-            var amp = 0L
-            var phase = 0L
-            var i = 0
-            while (i < n) {
-              val off = i * frame // first channel at frame start
-              val lo = data(off) & 0xff
-              val hi = data(off + 1).toInt
-              val s = if (f.isBigEndian) (lo << 8) | (hi & 0xff)
-                else (hi << 8) | lo
-              val v = s.toShort.toLong
-              amp += v
-              phase += i.toLong * v
-              i += 1
-            }
-            Some((n.toLong, f.getSampleRate.toInt, amp, phase))
+          pcm16(in0) match {
+            case None => None
+            case Some(in) =>
+              val f = in.getFormat
+              val frame = f.getFrameSize // bytes per frame, all channels
+              val data = in.readAllBytes()
+              val n = data.length / frame
+              var amp = 0L
+              var phase = 0L
+              var i = 0
+              while (i < n) {
+                val off = i * frame // first channel at frame start
+                val lo = data(off) & 0xff
+                val hi = data(off + 1).toInt
+                val s = if (f.isBigEndian) (lo << 8) | (hi & 0xff)
+                  else (hi << 8) | lo
+                val v = s.toShort.toLong
+                amp += v
+                phase += i.toLong * v
+                i += 1
+              }
+              Some((n.toLong, f.getSampleRate.toInt, amp, phase))
           }
-        } finally in.close()
+        } finally in0.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** 60-bit sign fingerprint over DECODED audio samples: bit i is
@@ -224,15 +244,12 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) None
       else try {
         // ONE decode per asset — this sits on the scan hot loop
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        try {
-          val f = in.getFormat
-          val ok = f.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16
-          if (!ok) None
-          else {
+        try pcm16(in0) match {
+          case None => None
+          case Some(in) =>
+            val f = in.getFormat
             val frame = f.getFrameSize
             val data = in.readAllBytes()
             val n = data.length / frame
@@ -251,8 +268,7 @@ object Multimodal {
               }
               Some(sig)
             }
-          }
-        } finally in.close()
+        } finally in0.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** STUB resize: returns a deterministic re-hash of the input sized
@@ -272,6 +288,90 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
       if (bytes == null || bytes.isEmpty) Seq.empty
       else bytes.grouped(math.max(1, bytes.length / everyN)).take(everyN).toSeq
+    }
+
+    // ---- REAL video container path: RIFF-AVI walk + per-frame
+    // ImageIO decode (pure JDK). Motion-JPEG/Motion-PNG AVIs carry one
+    // self-contained image per '00dc' chunk, so frame extraction is a
+    // chunk walk and frame DECODE is the JDK's own image readers — the
+    // same two-ingredient shape that made m5 (BMP) and m8 (WAV) real.
+    // Compressed inter-frame codecs (H.264 et al.) remain the
+    // documented ffmpeg deployment seam via [[sampleFrames]].
+
+    /** Minimal single-video-stream AVI writer (RIFF + hdrl + movi,
+      * each frame one '00dc' chunk, even-byte padded): the FIXTURE
+      * encoder for the real walk — hand-rolled here, walked by
+      * [[aviFrames]], frames decoded by the JDK's independent image
+      * readers, pinned by an analytic oracle, so a writer/walker bug
+      * cannot self-cancel. `fourcc` is the stream handler tag
+      * ("MJPG" for JPEG frames, "MPNG" for PNG frames). */
+    def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+        fourcc: String = "MPNG", fps: Int = 10): Array[Byte] = {
+      require(fourcc.length == 4, "fourcc must be 4 chars")
+      val framesSz = frames.map(f => 8L + f.length + (f.length & 1)).sum
+      val moviSz = 4 + framesSz // 'movi' type + chunks
+      val strlSz = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+      val hdrlSz = 4 + (8 + 56) + (8 + strlSz) // 'hdrl' + avih + LIST strl
+      val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz) // 'AVI ' + 2 LISTs
+      val buf = java.nio.ByteBuffer.allocate((8 + riffSz).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); buf.putInt(riffSz.toInt); tag("AVI ")
+      tag("LIST"); buf.putInt(hdrlSz); tag("hdrl")
+      tag("avih"); buf.putInt(56)
+      buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(strlSz); tag("strl")
+      tag("strh"); buf.putInt(56)
+      tag("vids"); tag(fourcc)
+      buf.putInt(0).putInt(0).putInt(0).putInt(1).putInt(fps)
+        .putInt(0).putInt(frames.size).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame
+      tag("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      tag(fourcc) // biCompression carries the handler tag
+      buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(moviSz.toInt); tag("movi")
+      frames.foreach { f =>
+        tag("00dc"); buf.putInt(f.length); buf.put(f)
+        if ((f.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+
+    /** RIFF-AVI chunk walk: every video-frame payload ('00dc'/'00db'
+      * chunks, LIST recursion, even-byte padding honored) in stream
+      * order. None when the bytes are not a RIFF-AVI container;
+      * truncated/corrupt tails stop the walk instead of throwing — a
+      * corrupt asset must not kill a 100 TB scan. */
+    def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (bytes == null || bytes.length < 12) return None
+      def fcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      def le32(off: Int): Long =
+        ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+      val out = Vector.newBuilder[Array[Byte]]
+      def walk(start: Long, end: Long): Unit = {
+        var p = start
+        var ok = true
+        while (ok && p + 8 <= end) {
+          val id = fcc(p.toInt)
+          val sz = le32(p.toInt + 4)
+          if (sz < 0 || p + 8 + sz > end) ok = false // corrupt: stop
+          else {
+            if (id == "LIST") walk(p + 12, p + 8 + sz)
+            else if ((id == "00dc" || id == "00db") && sz > 0)
+              out += java.util.Arrays.copyOfRange(
+                bytes, p.toInt + 8, (p + 8 + sz).toInt)
+            p += 8 + sz + (sz & 1)
+          }
+        }
+      }
+      walk(12, math.min(bytes.length.toLong, 8L + le32(4)))
+      Some(out.result())
     }
   }
 
@@ -356,6 +456,38 @@ object Multimodal {
       shift: Int = 0): Array[Byte] =
     encodeWav(n, sampleRate, i => math.min(
       (((seed * 31 + i.toLong * 17) % 4096) - 2048).toInt + shift, 2047))
+
+  /** Minimal RIFF/WAVE G.711 μ-law mono encoder (format tag 7, 8 bits
+    * per sample): the COMPRESSED-audio fixture — hand-rolled here,
+    * expanded by the JDK's independent ULAW converter inside
+    * [[Codecs.decodeAudioPcm]], pinned by the analytic G.711 expansion
+    * formula, so an encode/expand bug cannot self-cancel. `code(i)`
+    * returns the raw μ-law byte (0..255). */
+  def encodeWavUlaw(n: Int, sampleRate: Int,
+      code: Int => Int): Array[Byte] = {
+    require(n > 0 && sampleRate > 0, s"encodeWavUlaw: bad n=$n sr=$sampleRate")
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7) // WAVE_FORMAT_MULAW
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 byte/sample)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { b.put((code(i) & 0xff).toByte); i += 1 }
+    b.array()
+  }
+
+  /** Deterministic μ-law clip: code byte i = (seed·31 + i·7) mod 256 —
+    * every one of the 256 G.711 codes appears across the corpus, so
+    * the oracle exercises the full expansion table. */
+  def syntheticUlawWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] =
+    encodeWavUlaw(n, sampleRate, i => ((seed * 31 + i.toLong * 7) % 256).toInt)
 
   private val audioSchema = StructType(Seq(
     StructField("n_samples", LongType),
@@ -551,7 +683,10 @@ object Multimodal {
   }
 
   /** Frame-sample a video media column into one row per frame
-    * (generator shape: explode after per-partition decode). */
+    * (generator shape: explode after per-partition decode). RIFF-AVI
+    * assets take the REAL container walk ([[Codecs.aviFrames]]) and
+    * emit every `everyN`-th frame payload under its ORIGINAL frame
+    * index; other bytes fall to the stub byte-slice seam. */
   def explodeFrames(df: DataFrame, everyN: Int, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       df.schema(idCol),
@@ -562,10 +697,83 @@ object Multimodal {
       rows.flatMap { r =>
         val media = r.getAs[Row](MediaCol)
         val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
-        Codecs.sampleFrames(bytes, everyN).zipWithIndex.map {
-          case (f, i) => Row(r.get(0), i, f)
+        Codecs.aviFrames(bytes) match {
+          case Some(frames) => frames.zipWithIndex.collect {
+            case (f, i) if i % everyN == 0 => Row(r.get(0), i, f)
+          }
+          case None => Codecs.sampleFrames(bytes, everyN).zipWithIndex.map {
+            case (f, i) => Row(r.get(0), i, f)
+          }
         }
       }
     }(enc)
+  }
+
+  /** REAL video frame decode: walk the RIFF-AVI container, decode
+    * every `everyN`-th frame with the JDK's image readers (Motion-PNG
+    * /Motion-JPEG — each '00dc' chunk is one self-contained image),
+    * and emit per-frame pixel witnesses: (id, frame_no, width, height,
+    * luma_sum) with luma_sum = Σ(R+G+B) an EXACT integer. frame_no is
+    * the frame's ORIGINAL stream index, binding each witness to its
+    * position. Non-AVI assets and undecodable frames are skipped —
+    * corrupt media must not kill the scan. One container walk + one
+    * decode per sampled frame, constant memory per partition; the
+    * binary column never shuffles. */
+  def extractVideoFrames(df: DataFrame, everyN: Int,
+      idCol: String): DataFrame = {
+    require(everyN > 0, "everyN must be > 0")
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("luma_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(MediaCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val media = r.getAs[Row](MediaCol)
+        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        Codecs.aviFrames(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.collect {
+            case (f, i) if i % everyN == 0 => (f, i)
+          }.flatMap { case (f, i) =>
+            Codecs.decodeImagePixels(f).map { case (w, h, luma) =>
+              Row(r.get(0), i, w, h, luma)
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic Motion-PNG AVI fixture: `nFrames` PNG frames (lossless
+    * → the decode replays the formula EXACTLY) whose channels are the
+    * [[syntheticBmp]] affine-mod-256 formula extended with a frame
+    * term — r = (id·7 + f·19 + x·13 + y·31) % 256, g = (id·11 + f·23 +
+    * x·3 + y·17) % 256, b = (id·5 + f·29 + x·29 + y·7) % 256 — wrapped
+    * by the hand-rolled [[Codecs.encodeAvi]]. Writer and walker are
+    * independent of the per-frame codec (JDK PNG), so the analytic
+    * oracle pins all three. */
+  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val r = ((id * 7 + f * 19 + x * 13 + y * 31) % 256).toInt
+          val g = ((id * 11 + f * 23 + x * 3 + y * 17) % 256).toInt
+          val b = ((id * 5 + f * 29 + x * 29 + y * 7) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          y += 1
+        }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Codecs.encodeAvi(frames, w, h)
   }
 }

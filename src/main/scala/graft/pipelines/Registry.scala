@@ -21,7 +21,8 @@ object Registry {
 
   case class RunStats(pipelineId: String, target: String,
       windowStart: String, windowEnd: String,
-      rowsBefore: Long, rowsAppended: Long, rowsAfter: Long, durationMs: Long)
+      rowsBefore: Long, rowsAppended: Long, rowsAfter: Long, durationMs: Long,
+      cpuMs: Long = 0L, gcMs: Long = 0L)
 
   /** All 16 pipelines, dependency edges per gold_pipelines.yml:13-137. */
   val all: Seq[PipelineSpec] = Seq(
@@ -224,11 +225,19 @@ object Registry {
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
     val stats = topoOrder(specs).filter(s => only.forall(_.contains(s.id))).map { s =>
       val before = ctx.count(s.target)
+      // per-pipeline run condition in the ledger itself: one slow
+      // cadence tick must be attributable from the artifact (which
+      // pipeline, and was it plan time, box load, or GC) without a
+      // rerun — wall alone cannot say
+      val cpu0 = graft.core.JvmStats.procCpuSec
+      val gc0 = graft.core.JvmStats.gcSec
       val t0 = System.nanoTime()
       val appended = s.run(ctx, w)
       val after = ctx.count(s.target)
       RunStats(s.id, s.target, fmt.format(w.start), fmt.format(w.end),
-        before, appended, after, (System.nanoTime() - t0) / 1000000L)
+        before, appended, after, (System.nanoTime() - t0) / 1000000L,
+        ((graft.core.JvmStats.procCpuSec - cpu0) * 1000).toLong,
+        ((graft.core.JvmStats.gcSec - gc0) * 1000).toLong)
     }
     val ledger = ctx.spark.createDataFrame(stats)
       .withColumn("run_at", current_timestamp())

@@ -57,6 +57,15 @@ object Suite {
   private val containRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Two-batch LSH index roots for the l110 horizon probe (build-once,
+    * probe-timed — the l116 convention). */
+  private val lshHorizonRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-batch containment index roots for the l116h horizon probe. */
+  private val containHorizonRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Materialized projection summaries, one per corpus dir (a9:
     * projection maintenance is the ingest path's job; the query
     * times serving through the rewrite). */
@@ -1565,6 +1574,63 @@ object Suite {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("l110_lsh_horizon",
+      // dedup-horizon probe of the persisted LSH index (the l109
+      // freshness pattern on the near-dup path): history splits into
+      // batch 0 (doc_id%4=0) and batch 1 (doc_id%4=2); re-crawled
+      // copies of the first 100 docs arrive and probe with
+      // sinceBatch=1. Content older than the horizon is allowed to
+      // recur — emitted pairs involve ≥1 arriving doc against the
+      // horizon batch or each other ONLY. Oracle = exhaustive exact
+      // Jaccard over the horizon ∪ arriving membership (also
+      // re-certifies LSH recall under the pruned read, per l2)
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val root = lshHorizonRoots.computeIfAbsent(d, _ => {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft_lshh_suite").toString
+          graft.operators.LshIndex.append(
+            Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 0),
+              "text", "doc_id"), r, 0L, numBuckets = 32)
+          graft.operators.LshIndex.append(
+            Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 2),
+              "text", "doc_id"), r, 1L, numBuckets = 32)
+          r
+        })
+        val arriving = docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+        graft.operators.LshIndex.probeSince(
+            Dedup.buildIndex(arriving, "text", "doc_id"), root,
+            sinceBatch = Some(1L))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      // arriving ids are the largest by construction, so "≥1 arriving
+      // side" is exactly id_b ≥ 400000 under the id_a < id_b ordering
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 400000, text FROM documents WHERE doc_id < 100),
+             |t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM base),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+             |    AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE b.doc_id >= 400000
+             |  AND len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("l111_license_screen",
       // license screening for a code corpus: a deterministic slice of
       // docs arrives with SPDX tags or license-header phrases planted
@@ -1755,6 +1821,77 @@ object Suite {
              |    (list_filter(string_split_regex(lower(trim(text)), '\s+'),
              |      x -> len(x) > 0))[1:12], ' ')
              |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+             |t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM base),
+             |sh AS (SELECT doc_id, list_distinct(
+             |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |        || ' ' || toks[i+3]) END) AS g FROM t),
+             |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+             |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+             |kept AS (SELECT e.doc_id, e.s FROM ex e JOIN dfc USING (s)
+             |  WHERE df <= 64),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS c FROM kept a JOIN kept b
+             |  ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(c::DOUBLE / sz, 6) AS containment
+             |FROM common JOIN sizes ON sizes.doc_id = common.id_a
+             |WHERE c::DOUBLE / sz >= 0.9
+             |  AND (id_a % 2 = 1 OR id_a >= 200000)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("l116h_containment_horizon",
+      // the containment probe under a dedup horizon (sinceBatch):
+      // history splits into batch 0 (doc_id%4=0) and batch 1
+      // (doc_id%4=2); arriving = the odd docs plus excerpts of docs
+      // from BOTH history batches. Probing since batch 1 must flag the
+      // excerpts of horizon docs and let the excerpts of aged-out
+      // batch-0 docs recur — and the exact df ≤ maxDf stop-gram cut
+      // is computed over horizon ∪ arriving only, which the oracle
+      // replays as the closed corpus restricted to that membership
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        def excerpt(of: Column, offset: Int) =
+          docs.filter(of && col("doc_id") < 80)
+            .select((col("doc_id") + offset).as("doc_id"),
+              concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12))
+                .as("text"))
+        val root = containHorizonRoots.computeIfAbsent(d, _ => {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft_cidxh_suite").toString
+          graft.operators.ContainmentIndex.append(
+            docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+            r, batchId = 0L, shingleN = 4, numBuckets = 32)
+          graft.operators.ContainmentIndex.append(
+            docs.filter(col("doc_id") % 4 === 2), "text", "doc_id",
+            r, batchId = 1L, shingleN = 4, numBuckets = 32)
+          r
+        })
+        val arriving = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(excerpt(col("doc_id") % 4 === 0, 200000))
+          .unionByName(excerpt(col("doc_id") % 4 === 2, 300000))
+        graft.operators.ContainmentIndex.probe(arriving, "text", "doc_id",
+            root, threshold = 0.9, maxDf = 64, sinceBatch = Some(1L))
+          .select(col("id_a"), col("id_b"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("id_a", "id_b")
+      },
+      // membership = batch 1 ∪ arriving; id_a ∈ arriving is "odd or an
+      // excerpt id (≥ 200000)". The 200000-series excerpts' originals
+      // are aged out, so they only pair on organic prefix collisions
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 4 = 2 OR doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id + 200000, array_to_string(
+             |    (list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0))[1:12], ' ')
+             |  FROM documents WHERE doc_id < 80 AND doc_id % 4 = 0
+             |  UNION ALL SELECT doc_id + 300000, array_to_string(
+             |    (list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> len(x) > 0))[1:12], ' ')
+             |  FROM documents WHERE doc_id < 80 AND doc_id % 4 = 2),
              |t AS (SELECT doc_id, list_filter(
              |    string_split_regex(lower(trim(text)), '\s+'),
              |    x -> len(x) > 0) AS toks FROM base),
@@ -4346,6 +4483,42 @@ object Suite {
              |    AS frame_bytes
              |FROM x WHERE n > 0 ORDER BY doc_id""".stripMargin)),
 
+    Q("m10_video_decode",
+      // the REAL video path end to end: synthetic Motion-PNG AVIs
+      // (hand-rolled RIFF writer, per-frame pixels an affine-mod-256
+      // formula of (doc_id, frame, x, y)) walked by the RIFF chunk
+      // parser, every 2nd frame decoded by the JDK's independent PNG
+      // reader; width/height/luma come from actual pixels and the
+      // ANALYTIC oracle replays the formula — a writer/walker/decoder
+      // bug cannot self-cancel. frame_no keeps the ORIGINAL stream
+      // index, so a walk that returns the right frames in the wrong
+      // positions fails the oracle
+      (s, d) => {
+        val mk = udf((id: Long) => Multimodal.syntheticAvi(
+          id, (8 + id % 5).toInt, (8 + id % 3).toInt, (2 + id % 4).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "video/avi")
+        Multimodal.extractVideoFrames(media, everyN = 2, "doc_id")
+          .select(col("doc_id"), col("frame_no"), col("width"),
+            col("height"), col("luma_sum"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""WITH g AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT AS w,
+             |    (8 + doc_id % 3)::BIGINT AS h,
+             |    (2 + doc_id % 4)::BIGINT AS nf FROM documents),
+             |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM g),
+             |px AS (SELECT doc_id, f, w, h,
+             |  list_sum(flatten(list_transform(range(0, w), x ->
+             |    list_transform(range(0, h), y ->
+             |      (doc_id*7 + f*19 + x*13 + y*31) % 256
+             |      + (doc_id*11 + f*23 + x*3 + y*17) % 256
+             |      + (doc_id*5 + f*29 + x*29 + y*7) % 256))))::BIGINT AS s
+             |  FROM fr WHERE f % 2 = 0)
+             |SELECT doc_id, f::INT AS frame_no, w::INT AS width,
+             |  h::INT AS height, s AS luma_sum
+             |FROM px ORDER BY doc_id, frame_no""".stripMargin)),
+
     Q("m3_media_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -4518,6 +4691,47 @@ object Suite {
              |SELECT doc_id, n AS n_samples, 8000::INT AS sample_rate_hz,
              |  amp AS amp_sum, ph AS phase_sum
              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    Q("m11_ulaw_decode",
+      // REAL compressed-audio decode: synthetic G.711 μ-law WAVs
+      // (format tag 7, code byte i an affine-mod-256 formula of
+      // doc_id) expanded to PCM16 by the JDK's independent ULAW
+      // converter inside extractAudioFeatures; the ANALYTIC oracle
+      // replays the CCITT expansion formula
+      // (u = 255 − code; mag = ((u%16)·8 + 132)·2^exp − 132) — the
+      // JDK table matches it for all 256 codes (MultimodalCodecSpec),
+      // so encoder, converter, and witness all face the same formula.
+      // A-law rides the identical seam; MP3/AAC remain the documented
+      // ffmpeg deployment seam
+      (s, d) => {
+        val mk = udf((id: Long) =>
+          Multimodal.syntheticUlawWav(id, (50 + id % 20).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "audio/basic")
+        Multimodal.extractAudioFeatures(media)
+          .select(col("doc_id"),
+            col("audio.n_samples").as("n_samples"),
+            col("audio.sample_rate_hz").as("sample_rate_hz"),
+            col("audio.amp_sum").as("amp_sum"),
+            col("audio.phase_sum").as("phase_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (50 + doc_id % 20)::BIGINT AS n FROM documents),
+             |ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM g),
+             |u AS (SELECT doc_id, i,
+             |    255 - ((doc_id*31 + i*7) % 256) AS ub FROM ix),
+             |sm AS (SELECT doc_id, i, CASE WHEN ub >= 128
+             |    THEN -((((ub % 16) * 8 + 132)
+             |      * (1 << (((ub - 128) // 16) % 8))) - 132)
+             |    ELSE ((((ub % 16) * 8 + 132)
+             |      * (1 << ((ub // 16) % 8))) - 132) END AS s
+             |  FROM u)
+             |SELECT doc_id, count(*) AS n_samples,
+             |  8000::INT AS sample_rate_hz,
+             |  sum(s)::BIGINT AS amp_sum, sum(i * s)::BIGINT AS phase_sum
+             |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each

@@ -205,4 +205,96 @@ class MultimodalCodecSpec extends SparkSpec {
       assert(pairs.exists(p => p._1 == i && p._2 == i + 1000L),
         s"re-upload of $i not found; pairs=$pairs")
   }
+
+  test("encodeAvi round-trips through the RIFF walk byte-exactly, odd sizes padded") {
+    // odd-length frames exercise even-byte chunk padding
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
+      Array.tabulate(257)(i => (i * 3).toByte))
+    val avi = Codecs.encodeAvi(frames, 8, 8, fourcc = "MPNG")
+    val got = Codecs.aviFrames(avi).getOrElse(fail("walker rejected the AVI"))
+    assert(got.size == 3)
+    got.zip(frames).foreach { case (g, f) => assert(g.sameElements(f)) }
+  }
+
+  test("aviFrames: non-AVI bytes are None; truncated container stops cleanly") {
+    assert(Codecs.aviFrames(null).isEmpty)
+    assert(Codecs.aviFrames("just some text bytes".getBytes).isEmpty)
+    assert(Codecs.aviFrames(Multimodal.syntheticBmp(1L, 8, 8)).isEmpty)
+    val avi = Codecs.encodeAvi(
+      Seq(Array[Byte](1, 2, 3, 4), Array[Byte](5, 6, 7, 8)), 4, 4)
+    // cut mid-chunk: the walk returns what it can, never throws
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 6)
+    assert(Codecs.aviFrames(cut).exists(_.size <= 2))
+  }
+
+  test("syntheticAvi frames decode to the analytic pixel formula (Motion-PNG)") {
+    val (id, w, h, nf) = (42L, 9, 10, 4)
+    val frames = Codecs.aviFrames(Multimodal.syntheticAvi(id, w, h, nf)).get
+    assert(frames.size == nf)
+    for (f <- 0 until nf) {
+      val (gw, gh, luma) = Codecs.decodeImagePixels(frames(f)).getOrElse(
+        fail(s"PNG frame $f undecodable"))
+      val expect = (for (x <- 0 until w; y <- 0 until h) yield
+        ((id * 7 + f * 19 + x * 13 + y * 31) % 256) +
+          ((id * 11 + f * 23 + x * 3 + y * 17) % 256) +
+          ((id * 5 + f * 29 + x * 29 + y * 7) % 256)).sum
+      assert((gw, gh, luma) == (w, h, expect), s"frame $f")
+    }
+  }
+
+  test("Motion-JPEG leg: JPEG frames walk out and decode to the right dimensions") {
+    // JPEG is lossy, so the pixel witness is dims-exact only — the
+    // container walk and the JDK decode path are identical to MPNG
+    val img = new java.awt.image.BufferedImage(
+      12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val avi = Codecs.encodeAvi(Seq(bos.toByteArray, bos.toByteArray),
+      12, 7, fourcc = "MJPG")
+    val frames = Codecs.aviFrames(avi).get
+    assert(frames.size == 2)
+    frames.foreach { f =>
+      val (w, h, _) = Codecs.decodeImagePixels(f).getOrElse(
+        fail("JPEG frame undecodable"))
+      assert((w, h) == (12, 7))
+    }
+  }
+
+  test("JDK μ-law expansion matches the analytic G.711 formula for all 256 codes") {
+    // one WAV carrying every μ-law code byte 0..255 in order; the JDK
+    // ULAW converter inside decodeAudioPcm must produce exactly the
+    // CCITT expansion: u = ~code & 0xff, mag = ((u&15)·8+132)·2^((u>>4)&7) − 132
+    def g711(code: Int): Long = {
+      val u = ~code & 0xff
+      val mag = (((u & 0xf) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+      if ((u & 0x80) != 0) -mag.toLong else mag.toLong
+    }
+    val wav = Multimodal.encodeWavUlaw(256, 8000, i => i)
+    val (n, sr, amp, phase) = Codecs.decodeAudioPcm(wav).getOrElse(
+      fail("JDK rejected the μ-law WAV"))
+    val expAmp = (0 until 256).map(g711).sum
+    val expPhase = (0 until 256).map(i => i * g711(i)).sum
+    assert((n, sr, amp, phase) == (256L, 8000, expAmp, expPhase))
+    // the sign fingerprint rides the same expansion
+    assert(Codecs.audioHash60(wav).isDefined)
+    // non-expandable compressed bytes still fall to None, never throw
+    assert(Codecs.decodeAudioPcm("not audio at all".getBytes).isEmpty)
+  }
+
+  test("extractVideoFrames: every-2nd sampling keeps original frame indexes") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("doc_id")
+      .withColumn("data", udf((id: Long) =>
+        Multimodal.syntheticAvi(id, 8, 8, 5)).apply(col("doc_id")))
+    val media = Multimodal.attachMedia(df, "data", "video/avi")
+    val rows = Multimodal.extractVideoFrames(media, everyN = 2, "doc_id")
+      .select("doc_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2), (2L, 4)))
+    // explodeFrames takes the SAME container walk for AVI bytes
+    val exploded = Multimodal.explodeFrames(media, everyN = 2, "doc_id")
+      .select("doc_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(exploded == rows)
+  }
 }
