@@ -67,28 +67,49 @@ object Retrieval {
     *
     * Output: (queryIdCol, idCol, score, rank), score in units of 1e-6.
     */
-  /** Postings of `docs` restricted to `terms` — the term cut applied
-    * BEFORE the (doc, term) aggregate, so the shuffle carries only the
-    * touched terms' rows. `postings(docs).join(broadcast(terms))` is
-    * semantically identical but shuffles the corpus's ENTIRE term
-    * explosion first (Catalyst cannot push a join below the aggregate);
-    * at 100 TB that full-postings exchange is the whole query cost.
-    * `terms` must be one `term` column and small (it broadcasts). */
-  private def touchedPostings(docs: DataFrame, terms: DataFrame,
-      textCol: String, idCol: String): DataFrame =
-    docs
+  /** One (id, dl, term) row per token occurrence, REPARTITIONED by id
+    * before the CPU-heavy tokenize (the minhash discipline: a corpus
+    * that arrives as one parquet split would otherwise tokenize on one
+    * core), with empty docs kept as a single null-term row so corpus
+    * stats survive. This is the shared narrow source every retrieval
+    * path derives from — the term cut, the tf/df aggregates, and the
+    * corpus scalars all land AFTER it, so nothing ever shuffles the
+    * corpus's full term explosion (Catalyst cannot push a join below
+    * an aggregate, so the cut must be built in, not bolted on). */
+  private def tokenRows(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par, col(idCol))
       .select(col(idCol), termsOf(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("dl"),
-        explode(col("__tk")).as("term"))
+        explode_outer(col("__tk")).as("term"))
+  }
+
+  /** (n_docs, avgdl) from a [[tokenRows]] frame: the per-doc collapse
+    * reuses the id partitioning (no exchange), null-term rows keep
+    * empty docs counted, and avgdl is the same exact-long-sum-divided-
+    * once double [[corpusStats]] computes. */
+  private def statsOf(toks: DataFrame, idCol: String): DataFrame =
+    toks.groupBy(col(idCol)).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Postings restricted to `terms` — the term cut applied BEFORE the
+    * (doc, term) aggregate, so the shuffle carries only the touched
+    * terms' rows. `terms` must be one `term` column and small (it
+    * broadcasts); null-term rows (empty docs) never match a join key. */
+  private def touchedOf(toks: DataFrame, terms: DataFrame): DataFrame =
+    toks
       .join(broadcast(terms), Seq("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
+      .groupBy(toks.columns.filter(_ != "term").map(col) :+ col("term"): _*)
       .agg(count(lit(1)).as("tf"))
 
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = corpusStats(docs, textCol, idCol)
+    val toks = tokenRows(docs, textCol, idCol)
+    val stats = statsOf(toks, idCol)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // Restrict to terms any query mentions BEFORE aggregating (the
     // query set is small by construction of a top-k serving path).
@@ -96,8 +117,7 @@ object Retrieval {
     // restricted postings; uncached, the corpus tokenize runs twice.
     // The cached frame is query-term postings only — a few rows per
     // (term, matching doc), never the corpus
-    val touched = touchedPostings(docs, qterms.select("term").distinct(),
-      textCol, idCol).cache()
+    val touched = touchedOf(toks, qterms.select("term").distinct()).cache()
     scoreBm25(touched, stats, qterms, k, k1, b, idCol, queryIdCol)
   }
 
@@ -158,29 +178,35 @@ object Retrieval {
       textCol: String = "text", idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = corpusStats(docs, textCol, idCol)
-    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    // pass-1 postings have two consumers inside scoreBm25 (term df +
-    // the scoring join) — pin, materialize BEFORE the fan-out (the
-    // l19/PPJoin discipline: AQE submits the consumers' exchange jobs
+    // ONE tokenize pass for the whole two-pass pipeline: the narrow
+    // (id, dl, term) frame is pinned and every consumer — corpus
+    // stats, both term-restricted scoring passes, the feedback-doc
+    // census — derives from it. Pin materializes BEFORE the fan-out
+    // (the l19/PPJoin discipline: AQE submits consumers' exchange jobs
     // concurrently, and racing the cache population re-tokenizes the
-    // corpus once per consumer), unpersist on exit
-    val touched1 = touchedPostings(docs, qterms.select("term").distinct(),
-      textCol, idCol).persist()
+    // corpus once per consumer); everything unpersists on exit and the
+    // result is one small eager checkpoint (queries × k rows)
+    val toks = tokenRows(docs, textCol, idCol).persist()
+    var touched1: DataFrame = null
     var touched2: DataFrame = null
     try {
-      touched1.count()
+      val stats = statsOf(toks, idCol)
+      val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+      touched1 = touchedOf(toks, qterms.select("term").distinct()).persist()
+      // one action populates BOTH pins before any fan-out: counting
+      // touched1 materializes toks en route (no separate corpus pass)
+      touched1.count() // two consumers inside scoreBm25 (df + scoring)
       // feedback set: tiny (queries × fbDocs) — sever and materialize
       // once; its ids drive both the census semi-join and the weights
       val fb = scoreBm25(touched1, stats, qterms, fbDocs, k1, b,
           idCol, queryIdCol)
         .select(col(queryIdCol), col(idCol))
         .localCheckpoint(true)
-      // term census of ONLY the feedback documents: semi-join the ids
-      // (broadcast) before tokenizing — the corpus is never touched
-      val fbPost = docs
+      // term census of ONLY the feedback documents, off the pinned
+      // token frame: broadcast semi-join on the id, then a tiny agg
+      val fbPost = toks
         .join(broadcast(fb.select(idCol).distinct()), Seq(idCol))
-        .select(col(idCol), explode(termsOf(col(textCol))).as("term"))
+        .filter(col("term").isNotNull)
         .groupBy(col(idCol), col("term"))
         .agg(count(lit(1)).as("tf"))
       val expTerms = fbPost.join(broadcast(fb), Seq(idCol))
@@ -193,13 +219,13 @@ object Retrieval {
         .filter(col("__trank") <= fbTerms)
         .select(col(queryIdCol), col("term"))
       val q2 = qterms.unionByName(expTerms).distinct().localCheckpoint(true)
-      touched2 = touchedPostings(docs, q2.select("term").distinct(),
-        textCol, idCol).persist()
+      touched2 = touchedOf(toks, q2.select("term").distinct()).persist()
       touched2.count()
       scoreBm25(touched2, stats, q2, k, k1, b, idCol, queryIdCol)
         .localCheckpoint(true)
     } finally {
-      touched1.unpersist()
+      toks.unpersist()
+      if (touched1 != null) touched1.unpersist()
       if (touched2 != null) touched2.unpersist()
       ()
     }
