@@ -947,8 +947,14 @@ object Curation {
     val beta2 = 4.0 // β = 2
     def stripped(c: Column): Column =
       substring(regexp_replace(c, "\\s+", ""), 1, maxChars)
+    // explicit-width repartition before the checkpoint: the gram
+    // explosion below is the CPU-heavy stage (3 orders × maxChars
+    // grams × both sides per pair), and an AQE-coalesced upstream join
+    // would otherwise hand the checkpoint ONE partition to explode on
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
     val base = pairs.select(col(idCol),
       stripped(col(candCol)).as("__c"), stripped(col(refCol)).as("__r"))
+      .repartition(par, col(idCol))
       .localCheckpoint() // both gram passes read one strip+cap
     // all three orders in ONE array: "<n>:<gram>" keys
     def grams(s: String): Column = expr(

@@ -274,8 +274,6 @@ object Dedup {
     * [[LshIndex.probe]] (file-pruned persisted index). */
   private[operators] def incrementalPairs(newB: DataFrame, allB: DataFrame,
       maxBandBucket: Int): DataFrame = {
-    // (no cache here: this runs per micro-batch from DedupStream, where
-    // cached plans would accumulate; the re-read is a cheap posexplode)
     // only buckets a NEW doc probes can produce pairs, so restrict the
     // whole candidate path — census included — to them up front via a
     // broadcast semi-join (batch bucket keys are batch-sized). Without
@@ -291,37 +289,47 @@ object Dedup {
     // overwrite-in-place idempotency — and (b) make the bucket-min
     // newness flag a nondeterministic tie-break. A re-delivered id IS
     // part of this batch, so its membership row is marked new.
+    // Pinned for the duration of this call only: FIVE consumers read
+    // it (hot census, its two broadcast anti-join keys, cold probe
+    // side, star edges), and when allB is the file-backed index path
+    // each uncached consumer re-reads the parquet and reshuffles —
+    // measured 5× the probe cost at sf0.1. The pin unpersists in the
+    // finally; the returned pair set is one small eager checkpoint
+    // (O(|new| + collisions) rows), so a long-running DedupStream
+    // accumulates nothing but ContextCleaner-reclaimed result blocks.
     val members = touched.groupBy(col("__b"), col("__bh"), col("__id"))
-      .agg(max(col("__new")).as("__new"))
-    // hot buckets switch to star edges, same scheme as
-    // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
-    // contract: emit (min, m) only when m or the bucket min is new —
-    // old↔old edges were produced by the batches that introduced them.
-    val hot = members.groupBy(col("__b"), col("__bh"))
-      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
-        min_by(col("__new"), col("__id")).as("__minNew"))
-      .filter(col("__n") > maxBandBucket)
-      .select(col("__b"), col("__bh"), col("__min"), col("__minNew"))
-    val hotKeys = hot.select(col("__b"), col("__bh"))
-    val coldNew = newB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
-    val coldAll = members.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
-    val coldPairs = coldNew.as("l")
-      .join(coldAll.as("r"),
-        col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
-          // a re-delivered id sits in BOTH indexes: never pair it with
-          // itself (the old-partner branch would otherwise emit (X, X))
-          col("l.__id") =!= col("r.__id") &&
-          // old partner: always (one orientation exists); new partner:
-          // order ids so the pair is produced once
-          (!col("r.__new") || col("l.__id") < col("r.__id")))
-      // normalize to id_a < id_b so the union with star pairs (already
-      // min-first) dedupes orientations in one distinct
-      .select(least(col("l.__id"), col("r.__id")).as("id_a"),
-        greatest(col("l.__id"), col("r.__id")).as("id_b"))
-    val starPairs = members.join(broadcast(hot), Seq("__b", "__bh"))
-      .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
-      .select(col("__min").as("id_a"), col("__id").as("id_b"))
-    coldPairs.unionByName(starPairs).distinct()
+      .agg(max(col("__new")).as("__new")).persist()
+    try {
+      // hot buckets switch to star edges, same scheme as
+      // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
+      // contract: emit (min, m) only when m or the bucket min is new —
+      // old↔old edges were produced by the batches that introduced them.
+      val hot = members.groupBy(col("__b"), col("__bh"))
+        .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"),
+          min_by(col("__new"), col("__id")).as("__minNew"))
+        .filter(col("__n") > maxBandBucket)
+        .select(col("__b"), col("__bh"), col("__min"), col("__minNew"))
+      val hotKeys = hot.select(col("__b"), col("__bh"))
+      val coldNew = newB.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+      val coldAll = members.join(broadcast(hotKeys), Seq("__b", "__bh"), "left_anti")
+      val coldPairs = coldNew.as("l")
+        .join(coldAll.as("r"),
+          col("l.__b") === col("r.__b") && col("l.__bh") === col("r.__bh") &&
+            // a re-delivered id sits in BOTH indexes: never pair it with
+            // itself (the old-partner branch would otherwise emit (X, X))
+            col("l.__id") =!= col("r.__id") &&
+            // old partner: always (one orientation exists); new partner:
+            // order ids so the pair is produced once
+            (!col("r.__new") || col("l.__id") < col("r.__id")))
+        // normalize to id_a < id_b so the union with star pairs (already
+        // min-first) dedupes orientations in one distinct
+        .select(least(col("l.__id"), col("r.__id")).as("id_a"),
+          greatest(col("l.__id"), col("r.__id")).as("id_b"))
+      val starPairs = members.join(broadcast(hot), Seq("__b", "__bh"))
+        .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
+        .select(col("__min").as("id_a"), col("__id").as("id_b"))
+      coldPairs.unionByName(starPairs).distinct().localCheckpoint(true)
+    } finally { members.unpersist(); () }
   }
 
   /** Exact-Jaccard verification: join each pair side to its gram array

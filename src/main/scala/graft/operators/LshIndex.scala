@@ -173,28 +173,42 @@ object LshIndex {
       sinceBatch: Option[Long], maxBandBucket: Int = 1024): DataFrame = {
     val spark = newIndex.sparkSession
     val n = readNumBuckets(spark, root)
-    val newB = Dedup.bandMembers(newIndex, isNew = true)
-    val touched = newB.select(pb(col("__bh"), n).as("__p")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val oldB = prunedMembers(spark, root, touched, sinceBatch)
-      .select(col("__id"), col("__b"), col("__bh"), lit(false).as("__new"))
-    val pairs = Dedup
-      .incrementalPairs(newB, oldB.unionByName(newB), maxBandBucket)
-      .localCheckpoint()
-    val touchedGp = pairs
-      .select(explode(array(gp(col("id_a"), n), gp(col("id_b"), n))).as("__g"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val pairIds = pairs.select(col("id_a").as("__id"))
-      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
-    // partition pruning cuts the file set; the broadcast semi-join cuts
-    // the surviving rows to exactly the pair ids before the verify join
-    val oldGrams = prunedGrams(spark, root, touchedGp, sinceBatch)
-      .join(broadcast(pairIds), Seq("__id"), "left_semi")
-      .select(col("__id"), col("__sh"))
-    // a replayed batch sits in BOTH newIndex and the persisted index —
-    // one gram row per id (same collapse incrementalCandidates applies)
-    val grams = newIndex.select(col("__id"), col("__sh"))
-      .unionByName(oldGrams).dropDuplicates("__id")
-    Dedup.verifyJaccard(pairs, grams)
+    // `newIndex` is usually a lazy buildIndex PLAN (shingle + 64-way
+    // minhash aggregate + band hashing). Five consumers read it below
+    // — the touched-prefix collect, three legs of the candidate join,
+    // and the verify gram union — and uncached each would re-run the
+    // whole build. Pin it once (it is batch-sized by construction);
+    // everything unpersists before returning and the result is one
+    // small eager checkpoint (candidate pairs + exact jaccard),
+    // reclaimed by the ContextCleaner when the caller drops it — the
+    // ContainmentIndex.probe caching contract
+    val newIdx = newIndex.persist()
+    try {
+      val newB = Dedup.bandMembers(newIdx, isNew = true)
+      // the collect materializes the pin before any fan-out
+      val touched = newB.select(pb(col("__bh"), n).as("__p")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val oldB = prunedMembers(spark, root, touched, sinceBatch)
+        .select(col("__id"), col("__b"), col("__bh"), lit(false).as("__new"))
+      // already one small eager checkpoint (the incrementalPairs
+      // contract) — its three consumers below read the pinned rows
+      val pairs = Dedup
+        .incrementalPairs(newB, oldB.unionByName(newB), maxBandBucket)
+      val touchedGp = pairs
+        .select(explode(array(gp(col("id_a"), n), gp(col("id_b"), n))).as("__g"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val pairIds = pairs.select(col("id_a").as("__id"))
+        .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
+      // partition pruning cuts the file set; the broadcast semi-join cuts
+      // the surviving rows to exactly the pair ids before the verify join
+      val oldGrams = prunedGrams(spark, root, touchedGp, sinceBatch)
+        .join(broadcast(pairIds), Seq("__id"), "left_semi")
+        .select(col("__id"), col("__sh"))
+      // a replayed batch sits in BOTH newIndex and the persisted index —
+      // one gram row per id (same collapse incrementalCandidates applies)
+      val grams = newIdx.select(col("__id"), col("__sh"))
+        .unionByName(oldGrams).dropDuplicates("__id")
+      Dedup.verifyJaccard(pairs, grams).localCheckpoint(true)
+    } finally { newIdx.unpersist(); () }
   }
 }

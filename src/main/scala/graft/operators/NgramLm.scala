@@ -44,8 +44,15 @@ object NgramLm {
     * arrays are a fraction of the raw text and column-pruned reads of
     * the cache never touch the text again. */
   def tokenize(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      idCol: String = "doc_id"): DataFrame = {
+    // explicit-width repartition BEFORE the tokenize (the minhash
+    // discipline): the LM family's scoring passes are CPU-heavy maps
+    // over __tk, and both a single-split source and an AQE-coalesced
+    // tiny exchange would otherwise run them on one core
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par, col(idCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+  }
 
   /** Pass-through for pre-tokenized frames, tokenize otherwise. */
   private def withTokens(docs: DataFrame, textCol: String,

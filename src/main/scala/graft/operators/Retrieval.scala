@@ -29,13 +29,19 @@ object Retrieval {
     * artifact — at scale, write it once partitioned by
     * `pmod(xxhash64(term), P)` and every BM25 query prunes to the
     * partitions its terms hash into. */
-  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // repartition by id BEFORE the CPU-heavy tokenize (the minhash
+    // discipline): a corpus that arrives as one parquet split would
+    // otherwise tokenize on one core, and the (id, dl, term) groupBy
+    // reuses the id clustering instead of adding an exchange
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par, col(idCol))
       .select(col(idCol), termsOf(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("dl"),
         explode(col("__tk")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Corpus scalars BM25 needs: document count and mean token length.
     * One cheap full-corpus aggregate, broadcast to the scorer. avgdl
