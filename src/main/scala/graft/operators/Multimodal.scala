@@ -463,15 +463,15 @@ object Multimodal {
     * [[Codecs.decodeAudioPcm]], pinned by the analytic G.711 expansion
     * formula, so an encode/expand bug cannot self-cancel. `code(i)`
     * returns the raw μ-law byte (0..255). */
-  def encodeWavUlaw(n: Int, sampleRate: Int,
+  private def encodeWavCompanded(formatTag: Int, n: Int, sampleRate: Int,
       code: Int => Int): Array[Byte] = {
-    require(n > 0 && sampleRate > 0, s"encodeWavUlaw: bad n=$n sr=$sampleRate")
+    require(n > 0 && sampleRate > 0, s"encodeWavCompanded: bad n=$n sr=$sampleRate")
     val b = java.nio.ByteBuffer.allocate(44 + n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
       .put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(7) // WAVE_FORMAT_MULAW
+      .putShort(formatTag.toShort) // 7 = MULAW, 6 = ALAW
       .putShort(1) // mono
       .putInt(sampleRate)
       .putInt(sampleRate) // byte rate (1 byte/sample)
@@ -483,11 +483,24 @@ object Multimodal {
     b.array()
   }
 
+  def encodeWavUlaw(n: Int, sampleRate: Int, code: Int => Int): Array[Byte] =
+    encodeWavCompanded(7, n, sampleRate, code)
+
+  /** A-law sibling of [[encodeWavUlaw]] (format tag 6) — the JDK's
+    * ALAW expansion likewise matches the analytic G.711 A-law formula
+    * for all 256 codes (MultimodalCodecSpec pins it). */
+  def encodeWavAlaw(n: Int, sampleRate: Int, code: Int => Int): Array[Byte] =
+    encodeWavCompanded(6, n, sampleRate, code)
+
   /** Deterministic μ-law clip: code byte i = (seed·31 + i·7) mod 256 —
     * every one of the 256 G.711 codes appears across the corpus, so
     * the oracle exercises the full expansion table. */
   def syntheticUlawWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] =
     encodeWavUlaw(n, sampleRate, i => ((seed * 31 + i.toLong * 7) % 256).toInt)
+
+  /** Deterministic A-law clip, same code formula as the μ-law twin. */
+  def syntheticAlawWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] =
+    encodeWavAlaw(n, sampleRate, i => ((seed * 31 + i.toLong * 7) % 256).toInt)
 
   private val audioSchema = StructType(Seq(
     StructField("n_samples", LongType),

@@ -4733,6 +4733,42 @@ object Suite {
              |  sum(s)::BIGINT AS amp_sum, sum(i * s)::BIGINT AS phase_sum
              |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("m12_alaw_decode",
+      // the A-law sibling of m11: format tag 6, same JDK expansion
+      // seam, different companding law — the oracle replays the G.711
+      // A-law formula (u = code XOR 0x55; exp 0 → mant·16+8, else
+      // (mant·16+264)·2^(exp−1); sign bit SET means positive)
+      (s, d) => {
+        val mk = udf((id: Long) =>
+          Multimodal.syntheticAlawWav(id, (50 + id % 20).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .withColumn("data", mk(col("doc_id"))), "data", "audio/basic")
+        Multimodal.extractAudioFeatures(media)
+          .select(col("doc_id"),
+            col("audio.n_samples").as("n_samples"),
+            col("audio.sample_rate_hz").as("sample_rate_hz"),
+            col("audio.amp_sum").as("amp_sum"),
+            col("audio.phase_sum").as("phase_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (50 + doc_id % 20)::BIGINT AS n FROM documents),
+             |ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM g),
+             |u AS (SELECT doc_id, i,
+             |    xor((doc_id*31 + i*7) % 256, 85) AS ua FROM ix),
+             |sm AS (SELECT doc_id, i,
+             |    (CASE WHEN ua >= 128 THEN 1 ELSE -1 END) *
+             |    (CASE WHEN ((ua % 128) // 16) = 0
+             |      THEN (ua % 16) * 16 + 8
+             |      ELSE ((ua % 16) * 16 + 264)
+             |        * (1 << (((ua % 128) // 16) - 1)) END) AS s
+             |  FROM u)
+             |SELECT doc_id, count(*) AS n_samples,
+             |  8000::INT AS sample_rate_hz,
+             |  sum(s)::BIGINT AS amp_sum, sum(i * s)::BIGINT AS phase_sum
+             |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each
       // asset's 60-bit sampled-threshold hash is computed from the

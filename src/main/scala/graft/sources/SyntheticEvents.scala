@@ -59,7 +59,11 @@ object SyntheticEvents {
       col("id") % 40 + 2000, col("id") % 40, col("id") % 7, col("id"))
     val zeek = format_string(
       """{"zeek":{"uid":"z%d","ts":"%s"},""" +
-        """"event":{"hash":"z%d","provider":"zeek","dataset":"conn","kind":"event","module":"conn"},""" +
+        // event.category feeds the zeek tags chain (Bronze.zeek reads
+        // tags | event.category | event.severity_tags) so the e2e gold
+        // build exercises bridge_zeek_event_tag with real rows instead
+        // of a structurally-dead 0-row pipeline
+        """"event":{"hash":"z%d","provider":"zeek","dataset":"conn","kind":"event","module":"conn","category":["network"]},""" +
         """"@timestamp":"%s","host":{"name":"sensor%d"},""" +
         """"source":{"ip":"10.3.%d.%d","port":%d},"destination":{"ip":"10.4.%d.%d","port":%d},""" +
         """"network":{"application":"dns","type":"ipv4","direction":"outbound","community_id":"1:x%d","bytes":%d}}""",

@@ -127,6 +127,25 @@ class ContainmentIndexSpec extends SparkSpec {
     assert(probed.contains((2000L, 2001L, 0.9)), s"probe at 0.9: $probed")
   }
 
+  test("probeCensus counts are exact: batch-gram postings vs touched-bucket read") {
+    val root = tmp("graft_cidx_census")
+    ContainmentIndex.append(history, "text", "doc_id", root, 0L,
+      shingleN = 4, numBuckets = 16)
+    val (readRows, batchRows) = ContainmentIndex.probeCensus(
+      arriving, "text", "doc_id", root)
+    // ground truth from the raw postings table: how many index
+    // postings carry a gram the arriving batch also has
+    val batchGrams = arriving
+      .select(explode(Dedup.hashedShingles(col("text"), 4)).as("__g"))
+      .distinct()
+    val want = spark.read.parquet(s"$root/postings")
+      .join(batchGrams, Seq("__g"), "left_semi").count()
+    assert(batchRows == want, s"batch-gram postings: got $batchRows want $want")
+    assert(readRows >= batchRows)
+    // and the touched-bucket read is a subset of the whole table
+    assert(readRows <= spark.read.parquet(s"$root/postings").count())
+  }
+
   test("probe scans only touched posting partitions (file-level pruning)") {
     val root = tmp("graft_cidx_prune")
     val n = 16

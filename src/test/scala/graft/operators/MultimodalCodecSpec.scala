@@ -281,6 +281,23 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Codecs.decodeAudioPcm("not audio at all".getBytes).isEmpty)
   }
 
+  test("JDK A-law expansion matches the analytic G.711 formula for all 256 codes") {
+    def g711a(code: Int): Long = {
+      val u = code ^ 0x55
+      val exp = (u >> 4) & 7
+      val mant = u & 0xf
+      val mag = if (exp == 0) (mant << 4) + 8
+        else ((mant << 4) + 0x108) << (exp - 1)
+      if ((u & 0x80) != 0) mag.toLong else -mag.toLong
+    }
+    val wav = Multimodal.encodeWavAlaw(256, 8000, i => i)
+    val (n, sr, amp, phase) = Codecs.decodeAudioPcm(wav).getOrElse(
+      fail("JDK rejected the A-law WAV"))
+    val expAmp = (0 until 256).map(g711a).sum
+    val expPhase = (0 until 256).map(i => i * g711a(i)).sum
+    assert((n, sr, amp, phase) == (256L, 8000, expAmp, expPhase))
+  }
+
   test("extractVideoFrames: every-2nd sampling keeps original frame indexes") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("doc_id")

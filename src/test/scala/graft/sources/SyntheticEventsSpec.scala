@@ -34,6 +34,13 @@ class SyntheticEventsSpec extends SparkSpec {
       assert(df.filter(col("event_id").isNull).count() == 0)
     }
 
+    // every source feeds its tag bridge: an all-empty tags column would
+    // run the bridge pipelines 0-row and hide a projection regression
+    routed.foreach { case (src, df) =>
+      assert(df.filter(size(col("tags")) > 0).count() > 0,
+        s"$src events carry no tags — its bridge pipeline would be dead")
+    }
+
     // wazuh carries the dim-feeding fields the SCD2 pipelines consume
     val w = routed("wazuh")
     assert(w.filter(col("agent_name").isNull).count() == 0)
