@@ -4498,6 +4498,7 @@ object Suite {
           id, (8 + id % 5).toInt, (8 + id % 3).toInt, (2 + id % 4).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "video/avi")
         Multimodal.extractVideoFrames(media, everyN = 2, "doc_id")
           .select(col("doc_id"), col("frame_no"), col("width"),
@@ -4595,6 +4596,7 @@ object Suite {
           id, (8 + id % 9).toInt, (8 + id % 7).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "image/bmp")
         Multimodal.extractImageFeatures(media)
           .select(col("doc_id"),
@@ -4629,6 +4631,7 @@ object Suite {
           id, (8 + id % 9).toInt, (8 + id % 7).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "image/bmp")
         Multimodal.resizeImageFeatures(media, outW = 5, outH = 4)
           .select(col("doc_id"),
@@ -4671,6 +4674,7 @@ object Suite {
           Multimodal.syntheticWav(id, (64 + id % 57).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "audio/wav")
         Multimodal.extractAudioFeatures(media)
           .select(col("doc_id"),
@@ -4708,6 +4712,7 @@ object Suite {
           Multimodal.syntheticUlawWav(id, (50 + id % 20).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "audio/basic")
         Multimodal.extractAudioFeatures(media)
           .select(col("doc_id"),
@@ -4743,6 +4748,7 @@ object Suite {
           Multimodal.syntheticAlawWav(id, (50 + id % 20).toInt))
         val media = Multimodal.attachMedia(
           t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
             .withColumn("data", mk(col("doc_id"))), "data", "audio/basic")
         Multimodal.extractAudioFeatures(media)
           .select(col("doc_id"),
@@ -4781,6 +4787,8 @@ object Suite {
         val mk = udf((seed: Long, brighten: Int) => Multimodal.syntheticBmp(
           seed, (8 + seed % 9).toInt, (8 + seed % 7).toInt, brighten))
         val ids = t(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+            .repartition(s.sparkContext.defaultParallelism)
         val store = ids
           .select(col("doc_id"), mk(col("doc_id"), lit(0)).as("data"))
           .unionByName(ids.filter(col("doc_id") < 10)
@@ -4835,6 +4843,8 @@ object Suite {
               + shift, 2047))
         })
         val ids = t(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+            .repartition(s.sparkContext.defaultParallelism)
         val store = ids
           .select(col("doc_id"), mk(col("doc_id"), lit(0)).as("data"))
           .unionByName(ids.filter(col("doc_id") < 10)
