@@ -273,7 +273,7 @@ object Dedup {
     * Shared by [[incrementalCandidates]] (DataFrame-to-DataFrame) and
     * [[LshIndex.probe]] (file-pruned persisted index). */
   private[operators] def incrementalPairs(newB: DataFrame, allB: DataFrame,
-      maxBandBucket: Int): DataFrame = {
+      maxBandBucket: Int, materialize: Boolean = true): DataFrame = {
     // only buckets a NEW doc probes can produce pairs, so restrict the
     // whole candidate path — census included — to them up front via a
     // broadcast semi-join (batch bucket keys are batch-sized). Without
@@ -297,8 +297,11 @@ object Dedup {
     // finally; the returned pair set is one small eager checkpoint
     // (O(|new| + collisions) rows), so a long-running DedupStream
     // accumulates nothing but ContextCleaner-reclaimed result blocks.
-    val members = touched.groupBy(col("__b"), col("__bh"), col("__id"))
-      .agg(max(col("__new")).as("__new")).persist()
+    // materialize=false keeps the declarative plan (inspection /
+    // composition), re-deriving members per consumer, nothing pinned.
+    val membersBase = touched.groupBy(col("__b"), col("__bh"), col("__id"))
+      .agg(max(col("__new")).as("__new"))
+    val members = if (materialize) membersBase.persist() else membersBase
     try {
       // hot buckets switch to star edges, same scheme as
       // [[minhashCandidates]] but honoring the "≥1 new doc per pair"
@@ -328,8 +331,9 @@ object Dedup {
       val starPairs = members.join(broadcast(hot), Seq("__b", "__bh"))
         .filter(col("__id") =!= col("__min") && (col("__new") || col("__minNew")))
         .select(col("__min").as("id_a"), col("__id").as("id_b"))
-      coldPairs.unionByName(starPairs).distinct().localCheckpoint(true)
-    } finally { members.unpersist(); () }
+      val out = coldPairs.unionByName(starPairs).distinct()
+      if (materialize) out.localCheckpoint(true) else out
+    } finally { if (materialize) { members.unpersist(); () } }
   }
 
   /** Exact-Jaccard verification: join each pair side to its gram array
@@ -358,11 +362,11 @@ object Dedup {
     * the index with [[LshIndex.append]] and probe via [[LshIndex.probe]],
     * which pushes the touched-bucket predicate into the scan. */
   def incrementalCandidates(newIndex: DataFrame, oldIndex: DataFrame,
-      maxBandBucket: Int = 1024): DataFrame = {
+      maxBandBucket: Int = 1024, materialize: Boolean = true): DataFrame = {
     // band join carries only (band, hash, id) — gram arrays rejoin by id
     val newB = bandMembers(newIndex, isNew = true)
     val allB = bandMembers(oldIndex, isNew = false).unionByName(newB)
-    val pairs = incrementalPairs(newB, allB, maxBandBucket)
+    val pairs = incrementalPairs(newB, allB, maxBandBucket, materialize)
     // a re-delivered id would otherwise join twice per side and
     // multiply verify rows — one gram row per id
     val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))

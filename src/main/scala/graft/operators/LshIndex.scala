@@ -62,13 +62,21 @@ object LshIndex {
   private def fileSystem(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
-  def exists(spark: SparkSession, root: String): Boolean =
-    fileSystem(spark, root).exists(new Path(membersPath(root)))
+  /** True only when BOTH tables exist — `grams/` is written first, so
+    * a crash between the first batch's two table writes reads as "no
+    * index yet" and the replay takes the clean first-append path
+    * instead of probing a half-written index (the [[ContainmentIndex]]
+    * torn-first-batch contract). */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val fs = fileSystem(spark, root)
+    fs.exists(new Path(membersPath(root))) &&
+      fs.exists(new Path(gramsPath(root)))
+  }
 
   private def pb(bh: Column, n: Int): Column = pmod(bh, lit(n.toLong))
   private def gp(id: Column, n: Int): Column = pmod(xxhash64(id), lit(n.toLong))
 
-  private[operators] def readNumBuckets(spark: SparkSession,
+  private[graft] def readNumBuckets(spark: SparkSession,
       root: String): Int = {
     val fs = fileSystem(spark, root)
     val in = fs.open(metaFile(root))
@@ -98,11 +106,27 @@ object LshIndex {
   /** Append one batch of [[Dedup.buildIndex]] output. Idempotent on
     * `batchId`: both tables use dynamic partition overwrite, so an
     * at-least-once replay rewrites its own partitions instead of
-    * appending a second copy. */
+    * appending a second copy. An empty batch writes nothing — a
+    * fileless table dir would flip [[exists]] true and break schema
+    * inference on the next probe. `grams/` commits before `members/`
+    * (see [[exists]] for the torn-first-batch rationale). */
   def append(index: DataFrame, root: String, batchId: Long,
       numBuckets: Int = 256): Unit = {
     val spark = index.sparkSession
+    // only a FIRST batch can create the poisonous state (both table
+    // dirs existing but fileless → exists() true, schema inference
+    // broken); an empty write into an existing index adds nothing and
+    // costs nothing, so the emptiness probe runs once per index
+    // lifetime, not once per batch
+    if (!exists(spark, root) && index.isEmpty) return
     ensureMeta(spark, root, numBuckets)
+    index.select(col("__id"), col("__sh"))
+      .withColumn(GramPart, gp(col("__id"), numBuckets))
+      .withColumn(BatchCol, lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol, GramPart)
+      .parquet(gramsPath(root))
     index
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
       .withColumn(MemberPart, pb(col("__bh"), numBuckets))
@@ -111,13 +135,6 @@ object LshIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol, MemberPart)
       .parquet(membersPath(root))
-    index.select(col("__id"), col("__sh"))
-      .withColumn(GramPart, gp(col("__id"), numBuckets))
-      .withColumn(BatchCol, lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol, GramPart)
-      .parquet(gramsPath(root))
   }
 
   /** Membership read restricted to the given partition prefixes — the

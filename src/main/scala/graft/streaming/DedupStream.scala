@@ -52,10 +52,17 @@ object DedupStream {
       idCol: String, indexPath: String, pairsPath: String,
       threshold: Double, numBuckets: Int = 256): Unit = {
     val spark = batch.sparkSession
+    val indexed = LshIndex.exists(spark, indexPath)
+    // an existing index fixes the bucket layout: derive it from the
+    // meta so a restarted stream (or one started with defaults against
+    // a non-default index) appends consistently — the passed value
+    // only seeds the very first append
+    val nb = if (indexed) LshIndex.readNumBuckets(spark, indexPath)
+      else numBuckets
     val newIdx = Dedup.buildIndex(batch, textCol, idCol).cache()
     try {
       val candidates =
-        if (LshIndex.exists(spark, indexPath))
+        if (indexed)
           LshIndex.probe(newIdx, indexPath)
         else // first batch: only within-batch pairs exist
           Dedup.incrementalCandidates(newIdx, newIdx.limit(0))
@@ -66,7 +73,7 @@ object DedupStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BatchCol)
         .parquet(pairsPath)
-      LshIndex.append(newIdx, indexPath, batchId, numBuckets)
+      LshIndex.append(newIdx, indexPath, batchId, nb)
     } finally { newIdx.unpersist(); () }
   }
 
@@ -85,14 +92,14 @@ object DedupStream {
 
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, pairsPath: String, checkpointDir: String,
-      threshold: Double = 0.8,
+      threshold: Double = 0.8, numBuckets: Int = 256,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, idCol, indexPath, pairsPath,
-          threshold)
+          threshold, numBuckets)
       }
       .start()
 }

@@ -121,8 +121,11 @@ class PlanShapeSpec extends SparkSpec {
     val mk = (ids: Seq[Long]) => operators.Dedup.buildIndex(
       ids.map(i => (i, s"doc number $i with some shared words here")).toDF("doc_id", "text"),
       "text", "doc_id")
+    // materialize=false keeps the declarative plan for inspection (the
+    // default eagerly checkpoints the candidate pairs, which collapses
+    // the probe stage to an RDD scan — the selfContainmentPairs rule)
     val plan = planOf(operators.Dedup.incrementalCandidates(
-      mk(Seq(100L, 101L)), mk(0L until 50L)))
+      mk(Seq(100L, 101L)), mk(0L until 50L), materialize = false))
     // the old index is pruned to new-touched buckets via a BROADCAST
     // left-semi join before any aggregation: the census/star path must
     // never hash-shuffle the accumulated corpus per micro-batch

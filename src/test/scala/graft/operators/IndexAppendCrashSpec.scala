@@ -70,22 +70,22 @@ class IndexAppendCrashSpec extends SparkSpec {
   private def rowCount(path: String): Long =
     try spark.read.parquet(path).count() catch { case _: Throwable => -1L }
 
-  test("LSH: kill between the members and grams writes, replay converges") {
+  test("LSH: kill between the grams and members writes, replay converges") {
     val clean = cleanLshRoot()
 
     // crashed root: full batch-1 append, then construct the exact disk
-    // state of a kill after the members commit — grams has no batch-1
-    // partitions (dynamic overwrite commits per table, in order)
+    // state of a kill after the grams commit — members has no batch-1
+    // partitions (dynamic overwrite commits per table, grams first)
     val root = tmp("graft_lshcrash_seam")
     LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
     LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
     val f = fs(root)
-    val gramsB1 = f.globStatus(
-      new Path(s"$root/grams/${LshIndex.BatchCol}=1"))
-    assert(gramsB1.nonEmpty, "fixture: batch-1 grams must exist pre-crash")
-    gramsB1.foreach(s => f.delete(s.getPath, true))
-    // the torn state IS torn: a probe over it would miss batch-1 grams
-    assert(rowCount(s"$root/grams") < rowCount(s"$clean/grams"))
+    val membersB1 = f.globStatus(
+      new Path(s"$root/members/${LshIndex.BatchCol}=1"))
+    assert(membersB1.nonEmpty, "fixture: batch-1 members must exist pre-crash")
+    membersB1.foreach(s => f.delete(s.getPath, true))
+    // the torn state IS torn: a probe over it would miss batch-1 members
+    assert(rowCount(s"$root/members") < rowCount(s"$clean/members"))
 
     // at-least-once replay of the SAME batch
     LshIndex.append(Dedup.buildIndex(batch1, "text", "doc_id"), root, 1L, 16)
@@ -96,6 +96,52 @@ class IndexAppendCrashSpec extends SparkSpec {
     assert(rowCount(s"$root/members") == rowCount(s"$clean/members"),
       "replay must overwrite its own member partitions, not double them")
     assert(rowCount(s"$root/grams") == rowCount(s"$clean/grams"))
+  }
+
+  test("LSH: torn FIRST batch reads as no-index; empty first batch writes nothing") {
+    // crash between the first batch's two table writes: grams/
+    // committed, members/ absent — exists() requires both, so the
+    // replayed DedupStream batch takes the clean first-append path
+    val root = tmp("graft_lshcrash_first")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
+    val f = fs(root)
+    f.delete(new Path(s"$root/members"), true)
+    assert(f.exists(new Path(s"$root/grams")))
+    assert(!LshIndex.exists(spark, root),
+      "torn first-batch state must read as 'no index yet'")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root, 0L, 16)
+    val clean = tmp("graft_lshcrash_first_clean")
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), clean, 0L, 16)
+    val probe = Dedup.buildIndex(batch2, "text", "doc_id")
+    assert(pairSet(LshIndex.probe(probe, root)) ==
+      pairSet(LshIndex.probe(probe, clean)))
+
+    // an empty FIRST batch must not create fileless table dirs (which
+    // would flip exists() true and break the next probe's schema read)
+    val root2 = tmp("graft_lshcrash_empty")
+    LshIndex.append(Dedup.buildIndex(batch0.limit(0), "text", "doc_id"),
+      root2, 0L, 16)
+    assert(!LshIndex.exists(spark, root2))
+    LshIndex.append(Dedup.buildIndex(batch0, "text", "doc_id"), root2, 1L, 16)
+    assert(pairSet(LshIndex.probe(probe, root2)) ==
+      pairSet(LshIndex.probe(probe, clean)))
+  }
+
+  test("LSH: restarted stream derives numBuckets from the index meta") {
+    // index created with non-default numBuckets; a restarted stream
+    // driving processBatch with the DEFAULT must append against the
+    // existing layout instead of crashing ensureMeta
+    val base = tmp("graft_lsh_meta")
+    graft.streaming.DedupStream.processBatch(batch0, 0L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", threshold = 0.8, numBuckets = 16)
+    graft.streaming.DedupStream.processBatch(batch1, 1L, "text", "doc_id",
+      s"$base/index", s"$base/pairs", threshold = 0.8) // default 256 ≠ 16
+    assert(LshIndex.readNumBuckets(spark, s"$base/index") == 16)
+    val pairs = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-1's exact re-crawl of doc 0 (id 100) is found cross-batch
+    assert(pairs.contains((0L, 100L)), s"$pairs")
   }
 
   test("LSH: kill between task staging and job commit, replay converges") {
