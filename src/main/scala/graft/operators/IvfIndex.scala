@@ -78,6 +78,11 @@ object IvfIndex {
     val spark = corpus.sparkSession
     require(!exists(spark, root), s"index already exists at $root — " +
       "rebuilding under a live index would orphan its cell assignments")
+    // an empty build corpus writes nothing: freezing an empty centroid
+    // set would wedge every later probe/append, and fileless table
+    // dirs would break schema inference — the streaming twin's next
+    // non-empty batch builds instead (freeze-on-first-DATA semantics)
+    if (corpus.isEmpty) return
     val seeded = Similarity.seedCentroids(corpus, nlist, idCol, vecCol)
     val centroids =
       if (kmeansIters == 0) seeded

@@ -78,6 +78,9 @@ object IvfPqIndex {
     val spark = corpus.sparkSession
     require(!exists(spark, root), s"index already exists at $root — " +
       "rebuilding under a live index would orphan its codes")
+    // an empty build corpus writes nothing (the IvfIndex contract):
+    // the streaming twin's next non-empty batch trains instead
+    if (corpus.isEmpty) return
     val seeded = Similarity.seedCentroids(corpus, nlist, idCol, vecCol)
     val cents =
       if (kmeansIters == 0) seeded

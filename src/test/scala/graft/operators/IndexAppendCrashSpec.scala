@@ -186,6 +186,23 @@ class IndexAppendCrashSpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getLong(1),
       math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSet
 
+  test("IVF: empty first build writes nothing; next batch trains (freeze-on-first-data)") {
+    val root = tmp("graft_ivfcrash_empty")
+    // an empty first micro-batch must not freeze an empty centroid set
+    // or leave fileless table dirs behind
+    IvfIndex.build(corpus(0 until 0), root, nlist = 8)
+    assert(!IvfIndex.exists(spark, root))
+    graft.streaming.AnnStream.processBatch(corpus(0 until 100), 1L,
+      root, nlist = 8)
+    assert(IvfIndex.exists(spark, root))
+    val clean = tmp("graft_ivfcrash_empty_clean")
+    IvfIndex.build(corpus(0 until 100), clean, nlist = 8)
+    val q = corpus(0 until 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(resultSet(IvfIndex.query(spark, root, q, k = 5, nprobe = 3)) ==
+      resultSet(IvfIndex.query(spark, clean, q, k = 5, nprobe = 3)))
+  }
+
   test("IVF: kill mid-append leaves staging junk; replay converges") {
     val q = corpus(0 until 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
