@@ -79,6 +79,10 @@ object PostingsIndex {
     val spark = docs.sparkSession
     require(!exists(spark, root), s"index already exists at $root — " +
       "appends must reuse the frozen partition count, not rebuild")
+    // an empty build corpus writes nothing (the IvfIndex contract): a
+    // fileless postings/ dir would flip exists() true and break schema
+    // inference; the streaming twin's next non-empty batch builds
+    if (docs.isEmpty) return
     writeMeta(spark, root, parts)
     appendBatch(docs, root, 0L, textCol, idCol, parts)
   }

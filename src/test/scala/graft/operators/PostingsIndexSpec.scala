@@ -117,4 +117,20 @@ class PostingsIndexSpec extends SparkSpec {
     }
     assert(PostingsIndex.readParts(spark, root) == 8)
   }
+
+  test("empty first build writes nothing; next stream batch builds instead") {
+    val root = tmp("graft_postings_empty")
+    // an empty first micro-batch must not leave fileless table dirs
+    // (exists() would flip true and break the next query's schema read)
+    graft.streaming.LexStream.processBatch(docsDF(0 until 0), 0L,
+      root, parts = 8)
+    assert(!PostingsIndex.exists(spark, root))
+    graft.streaming.LexStream.processBatch(docsDF(0 until 40), 1L,
+      root, parts = 8)
+    assert(PostingsIndex.exists(spark, root))
+    val clean = tmp("graft_postings_empty_clean")
+    PostingsIndex.build(docsDF(0 until 40), clean, parts = 8)
+    assert(resultSet(PostingsIndex.query(spark, root, queries, k = 5)) ==
+      resultSet(PostingsIndex.query(spark, clean, queries, k = 5)))
+  }
 }
