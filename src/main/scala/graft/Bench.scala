@@ -303,7 +303,12 @@ object Bench {
         // and the confusable skeleton (translate + exact dedupe, one
         // hash shuffle)
         "l111_license_screen", "l112_code_filters", "l113_mixture_sample",
-        "l114_containment_dedup", "l115_confusable_skeleton")
+        "l114_containment_dedup", "l115_confusable_skeleton",
+        // round-10 additions: epoch upsampling (map-only explode —
+        // growth should cost scan + output volume) and video near-dup
+        // (per-row container walk + decode, then the blocked Hamming
+        // join — collision volume is the degradation axis, same as m9)
+        "l117_epoch_upsample", "m13_video_neardup")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =
@@ -930,12 +935,27 @@ object Bench {
                   .select("doc_id", "source"), Seq("doc_id")),
               "source", col("n_tokens"), budget = 10000000L)
           }
+          // fractional-epoch upsampling (l117): the mix-recipe step a
+          // real run applies between decontamination and packing —
+          // src0 ×2.3, src1 ×0.4, the rest ×1.0. Map-only explode, so
+          // 10× docs must cost scan + output volume and nothing else;
+          // every stage downstream packs the REPLICATED corpus, keyed
+          // on (doc_id, copy_no) so copies interleave across shards
+          val upsampled = staged("epoch_upsample") {
+            operators.Curation.epochUpsample(
+              clean.join(core.Tables.load(spark, d, "documents")
+                .select("doc_id", "source"), Seq("doc_id")),
+              col("doc_id"), "source",
+              Map("src0" -> 2.3, "src1" -> 0.4), seed = 9)
+              .select(concat_ws(":", col("doc_id"), col("copy_no"))
+                .as("rep_id"), col("doc_id"), col("text"))
+          }
           val packed = staged("shuffle_pack") {
-            val withTok = clean.withColumn("n_tokens",
+            val withTok = upsampled.withColumn("n_tokens",
               size(graft.functions.TextFunctions.tokens(col("text")))
                 .cast("long"))
             val sh = operators.Curation.epochShuffle(withTok,
-              col("doc_id"), numShards = 32, seed = 9)
+              col("rep_id"), numShards = 32, seed = 9)
             operators.Curation.packSequences(sh, "n_tokens", "shard_pos",
               budget = 2048, groupCols = Seq("shard"))
           }
@@ -943,12 +963,12 @@ object Bench {
           // one window sort per shard — shards parallelize, so 10× docs
           // must cost ~sort growth, never a global single-partition sort
           val batched = staged("length_batch") {
-            val withTok = clean.withColumn("n_tokens",
+            val withTok = upsampled.withColumn("n_tokens",
               size(graft.functions.TextFunctions.tokens(col("text")))
                 .cast("long"))
             val sh = operators.Curation.epochShuffle(withTok,
-              col("doc_id"), numShards = 32, seed = 9)
-            operators.Curation.lengthBatches(sh, "n_tokens", "doc_id",
+              col("rep_id"), numShards = 32, seed = 9)
+            operators.Curation.lengthBatches(sh, "n_tokens", "rep_id",
               batchSize = 16, groupCols = Seq("shard"))
           }
           val nBatched = batched.select(col("shard"), col("batch_id"))
@@ -1068,7 +1088,13 @@ object Bench {
           ("d36g_versioned", "d36_versioned_collapse"),
           // funnel latency: the K-round shrinking aggregation plus one
           // per-step sort of CONVERTED users only
-          ("h63g_funnel_latency", "h63_funnel_latency"))
+          ("h63g_funnel_latency", "h63_funnel_latency"),
+          // round-10: Bradley-Terry — the heavy pass is the per-user
+          // self-join (pairs scale with Σ n_user², here linear since
+          // events-per-user density is held constant) + one pair-count
+          // aggregation; the fit itself runs on the ≤items² matrix and
+          // must not grow at all
+          ("l118g_bt_preference", "l118_bt_preference"))
           .flatMap { case (nm, q) =>
             for {
               (nb, rb) <- countTimed(s"synthE:$nm(base)", q, sfDir)

@@ -584,6 +584,53 @@ object Curation {
       .withColumnRenamed("__shard", "shard").drop("__h")
   }
 
+  /** Fractional-epoch upsampling — the replication step of a data-mix
+    * recipe (e.g. "wiki ×2.3, books ×1.7, web ×1.0"): each document in
+    * a source weighted `e` epochs is emitted `floor(e)` times in full,
+    * and one extra time for a deterministic `e - floor(e)` slice of the
+    * source, chosen by the portable md5 cut of [[hashSamplePortable]]
+    * so ANY engine can replay which ids got the extra copy. Sources
+    * absent from `epochs` default to `defaultEpochs` (1.0 = pass
+    * through unchanged; 0.0 = drop). An epoch weight of 0.4 therefore
+    * means "a deterministic 40% sample", and 2.0 means "exactly two
+    * copies" — the semantics published LLM data recipes use.
+    *
+    * Output: the input columns plus `copy_no` (0-based replica index),
+    * so downstream shuffles ([[epochShuffle]] keyed on (id, copy_no))
+    * interleave the replicas instead of clustering them.
+    *
+    * Scale shape: pure per-row column algebra — a literal-map lookup,
+    * one md5, and an explode of a ≤⌈e⌉-element sequence; no shuffle,
+    * no UDF, no RNG state. Output size is the recipe's intrinsic
+    * Σ n_source·e_source; the explode IS the upsampling. Cut points
+    * are computed once in Scala ([[portableCut]]) and embedded as
+    * literals, so no float→int cast subtlety leaks into the plan. */
+  def epochUpsample(df: DataFrame, idCol: Column, sourceCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0),
+      "epoch weights must be >= 0")
+    def full(e: Double): Long = math.floor(e).toLong
+    def cut(e: Double): Long = portableCut(e - math.floor(e))
+    val fullCol = epochs.foldLeft(lit(full(defaultEpochs))) {
+      case (acc, (src, e)) =>
+        when(col(sourceCol) === lit(src), lit(full(e))).otherwise(acc)
+    }
+    val cutCol = epochs.foldLeft(lit(cut(defaultEpochs))) {
+      case (acc, (src, e)) =>
+        when(col(sourceCol) === lit(src), lit(cut(e))).otherwise(acc)
+    }
+    val h = conv(substring(md5(
+      concat(lit(seed.toString), lit(":"), idCol.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val nCopies = fullCol + when(h < cutCol, 1L).otherwise(0L)
+    df.withColumn("__nc", nCopies)
+      .filter(col("__nc") > 0)
+      .withColumn("copy_no",
+        explode(sequence(lit(0L), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
   /** Token-window chunking — the pre-embedding step of a retrieval /
     * ANN pipeline: split each document into chunks of `chunkTokens`
     * whitespace tokens, consecutive chunks overlapping by `overlap`

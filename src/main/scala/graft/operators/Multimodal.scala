@@ -395,6 +395,42 @@ object Multimodal {
       * order. None when the bytes are not a RIFF-AVI container;
       * truncated/corrupt tails stop the walk instead of throwing — a
       * corrupt asset must not kill a 100 TB scan. */
+    /** 60-bit sign fingerprint of a VIDEO from its real decoded frames
+      * — the video leg of [[audioHash60]]: bit `i` samples frame
+      * `i % nFrames` at pixel `((i·7) mod w, (i·13) mod h)` and is set
+      * iff that pixel's R+G+B is at or above the luma midpoint (384 of
+      * 765). Strided over frames AND positions, so re-encodes whose
+      * pixels shift by a small clamped amount flip only the
+      * near-threshold bits, while unrelated videos land ~30 bits
+      * apart. One container walk, at most the first 60 frames decoded,
+      * no full-corpus state. None on undecodable containers/frames —
+      * corrupt media must not kill a scan. */
+    def videoHash60(bytes: Array[Byte]): Option[Long] =
+      aviFrames(bytes).flatMap { frames =>
+        if (frames.isEmpty) None
+        else {
+          val nf = frames.length
+          val decoded = (0 until math.min(nf, 60)).map(f =>
+            readImage(frames(f)))
+          if (decoded.exists(_.isEmpty)) None
+          else {
+            val imgs = decoded.map(_.get)
+            var sig = 0L
+            var i = 0
+            while (i < 60) {
+              val img = imgs(i % nf)
+              val px = img.getRGB((i * 7) % img.getWidth,
+                (i * 13) % img.getHeight)
+              val lum = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) +
+                (px & 0xff)
+              if (lum >= 384) sig |= 1L << i
+              i += 1
+            }
+            Some(sig)
+          }
+        }
+      }
+
     def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
       if (bytes == null || bytes.length < 12) return None
       def fcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -744,6 +780,37 @@ object Multimodal {
       maxDistance, maxBlockBucket)
   }
 
+  /** NEAR-duplicate video pairs by 60-bit sign-fingerprint Hamming
+    * distance over REAL decoded frames — the video leg of
+    * [[audioNearDupPairs]], closing the near-dup family across all
+    * three media axes (pixels/m6, audio/m9, video/m13). The
+    * fingerprint ([[Codecs.videoHash60]]) strides frames and pixel
+    * positions, so clamped-shift re-encodes flip only near-threshold
+    * bits; the shared pairing machinery (4×15-bit pigeonhole blocks,
+    * complete to Hamming ≤ 3, hot-bucket census degrade) pairs them
+    * back up. Only (id, sig, block) longs shuffle — the video bytes
+    * never leave the scan; undecodable assets drop. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def videoNearDupPairs(df: DataFrame, idCol: String,
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
+    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
+    val sigSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__sig", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+    val sigs = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(s"$MediaCol.bytes").as("__bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.videoHash60(r.getAs[Array[Byte]]("__bytes"))
+            .map(sig => Row(r.getLong(0), sig))
+        }
+      }(enc)
+    Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
+      maxDistance, maxBlockBucket)
+  }
+
   /** Frame-sample a video media column into one row per frame
     * (generator shape: explode after per-partition decode). RIFF-AVI
     * assets take the REAL container walk ([[Codecs.aviFrames]]) and
@@ -816,7 +883,12 @@ object Multimodal {
     * by the hand-rolled [[Codecs.encodeAvi]]. Writer and walker are
     * independent of the per-frame codec (JDK PNG), so the analytic
     * oracle pins all three. */
-  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      shift: Int = 0): Array[Byte] = {
+    // shift models a brightness-bumped re-encode: channels rise by
+    // `shift` CLAMPED at 255 (no mod-256 wrap), so a shifted copy's
+    // videoHash60 differs from its base only at near-threshold bits —
+    // the m13 fixture, analytically replayable with least(c+s, 255)
     val frames = (0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -824,9 +896,12 @@ object Multimodal {
       while (x < w) {
         var y = 0
         while (y < h) {
-          val r = ((id * 7 + f * 19 + x * 13 + y * 31) % 256).toInt
-          val g = ((id * 11 + f * 23 + x * 3 + y * 17) % 256).toInt
-          val b = ((id * 5 + f * 29 + x * 29 + y * 7) % 256).toInt
+          val r = math.min(
+            ((id * 7 + f * 19 + x * 13 + y * 31) % 256).toInt + shift, 255)
+          val g = math.min(
+            ((id * 11 + f * 23 + x * 3 + y * 17) % 256).toInt + shift, 255)
+          val b = math.min(
+            ((id * 5 + f * 29 + x * 29 + y * 7) % 256).toInt + shift, 255)
           img.setRGB(x, y, (r << 16) | (g << 8) | b)
           y += 1
         }

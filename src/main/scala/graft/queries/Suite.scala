@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Keys, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Intervals, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, QualityModel, Replacing, Retrieval, Similarity, Stats, Unigram}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Intervals, IvfIndex, IvfPqIndex, Multimodal, NgramLm, PostingsIndex, Preference, QualityModel, Replacing, Retrieval, Similarity, Stats, Unigram}
 import graft.pipelines.Dims
 
 /** The declared operator-coverage suite: one query per SURVEY.md §2
@@ -1913,6 +1913,92 @@ object Suite {
              |WHERE c::DOUBLE / sz >= 0.9
              |  AND (id_a % 2 = 1 OR id_a >= 200000)
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("l117_epoch_upsample",
+      // fractional-epoch data-mix replication (the "wiki ×2.3" recipe
+      // semantics): floor(e) full copies per doc plus one extra copy
+      // for a portable-md5-cut e−floor(e) slice of the source; cuts
+      // are Scala-computed literals, so the oracle replays the exact
+      // replica multiset — the "what trained how many times" audit
+      (s, d) => Curation.epochUpsample(
+          t(s, d, "documents").select("doc_id", "source"), col("doc_id"),
+          "source", Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 2.0),
+          seed = 7)
+        .select("doc_id", "source", "copy_no")
+        .orderBy("doc_id", "copy_no"),
+      Some(s"""WITH e AS (SELECT doc_id, source,
+              |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+              |      WHEN 'src2' THEN 2 ELSE 1 END AS nfull,
+              |    CASE source
+              |      WHEN 'src0' THEN ${Curation.portableCut(2.3 - 2.0)}
+              |      WHEN 'src1' THEN ${Curation.portableCut(0.4)}
+              |      WHEN 'src2' THEN 0 ELSE 0 END AS cut
+              |  FROM documents),
+              |n AS (SELECT doc_id, source, nfull + CASE WHEN
+              |    ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT
+              |      < cut THEN 1 ELSE 0 END AS nc FROM e)
+              |SELECT doc_id, source, unnest(range(0, nc)) AS copy_no
+              |FROM n WHERE nc > 0 ORDER BY doc_id, copy_no""".stripMargin)),
+
+    Q("l118_bt_preference",
+      // Bradley-Terry leaderboard over implied pairwise preferences
+      // (the RLHF/eval-ranking fit): every same-user pair of
+      // distinct-typed, distinct-valued events is one comparison
+      // (higher value wins); 3 fixed-point MM iterations from the
+      // uniform start. The oracle unrolls the identical iterations —
+      // exact BIGINT folds, per-term IEEE division, no float sums
+      (s, d) => Preference.bradleyTerry(
+          Preference.impliedComparisons(t(s, d, "events"), "user_id",
+            "event_type", "value", "event_id"), iterations = 3)
+        .orderBy("item"),
+      Some("""WITH cmp AS (SELECT
+             |    CASE WHEN a.value > b.value THEN a.event_type
+             |      ELSE b.event_type END AS winner,
+             |    CASE WHEN a.value > b.value THEN b.event_type
+             |      ELSE a.event_type END AS loser
+             |  FROM events a JOIN events b ON a.user_id = b.user_id
+             |    AND a.event_id < b.event_id
+             |    AND a.event_type <> b.event_type
+             |    AND a.value <> b.value),
+             |n AS (SELECT winner, loser, count(*)::BIGINT AS n
+             |  FROM cmp GROUP BY 1, 2),
+             |m AS (SELECT i, j, sum(n)::BIGINT AS m FROM (
+             |    SELECT winner AS i, loser AS j, n FROM n
+             |    UNION ALL SELECT loser AS i, winner AS j, n FROM n)
+             |  GROUP BY 1, 2),
+             |it AS (SELECT i AS item, sum(m)::BIGINT AS comparisons
+             |  FROM m GROUP BY 1),
+             |w AS (SELECT it.item, coalesce(wn.wins, 0)::BIGINT AS wins,
+             |    it.comparisons FROM it LEFT JOIN (SELECT winner AS item,
+             |      sum(n)::BIGINT AS wins FROM n GROUP BY 1) wn
+             |    USING (item)),
+             |s0 AS (SELECT item, 1000000::BIGINT AS s FROM it),
+             |d1 AS (SELECT m.i AS item, sum(CAST(round(
+             |      m.m * 1.0e15 / (si.s + sj.s)) AS BIGINT)) AS dn
+             |  FROM m JOIN s0 si ON si.item = m.i
+             |    JOIN s0 sj ON sj.item = m.j GROUP BY 1),
+             |s1 AS (SELECT w.item, greatest(1, CAST(round(
+             |      w.wins * 1.0e15 / d1.dn) AS BIGINT)) AS s
+             |  FROM w JOIN d1 USING (item)),
+             |d2 AS (SELECT m.i AS item, sum(CAST(round(
+             |      m.m * 1.0e15 / (si.s + sj.s)) AS BIGINT)) AS dn
+             |  FROM m JOIN s1 si ON si.item = m.i
+             |    JOIN s1 sj ON sj.item = m.j GROUP BY 1),
+             |s2 AS (SELECT w.item, greatest(1, CAST(round(
+             |      w.wins * 1.0e15 / d2.dn) AS BIGINT)) AS s
+             |  FROM w JOIN d2 USING (item)),
+             |d3 AS (SELECT m.i AS item, sum(CAST(round(
+             |      m.m * 1.0e15 / (si.s + sj.s)) AS BIGINT)) AS dn
+             |  FROM m JOIN s2 si ON si.item = m.i
+             |    JOIN s2 sj ON sj.item = m.j GROUP BY 1),
+             |s3 AS (SELECT w.item, greatest(1, CAST(round(
+             |      w.wins * 1.0e15 / d3.dn) AS BIGINT)) AS s
+             |  FROM w JOIN d3 USING (item)),
+             |tot AS (SELECT sum(s)::BIGINT AS ts FROM s3)
+             |SELECT w.item, w.wins, w.comparisons,
+             |  CAST(round(s3.s * 1.0e6 / tot.ts) AS BIGINT) AS score_ppm
+             |FROM w JOIN s3 USING (item), tot
+             |ORDER BY w.item""".stripMargin)),
 
     Q("l115_confusable_skeleton",
       // adversarial near-dup: re-crawled copies of the first 60 docs
@@ -4774,6 +4860,57 @@ object Suite {
              |  8000::INT AS sample_rate_hz,
              |  sum(s)::BIGINT AS amp_sum, sum(i * s)::BIGINT AS phase_sum
              |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("m13_video_neardup",
+      // decode → frame/position-strided sign fingerprint → near-dup
+      // from REAL decoded video frames (the m9 shape on the video
+      // axis, closing the near-dup family across all three media
+      // legs): re-encodes of the first 10 videos arrive
+      // brightness-bumped +4 CLAMPED at 255, so only near-threshold
+      // fingerprint bits flip, and the shared blocked Hamming join
+      // pairs them back up. The oracle recomputes every fingerprint
+      // analytically from the pixel formula and brute-forces all pairs
+      (s, d) => {
+        val mk = udf((id: Long, shift: Int) => Multimodal.syntheticAvi(
+          id, (8 + id % 5).toInt, (8 + id % 3).toInt, (2 + id % 4).toInt,
+          shift))
+        val ids = t(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val store = ids
+          .select(col("doc_id"), mk(col("doc_id"), lit(0)).as("data"))
+          .unionByName(ids.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              mk(col("doc_id"), lit(4)).as("data")))
+        Multimodal.videoNearDupPairs(
+            Multimodal.attachMedia(store, "data", "video/avi"), "doc_id")
+          .orderBy("id_a", "id_b")
+      },
+      // bit i of the fingerprint samples frame i % nf at pixel
+      // ((i·7) % w, (i·13) % h) and thresholds R+G+B at 384; the
+      // fixture's channels are the affine-mod-256 formula +shift
+      // clamped at 255 — all integer, so the replay is exact
+      Some("""WITH store AS (SELECT doc_id, doc_id AS seed, 0::BIGINT AS sh
+             |  FROM documents
+             |  UNION ALL SELECT doc_id + 100000, doc_id, 4::BIGINT
+             |  FROM documents WHERE doc_id < 10),
+             |g AS (SELECT doc_id, seed, sh, (8 + seed % 5)::BIGINT AS w,
+             |    (8 + seed % 3)::BIGINT AS h, (2 + seed % 4)::BIGINT AS nf
+             |  FROM store),
+             |sg AS (SELECT doc_id, list_sum(list_transform(range(0, 60),
+             |    i -> CASE WHEN
+             |      least((seed*7 + (i % nf)*19 + ((i*7) % w)*13
+             |        + ((i*13) % h)*31) % 256 + sh, 255)
+             |      + least((seed*11 + (i % nf)*23 + ((i*7) % w)*3
+             |        + ((i*13) % h)*17) % 256 + sh, 255)
+             |      + least((seed*5 + (i % nf)*29 + ((i*7) % w)*29
+             |        + ((i*13) % h)*7) % 256 + sh, 255) >= 384
+             |      THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT AS sig
+             |  FROM g)
+             |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             |  bit_count(xor(l.sig, r.sig))::INT AS hamming
+             |FROM sg l JOIN sg r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each

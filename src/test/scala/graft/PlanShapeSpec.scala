@@ -722,4 +722,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("epoch upsampling is map-only column algebra — no exchange, no UDF") {
+    val df = operators.Curation.epochUpsample(
+      core.Tables.load(spark, sf, "documents").select("doc_id", "source"),
+      col("doc_id"), "source", Map("src0" -> 2.3, "src1" -> 0.4), seed = 7)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"the explode IS the upsampling — nothing may shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan) // the sequence explode
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+    // column pruning survives the literal-map + md5 cut
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string"),
+      plan)
+  }
+
+  test("implied comparisons are one hash-equi self-join on the group key") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val plan = planOf(operators.Preference.impliedComparisons(
+      ev, "user_id", "event_type", "value", "event_id"))
+    // groups co-locate via the equi-join on user_id; the quadratic
+    // blow-up stays inside each group — never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // only the four needed columns are read off the scan
+    assert(plan.contains(
+      "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double"),
+      plan)
+  }
 }

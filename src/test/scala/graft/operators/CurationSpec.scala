@@ -634,4 +634,37 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("tot2") == 0L)
     assert(r.isNullAt(r.fieldIndex("bleu2")))
   }
+
+  test("epochUpsample: integral weights are exact copies, fractions are hash cuts") {
+    val out = Curation.epochUpsample(docs, col("doc_id"), "source",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0), seed = 3)
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("ids"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("src0") == ((400L, 200L)))  // exactly 2 copies of all 200
+    assert(!out.contains("src2"))          // 0 epochs = dropped
+    val (n1, ids1) = out("src1")           // ~half, one copy each
+    assert(n1 == ids1 && n1 > 60 && n1 < 140)
+    assert(out("src3") == ((200L, 200L)))  // default 1.0 passes through
+    // replica indexes are dense 0..n-1 per doc
+    val copies = Curation.epochUpsample(docs.filter(col("source") === "src0"),
+      col("doc_id"), "source", Map("src0" -> 3.0), seed = 3)
+      .groupBy("doc_id").agg(sort_array(collect_list("copy_no")).as("c"))
+      .select("c").distinct().as[Seq[Long]].collect()
+    assert(copies.toSeq == Seq(Seq(0L, 1L, 2L)))
+  }
+
+  test("epochUpsample is layout-independent and seed-sensitive") {
+    val a = Curation.epochUpsample(docs, col("doc_id"), "source",
+      Map("src1" -> 1.4), seed = 3)
+      .select("doc_id", "copy_no").as[(Long, Long)].collect().sorted
+    val b = Curation.epochUpsample(docs.repartition(13), col("doc_id"),
+      "source", Map("src1" -> 1.4), seed = 3)
+      .select("doc_id", "copy_no").as[(Long, Long)].collect().sorted
+    assert(a.sameElements(b))
+    val c = Curation.epochUpsample(docs, col("doc_id"), "source",
+      Map("src1" -> 1.4), seed = 4)
+      .select("doc_id", "copy_no").as[(Long, Long)].collect().sorted
+    assert(!a.sameElements(c)) // a new seed picks a different extra slice
+  }
 }

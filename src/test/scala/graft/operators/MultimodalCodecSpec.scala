@@ -314,4 +314,67 @@ class MultimodalCodecSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(exploded == rows)
   }
+
+  test("videoHash60 matches the analytic replay and clamped re-encodes stay near") {
+    def params(id: Long) =
+      ((8 + id % 5).toInt, (8 + id % 3).toInt, (2 + id % 4).toInt)
+    def analytic(id: Long, shift: Long): Long = {
+      val (w, h, nf) = params(id)
+      (0 until 60).foldLeft(0L) { (sig, i) =>
+        val f = i % nf; val x = (i * 7) % w; val y = (i * 13) % h
+        val lum =
+          math.min((id * 7 + f * 19 + x * 13 + y * 31) % 256 + shift, 255) +
+          math.min((id * 11 + f * 23 + x * 3 + y * 17) % 256 + shift, 255) +
+          math.min((id * 5 + f * 29 + x * 29 + y * 7) % 256 + shift, 255)
+        if (lum >= 384) sig | (1L << i) else sig
+      }
+    }
+    for (id <- 0L until 12L; shift <- Seq(0, 4)) {
+      val (w, h, nf) = params(id)
+      val got = Codecs.videoHash60(
+        Multimodal.syntheticAvi(id, w, h, nf, shift)).get
+      assert(got == analytic(id, shift.toLong),
+        s"id=$id shift=$shift: walk/decode/fingerprint disagree with formula")
+    }
+    // the near-dup contract: a +4-clamped re-encode flips only the
+    // bits whose luma sits within 12 of the threshold — most copies
+    // land inside the ≤3-bit pairing radius (the pairing set itself is
+    // whatever the signature predicts; the m13 oracle replays exactly
+    // that, so outliers are consistent on both sides, not misses)
+    val flips = (0L until 12L).map(id =>
+      java.lang.Long.bitCount(analytic(id, 0) ^ analytic(id, 4)))
+    assert(flips.count(_ <= 3) >= 8, flips.toString)
+    assert(java.lang.Long.bitCount(analytic(0, 0) ^ analytic(1, 0)) > 10)
+    // corrupt container / non-AVI bytes must not kill a scan
+    assert(Codecs.videoHash60(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.videoHash60("RIFFxxxxAVI LIST".getBytes).isEmpty)
+  }
+
+  test("videoNearDupPairs finds brightness-bumped re-encodes from real frames") {
+    import spark.implicits._
+    def avi(id: Long, shift: Int) = Multimodal.syntheticAvi(
+      id, (8 + id % 5).toInt, (8 + id % 3).toInt, (2 + id % 4).toInt, shift)
+    val base = (0L until 24L).map(i => (i, avi(i, 0)))
+    val reups = (0L until 8L).map(i => (i + 1000L, avi(i, 4)))
+    val media = Multimodal.attachMedia(
+      (base ++ reups).toDF("id", "data"), "data", "video/avi")
+    val pairs = Multimodal.videoNearDupPairs(media, "id")
+      .as[(Long, Long, Int)].collect().toSet
+    // every re-encode within 3 fingerprint bits of its base is found —
+    // exactly the pairs the analytic signature predicts
+    def sig(id: Long, shift: Int) =
+      Multimodal.Codecs.videoHash60(avi(id, shift)).get
+    for (i <- 0L until 8L
+        if java.lang.Long.bitCount(sig(i, 0) ^ sig(i, 4)) <= 3)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 1000L),
+        s"re-encode of $i not found; pairs=$pairs")
+    // and nothing outside the predicted ≤3-bit set appears
+    val all = (base.map(b => (b._1, sig(b._1, 0))) ++
+      reups.map(r => (r._1, sig((r._1 - 1000L), 4))))
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs.map(p => (p._1, p._2)) == expected)
+  }
 }

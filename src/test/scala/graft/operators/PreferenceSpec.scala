@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("impliedComparisons orients each pair once, drops ties and same-item") {
+    val obs = Seq(
+      // group 1: a(3.0) > b(1.0), a(3.0) > c(2.0), c(2.0) > b(1.0)
+      (1L, "a", 3.0, 10L), (1L, "b", 1.0, 11L), (1L, "c", 2.0, 12L),
+      // group 2: tie a/b at 5.0 → no comparison; same-item pair → none
+      (2L, "a", 5.0, 20L), (2L, "b", 5.0, 21L),
+      (3L, "a", 1.0, 30L), (3L, "a", 9.0, 31L))
+      .toDF("g", "item", "score", "id")
+    val out = Preference.impliedComparisons(obs, "g", "item", "score", "id")
+      .as[(String, String)].collect().sorted
+    assert(out.toSeq == Seq("a" -> "b", "a" -> "c", "c" -> "b"))
+  }
+
+  test("bradleyTerry ranks by strength and is layout-independent") {
+    // a beats b 3:1, b beats c 3:1, a beats c 4:0 — strength a > b > c
+    val cmp = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(3)(("b", "c")) ++ Seq(("c", "b")) ++
+      Seq.fill(4)(("a", "c"))).toDF("winner", "loser")
+    val out = Preference.bradleyTerry(cmp).orderBy("item")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_._2).toSeq == Seq(7L, 4L, 1L)) // wins
+    assert(out.map(_._3).toSeq == Seq(8L, 8L, 8L)) // comparisons
+    val ppm = out.map(_._4)
+    assert(ppm(0) > ppm(1) && ppm(1) > ppm(2))
+    // shares sum to ~1e6 (rounding of three parts)
+    assert(math.abs(ppm.sum - 1000000L) <= 2)
+    // bit-identical under a different physical layout: the fit is
+    // exact fixed-point over a collected pair matrix, so partitioning
+    // cannot leak into the integers
+    val again = Preference.bradleyTerry(cmp.repartition(7)).orderBy("item")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.sameElements(again))
+  }
+
+  test("bradleyTerry: winless item floors at one micro-unit, stays ranked last") {
+    val cmp = (Seq.fill(5)(("a", "b")) ++ Seq.fill(5)(("b", "z")))
+      .toDF("winner", "loser")
+    val out = Preference.bradleyTerry(cmp).orderBy(desc("score_ppm"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("a", "b", "z"))
+    assert(out.last._4 >= 0L) // floor keeps the share defined
+  }
+
+  test("bradleyTerry on empty comparisons returns an empty, well-typed frame") {
+    val empty = Seq.empty[(String, String)].toDF("winner", "loser")
+    val out = Preference.bradleyTerry(empty)
+    assert(out.columns.toSeq ==
+      Seq("item", "wins", "comparisons", "score_ppm"))
+    assert(out.count() == 0)
+  }
+}
