@@ -78,15 +78,25 @@ object Preference {
     * DuckDB oracle unrolling the same iterations lands on identical
     * integers; no reassociated float sums anywhere. */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String = "winner",
-      loserCol: String = "loser", iterations: Int = 3): DataFrame = {
-    require(iterations >= 1, "need at least one MM iteration")
-    val spark = comparisons.sparkSession
+      loserCol: String = "loser", iterations: Int = 3): DataFrame =
     // the ONLY pass over the comparison corpus: map-side-combined count
-    // — collected result is ≤ distinct-items(items-1) rows by definition
-    val n: Array[(String, String, Long)] = comparisons
+    fitCounts(comparisons
       .groupBy(col(winnerCol).cast("string").as("i"),
         col(loserCol).cast("string").as("j"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), iterations)
+
+  /** [[bradleyTerry]] from an already-aggregated directed pair-count
+    * frame `(i, j, n)` = "i beat j n times" (duplicate (i, j) rows
+    * fold by addition, so partial counts — e.g. a streaming counter
+    * table's batches — feed in directly). This is the seam the
+    * streaming twin reads through: the fit over summed partials is
+    * the fit over the union of the batches, exactly. */
+  def fitCounts(pairCounts: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one MM iteration")
+    val spark = pairCounts.sparkSession
+    // collected result is ≤ distinct-items(items-1) rows by definition
+    val n: Array[(String, String, Long)] = pairCounts
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
     val schema = StructType(Seq(
