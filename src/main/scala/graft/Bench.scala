@@ -1094,7 +1094,11 @@ object Bench {
           // events-per-user density is held constant) + one pair-count
           // aggregation; the fit itself runs on the ≤items² matrix and
           // must not grow at all
-          ("l118g_bt_preference", "l118_bt_preference"))
+          ("l118g_bt_preference", "l118_bt_preference"),
+          // label-disagreement audit: one (item,label) count shuffle,
+          // windows over CELLS — 10× ratings over a fixed item space
+          // must cost only the count scan
+          ("l120g_label_disagreement", "l120_label_disagreement"))
           .flatMap { case (nm, q) =>
             for {
               (nb, rb) <- countTimed(s"synthE:$nm(base)", q, sfDir)

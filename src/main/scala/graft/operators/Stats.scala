@@ -1041,4 +1041,79 @@ object Stats {
       .select(col("g"), col("d"), col("v"), col("trend_micro"),
         col("seasonal_micro"), col("resid_micro"))
   }
+
+  /** Fleiss' kappa — inter-annotator agreement over a ratings log
+    * `(item, label)` (one row per rating; rater identity is
+    * irrelevant to the statistic). The label-quality gate a training
+    * pipeline runs before trusting human/model annotations: kappa ≈ 1
+    * means raters agree beyond chance, ≈ 0 means the labels are
+    * noise. Items with fewer than 2 ratings carry no agreement signal
+    * and are excluded (the standard generalization to unequal rating
+    * counts).
+    *
+    * Exactness: per-item agreement P_i = (Σ_j n_ij² − n_i)/(n_i(n_i−1))
+    * is quantized to 1e-12 units and folded as exact BIGINTs; chance
+    * agreement P_e = Σ_j c_j²/N² comes entirely from exact integer
+    * sums — so kappa is ONE double expression over exact integers and
+    * replays bit-identically in any engine. Unanimous single-label
+    * corpora (P_e = 1) yield null, not a 0/0.
+    *
+    * Scale shape: one map-side-combined count to (item, label) cells,
+    * one aggregation per item, two scalar folds — no window, no sort;
+    * only (item, label, count) longs cross the shuffle.
+    * Output: one row (n_items, n_ratings, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, item: Column, label: Column): DataFrame = {
+    val counts = df.groupBy(item.as("__i"), label.as("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val per = counts.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * col("__n")).as("__si"))
+      .filter(col("__ni") >= 2)
+      .withColumn("__pi", round(
+        (col("__si") - col("__ni")).cast("double") * 1.0e12 /
+          (col("__ni") * (col("__ni") - 1)).cast("double")).cast("long"))
+    // label marginals over the SAME included-item ratings
+    val kept = counts.join(per.select("__i"), Seq("__i"), "left_semi")
+    val marg = kept.groupBy(col("__l")).agg(sum(col("__n")).as("__c"))
+    val itemAgg = per.agg(count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"), sum(col("__pi")).as("__spi"))
+    val labelAgg = marg.agg(sum(col("__c") * col("__c")).as("__sc2"))
+    val pBar = col("__spi").cast("double") / 1.0e12 /
+      col("n_items").cast("double")
+    val pE = col("__sc2").cast("double") / col("n_ratings").cast("double") /
+      col("n_ratings").cast("double")
+    itemAgg.crossJoin(broadcast(labelAgg))
+      .select(col("n_items"), col("n_ratings"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(pE >= 1.0, lit(null).cast("double"))
+          .otherwise(round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
+  }
+
+  /** Per-item label-disagreement audit — the relabel-queue feed next
+    * to [[fleissKappa]]'s corpus-level verdict: for every item, its
+    * rating count, distinct label count, majority label (ties break
+    * to the smallest label — deterministic) and the majority's share
+    * in ppm. Items whose majority share is low are the ones a
+    * labeling pipeline routes back for adjudication.
+    *
+    * One count shuffle to (item, label) cells, then a per-item
+    * window over those CELLS (≤ labels rows per item, not ratings) —
+    * items parallelize. Share is `round(n·1e6/n_i)` over exact longs,
+    * engine-replayable. */
+  def ratingDisagreement(df: DataFrame, item: Column,
+      label: Column): DataFrame = {
+    val counts = df.groupBy(item.as("item"), label.as("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("__n").desc, col("__l").asc)
+    counts
+      .withColumn("__ni", sum(col("__n")).over(Window.partitionBy(col("item"))))
+      .withColumn("__nl", count(lit(1)).over(Window.partitionBy(col("item"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("item"), col("__ni").as("n_ratings"),
+        col("__nl").as("n_labels"), col("__l").as("majority_label"),
+        round(col("__n").cast("double") * 1.0e6 /
+          col("__ni").cast("double")).cast("long").as("majority_share_ppm"))
+  }
 }

@@ -2000,6 +2000,63 @@ object Suite {
              |FROM w JOIN s3 USING (item), tot
              |ORDER BY w.item""".stripMargin)),
 
+    Q("l119_rater_agreement",
+      // Fleiss' kappa over a ratings log — the label-quality gate a
+      // training pipeline runs before trusting annotations: per-item
+      // agreement quantized to exact 1e-12 BIGINT units, chance
+      // agreement from exact marginal squares, kappa ONE double
+      // expression over exact integers the oracle replays verbatim
+      (s, d) => Stats.fleissKappa(
+        t(s, d, "events").select((col("event_id") % 400).as("item"),
+          col("event_type").as("label")),
+        col("item"), col("label")),
+      Some("""WITH r AS (SELECT event_id % 400 AS i, event_type AS l
+             |  FROM events),
+             |c AS (SELECT i, l, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+             |per AS (SELECT i, sum(n)::BIGINT AS ni,
+             |    sum(n * n)::BIGINT AS si
+             |  FROM c GROUP BY 1 HAVING sum(n) >= 2),
+             |pi AS (SELECT i, ni, CAST(round(
+             |    (si - ni) * 1.0e12 / (ni * (ni - 1))) AS BIGINT) AS pi
+             |  FROM per),
+             |marg AS (SELECT l, sum(n)::BIGINT AS cc
+             |  FROM c JOIN per USING (i) GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS n_items,
+             |    sum(ni)::BIGINT AS n_ratings, sum(pi)::BIGINT AS spi
+             |  FROM pi),
+             |b AS (SELECT sum(cc * cc)::BIGINT AS sc2 FROM marg)
+             |SELECT n_items, n_ratings,
+             |  round(spi / 1.0e12 / n_items, 6) AS p_bar,
+             |  round(sc2 / n_ratings / n_ratings, 6) AS p_e,
+             |  CASE WHEN sc2 / n_ratings / n_ratings >= 1.0 THEN NULL
+             |    ELSE round((spi / 1.0e12 / n_items
+             |        - sc2 / n_ratings / n_ratings)
+             |      / (1.0 - sc2 / n_ratings / n_ratings), 6) END AS kappa
+             |FROM a, b""".stripMargin)),
+
+    Q("l120_label_disagreement",
+      // the relabel-queue feed next to l119's corpus verdict: per-item
+      // majority label (ties to the smallest label), distinct-label
+      // count and majority share in exact ppm — the items a labeling
+      // pipeline routes back for adjudication
+      (s, d) => Stats.ratingDisagreement(
+          t(s, d, "events").select((col("event_id") % 400).as("i"),
+            col("event_type").as("label")),
+          col("i"), col("label"))
+        .orderBy("item"),
+      Some("""WITH r AS (SELECT event_id % 400 AS i, event_type AS l
+             |  FROM events),
+             |c AS (SELECT i, l, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+             |m AS (SELECT i, sum(n)::BIGINT AS ni, count(*)::BIGINT AS nl
+             |  FROM c GROUP BY 1),
+             |t AS (SELECT i, l, n, row_number() OVER (PARTITION BY i
+             |    ORDER BY n DESC, l ASC) AS rn FROM c)
+             |SELECT t.i AS item, m.ni AS n_ratings, m.nl AS n_labels,
+             |  t.l AS majority_label,
+             |  CAST(round(t.n * 1.0e6 / m.ni) AS BIGINT)
+             |    AS majority_share_ppm
+             |FROM t JOIN m USING (i) WHERE rn = 1 ORDER BY item""".stripMargin)),
+
     Q("l115_confusable_skeleton",
       // adversarial near-dup: re-crawled copies of the first 60 docs
       // arrive with Cyrillic homoglyphs swapped in for a/e/o plus a

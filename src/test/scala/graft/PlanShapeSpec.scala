@@ -751,4 +751,17 @@ class PlanShapeSpec extends SparkSpec {
       "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double"),
       plan)
   }
+
+  test("fleissKappa is aggregation-only — no window, no sort, scalar fold broadcasts") {
+    val ev = core.Tables.load(spark, sf, "events")
+      .select((col("event_id") % 400).as("item"),
+        col("event_type").as("label"))
+    val plan = planOf(operators.Stats.fleissKappa(
+      ev, col("item"), col("label")))
+    assert(!plan.contains("Window"), s"agreement needs no window:\n$plan")
+    assert(!plan.contains("Sort"), s"agreement needs no sort:\n$plan")
+    // the 1-row label fold joins in via broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }

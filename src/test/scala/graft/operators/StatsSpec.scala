@@ -482,4 +482,44 @@ class StatsSpec extends SparkSpec {
       col("t"), col("g"), halfLifeUnits = 10).collect().head
     assert(r2.getAs[Double]("ema") == r.getAs[Double]("ema"))
   }
+
+  test("fleissKappa matches a hand-computed case; single-rating items excluded") {
+    // item A: x,x,y → P=1/3; item B: x,x → P=1; item C: one rating →
+    // excluded. Marginals over included: c_x=4, c_y=1, N=5 →
+    // P_e=17/25=0.68, P̄=2/3, κ=(2/3−0.68)/0.32=−0.041667
+    val ratings = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("C", "y")).toDF("item", "label")
+    val r = Stats.fleissKappa(ratings, col("item"), col("label"))
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_ratings") == 5L)
+    assert(r.getAs[Double]("p_bar") == 0.666667)
+    assert(r.getAs[Double]("p_e") == 0.68)
+    assert(r.getAs[Double]("kappa") == -0.041667)
+    // perfect agreement across two unanimous items with DIFFERENT
+    // labels: P̄=1, P_e=0.5, κ=1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "label")
+    assert(Stats.fleissKappa(perfect, col("item"), col("label"))
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    // one unanimous LABEL corpus-wide: P_e = 1 → null, not 0/0
+    val unanimous = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("item", "label")
+    val u = Stats.fleissKappa(unanimous, col("item"), col("label"))
+      .collect().head
+    assert(u.isNullAt(u.fieldIndex("kappa")))
+    // layout independence — exact integer folds, not float luck
+    val again = Stats.fleissKappa(ratings.repartition(7),
+      col("item"), col("label")).collect().head
+    assert(again.getAs[Double]("kappa") == r.getAs[Double]("kappa"))
+  }
+
+  test("ratingDisagreement: majority share exact, ties break to smallest label") {
+    val ratings = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "x")).toDF("item", "label")
+    val out = Stats.ratingDisagreement(ratings, col("item"), col("label"))
+      .orderBy("item").as[(String, Long, Long, String, Long)].collect()
+    assert(out(0) == (("A", 3L, 2L, "x", 666667L)))
+    assert(out(1) == (("B", 2L, 2L, "x", 500000L))) // tie → smallest label
+  }
 }
