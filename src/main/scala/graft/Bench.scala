@@ -305,10 +305,12 @@ object Bench {
         "l111_license_screen", "l112_code_filters", "l113_mixture_sample",
         "l114_containment_dedup", "l115_confusable_skeleton",
         // round-10 additions: epoch upsampling (map-only explode —
-        // growth should cost scan + output volume) and video near-dup
+        // growth should cost scan + output volume), video near-dup
         // (per-row container walk + decode, then the blocked Hamming
         // join — collision volume is the degradation axis, same as m9)
-        "l117_epoch_upsample", "m13_video_neardup")
+        // and image-text mining (per-row PNG chunk walk, map-only)
+        "l117_epoch_upsample", "m13_video_neardup",
+        "m14_image_text_pairs")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -118,6 +118,70 @@ object Multimodal {
         (w, h, sum)
       }
 
+    /** REAL PNG chunk walk: every `tEXt` chunk's (keyword, text) pair,
+      * in stream order — the embedded alt-text/caption metadata an
+      * image-text pair-mining pipeline harvests (the LAION-style
+      * caption source when the surrounding HTML is gone). Walks the
+      * PNG container independently of any writer: 8-byte signature,
+      * then length/type/data/crc chunks until IEND; keyword and text
+      * split at the NUL per the PNG spec, both Latin-1. Returns Nil
+      * for non-PNG bytes and stops cleanly at truncation — corrupt
+      * assets must not kill a scan. Constant memory: only the tEXt
+      * payloads materialize. */
+    def pngTextChunks(bytes: Array[Byte]): Seq[(String, String)] = {
+      val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      if (bytes == null || bytes.length < 8 ||
+        !bytes.take(8).sameElements(Sig)) return Nil
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var off = 8
+      var done = false
+      while (!done && off + 8 <= bytes.length) {
+        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        if (len < 0 || off + 12 + len > bytes.length) done = true
+        else {
+          if (typ == "tEXt") {
+            val data = java.util.Arrays.copyOfRange(bytes, off + 8,
+              off + 8 + len)
+            val nul = data.indexOf(0.toByte)
+            if (nul > 0) out += ((new String(data, 0, nul, "ISO-8859-1"),
+              new String(data, nul + 1, data.length - nul - 1,
+                "ISO-8859-1")))
+          }
+          if (typ == "IEND") done = true
+          off += 12 + len
+        }
+      }
+      out.toSeq
+    }
+
+    /** Splice `tEXt` chunks into an existing PNG right before its
+      * IEND chunk — the fixture writer for [[pngTextChunks]],
+      * independent of the JDK encoder (which doesn't emit tEXt), with
+      * real CRC32s so any spec-compliant reader accepts the result. */
+    def pngAddText(png: Array[Byte],
+        texts: Seq[(String, String)]): Array[Byte] = {
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+        buf.putInt(data.length)
+        val tb = typ.getBytes("ISO-8859-1")
+        buf.put(tb).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        buf.putInt(crc.getValue.toInt)
+        buf.array()
+      }
+      val inserted = texts.flatMap { case (k, v) =>
+        chunk("tEXt", (k.getBytes("ISO-8859-1") :+ 0.toByte) ++
+          v.getBytes("ISO-8859-1"))
+      }.toArray
+      // IEND is the final 12 bytes of a well-formed PNG
+      val cut = png.length - 12
+      png.take(cut) ++ inserted ++ png.drop(cut)
+    }
+
     /** 60-bit sampled-threshold pixel hash over the DECODED image:
       * bit i is set iff the channel sum at sampled position
       * ((i·7) mod w, (i·11) mod h) is ≥ 384 (half of 765).
@@ -809,6 +873,57 @@ object Multimodal {
       }(enc)
     Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
       maxDistance, maxBlockBucket)
+  }
+
+  /** Harvest embedded textual metadata from image assets — the
+    * image-text pair-mining step of a multimodal training pipeline
+    * (alt-text/caption recovery when the page context is gone): one
+    * row per PNG `tEXt` (keyword, text) pair via the REAL container
+    * walk ([[Codecs.pngTextChunks]]). Non-PNG and corrupt assets
+    * yield no rows — a broken asset must not kill the scan. Scale
+    * shape: mapPartitions generator, constant memory, the image
+    * bytes never shuffle; only (id, keyword, text) strings leave the
+    * scan. Output: (`idCol`, tkey, tval). */
+  def extractImageText(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("tkey", StringType),
+      StructField("tval", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(MediaCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val media = r.getAs[Row](MediaCol)
+        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        Codecs.pngTextChunks(bytes).map { case (k, v) => Row(r.get(0), k, v) }
+      }
+    }(enc)
+  }
+
+  /** Synthetic PNG-with-captions fixture: the [[syntheticBmp]] pixel
+    * formula encoded as a real PNG by the JDK, then `tEXt` chunks
+    * spliced in by the independent hand-rolled writer
+    * ([[Codecs.pngAddText]]) — walker, splicer and encoder are three
+    * separate implementations, so the m14 oracle replaying the
+    * planted strings pins all of them. */
+  def syntheticPngText(seed: Long, w: Int, h: Int,
+      texts: Seq[(String, String)]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val r = ((seed * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((seed * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((seed * 5 + x * 29 + y * 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Codecs.pngAddText(bos.toByteArray, texts)
   }
 
   /** Frame-sample a video media column into one row per frame

@@ -4969,6 +4969,39 @@ object Suite {
              |WHERE bit_count(xor(l.sig, r.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("m14_image_text_pairs",
+      // image-text pair mining from REAL container metadata: every
+      // asset is a true JDK-encoded PNG with tEXt caption chunks
+      // spliced in by an independent hand-rolled writer (real CRC32s);
+      // the extraction walks the chunk structure itself. Walker,
+      // splicer and encoder are three separate implementations, and
+      // the oracle replays the planted strings — a walk bug cannot
+      // self-cancel
+      (s, d) => {
+        val mk = udf((id: Long, lang: String) =>
+          Multimodal.syntheticPngText(id, (8 + id % 5).toInt,
+            (8 + id % 3).toInt,
+            Seq("alt" -> s"caption for doc $id in $lang") ++
+              (if (id % 3 == 0)
+                Seq("source_url" -> s"https://site${id % 5}.com/p/$id")
+              else Nil)))
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
+        Multimodal.extractImageText(
+            Multimodal.attachMedia(docs.withColumn("data",
+              mk(col("doc_id"), col("lang"))), "data", "image/png"),
+            "doc_id")
+          .orderBy("doc_id", "tkey")
+      },
+      Some("""SELECT doc_id, 'alt' AS tkey,
+             |  'caption for doc ' || doc_id || ' in ' || lang AS tval
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id, 'source_url',
+             |  'https://site' || (doc_id % 5) || '.com/p/' || doc_id
+             |FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY doc_id, tkey""".stripMargin)),
+
     Q("m6_pixel_neardup",
       // decode → perceptual hash → near-dup from REAL pixels: each
       // asset's 60-bit sampled-threshold hash is computed from the

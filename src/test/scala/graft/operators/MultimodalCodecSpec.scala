@@ -350,6 +350,51 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Codecs.videoHash60("RIFFxxxxAVI LIST".getBytes).isEmpty)
   }
 
+  test("pngTextChunks round-trips spliced captions; the spliced PNG still decodes") {
+    val texts = Seq("alt" -> "a red square", "source_url" -> "https://x/1",
+      "note" -> "") // empty value is legal tEXt
+    val png = Multimodal.syntheticPngText(5L, 9, 8, texts)
+    // the walker recovers the planted pairs, in stream order
+    assert(Codecs.pngTextChunks(png) == texts)
+    // the splice is spec-compliant: the JDK still decodes the image,
+    // and to the exact synthetic pixel formula (luma replay)
+    val (w, h, luma) = Codecs.decodeImagePixels(png).getOrElse(
+      fail("ImageIO rejected the spliced PNG"))
+    val expected = (for { x <- 0 until 9; y <- 0 until 8 } yield
+      ((5L * 7 + x * 13 + y * 31) % 256) + ((5L * 11 + x * 3 + y * 17) % 256) +
+        ((5L * 5 + x * 29 + y * 7) % 256)).sum
+    assert((w, h, luma) == ((9, 8, expected)))
+    // non-PNG and truncated bytes never throw
+    assert(Codecs.pngTextChunks(null) == Nil)
+    assert(Codecs.pngTextChunks("BM not a png".getBytes) == Nil)
+    assert(Codecs.pngTextChunks(png.take(30)) == Nil) // cut inside IHDR
+    val cutMid = png.take(png.length - 6) // cut inside IEND's crc
+    assert(Codecs.pngTextChunks(cutMid) == texts,
+      "pairs before the truncation point still harvest")
+    // a PNG with no tEXt yields no rows
+    val bare = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Codecs.pngTextChunks(bare) == Nil)
+  }
+
+  test("extractImageText harvests one row per tEXt pair, skips non-PNG assets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticPngText(1L, 8, 8,
+        Seq("alt" -> "one", "lang" -> "en"))),
+      (2L, Multimodal.syntheticBmp(2L, 8, 8)), // BMP: no text chunks
+      (3L, "garbage".getBytes)).toDF("doc_id", "data")
+    val out = Multimodal.extractImageText(
+        Multimodal.attachMedia(df, "data", "image/png"), "doc_id")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "alt", "one"), (1L, "lang", "en")))
+  }
+
   test("videoNearDupPairs finds brightness-bumped re-encodes from real frames") {
     import spark.implicits._
     def avi(id: Long, shift: Int) = Multimodal.syntheticAvi(
