@@ -137,21 +137,26 @@ object Multimodal {
       var off = 8
       var done = false
       while (!done && off + 8 <= bytes.length) {
-        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
-          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        // length math in Long: a corrupt chunk declaring ~2^31 bytes
+        // would wrap Int arithmetic negative, slip past the truncation
+        // guard and crash the walk — and a corrupt asset must not kill
+        // a scan
+        val len = ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
         val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
-        if (len < 0 || off + 12 + len > bytes.length) done = true
+        if (off.toLong + 12L + len > bytes.length) done = true
         else {
+          val n = len.toInt // guarded: off + 12 + len <= bytes.length
           if (typ == "tEXt") {
             val data = java.util.Arrays.copyOfRange(bytes, off + 8,
-              off + 8 + len)
+              off + 8 + n)
             val nul = data.indexOf(0.toByte)
             if (nul > 0) out += ((new String(data, 0, nul, "ISO-8859-1"),
               new String(data, nul + 1, data.length - nul - 1,
                 "ISO-8859-1")))
           }
           if (typ == "IEND") done = true
-          off += 12 + len
+          off += 12 + n
         }
       }
       out.toSeq
@@ -454,11 +459,6 @@ object Multimodal {
       buf.array()
     }
 
-    /** RIFF-AVI chunk walk: every video-frame payload ('00dc'/'00db'
-      * chunks, LIST recursion, even-byte padding honored) in stream
-      * order. None when the bytes are not a RIFF-AVI container;
-      * truncated/corrupt tails stop the walk instead of throwing — a
-      * corrupt asset must not kill a 100 TB scan. */
     /** 60-bit sign fingerprint of a VIDEO from its real decoded frames
       * — the video leg of [[audioHash60]]: bit `i` samples frame
       * `i % nFrames` at pixel `((i·7) mod w, (i·13) mod h)` and is set
@@ -495,6 +495,11 @@ object Multimodal {
         }
       }
 
+    /** RIFF-AVI chunk walk: every video-frame payload ('00dc'/'00db'
+      * chunks, LIST recursion, even-byte padding honored) in stream
+      * order. None when the bytes are not a RIFF-AVI container;
+      * truncated/corrupt tails stop the walk instead of throwing — a
+      * corrupt asset must not kill a 100 TB scan. */
     def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
       if (bytes == null || bytes.length < 12) return None
       def fcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -825,7 +830,18 @@ object Multimodal {
     * scan. Undecodable clips drop (a corrupt asset must not kill the
     * scan). Output: (id_a, id_b, hamming), id_a < id_b. */
   def audioNearDupPairs(df: DataFrame, idCol: String,
-      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame =
+    bytesNearDupPairs(df, idCol, maxDistance, maxBlockBucket)(
+      Codecs.audioHash60)
+
+  /** Shared shell of the per-modality near-dup operators: fingerprint
+    * each asset's bytes with `hash` (None = undecodable, dropped),
+    * then the 4×15-bit pigeonhole blocked Hamming join — complete to
+    * distance 3, hot-bucket census degrade. Only (id, sig, block)
+    * longs shuffle; the media bytes never leave the scan. */
+  private def bytesNearDupPairs(df: DataFrame, idCol: String,
+      maxDistance: Int, maxBlockBucket: Int)(
+      hash: Array[Byte] => Option[Long]): DataFrame = {
     require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
     val sigSchema = StructType(Seq(
       StructField("__id", LongType),
@@ -836,7 +852,7 @@ object Multimodal {
         col(s"$MediaCol.bytes").as("__bytes"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          Codecs.audioHash60(r.getAs[Array[Byte]]("__bytes"))
+          hash(r.getAs[Array[Byte]]("__bytes"))
             .map(sig => Row(r.getLong(0), sig))
         }
       }(enc)
@@ -856,24 +872,9 @@ object Multimodal {
     * never leave the scan; undecodable assets drop. Output:
     * (id_a, id_b, hamming), id_a < id_b. */
   def videoNearDupPairs(df: DataFrame, idCol: String,
-      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame = {
-    require(maxDistance <= 3, "block scheme guarantees completeness only to 3")
-    val sigSchema = StructType(Seq(
-      StructField("__id", LongType),
-      StructField("__sig", LongType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
-    val sigs = df
-      .select(col(idCol).cast("long").as("__id"),
-        col(s"$MediaCol.bytes").as("__bytes"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          Codecs.videoHash60(r.getAs[Array[Byte]]("__bytes"))
-            .map(sig => Row(r.getLong(0), sig))
-        }
-      }(enc)
-    Dedup.blockedHammingPairs(Dedup.blockMembers(sigs, 4, 15),
-      maxDistance, maxBlockBucket)
-  }
+      maxDistance: Int = 3, maxBlockBucket: Int = 1024): DataFrame =
+    bytesNearDupPairs(df, idCol, maxDistance, maxBlockBucket)(
+      Codecs.videoHash60)
 
   /** Harvest embedded textual metadata from image assets — the
     * image-text pair-mining step of a multimodal training pipeline

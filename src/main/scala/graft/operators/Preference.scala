@@ -94,8 +94,12 @@ object Preference {
   def fitCounts(pairCounts: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "need at least one MM iteration")
     val spark = pairCounts.sparkSession
-    // collected result is ≤ distinct-items(items-1) rows by definition
+    // null items carry no ranking signal (a dirty row in a streamed
+    // comparison log must not poison every later leaderboard read) —
+    // dropped, matching SQL join semantics where a null never matches.
+    // Collected result is ≤ distinct-items(items-1) rows by definition
     val n: Array[(String, String, Long)] = pairCounts
+      .filter(col("i").isNotNull && col("j").isNotNull)
       .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
@@ -116,9 +120,11 @@ object Preference {
       .flatMap { case (i, j, c) => Seq((i, j) -> c, (j, i) -> c) }
       .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
     val items: Seq[String] = m.keys.map(_._1).toSeq.distinct.sorted
-    val opponents: Map[String, Seq[(String, Long)]] = items.map { i =>
-      i -> m.collect { case ((`i`, j), c) => (j, c) }.toSeq.sortBy(_._1)
-    }.toMap
+    // one pass over the pair matrix — an items-sized map of per-item
+    // scans would be O(items·items²) driver work at leaderboard scale
+    val opponents: Map[String, Seq[(String, Long)]] = m.toSeq
+      .map { case ((i, j), c) => i -> (j, c) }
+      .groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2).sortBy(_._1) }
 
     var s: Map[String, Long] = items.map(_ -> Unit0).toMap
     var k = 0

@@ -1104,8 +1104,11 @@ object Stats {
       label: Column): DataFrame = {
     val counts = df.groupBy(item.as("item"), label.as("__l"))
       .agg(count(lit(1)).as("__n"))
+    // nulls LAST in the tie-break: Spark's asc defaults nulls first,
+    // SQL replays default them last — a null-vs-real-label tie would
+    // otherwise pick different majorities per engine
     val w = Window.partitionBy(col("item"))
-      .orderBy(col("__n").desc, col("__l").asc)
+      .orderBy(col("__n").desc, col("__l").asc_nulls_last)
     counts
       .withColumn("__ni", sum(col("__n")).over(Window.partitionBy(col("item"))))
       .withColumn("__nl", count(lit(1)).over(Window.partitionBy(col("item"))))

@@ -371,6 +371,12 @@ class MultimodalCodecSpec extends SparkSpec {
     val cutMid = png.take(png.length - 6) // cut inside IEND's crc
     assert(Codecs.pngTextChunks(cutMid) == texts,
       "pairs before the truncation point still harvest")
+    // a corrupt chunk declaring ~2^31 bytes must not wrap the Int
+    // bounds math and crash the walk
+    val bomb = png.take(8) ++
+      Array(0x7f, 0xff, 0xff, 0xf0).map(_.toByte) ++ "tEXt".getBytes ++
+      Array.fill(8)(0.toByte)
+    assert(Codecs.pngTextChunks(bomb) == Nil)
     // a PNG with no tEXt yields no rows
     val bare = {
       val img = new java.awt.image.BufferedImage(4, 4,

@@ -57,4 +57,16 @@ class PreferenceSpec extends SparkSpec {
       Seq("item", "wins", "comparisons", "score_ppm"))
     assert(out.count() == 0)
   }
+
+  test("bradleyTerry drops null-item comparisons instead of poisoning the fit") {
+    val dirty = Seq(("a", "b"), ("a", "b"), ("b", "a"),
+      (null, "a"), ("b", null)).toDF("winner", "loser")
+    val clean = Seq(("a", "b"), ("a", "b"), ("b", "a"))
+      .toDF("winner", "loser")
+    val d = Preference.bradleyTerry(dirty).orderBy("item")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val c = Preference.bradleyTerry(clean).orderBy("item")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(d == c, "null winner/loser rows carry no signal")
+  }
 }

@@ -521,5 +521,11 @@ class StatsSpec extends SparkSpec {
       .orderBy("item").as[(String, Long, Long, String, Long)].collect()
     assert(out(0) == (("A", 3L, 2L, "x", 666667L)))
     assert(out(1) == (("B", 2L, 2L, "x", 500000L))) // tie → smallest label
+    // a null-vs-real-label tie picks the real label (nulls sort LAST,
+    // matching SQL replays — Spark's asc default would pick null)
+    val withNull = Seq(("C", "y"), ("C", null)).toDF("item", "label")
+    val n = Stats.ratingDisagreement(withNull, col("item"), col("label"))
+      .as[(String, Long, Long, String, Long)].collect().head
+    assert(n == (("C", 2L, 2L, "y", 500000L)))
   }
 }
