@@ -3738,6 +3738,62 @@ object Suite {
              |SELECT id, min(r) AS component FROM reach
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    Q("l121_soft_dedup_weights",
+      // duplicate-aware loss weighting — the soft alternative to hard
+      // dedup (keep every copy, down-weight by cluster size so a
+      // 100-copy boilerplate family contributes one document's worth
+      // of gradient): connected components over the verified ≥0.8
+      // near-dup graph, weight = round(1e6/size) ppm, singletons
+      // (docs in no pair) form their own cluster at full weight
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val pairs = Dedup
+          .minhashCandidates(t(s, d, "documents"), "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)
+        val comp = Dedup.components(pairs)
+          .withColumnRenamed("id", "doc_id")
+        val withComp = docs.join(comp, Seq("doc_id"), "left")
+          .withColumn("component",
+            coalesce(col("component"), col("doc_id")))
+        val sizes = withComp.groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+        withComp.join(sizes, Seq("component"))
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            round(lit(1.0e6) / col("cluster_size").cast("double"))
+              .cast("long").as("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      // the l21 recursive-CTE closure, left-joined back to the full
+      // corpus so singletons weight 1e6 — the replayable "what weight
+      // did this doc train at" audit
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+             |    AS g FROM t),
+             |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+             |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+             |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT src AS id, src AS r FROM edges
+             |  UNION SELECT e.src, re.r FROM edges e JOIN reach re
+             |    ON e.dst = re.id),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |alld AS (SELECT d.doc_id,
+             |    coalesce(c.component, d.doc_id) AS component
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+             |  FROM alld GROUP BY 1)
+             |SELECT doc_id, component, cluster_size,
+             |  CAST(round(1.0e6 / cluster_size) AS BIGINT) AS weight_ppm
+             |FROM alld JOIN sizes USING (component)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("l22_contamination",
       (s, d) => {
         val docs = t(s, d, "documents")
