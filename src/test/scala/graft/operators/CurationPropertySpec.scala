@@ -341,4 +341,29 @@ class CurationPropertySpec extends SparkSpec {
       assert(packed.map(_._2).sum == toks.map(_.toLong).sum)
     }
   }
+
+  test("epochUpsample's extra-copy slice IS hashSamplePortable at the fraction") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 600L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    forSamples(Gen.choose(0, 29), n = 6) { tenths =>
+      val e = 1.0 + tenths / 10.0 // 1.0 to 3.9 epochs
+      val out = Curation.epochUpsample(docs, col("doc_id"), "source",
+        Map("src1" -> e), seed = 11)
+        .filter(col("source") === "src1")
+        .groupBy("doc_id").agg(count(lit(1)).as("copies"))
+        .as[(Long, Long)].collect().toMap
+      val src1 = docs.filter(col("source") === "src1")
+      val extra = Curation.hashSamplePortable(src1, col("doc_id"),
+        e - math.floor(e), seed = 11)
+        .select("doc_id").as[Long].collect().toSet
+      // every src1 doc appears floor(e) times, plus once iff the
+      // portable cut selects it — the exact recipe contract
+      src1.select("doc_id").as[Long].collect().foreach { id =>
+        val expected = math.floor(e).toLong + (if (extra(id)) 1L else 0L)
+        assert(out.getOrElse(id, 0L) == expected,
+          s"e=$e id=$id: got ${out.getOrElse(id, 0L)}, want $expected")
+      }
+    }
+  }
 }
