@@ -51,6 +51,43 @@ object Preference {
           .otherwise(col("a.__i")).as("loser"))
   }
 
+  /** Pairwise win-rate matrix with Wilson score bounds — the
+    * leaderboard's uncertainty companion (a 7-2 record and a 700-200
+    * record have the same rate and very different intervals): one row
+    * per ORDERED pair (i, j) with i's wins over j, the pair's total
+    * comparisons, the rate and the Wilson interval at the given z.
+    * Null items are dropped (no ranking signal, [[fitCounts]]'s
+    * contract).
+    *
+    * Exactness: wins and totals are exact longs from ONE map-side-
+    * combined aggregation; rate and interval are single double
+    * expressions over those longs (z enters as a literal, sqrt is
+    * correctly rounded IEEE), so any engine replays the values
+    * bit-for-bit. Scale shape: one shuffle on (i, j); output is
+    * ≤ items² rows by definition. */
+  def winRates(comparisons: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", z: Double = 1.96): DataFrame = {
+    val cmp = comparisons
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+    val dir = cmp.select(col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"), lit(1L).as("__w"))
+      .unionByName(cmp.select(col(loserCol).cast("string").as("i"),
+        col(winnerCol).cast("string").as("j"), lit(0L).as("__w")))
+    val agg = dir.groupBy(col("i"), col("j"))
+      .agg(sum(col("__w")).as("wins"), count(lit(1)).as("comparisons"))
+    val m = col("comparisons")
+    val p = col("wins").cast("double") / m.cast("double")
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / m
+    val center = (p + z2 / (m * 2)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / m +
+      z2 / (m.cast("double") * m.cast("double") * lit(4.0))) / denom
+    agg.select(col("i"), col("j"), col("wins"), col("comparisons"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** The fixed-point unit: scores are stored in integer micro-units
     * (1.0 ≡ 1,000,000), so every engine folds them with exact BIGINT
     * addition and only the per-term division is floating point — and

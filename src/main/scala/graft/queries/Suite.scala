@@ -2000,6 +2000,44 @@ object Suite {
              |FROM w JOIN s3 USING (item), tot
              |ORDER BY w.item""".stripMargin)),
 
+    Q("l122_winrate_wilson",
+      // the leaderboard's uncertainty companion to l118: per ordered
+      // pair, exact wins/comparisons plus the Wilson 95% interval —
+      // one double expression over exact longs (z as a literal, IEEE
+      // sqrt), replayed verbatim by the oracle
+      (s, d) => Preference.winRates(
+          Preference.impliedComparisons(t(s, d, "events"), "user_id",
+            "event_type", "value", "event_id"))
+        .orderBy("i", "j"),
+      Some("""WITH cmp AS (SELECT
+             |    CASE WHEN a.value > b.value THEN a.event_type
+             |      ELSE b.event_type END AS winner,
+             |    CASE WHEN a.value > b.value THEN b.event_type
+             |      ELSE a.event_type END AS loser
+             |  FROM events a JOIN events b ON a.user_id = b.user_id
+             |    AND a.event_id < b.event_id
+             |    AND a.event_type <> b.event_type
+             |    AND a.value <> b.value),
+             |dir AS (SELECT winner AS i, loser AS j, 1::BIGINT AS w
+             |    FROM cmp
+             |  UNION ALL SELECT loser, winner, 0::BIGINT FROM cmp),
+             |agg AS (SELECT i, j, sum(w)::BIGINT AS wins,
+             |    count(*)::BIGINT AS m FROM dir GROUP BY 1, 2),
+             |e AS (SELECT i, j, wins, m,
+             |    wins / (m * 1.0) AS p,
+             |    1.0 + (1.96 * 1.96) / m AS dn FROM agg)
+             |SELECT i, j, wins, m AS comparisons,
+             |  round(p, 6) AS rate,
+             |  round((p + (1.96 * 1.96) / (m * 2)) / dn
+             |    - 1.96 * sqrt(p * (1.0 - p) / m
+             |      + (1.96 * 1.96) / (m::DOUBLE * m::DOUBLE * 4.0)) / dn, 6)
+             |    AS wilson_lo,
+             |  round((p + (1.96 * 1.96) / (m * 2)) / dn
+             |    + 1.96 * sqrt(p * (1.0 - p) / m
+             |      + (1.96 * 1.96) / (m::DOUBLE * m::DOUBLE * 4.0)) / dn, 6)
+             |    AS wilson_hi
+             |FROM e ORDER BY i, j""".stripMargin)),
+
     Q("l119_rater_agreement",
       // Fleiss' kappa over a ratings log — the label-quality gate a
       // training pipeline runs before trusting annotations: per-item

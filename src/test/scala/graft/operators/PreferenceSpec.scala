@@ -58,6 +58,24 @@ class PreferenceSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("winRates: exact counts, symmetric pairs, interval brackets the rate") {
+    val cmp = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq(("a", null))).toDF("winner", "loser")
+    val out = Preference.winRates(cmp)
+      .orderBy("i", "j")
+      .as[(String, String, Long, Long, Double, Double, Double)].collect()
+    // the null-loser row drops; a beat b 3 of 4
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq(("a", "b", 3L, 4L), ("b", "a", 1L, 4L)))
+    val ab = out(0); val ba = out(1)
+    assert(ab._5 == 0.75 && ba._5 == 0.25)
+    // Wilson bounds bracket the rate, stay in [0,1], and the two
+    // directions mirror: lo(a,b) = 1 - hi(b,a) (same counts, p ↔ 1-p)
+    assert(ab._6 > 0.0 && ab._6 < 0.75 && ab._7 > 0.75 && ab._7 < 1.0)
+    assert(math.abs(ab._6 - (1.0 - ba._7)) < 2e-6) // round(…,6) quanta
+    assert(math.abs(ab._7 - (1.0 - ba._6)) < 2e-6)
+  }
+
   test("bradleyTerry drops null-item comparisons instead of poisoning the fit") {
     val dirty = Seq(("a", "b"), ("a", "b"), ("b", "a"),
       (null, "a"), ("b", null)).toDF("winner", "loser")
