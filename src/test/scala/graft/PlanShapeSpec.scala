@@ -752,6 +752,20 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
+  test("winRates is one aggregation over the unioned directions — no join, no window") {
+    val cmp = operators.Preference.impliedComparisons(
+      core.Tables.load(spark, sf, "events"), "user_id", "event_type",
+      "value", "event_id")
+    // count the plan shape of the win-rate step alone: feed it a
+    // materialized-shape input so the upstream self-join stays out
+    val plan = planOf(operators.Preference.winRates(cmp))
+    assert(!plan.contains("Window"), plan)
+    // the interval math is pure column algebra over the aggregate —
+    // exactly one aggregation pair (partial + final) downstream of
+    // the union, nothing re-shuffles after it
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, plan)
+  }
+
   test("fleissKappa is aggregation-only — no window, no sort, scalar fold broadcasts") {
     val ev = core.Tables.load(spark, sf, "events")
       .select((col("event_id") % 400).as("item"),
