@@ -1062,9 +1062,20 @@ object Stats {
     * one aggregation per item, two scalar folds — no window, no sort;
     * only (item, label, count) longs cross the shuffle.
     * Output: one row (n_items, n_ratings, p_bar, p_e, kappa). */
-  def fleissKappa(df: DataFrame, item: Column, label: Column): DataFrame = {
-    val counts = df.groupBy(item.as("__i"), label.as("__l"))
-      .agg(count(lit(1)).as("__n"))
+  def fleissKappa(df: DataFrame, item: Column, label: Column): DataFrame =
+    fleissKappaCounts(df.groupBy(item.as("item"), label.as("label"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[fleissKappa]] from a pre-aggregated `(item, label, n)` cell
+    * frame. Duplicate (item, label) rows fold by addition, so partial
+    * counts — a streaming counter table's batches
+    * ([[graft.streaming.LabelQaStream]]) — feed in directly, and the
+    * kappa over summed partials is the kappa over the full ratings
+    * log, exactly. */
+  def fleissKappaCounts(cellCounts: DataFrame): DataFrame = {
+    val counts = cellCounts
+      .groupBy(col("item").as("__i"), col("label").as("__l"))
+      .agg(sum(col("n")).as("__n"))
     val per = counts.groupBy(col("__i"))
       .agg(sum(col("__n")).as("__ni"),
         sum(col("__n") * col("__n")).as("__si"))
@@ -1101,9 +1112,18 @@ object Stats {
     * items parallelize. Share is `round(n·1e6/n_i)` over exact longs,
     * engine-replayable. */
   def ratingDisagreement(df: DataFrame, item: Column,
-      label: Column): DataFrame = {
-    val counts = df.groupBy(item.as("item"), label.as("__l"))
-      .agg(count(lit(1)).as("__n"))
+      label: Column): DataFrame =
+    ratingDisagreementCounts(df
+      .groupBy(item.as("item"), label.as("label"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[ratingDisagreement]] from a pre-aggregated `(item, label, n)`
+    * cell frame — the [[fleissKappaCounts]] seam for the same
+    * streaming counter table. */
+  def ratingDisagreementCounts(cellCounts: DataFrame): DataFrame = {
+    val counts = cellCounts
+      .groupBy(col("item"), col("label").as("__l"))
+      .agg(sum(col("n")).as("__n"))
     // nulls LAST in the tie-break: Spark's asc defaults nulls first,
     // SQL replays default them last — a null-vs-real-label tie would
     // otherwise pick different majorities per engine
