@@ -2000,6 +2000,90 @@ object Suite {
              |FROM w JOIN s3 USING (item), tot
              |ORDER BY w.item""".stripMargin)),
 
+    Q("l123_k_anonymity",
+      // compliance census before releasing a training corpus: how many
+      // rows sit in quasi-identifier groups smaller than k (here the
+      // QIDs are event type × day × value band)? One aggregation to
+      // group sizes, one to the size census — exact integers only
+      (s, d) => {
+        val q = t(s, d, "events").select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          floor(col("value") / 10).cast("long").as("vband"))
+        q.groupBy("event_type", "day", "vband")
+          .agg(count(lit(1)).as("s"))
+          .groupBy("s")
+          .agg(count(lit(1)).as("n_groups"), sum("s").as("n_rows"))
+          .withColumn("anonymous_at_5", col("s") >= 5)
+          .orderBy("s")
+      },
+      Some("""WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(floor(value / 10) AS BIGINT) AS vband FROM events),
+             |g AS (SELECT event_type, day, vband, count(*)::BIGINT AS s
+             |  FROM q GROUP BY 1, 2, 3)
+             |SELECT s, count(*)::BIGINT AS n_groups,
+             |  sum(s)::BIGINT AS n_rows, s >= 5 AS anonymous_at_5
+             |FROM g GROUP BY s ORDER BY s""".stripMargin)),
+
+    Q("l124_embedding_drift",
+      // embedding-space drift between two corpus versions (the l54
+      // unigram drift on the semantic axis): per label, mean-pool the
+      // even-id half and the odd-id half in exact micro-unit longs,
+      // then one positional cosine between the two mean vectors —
+      // every float sum is either exact or a fixed-order array fold,
+      // so the drift number replays bit-identically
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2 === 0).as("h"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("label"), col("h"), col("p"),
+            round(col("v").cast("double") * 1e6).cast("long").as("u"))
+        val m = e.groupBy("label", "h", "p")
+          .agg(sum("u").as("su"), count(lit(1)).as("n"))
+          .withColumn("mean",
+            col("su").cast("double") / lit(1000000.0) / col("n"))
+        val vecs = m.groupBy("label", "h")
+          .agg(array_sort(collect_list(struct(col("p"), col("mean"))))
+            .as("pv"))
+          .select(col("label"), col("h"),
+            transform(col("pv"), x => x.getField("mean")).as("vec"))
+        val a = vecs.filter(col("h")).select(col("label"),
+          col("vec").as("va"))
+        val b = vecs.filter(!col("h")).select(col("label"),
+          col("vec").as("vb"))
+        def dot(x: Column, y: Column) = aggregate(
+          zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+        a.join(b, Seq("label"))
+          .select(col("label"), round(dot(col("va"), col("vb")) /
+              (sqrt(dot(col("va"), col("va"))) *
+                sqrt(dot(col("vb"), col("vb")))), 6)
+            .as("mean_cosine"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, vec_id % 2 = 0 AS h,
+             |    unnest(range(0, len(embedding))) AS p,
+             |    CAST(round(unnest(embedding)::DOUBLE * 1000000)
+             |      AS BIGINT) AS u
+             |  FROM embeddings),
+             |m AS (SELECT label, h, p, sum(u)::BIGINT AS su,
+             |    count(*)::BIGINT AS n FROM e GROUP BY 1, 2, 3),
+             |mv AS (SELECT label, h, p, su / 1000000.0 / n AS mean
+             |  FROM m),
+             |vecs AS (SELECT label, h,
+             |    list_transform(list_sort(list(struct_pack(p := p,
+             |      mean := mean))), x -> x.mean) AS vec
+             |  FROM mv GROUP BY 1, 2),
+             |ab AS (SELECT a.label, a.vec AS va, b.vec AS vb
+             |  FROM vecs a JOIN vecs b ON a.label = b.label
+             |  WHERE a.h AND NOT b.h)
+             |SELECT label, round(
+             |  list_sum(list_transform(range(1, len(va) + 1),
+             |    i -> va[i] * vb[i]))
+             |  / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+             |      i -> va[i] * va[i])))
+             |    * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+             |      i -> vb[i] * vb[i])))), 6) AS mean_cosine
+             |FROM ab ORDER BY label""".stripMargin)),
+
     Q("l122_winrate_wilson",
       // the leaderboard's uncertainty companion to l118: per ordered
       // pair, exact wins/comparisons plus the Wilson 95% interval —
