@@ -149,4 +149,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Siem.beaconCandidates(one, Seq("user_id"), "ts", "event_id")
       .isEmpty, "a single event has no gaps")
   }
+
+  test("round-10 operators: empty inputs, degenerate parameters") {
+    val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
+    // epochUpsample: negative weights refused; all-zero recipe = empty
+    intercept[IllegalArgumentException] {
+      Curation.epochUpsample(docs, col("doc_id"), "source",
+        Map("src0" -> -1.0))
+    }
+    assert(Curation.epochUpsample(docs, col("doc_id"), "source",
+      Map.empty, defaultEpochs = 0.0).isEmpty)
+    // empty input flows through every round-10 operator
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Curation.epochUpsample(noDocs, col("doc_id"), "source",
+      Map("src0" -> 2.5)).isEmpty)
+    val noCmp = Seq.empty[(String, String)].toDF("winner", "loser")
+    assert(Preference.winRates(noCmp).isEmpty)
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(noCmp, iterations = 0)
+    }
+    val noRatings = Seq.empty[(String, String)].toDF("item", "label")
+    assert(Stats.fleissKappa(noRatings, col("item"), col("label"))
+      .collect().head.getAs[Long]("n_items") == 0L)
+    assert(Stats.ratingDisagreement(noRatings, col("item"), col("label"))
+      .isEmpty)
+    // fleissKappa: a corpus where EVERY item has one rating → no
+    // included items, null kappa, not a division error
+    val singles = Seq(("A", "x"), ("B", "y")).toDF("item", "label")
+    val k = Stats.fleissKappa(singles, col("item"), col("label"))
+      .collect().head
+    assert(k.getAs[Long]("n_items") == 0L &&
+      k.isNullAt(k.fieldIndex("kappa")))
+    // videoHash60: a 1×1 single-frame video still fingerprints (all
+    // stride positions collapse to pixel (0,0))
+    val tiny = Multimodal.syntheticAvi(3L, 1, 1, 1)
+    assert(Multimodal.Codecs.videoHash60(tiny).isDefined)
+    // pngAddText on a no-text splice is the identity
+    val png = Multimodal.syntheticPngText(1L, 4, 4, Nil)
+    assert(Multimodal.Codecs.pngTextChunks(png) == Nil)
+  }
 }
