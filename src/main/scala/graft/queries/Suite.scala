@@ -2000,6 +2000,73 @@ object Suite {
              |FROM w JOIN s3 USING (item), tot
              |ORDER BY w.item""".stripMargin)),
 
+    Q("l125_length_bias",
+      // the classic preference-data audit: does the judge prefer the
+      // LONGER answer? Within each source, every pair of docs with
+      // different quality scores is one comparison (higher quality
+      // wins — the l8 score, exact micro-unit integers both engines
+      // derive identically); per source, the share of decided
+      // comparisons the longer doc won, in exact ppm
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          col("source"), col("n_chars"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        val a = docs.as("a"); val b = docs.as("b")
+        val j = a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.q") =!= col("b.q"))
+          .select(col("a.source").as("source"),
+            when(col("a.q") > col("b.q"), col("a.n_chars"))
+              .otherwise(col("b.n_chars")).as("wc"),
+            when(col("a.q") > col("b.q"), col("b.n_chars"))
+              .otherwise(col("a.n_chars")).as("lc"))
+        j.groupBy("source")
+          .agg(count(lit(1)).as("comparisons"),
+            sum(when(col("wc") > col("lc"), 1L).otherwise(0L))
+              .as("longer_wins"),
+            sum(when(col("wc") === col("lc"), 1L).otherwise(0L))
+              .as("equal_len"))
+          .withColumn("longer_win_ppm",
+            round(col("longer_wins").cast("double") * 1e6 /
+              (col("comparisons") - col("equal_len")).cast("double"))
+              .cast("long"))
+          .orderBy("source")
+      },
+      Some("""WITH x AS (SELECT doc_id, source, n_chars,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::BIGINT AS n_tok,
+             |  length(text)::BIGINT AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> list_contains(['the','a','of','and','to','in','is','that',
+             |      'it','for'], t)))::BIGINT AS stop_hits
+             |  FROM documents),
+             |sc AS (SELECT doc_id, source, n_chars,
+             |  ((least(n_tok * 1000000 // 64, 1000000) * 3
+             |    + (1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |        1000000)) * 3
+             |    + least(stop_hits * 5000000 // greatest(n_tok, 1),
+             |        1000000) * 2
+             |    + (1000000 - least(abs(n_char - n_tok + 1
+             |          - 5 * greatest(n_tok, 1))
+             |        * 1000000 // (5 * greatest(n_tok, 1)), 1000000)) * 2)
+             |    // 10)::DOUBLE / 1000000.0 AS q
+             |  FROM x),
+             |j AS (SELECT a.source,
+             |    CASE WHEN a.q > b.q THEN a.n_chars ELSE b.n_chars END AS wc,
+             |    CASE WHEN a.q > b.q THEN b.n_chars ELSE a.n_chars END AS lc
+             |  FROM sc a JOIN sc b ON a.source = b.source
+             |    AND a.doc_id < b.doc_id AND a.q <> b.q)
+             |SELECT source, count(*)::BIGINT AS comparisons,
+             |  sum(CASE WHEN wc > lc THEN 1 ELSE 0 END)::BIGINT
+             |    AS longer_wins,
+             |  sum(CASE WHEN wc = lc THEN 1 ELSE 0 END)::BIGINT
+             |    AS equal_len,
+             |  CAST(round(sum(CASE WHEN wc > lc THEN 1 ELSE 0 END) * 1.0e6
+             |    / (count(*) - sum(CASE WHEN wc = lc THEN 1 ELSE 0 END)))
+             |    AS BIGINT) AS longer_win_ppm
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("l123_k_anonymity",
       // compliance census before releasing a training corpus: how many
       // rows sit in quasi-identifier groups smaller than k (here the
