@@ -226,6 +226,22 @@ object Bench {
     // rehearsal/e2e blocks can be exercised in isolation (the driver
     // never sets it; a suite-less run writes no BENCH_FULL)
     val suiteOn = !sys.env.get("SPARK_GRAFT_SUITE").contains("0")
+    // stage every persisted index/projection root BEFORE the timed
+    // reps, receipted per root (round-10 finding 3: l110's rep 1
+    // silently carried two LSH index builds — build cost must be its
+    // own number, and rep 1 should retime ≈ reps 2-3)
+    val stagingJson: String =
+      if (!suiteOn) ""
+      else try {
+        val builds = graft.queries.Suite.stagePersistedRoots(spark, sfDir)
+        System.err.println("[bench] staged persisted roots: " + builds
+          .map { case (n, s) => f"$n $s%.2f s" }.mkString(", "))
+        s""","index_build_sec":{${builds
+          .map { case (n, s) => "\"" + n + f"\":$s%.3f" }.mkString(",")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] root staging FAILED: ${e.getMessage}")
+        ""
+      }
     var sincePurge = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case _ => suiteOn }
@@ -1123,7 +1139,12 @@ object Bench {
           // label-disagreement audit: one (item,label) count shuffle,
           // windows over CELLS — 10× ratings over a fixed item space
           // must cost only the count scan
-          ("l120g_label_disagreement", "l120_label_disagreement"))
+          ("l120g_label_disagreement", "l120_label_disagreement"),
+          // round-11: capped pair implication — the portable-rank cut
+          // bounds every group at C(R,2) pairs, so 10× events (10×
+          // groups at constant density) must grow ~linearly in the
+          // rank window + join, never in pair fan-out
+          ("l126g_capped_pairs", "l126_capped_pairs"))
           .flatMap { case (nm, q) =>
             for {
               (nb, rb) <- countTimed(s"synthE:$nm(base)", q, sfDir)
@@ -1265,8 +1286,27 @@ object Bench {
           s""""h60g_lpm6_winners":{"base_rows":$nb,${rb.flatJson("base", nCpu)},""" +
             s""""grown_rows":$ng,${rg.flatJson("grown", nCpu)}}"""
         }
+        // the pair-implication cap's IO-honesty receipt (round-10
+        // finding 2): implied pairs (what the uncapped join would
+        // fan out to) vs the capped emission bound, at base and grown
+        // volume — the cut is auditable from the artifact, never silent
+        val censusEntry: Seq[String] = try {
+          def censusOf(d: String): String = {
+            val r = operators.Preference.pairCensus(
+              core.Tables.load(spark, d, "events"), "user_id",
+              maxPairsPerGroup = 45).collect().head
+            s"""{"groups":${r.getLong(0)},"rows":${r.getLong(1)},"implied_pairs":${r.getLong(2)},"emitted_pair_bound":${r.getLong(3)}}"""
+          }
+          val base = censusOf(sfDir); val grown = censusOf(dir)
+          System.err.println(s"[bench] synthE pair_census(cap=45) " +
+            s"base $base grown $grown")
+          Seq(s""""pair_census_cap45":{"base":$base,"grown":$grown}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] pair census FAILED: ${e.getMessage}")
+          Seq.empty
+        }
         val allEntries = entries ++ hotEntry ++
-          lpmEntry.toSeq ++ lpm6Entry.toSeq
+          lpmEntry.toSeq ++ lpm6Entry.toSeq ++ censusEntry
         if (allEntries.isEmpty) ""
         else s""","synth_events":{"factor":$synthEvFactor,"events":$n,${allEntries.mkString(",")}}"""
       } catch { case e: Throwable =>
@@ -1343,7 +1383,7 @@ object Bench {
       f""","env":{"cpus":${cpus.toInt},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadAvg%.2f,"gc_total_sec":$gcSecNow%.1f,"heap_max_gb":$heapGb%.1f}"""
     }
 
-    val fullJson = f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$synth$e2e$e2eStream$chain$synthEv$skew$retime$receipts$envJson}"""
+    val fullJson = f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps$stagingJson$synth$e2e$e2eStream$chain$synthEv$skew$retime$receipts$envJson}"""
     // The driver's bench capture keeps only the LAST ~2000 chars of stdout;
     // a 7 KB line gets its head truncated and can never parse (rounds 1-5
     // recorded parsed:null). Full artifact goes to a file + stderr; stdout

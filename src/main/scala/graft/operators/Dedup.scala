@@ -1261,4 +1261,43 @@ object Dedup {
       } finally { cand.unpersist(); () }
     } finally { docs.unpersist(); () }
   }
+
+  /** Duplicate-aware loss weighting — the soft alternative to hard
+    * dedup: keep every copy, down-weight each document by its verified
+    * near-dup cluster size so a 100-copy boilerplate family contributes
+    * one document's worth of gradient. Connected components over the
+    * `jaccard ≥ minJaccard` [[minhashCandidates]] graph; weight =
+    * `round(1e6 / cluster_size)` ppm; docs in no near-dup pair form
+    * their own singleton cluster at full weight.
+    *
+    * Returns one row per input doc: (idCol, component, cluster_size,
+    * weight_ppm) — the replayable "what weight did this doc train at"
+    * audit. Scale shape: the LSH candidate path is banded/bucket-capped
+    * (never all-pairs), [[components]] is large-star/small-star
+    * O(log n) rounds, and the join back to the corpus is an equi-join
+    * on the doc id. */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, shingleN: Int = 3, k: Int = 64,
+      nBands: Int = 16): DataFrame =
+    softDedupWeightsFromPairs(df.select(col(idCol)),
+      minhashCandidates(df, textCol, idCol, shingleN, k, nBands)
+        .filter(col("jaccard") >= minJaccard), idCol)
+
+  /** [[softDedupWeights]] from an already-verified near-dup pair frame
+    * `(id_a, id_b, …)` — the seam for a pre-built similarity graph
+    * (simhash pairs, an incremental LSH index's verified edges, a
+    * domain-specific matcher). `ids` is the FULL corpus id column so
+    * singletons surface at weight 1e6. */
+  def softDedupWeightsFromPairs(ids: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val comp = components(pairs).withColumnRenamed("id", idCol)
+    val withComp = ids.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val sizes = withComp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    withComp.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        round(lit(1.0e6) / col("cluster_size").cast("double"))
+          .cast("long").as("weight_ppm"))
+  }
 }

@@ -33,12 +33,31 @@ object Preference {
     *
     * Scale shape: a self-equi-join on `groupCol` — groups parallelize
     * and the blow-up is the intrinsic Σ n_g², the comparison set's own
-    * size (cap group fan-out upstream if single groups are huge). Only the
+    * size. `maxPairsPerGroup` bounds that blow-up: each group is cut to
+    * the R rows (R(R-1)/2 ≤ maxPairsPerGroup) whose portable md5 rank
+    * is lowest — a deterministic, engine-replayable subsample (the
+    * [[Curation.hashSamplePortable]] discipline, rank instead of cut so
+    * the bound is EXACT per group, not in expectation). A 10⁶-row
+    * prompt group implies 5·10¹¹ pairs uncapped; with the cap it
+    * contributes at most maxPairsPerGroup, and [[pairCensus]] receipts
+    * implied-vs-emitted so the cut is auditable, never silent. Only the
     * four needed columns enter the join. */
   def impliedComparisons(df: DataFrame, groupCol: String, itemCol: String,
-      scoreCol: String, orderCol: String): DataFrame = {
-    val need = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+      scoreCol: String, orderCol: String,
+      maxPairsPerGroup: Long = Long.MaxValue, seed: Long = 7L): DataFrame = {
+    require(maxPairsPerGroup >= 1, "need at least one pair per group")
+    val need0 = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"),
       col(scoreCol).as("__s"), col(orderCol).as("__o"))
+    val need =
+      if (maxPairsPerGroup == Long.MaxValue) need0
+      else {
+        val r = maxRowsForPairs(maxPairsPerGroup)
+        import org.apache.spark.sql.expressions.Window
+        need0.withColumn("__r", row_number().over(
+            Window.partitionBy(col("__g"))
+              .orderBy(portableRank(col("__o"), seed), col("__o"))))
+          .filter(col("__r") <= r).drop("__r")
+      }
     val a = need.as("a")
     val b = need.as("b")
     a.join(b,
@@ -49,6 +68,99 @@ object Preference {
           .otherwise(col("b.__i")).as("winner"),
         when(col("a.__s") > col("b.__s"), col("b.__i"))
           .otherwise(col("a.__i")).as("loser"))
+  }
+
+  /** The 60-bit md5-prefix rank used to pick which rows survive a
+    * per-group pair cap: `md5(seed || ':' || key)` hex prefix as a
+    * BIGINT, exactly [[Curation.hashSamplePortable]]'s hash, so an
+    * external engine replays the identical retained subset
+    * (DuckDB: `('0x' || substr(md5(s || ':' || key), 1, 15))::BIGINT`). */
+  private def portableRank(key: org.apache.spark.sql.Column, seed: Long) =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** Largest R with R(R-1)/2 ≤ maxPairs — the per-group row budget that
+    * guarantees the pair bound exactly. */
+  def maxRowsForPairs(maxPairs: Long): Long = {
+    val r = ((1.0 + math.sqrt(1.0 + 8.0 * maxPairs.toDouble)) / 2.0).toLong
+    // float-sqrt can land one off either way at the boundary; settle exactly
+    var x = math.max(1L, r - 2)
+    while ((x + 1) * x / 2 <= maxPairs) x += 1
+    x
+  }
+
+  /** The cap's audit receipt: ONE row with the group count, row count,
+    * pairs the uncapped join would imply (Σ n_g(n_g−1)/2) and pairs the
+    * capped join can emit (Σ r_g(r_g−1)/2 with r_g = min(n_g, R)). A
+    * silent subsample reads as "covered everything" — this census is
+    * what makes [[impliedComparisons]]'s cap honest at 100 TB. One
+    * map-side-combined groupBy + one global fold; never materializes a
+    * pair. */
+  def pairCensus(df: DataFrame, groupCol: String,
+      maxPairsPerGroup: Long = Long.MaxValue): DataFrame = {
+    val r = if (maxPairsPerGroup == Long.MaxValue) Long.MaxValue
+      else maxRowsForPairs(maxPairsPerGroup)
+    // integral DIV, not `/` (which is double division in Spark SQL and
+    // loses exactness past 2^53 — a census must stay exact BIGINT)
+    df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("n"))
+      .select(col("n"), least(col("n"), lit(r)).as("k"))
+      .agg(
+        count(lit(1)).as("groups"),
+        sum(col("n")).as("rows"),
+        sum(expr("n * (n - 1) div 2")).as("implied_pairs"),
+        sum(expr("k * (k - 1) div 2")).as("emitted_pair_bound"))
+  }
+
+  /** Length-bias audit over judged preference data — the classic "does
+    * the judge prefer the LONGER answer?" check run before trusting a
+    * reward signal: within each `groupCol` group every pair of rows
+    * with different `scoreCol` values is one decided comparison (higher
+    * score wins); per group, the share of decided comparisons the
+    * longer row won, in exact ppm (equal-length pairs counted but
+    * excluded from the rate's denominator).
+    *
+    * Same self-equi-join shape (and the same `maxPairsPerGroup`
+    * portable-rank cap) as [[impliedComparisons]]; the aggregation is
+    * exact integers, so any engine replays the ppm bit-for-bit. */
+  def lengthBias(df: DataFrame, groupCol: String, scoreCol: String,
+      lengthCol: String, orderCol: String,
+      maxPairsPerGroup: Long = Long.MaxValue, seed: Long = 7L): DataFrame = {
+    require(maxPairsPerGroup >= 1, "need at least one pair per group")
+    val need0 = df.select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+      col(lengthCol).as("__l"), col(orderCol).as("__o"))
+    val need =
+      if (maxPairsPerGroup == Long.MaxValue) need0
+      else {
+        val r = maxRowsForPairs(maxPairsPerGroup)
+        import org.apache.spark.sql.expressions.Window
+        need0.withColumn("__r", row_number().over(
+            Window.partitionBy(col("__g"))
+              .orderBy(portableRank(col("__o"), seed), col("__o"))))
+          .filter(col("__r") <= r).drop("__r")
+      }
+    val a = need.as("a")
+    val b = need.as("b")
+    a.join(b,
+        col("a.__g") === col("b.__g") && col("a.__o") < col("b.__o") &&
+          col("a.__s") =!= col("b.__s"))
+      .select(col("a.__g").as(groupCol),
+        when(col("a.__s") > col("b.__s"), col("a.__l"))
+          .otherwise(col("b.__l")).as("wc"),
+        when(col("a.__s") > col("b.__s"), col("b.__l"))
+          .otherwise(col("a.__l")).as("lc"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("comparisons"),
+        sum(when(col("wc") > col("lc"), 1L).otherwise(0L))
+          .as("longer_wins"),
+        sum(when(col("wc") === col("lc"), 1L).otherwise(0L))
+          .as("equal_len"))
+      .withColumn("longer_win_ppm",
+        // a group whose decided-pair count is zero (all equal length)
+        // has no defined rate: NULL, not an ANSI divide-by-zero
+        when(col("comparisons") > col("equal_len"),
+          round(col("longer_wins").cast("double") * 1e6 /
+            (col("comparisons") - col("equal_len")).cast("double"))
+            .cast("long")))
   }
 
   /** Pairwise win-rate matrix with Wilson score bounds — the
@@ -134,9 +246,14 @@ object Preference {
     // null items carry no ranking signal (a dirty row in a streamed
     // comparison log must not poison every later leaderboard read) —
     // dropped, matching SQL join semantics where a null never matches.
+    // Self-pairs likewise: a raw log row with winner == loser would add
+    // an (i,i) term to both wins and the symmetric pair totals, skewing
+    // the MM denominators (impliedComparisons never emits these, but
+    // this seam also accepts raw logs).
     // Collected result is ≤ distinct-items(items-1) rows by definition
     val n: Array[(String, String, Long)] = pairCounts
-      .filter(col("i").isNotNull && col("j").isNotNull)
+      .filter(col("i").isNotNull && col("j").isNotNull &&
+        col("i") =!= col("j"))
       .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
@@ -167,15 +284,20 @@ object Preference {
     var k = 0
     while (k < iterations) {
       s = items.map { i =>
-        val denom = opponents(i).map { case (j, mij) =>
-          math.round(mij.toDouble * 1.0e15 / (s(i) + s(j)).toDouble)
-        }.sum
+        // each term is ~m_ij·5e8 (larger when an opponent floors at one
+        // micro-unit); at ~2e10 comparisons for one item a plain Long
+        // sum wraps SILENTLY while a BIGINT engine errors — addExact
+        // keeps the engine-replay contract by failing loudly instead
+        val denom = opponents(i).foldLeft(0L) { case (acc, (j, mij)) =>
+          Math.addExact(acc, math.round(
+            mij.toDouble * 1.0e15 / (s(i) + s(j)).toDouble))
+        }
         i -> math.max(1L, math.round(
           wins(i).toDouble * 1.0e15 / denom.toDouble))
       }.toMap
       k += 1
     }
-    val total = items.map(s).sum
+    val total = items.map(s).foldLeft(0L)(Math.addExact)
     val rows = items.map { i =>
       Row(i, wins(i), opponents(i).map(_._2).sum,
         math.round(s(i).toDouble * 1.0e6 / total.toDouble))

@@ -1139,4 +1139,82 @@ object Stats {
         round(col("__n").cast("double") * 1.0e6 /
           col("__ni").cast("double")).cast("long").as("majority_share_ppm"))
   }
+
+  /** k-anonymity census — the compliance audit run before releasing a
+    * training corpus: bucket every row by its quasi-identifier tuple,
+    * then report, for each observed group SIZE s, how many groups and
+    * rows sit at that size and whether s clears the k threshold. A
+    * release gate reads the `anonymous_at_k = false` rows as its
+    * exposure report.
+    *
+    * Two map-side-combined aggregations (rows → group sizes → size
+    * census), exact integers only — no window, no sort, no join; the
+    * second groupBy's cardinality is the number of DISTINCT sizes,
+    * driver-trivial at any corpus scale. */
+  def kAnonymity(df: DataFrame, qids: Seq[Column], k: Int = 5): DataFrame = {
+    require(qids.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be positive")
+    df.groupBy(qids: _*).agg(count(lit(1)).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_groups"), sum("s").as("n_rows"))
+      .withColumn(s"anonymous_at_$k", col("s") >= k)
+  }
+
+  /** Suppression k-anonymization — the actionable half of
+    * [[kAnonymity]]'s census: drop every row whose quasi-identifier
+    * group holds fewer than k rows, so the released corpus satisfies
+    * k-anonymity over `qids` by construction. Returns the input
+    * columns unchanged (release shape), plus nothing — the census is
+    * the audit artifact; this is the cut.
+    *
+    * One window count over the qid hash-partitioning (no sort — a
+    * frameless partition count), so groups parallelize and no
+    * group-size table is ever joined back; at 100 TB this is one
+    * shuffle of the release candidate, the minimum any exact
+    * suppression can pay. */
+  def kAnonymize(df: DataFrame, qids: Seq[Column], k: Int = 5): DataFrame = {
+    require(qids.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be positive")
+    df.withColumn("__s", count(lit(1)).over(Window.partitionBy(qids: _*)))
+      .filter(col("__s") >= k).drop("__s")
+  }
+
+  /** Embedding-space drift between two corpus slices (the unigram-drift
+    * audit on the semantic axis): per `label`, mean-pool the
+    * `half = true` rows and the `half = false` rows into one vector
+    * each, then ONE positional cosine between the two means —
+    * `mean_cosine` near 1 means the slices occupy the same region.
+    *
+    * Exactness: positional sums fold in exact micro-unit longs (one
+    * map-side-combined groupBy over (label, half, position)); the
+    * cosine is a fixed-order array fold over the assembled mean
+    * vectors, so the drift number replays bit-identically in any
+    * engine. Scale: rows explode to dims × rows positional cells but
+    * reduce map-side; state after the first shuffle is
+    * O(labels × dims), driver-trivial. */
+  def embeddingDrift(df: DataFrame, label: Column, half: Column,
+      embedding: Column): DataFrame = {
+    val e = df.select(label.as("label"), half.as("h"),
+        posexplode(embedding).as(Seq("p", "v")))
+      .select(col("label"), col("h"), col("p"),
+        round(col("v").cast("double") * 1e6).cast("long").as("u"))
+    val m = e.groupBy("label", "h", "p")
+      .agg(sum("u").as("su"), count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("su").cast("double") / lit(1000000.0) / col("n"))
+    val vecs = m.groupBy("label", "h")
+      .agg(array_sort(collect_list(struct(col("p"), col("mean"))))
+        .as("pv"))
+      .select(col("label"), col("h"),
+        transform(col("pv"), x => x.getField("mean")).as("vec"))
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val a = vecs.filter(col("h")).select(col("label"), col("vec").as("va"))
+    val b = vecs.filter(!col("h")).select(col("label"), col("vec").as("vb"))
+    a.join(b, Seq("label"))
+      .select(col("label"), round(dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) *
+            sqrt(dot(col("vb"), col("vb")))), 6)
+        .as("mean_cosine"))
+  }
 }

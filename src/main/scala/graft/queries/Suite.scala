@@ -127,6 +127,107 @@ object Suite {
   private val prfIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ---- persisted-root builders, named so [[stagePersistedRoots]] can
+  // force them OUTSIDE a bench's timed reps (round-10 finding 3:
+  // l110's rep 1 silently carried two LSH index builds). Each is the
+  // verbatim build the serving query memoizes through computeIfAbsent.
+
+  private def buildLshHorizonRoot(s: SparkSession, d: String): String = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_lshh_suite").toString
+    graft.operators.LshIndex.append(
+      Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id"), r, 0L, numBuckets = 32)
+    graft.operators.LshIndex.append(
+      Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 2),
+        "text", "doc_id"), r, 1L, numBuckets = 32)
+    r
+  }
+
+  private def buildContainRoot(s: SparkSession, d: String): String = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_cidx_suite").toString
+    graft.operators.ContainmentIndex.append(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      r, batchId = 0L, shingleN = 4, numBuckets = 32)
+    r
+  }
+
+  private def buildContainHorizonRoot(s: SparkSession, d: String): String = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_cidxh_suite").toString
+    graft.operators.ContainmentIndex.append(
+      docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+      r, batchId = 0L, shingleN = 4, numBuckets = 32)
+    graft.operators.ContainmentIndex.append(
+      docs.filter(col("doc_id") % 4 === 2), "text", "doc_id",
+      r, batchId = 1L, shingleN = 4, numBuckets = 32)
+    r
+  }
+
+  private def buildProjectionRoot(s: SparkSession, d: String): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_proj").toString
+    s.read.parquet(s"$d/documents.parquet").groupBy("source", "lang")
+      .agg(sum("n_chars").as("n_chars"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private def buildIvfPqRoot(s: SparkSession, d: String): String = {
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_suite").toString + "/idx"
+    IvfPqIndex.build(t(s, d, "embeddings"), r, nlist = 16,
+      m = 4, ksub = 16, dim = 64)
+    r
+  }
+
+  private def buildKnnGraphRoot(s: SparkSession, d: String): String = {
+    val e = t(s, d, "embeddings")
+    val cents = Similarity.seedCentroids(e, nlist = 8)
+    val cells = Similarity.assignCells(e, cents)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_knng_").toString + "/graph"
+    Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
+      .write.parquet(out)
+    out
+  }
+
+  private def buildPrfIndexRoot(s: SparkSession, d: String): String = {
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_prf_idx").toString
+    PostingsIndex.build(t(s, d, "documents"), r, parts = 32)
+    r
+  }
+
+  /** Bench staging hook: force-build every persisted index/projection
+    * root for corpus dir `d` before the timed reps, returning
+    * (root name, build seconds) receipts — already-built roots return
+    * in ~0 s. The serving queries still read through the same memos,
+    * so plans are identical; only WHO pays the build moves (out of
+    * rep 1, into a receipted staging pass). */
+  def stagePersistedRoots(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def timed(name: String,
+        m: java.util.concurrent.ConcurrentHashMap[String, String],
+        build: => String): (String, Double) = {
+      val t0 = System.nanoTime()
+      m.computeIfAbsent(d, _ => build)
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("lsh_horizon", lshHorizonRoots, buildLshHorizonRoot(s, d)),
+      timed("containment", containRoots, buildContainRoot(s, d)),
+      timed("containment_horizon", containHorizonRoots,
+        buildContainHorizonRoot(s, d)),
+      timed("projection", projectionRoots, buildProjectionRoot(s, d)),
+      timed("ivf_pq", ivfPqRoots, buildIvfPqRoot(s, d)),
+      timed("knn_graph", knnGraphRoots, buildKnnGraphRoot(s, d)),
+      timed("prf_postings", prfIndexRoots, buildPrfIndexRoot(s, d)))
+  }
+
   /** DuckDB twin of [[graft.operators.Downsample.lttb]] at a fixed
     * bucket count: LTTB's greedy scan is sequential (bucket k's
     * choice depends on bucket k−1's), but at FIXED `buckets` it
@@ -793,14 +894,8 @@ object Suite {
         // the write path's job (Summing discipline), serving is
         // what's timed.
         val base = s"$d/documents.parquet"
-        val root = projectionRoots.computeIfAbsent(d, _ => {
-          val out = java.nio.file.Files
-            .createTempDirectory("graft_proj").toString
-          s.read.parquet(base).groupBy("source", "lang")
-            .agg(sum("n_chars").as("n_chars"), count(lit(1)).as("cnt"))
-            .write.mode("overwrite").parquet(out)
-          out
-        })
+        val root = projectionRoots.computeIfAbsent(d,
+          _ => buildProjectionRoot(s, d))
         graft.plans.Projections.register(s, base, root,
           keys = Seq("source", "lang"), measures = Seq("n_chars"))
         s.read.parquet(base)
@@ -1586,17 +1681,8 @@ object Suite {
       // re-certifies LSH recall under the pruned read, per l2)
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val root = lshHorizonRoots.computeIfAbsent(d, _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_lshh_suite").toString
-          graft.operators.LshIndex.append(
-            Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 0),
-              "text", "doc_id"), r, 0L, numBuckets = 32)
-          graft.operators.LshIndex.append(
-            Dedup.buildIndex(docs.filter(col("doc_id") % 4 === 2),
-              "text", "doc_id"), r, 1L, numBuckets = 32)
-          r
-        })
+        val root = lshHorizonRoots.computeIfAbsent(d,
+          _ => buildLshHorizonRoot(s, d))
         val arriving = docs.filter(col("doc_id") < 100)
           .select((col("doc_id") + 400000).as("doc_id"), col("text"))
         graft.operators.LshIndex.probeSince(
@@ -1803,13 +1889,8 @@ object Suite {
         // index built once per corpus dir (the l97/l76 convention): at
         // scale the postings are maintained by the ingest path
         // (ContainmentStream appends per batch); serving is what's timed
-        val root = containRoots.computeIfAbsent(d, _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_cidx_suite").toString
-          graft.operators.ContainmentIndex.append(evens, "text", "doc_id",
-            r, batchId = 0L, shingleN = 4, numBuckets = 32)
-          r
-        })
+        val root = containRoots.computeIfAbsent(d,
+          _ => buildContainRoot(s, d))
         graft.operators.ContainmentIndex.probe(arriving, "text", "doc_id",
             root, threshold = 0.9, maxDf = 64)
           .select(col("id_a"), col("id_b"),
@@ -1859,17 +1940,8 @@ object Suite {
             .select((col("doc_id") + offset).as("doc_id"),
               concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12))
                 .as("text"))
-        val root = containHorizonRoots.computeIfAbsent(d, _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_cidxh_suite").toString
-          graft.operators.ContainmentIndex.append(
-            docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
-            r, batchId = 0L, shingleN = 4, numBuckets = 32)
-          graft.operators.ContainmentIndex.append(
-            docs.filter(col("doc_id") % 4 === 2), "text", "doc_id",
-            r, batchId = 1L, shingleN = 4, numBuckets = 32)
-          r
-        })
+        val root = containHorizonRoots.computeIfAbsent(d,
+          _ => buildContainHorizonRoot(s, d))
         val arriving = docs.filter(col("doc_id") % 2 === 1)
           .unionByName(excerpt(col("doc_id") % 4 === 0, 200000))
           .unionByName(excerpt(col("doc_id") % 4 === 2, 300000))
@@ -2007,31 +2079,12 @@ object Suite {
       // wins — the l8 score, exact micro-unit integers both engines
       // derive identically); per source, the share of decided
       // comparisons the longer doc won, in exact ppm
-      (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"),
-          col("source"), col("n_chars"),
-          TextFunctions.qualityScore(col("text")).as("q"))
-        val a = docs.as("a"); val b = docs.as("b")
-        val j = a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("a.q") =!= col("b.q"))
-          .select(col("a.source").as("source"),
-            when(col("a.q") > col("b.q"), col("a.n_chars"))
-              .otherwise(col("b.n_chars")).as("wc"),
-            when(col("a.q") > col("b.q"), col("b.n_chars"))
-              .otherwise(col("a.n_chars")).as("lc"))
-        j.groupBy("source")
-          .agg(count(lit(1)).as("comparisons"),
-            sum(when(col("wc") > col("lc"), 1L).otherwise(0L))
-              .as("longer_wins"),
-            sum(when(col("wc") === col("lc"), 1L).otherwise(0L))
-              .as("equal_len"))
-          .withColumn("longer_win_ppm",
-            round(col("longer_wins").cast("double") * 1e6 /
-              (col("comparisons") - col("equal_len")).cast("double"))
-              .cast("long"))
-          .orderBy("source")
-      },
+      (s, d) => Preference.lengthBias(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            col("n_chars"),
+            TextFunctions.qualityScore(col("text")).as("q")),
+          "source", "q", "n_chars", "doc_id")
+        .orderBy("source"),
       Some("""WITH x AS (SELECT doc_id, source, n_chars,
              |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
              |    t -> len(t) > 0))::BIGINT AS n_tok,
@@ -2067,22 +2120,80 @@ object Suite {
              |    AS BIGINT) AS longer_win_ppm
              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("l126_capped_pairs",
+      // the 100-TB guard on pair implication: a popular prompt group
+      // with 10^6 rows implies 5*10^11 pairs — maxPairsPerGroup cuts
+      // each group to its R lowest portable-md5-rank rows
+      // (R(R-1)/2 <= cap), so the bound is exact per group and the
+      // oracle replays the identical retained subset via the same
+      // md5-prefix rank. cap=45 -> R=10 rows per user
+      (s, d) => Preference.impliedComparisons(t(s, d, "events"),
+          "user_id", "event_type", "value", "event_id",
+          maxPairsPerGroup = 45, seed = 7)
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+        .orderBy("winner", "loser"),
+      Some("""WITH k AS (SELECT user_id, event_type, value, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY
+             |      ('0x' || substr(md5('7:' || event_id), 1, 15))::BIGINT,
+             |      event_id) AS r
+             |  FROM events),
+             |f AS (SELECT * FROM k WHERE r <= 10)
+             |SELECT
+             |  CASE WHEN a.value > b.value THEN a.event_type
+             |    ELSE b.event_type END AS winner,
+             |  CASE WHEN a.value > b.value THEN b.event_type
+             |    ELSE a.event_type END AS loser,
+             |  count(*)::BIGINT AS n
+             |FROM f a JOIN f b ON a.user_id = b.user_id
+             |  AND a.event_id < b.event_id
+             |  AND a.event_type <> b.event_type AND a.value <> b.value
+             |GROUP BY 1, 2 ORDER BY winner, loser""".stripMargin)),
+
+    Q("l128_pair_census",
+      // the cap's audit receipt: implied pairs (uncapped fan-out) vs
+      // the capped emission bound, exact BIGINTs from group sizes only
+      // — never materializes a pair, so the census itself is safe on
+      // any corpus
+      (s, d) => Preference.pairCensus(t(s, d, "events"), "user_id",
+        maxPairsPerGroup = 45),
+      Some("""WITH g AS (SELECT user_id, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1)
+             |SELECT count(*)::BIGINT AS groups, sum(n)::BIGINT AS "rows",
+             |  sum(n * (n - 1) // 2)::BIGINT AS implied_pairs,
+             |  sum(least(n, 10) * (least(n, 10) - 1) // 2)::BIGINT
+             |    AS emitted_pair_bound
+             |FROM g""".stripMargin)),
+
+    Q("l127_k_anonymize",
+      // the actionable half of the l123 census: suppression — drop
+      // every row whose quasi-identifier group holds fewer than k rows,
+      // releasing a corpus that satisfies k-anonymity by construction.
+      // One frameless window count over the QID partitioning
+      (s, d) => Stats.kAnonymize(
+          t(s, d, "events").select(col("event_id"), col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 10).cast("long").as("vband")),
+          Seq(col("event_type"), col("day"), col("vband")), k = 5)
+        .orderBy("event_id"),
+      Some("""WITH q AS (SELECT event_id, event_type,
+             |    CAST(ts AS DATE) AS day,
+             |    CAST(floor(value / 10) AS BIGINT) AS vband FROM events),
+             |s AS (SELECT *, count(*) OVER (PARTITION BY event_type, day,
+             |    vband) AS c FROM q)
+             |SELECT event_id, event_type, day, vband FROM s
+             |WHERE c >= 5 ORDER BY event_id""".stripMargin)),
+
     Q("l123_k_anonymity",
       // compliance census before releasing a training corpus: how many
       // rows sit in quasi-identifier groups smaller than k (here the
       // QIDs are event type × day × value band)? One aggregation to
       // group sizes, one to the size census — exact integers only
-      (s, d) => {
-        val q = t(s, d, "events").select(col("event_type"),
-          to_date(col("ts")).as("day"),
-          floor(col("value") / 10).cast("long").as("vband"))
-        q.groupBy("event_type", "day", "vband")
-          .agg(count(lit(1)).as("s"))
-          .groupBy("s")
-          .agg(count(lit(1)).as("n_groups"), sum("s").as("n_rows"))
-          .withColumn("anonymous_at_5", col("s") >= 5)
-          .orderBy("s")
-      },
+      (s, d) => Stats.kAnonymity(
+          t(s, d, "events").select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 10).cast("long").as("vband")),
+          Seq(col("event_type"), col("day"), col("vband")), k = 5)
+        .orderBy("s"),
       Some("""WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
              |    CAST(floor(value / 10) AS BIGINT) AS vband FROM events),
              |g AS (SELECT event_type, day, vband, count(*)::BIGINT AS s
@@ -2098,34 +2209,9 @@ object Suite {
       // then one positional cosine between the two mean vectors —
       // every float sum is either exact or a fixed-order array fold,
       // so the drift number replays bit-identically
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-          .select(col("label"), (col("vec_id") % 2 === 0).as("h"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("label"), col("h"), col("p"),
-            round(col("v").cast("double") * 1e6).cast("long").as("u"))
-        val m = e.groupBy("label", "h", "p")
-          .agg(sum("u").as("su"), count(lit(1)).as("n"))
-          .withColumn("mean",
-            col("su").cast("double") / lit(1000000.0) / col("n"))
-        val vecs = m.groupBy("label", "h")
-          .agg(array_sort(collect_list(struct(col("p"), col("mean"))))
-            .as("pv"))
-          .select(col("label"), col("h"),
-            transform(col("pv"), x => x.getField("mean")).as("vec"))
-        val a = vecs.filter(col("h")).select(col("label"),
-          col("vec").as("va"))
-        val b = vecs.filter(!col("h")).select(col("label"),
-          col("vec").as("vb"))
-        def dot(x: Column, y: Column) = aggregate(
-          zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-        a.join(b, Seq("label"))
-          .select(col("label"), round(dot(col("va"), col("vb")) /
-              (sqrt(dot(col("va"), col("va"))) *
-                sqrt(dot(col("vb"), col("vb")))), 6)
-            .as("mean_cosine"))
-          .orderBy("label")
-      },
+      (s, d) => Stats.embeddingDrift(t(s, d, "embeddings"),
+          col("label"), col("vec_id") % 2 === 0, col("embedding"))
+        .orderBy("label"),
       Some("""WITH e AS (SELECT label, vec_id % 2 = 0 AS h,
              |    unnest(range(0, len(embedding))) AS p,
              |    CAST(round(unnest(embedding)::DOUBLE * 1000000)
@@ -2671,13 +2757,8 @@ object Suite {
         // (probe → pruned compressed scan → ADC → rerank), not a
         // rebuild of the index per repetition.
         val emb = t(s, d, "embeddings")
-        val root = ivfPqRoots.computeIfAbsent(d, { dir =>
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_ivfpq_suite").toString + "/idx"
-          IvfPqIndex.build(t(s, dir, "embeddings"), r, nlist = 16,
-            m = 4, ksub = 16, dim = 64)
-          r
-        })
+        val root = ivfPqRoots.computeIfAbsent(d,
+          dir => buildIvfPqRoot(s, dir))
         val queries = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"), col("embedding"))
         IvfPqIndex.query(s, root, emb, queries, k = 5, rerank = 20,
@@ -2699,16 +2780,8 @@ object Suite {
         // construction; this one's subject is the propagation — same
         // build-once/query-many memo as the persisted indexes)
         val emb = t(s, d, "embeddings")
-        val graphPath = knnGraphRoots.computeIfAbsent(d, { dir =>
-          val e = t(s, dir, "embeddings")
-          val cents = Similarity.seedCentroids(e, nlist = 8)
-          val cells = Similarity.assignCells(e, cents)
-          val out = java.nio.file.Files
-            .createTempDirectory("graft_knng_").toString + "/graph"
-          Similarity.knnGraph(cells, cents, k = 3, nprobe = 8)
-            .write.parquet(out)
-          out
-        })
+        val graphPath = knnGraphRoots.computeIfAbsent(d,
+          dir => buildKnnGraphRoot(s, dir))
         val graph = s.read.parquet(graphPath)
         val seeds = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
           .select(col("vec_id"), col("label"))
@@ -3934,24 +4007,9 @@ object Suite {
       // of gradient): connected components over the verified ≥0.8
       // near-dup graph, weight = round(1e6/size) ppm, singletons
       // (docs in no pair) form their own cluster at full weight
-      (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"))
-        val pairs = Dedup
-          .minhashCandidates(t(s, d, "documents"), "text", "doc_id")
-          .filter(col("jaccard") >= 0.8)
-        val comp = Dedup.components(pairs)
-          .withColumnRenamed("id", "doc_id")
-        val withComp = docs.join(comp, Seq("doc_id"), "left")
-          .withColumn("component",
-            coalesce(col("component"), col("doc_id")))
-        val sizes = withComp.groupBy("component")
-          .agg(count(lit(1)).as("cluster_size"))
-        withComp.join(sizes, Seq("component"))
-          .select(col("doc_id"), col("component"), col("cluster_size"),
-            round(lit(1.0e6) / col("cluster_size").cast("double"))
-              .cast("long").as("weight_ppm"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Dedup.softDedupWeights(t(s, d, "documents"),
+          "text", "doc_id", minJaccard = 0.8)
+        .orderBy("doc_id"),
       // the l21 recursive-CTE closure, left-joined back to the full
       // corpus so singletons weight 1e6 — the replayable "what weight
       // did this doc train at" audit
@@ -7413,12 +7471,8 @@ object Suite {
         // scale the index is maintained by the ingest path, serving
         // is what's timed.
         val docs = t(s, d, "documents")
-        val root = prfIndexRoots.computeIfAbsent(d, _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_prf_idx").toString
-          PostingsIndex.build(docs, r, parts = 32)
-          r
-        })
+        val root = prfIndexRoots.computeIfAbsent(d,
+          _ => buildPrfIndexRoot(s, d))
         PostingsIndex.prfQuery(s, root, docs, bm25Queries(s, d), k = 10)
           .orderBy("query_id", "rank")
       },

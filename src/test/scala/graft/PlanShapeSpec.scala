@@ -778,4 +778,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("capped implied comparisons stay hash-equi — the rank cut adds one window") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val plan = planOf(operators.Preference.impliedComparisons(
+      ev, "user_id", "event_type", "value", "event_id",
+      maxPairsPerGroup = 45, seed = 7))
+    // the portable-rank cut partitions by the SAME group key the join
+    // uses — still never a cartesian, and the join stays hash-equi
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), s"the rank cut is a window:\n$plan")
+  }
+
+  test("kAnonymize is one frameless window count — no sort inside the partition") {
+    val ev = core.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+    val plan = planOf(operators.Stats.kAnonymize(
+      ev, Seq(col("event_type"), col("day")), k = 5))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"suppression must not join:\n$plan")
+  }
+
+  test("kAnonymity census is two aggregations — no window, no join") {
+    val ev = core.Tables.load(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val plan = planOf(operators.Stats.kAnonymity(
+      ev, Seq(col("event_type"), col("day")), k = 5))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

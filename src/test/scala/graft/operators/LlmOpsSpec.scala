@@ -996,4 +996,38 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
   }
+
+  test("softDedupWeights: cluster members share weight, singletons at 1e6") {
+    import spark.implicits._
+    // docs 0/1/2 form one near-dup cluster (exact + near), 3/4/5/6/7
+    // are singletons
+    val out = Dedup.softDedupWeights(docs, "text", "doc_id",
+        minJaccard = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == (0L to 7L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // the cluster: same component, size 3, weight round(1e6/3)
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).distinct.size == 1)
+    assert(Seq(0L, 1L, 2L).forall(id =>
+      byId(id)._3 == 3L && byId(id)._4 == 333333L))
+    // singletons: own component, full weight
+    assert(Seq(3L, 4L, 5L, 6L, 7L).forall(id =>
+      byId(id)._2 == id && byId(id)._3 == 1L && byId(id)._4 == 1000000L))
+    // weights conserve mass: Σ weight ≈ distinct-cluster count × 1e6
+    val mass = out.map(_._4).sum
+    assert(math.abs(mass - 6L * 1000000L) <= 6)
+  }
+
+  test("softDedupWeightsFromPairs: pre-built graph seam, full-corpus singletons") {
+    import spark.implicits._
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupWeightsFromPairs(ids, pairs, "id")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.filter(r => Seq(1L, 2L, 3L).contains(r._1))
+      .forall(r => r._2 == 1L && r._3 == 3L && r._4 == 333333L))
+    assert(out.filter(r => r._1 > 3L)
+      .forall(r => r._2 == r._1 && r._3 == 1L && r._4 == 1000000L))
+  }
 }

@@ -87,4 +87,83 @@ class PreferenceSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(d == c, "null winner/loser rows carry no signal")
   }
+
+  test("bradleyTerry drops self-pair comparisons (winner == loser raw log rows)") {
+    val dirty = Seq(("a", "b"), ("a", "b"), ("b", "a"),
+      ("a", "a"), ("b", "b"), ("b", "b")).toDF("winner", "loser")
+    val clean = Seq(("a", "b"), ("a", "b"), ("b", "a"))
+      .toDF("winner", "loser")
+    val d = Preference.bradleyTerry(dirty).orderBy("item")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val c = Preference.bradleyTerry(clean).orderBy("item")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(d == c, "an (i,i) row must not skew wins or the MM denominators")
+  }
+
+  test("maxPairsPerGroup bounds emitted pairs exactly and deterministically") {
+    // one group of 30 rows, all distinct items/scores → 435 implied pairs
+    val obs = (1 to 30).map(i => (1L, s"i$i", i.toDouble, i.toLong))
+      .toDF("g", "item", "score", "id")
+    val capped = Preference.impliedComparisons(obs, "g", "item", "score",
+      "id", maxPairsPerGroup = 10)
+    // R = maxRowsForPairs(10) = 5 → at most 10 pairs, all scores distinct
+    // so exactly C(5,2) = 10 survive
+    assert(Preference.maxRowsForPairs(10) == 5L)
+    assert(capped.count() == 10L)
+    // deterministic under physical layout: portable md5 rank, not
+    // partition order
+    val again = Preference.impliedComparisons(obs.repartition(7), "g",
+      "item", "score", "id", maxPairsPerGroup = 10)
+    assert(capped.orderBy("winner", "loser").collect().toSeq ==
+      again.orderBy("winner", "loser").collect().toSeq)
+    // uncapped emits the full fan-out
+    assert(Preference.impliedComparisons(obs, "g", "item", "score", "id")
+      .count() == 435L)
+  }
+
+  test("maxRowsForPairs is exact at triangular boundaries") {
+    assert(Preference.maxRowsForPairs(1) == 2L)   // C(2,2)=1
+    assert(Preference.maxRowsForPairs(2) == 2L)   // C(3,2)=3 > 2
+    assert(Preference.maxRowsForPairs(3) == 3L)
+    assert(Preference.maxRowsForPairs(45) == 10L)
+    assert(Preference.maxRowsForPairs(46) == 10L)
+    assert(Preference.maxRowsForPairs(55) == 11L)
+  }
+
+  test("pairCensus receipts implied vs capped pair bounds") {
+    val obs = ((1 to 30).map(i => (1L, i.toLong)) ++
+      (1 to 3).map(i => (2L, 100L + i))).toDF("g", "id")
+    val out = Preference.pairCensus(obs, "g", maxPairsPerGroup = 10)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((2L, 33L, 435L + 3L, 10L + 3L)))
+    // uncapped: bound equals implied
+    val un = Preference.pairCensus(obs, "g")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(un == ((2L, 33L, 438L, 438L)))
+  }
+
+  test("lengthBias: longer-win share in exact ppm, equal-length excluded") {
+    // group g: quality ranks c > b > a; lengths a=10, b=20, c=30 →
+    // all 3 decided pairs won by the longer row → 1e6 ppm
+    // group h: quality x > y, equal lengths → 1 comparison, 1 equal_len,
+    // ppm of 0 decided pairs = null-safe division (0/0) → NaN-free rows
+    val df = Seq(
+      ("g", 1.0, 10L, 1L), ("g", 2.0, 20L, 2L), ("g", 3.0, 30L, 3L),
+      ("h", 5.0, 7L, 4L), ("h", 6.0, 7L, 5L))
+      .toDF("grp", "q", "len", "id")
+    val out = Preference.lengthBias(df, "grp", "q", "len", "id")
+      .orderBy("grp").collect()
+    val g = out(0); val h = out(1)
+    assert(g.getLong(1) == 3L && g.getLong(2) == 3L && g.getLong(3) == 0L)
+    assert(g.getLong(4) == 1000000L)
+    assert(h.getLong(1) == 1L && h.getLong(2) == 0L && h.getLong(3) == 1L)
+  }
+
+  test("lengthBias honors the pair cap") {
+    val df = (1 to 30).map(i => ("g", i.toDouble, i.toLong * 10, i.toLong))
+      .toDF("grp", "q", "len", "id")
+    val out = Preference.lengthBias(df, "grp", "q", "len", "id",
+      maxPairsPerGroup = 10).collect().head
+    assert(out.getLong(1) == 10L, "capped comparisons = C(5,2)")
+  }
 }

@@ -528,4 +528,43 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, String, Long)].collect().head
     assert(n == (("C", 2L, 2L, "y", 500000L)))
   }
+
+  test("kAnonymity census: sizes, group/row counts, threshold flag") {
+    // QID (a): 6 rows of x, 2 rows of y, 1 row of z
+    val df = (Seq.fill(6)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("a")
+    val out = Stats.kAnonymity(df, Seq(col("a")), k = 5)
+      .orderBy("s").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, false), (2L, 1L, 2L, false),
+      (6L, 1L, 6L, true)))
+  }
+
+  test("kAnonymize suppresses exactly the sub-k groups, keeps columns") {
+    val df = ((1 to 6).map(i => ("x", i)) ++ Seq(("y", 7), ("y", 8),
+      ("z", 9))).toDF("a", "id")
+    val out = Stats.kAnonymize(df, Seq(col("a")), k = 3)
+    assert(out.columns.toSeq == Seq("a", "id"))
+    assert(out.select("id").as[Int].collect().sorted.toSeq == (1 to 6))
+    // released corpus satisfies k-anonymity by construction
+    val census = Stats.kAnonymity(out, Seq(col("a")), k = 3)
+      .filter(!col("anonymous_at_3")).count()
+    assert(census == 0L)
+    // k=1 keeps everything
+    assert(Stats.kAnonymize(df, Seq(col("a")), k = 1).count() == 9L)
+  }
+
+  test("embeddingDrift: identical halves cosine 1, opposite halves -1") {
+    val df = Seq(
+      ("same", 0L, Seq(1.0f, 2.0f)), ("same", 1L, Seq(1.0f, 2.0f)),
+      ("opp", 0L, Seq(1.0f, 0.0f)), ("opp", 1L, Seq(-1.0f, 0.0f)))
+      .toDF("label", "vec_id", "embedding")
+    val out = Stats.embeddingDrift(df, col("label"),
+        col("vec_id") % 2 === 0, col("embedding"))
+      .orderBy("label").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("opp", -1.0), ("same", 1.0)))
+    // layout independence: micro-unit longs + fixed-order array fold
+    val again = Stats.embeddingDrift(df.repartition(5), col("label"),
+        col("vec_id") % 2 === 0, col("embedding"))
+      .orderBy("label").as[(String, Double)].collect().toSeq
+    assert(again == out)
+  }
 }
