@@ -118,6 +118,34 @@ object Multimodal {
         (w, h, sum)
       }
 
+    /** Pixel witness robust to LOSSY per-frame codecs: (width, height,
+      * count of pixels whose R+G+B ≥ 384 — the luma midpoint). With
+      * fixtures built from JPEG-block-aligned uniform 8×8 cells at full
+      * black/white, DC quantization moves each channel by at most a few
+      * counts and can never cross the midpoint, so the COUNT replays
+      * exactly in the analytic oracle while [[decodeImagePixels]]'s
+      * luma_sum would not survive the lossy round-trip. */
+    def decodeImageBright(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+      readImage(bytes).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var n = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            if (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff) >= 384) n += 1
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, n)
+      }
+
     /** REAL PNG chunk walk: every `tEXt` chunk's (keyword, text) pair,
       * in stream order — the embedded alt-text/caption metadata an
       * image-text pair-mining pipeline harvests (the LAION-style
@@ -182,8 +210,21 @@ object Multimodal {
         chunk("tEXt", (k.getBytes("ISO-8859-1") :+ 0.toByte) ++
           v.getBytes("ISO-8859-1"))
       }.toArray
-      // IEND is the final 12 bytes of a well-formed PNG
-      val cut = png.length - 12
+      // locate IEND by the chunk walk, not by assuming it occupies the
+      // final 12 bytes: a PNG with trailing bytes after IEND would get
+      // the tEXt spliced PAST IEND, where pngTextChunks (which stops at
+      // IEND) silently never sees it — a confusing no-op for fixture
+      // reuse
+      var cut = -1
+      var off = 8
+      while (cut < 0 && off + 8 <= png.length) {
+        val len = ((png(off) & 0xffL) << 24) | ((png(off + 1) & 0xffL) << 16) |
+          ((png(off + 2) & 0xffL) << 8) | (png(off + 3) & 0xffL)
+        if (new String(png, off + 4, 4, "ISO-8859-1") == "IEND") cut = off
+        else if (off.toLong + 12L + len > png.length) cut = png.length - 12
+        else off += 12 + len.toInt
+      }
+      require(cut >= 0, "pngAddText: no IEND chunk found")
       png.take(cut) ++ inserted ++ png.drop(cut)
     }
 
@@ -1028,5 +1069,81 @@ object Multimodal {
       bos.toByteArray
     }
     Codecs.encodeAvi(frames, w, h)
+  }
+
+  /** REAL video frame decode for LOSSY per-frame codecs (Motion-JPEG):
+    * walk the RIFF-AVI container, decode every `everyN`-th frame with
+    * the JDK's image readers, and emit the quantization-robust witness
+    * (id, frame_no, width, height, bright_px) with bright_px the count
+    * of pixels at or above the luma midpoint ([[Codecs
+    * .decodeImageBright]]). Same scan shape as [[extractVideoFrames]]:
+    * one container walk + one decode per sampled frame, constant
+    * memory, bytes never shuffle; undecodable assets/frames are
+    * skipped. */
+  def extractFrameBrightness(df: DataFrame, everyN: Int,
+      idCol: String): DataFrame = {
+    require(everyN > 0, "everyN must be > 0")
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bright_px", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol), col(MediaCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val media = r.getAs[Row](MediaCol)
+        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        Codecs.aviFrames(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.collect {
+            case (f, i) if i % everyN == 0 => (f, i)
+          }.flatMap { case (f, i) =>
+            Codecs.decodeImageBright(f).map { case (w, h, n) =>
+              Row(r.get(0), i, w, h, n)
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic Motion-JPEG AVI fixture: `nFrames` JPEG frames (JDK
+    * ImageIO JPEG writer — a REAL lossy encode) whose pixels form a
+    * light/dark checkerboard of 8×8 cells ALIGNED to the JPEG DCT
+    * block grid — cell (cx, cy) of frame f is light iff
+    * (cx + cy + id + f) % 2 = 0. Each cell carries a small
+    * within-block gray ramp (±14 counts via (x%8)+(y%8)), so the
+    * blocks have genuine AC content the quantizer must lose — a
+    * UNIFORM block's DC (8·(v−128)) is always a multiple of the
+    * default-quality DC step and would round-trip bit-exactly,
+    * proving nothing about the lossy path. Light pixels stay ≥ 241
+    * per channel and dark ≤ 14, so quantization/ringing error (a few
+    * counts) can never cross the 384-of-765 luma midpoint: the
+    * [[extractFrameBrightness]] witness replays the cell formula
+    * EXACTLY through a genuinely lossy codec. w and h must be
+    * multiples of 8 for the alignment to hold. */
+  def syntheticMjpegAvi(id: Long, w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dims must align to JPEG blocks")
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val ramp = (x % 8) + (y % 8) // 0..14 of AC content
+          val light = (x / 8 + y / 8 + id + f) % 2 == 0
+          val v = if (light) 255 - ramp else ramp
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          y += 1
+        }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    Codecs.encodeAvi(frames, w, h, fourcc = "MJPG")
   }
 }

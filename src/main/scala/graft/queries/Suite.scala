@@ -4966,6 +4966,43 @@ object Suite {
              |  h::INT AS height, s AS luma_sum
              |FROM px ORDER BY doc_id, frame_no""".stripMargin)),
 
+    Q("m15_mjpeg_decode",
+      // the LOSSY video flavor of m10: Motion-JPEG AVIs whose frames
+      // go through the JDK's REAL JPEG encoder and decoder. Frames are
+      // black/white checkerboards of 8x8 cells aligned to the JPEG DCT
+      // grid, so every luma block is uniform and the only loss is DC
+      // quantization — which cannot move a 0/765 pixel across the 384
+      // midpoint. The bright-pixel count therefore replays the cell
+      // formula EXACTLY through a genuinely lossy codec; same RIFF
+      // walk, same stream-index binding as m10
+      (s, d) => {
+        val mk = udf((id: Long) => Multimodal.syntheticMjpegAvi(
+          id, (16 + 8 * (id % 3)).toInt, (16 + 8 * (id % 2)).toInt,
+          (2 + id % 4).toInt))
+        val media = Multimodal.attachMedia(
+          t(s, d, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism)
+            .withColumn("data", mk(col("doc_id"))), "data", "video/avi")
+        Multimodal.extractFrameBrightness(media, everyN = 2, "doc_id")
+          .select(col("doc_id"), col("frame_no"), col("width"),
+            col("height"), col("bright_px"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    (16 + 8 * (doc_id % 3))::BIGINT AS w,
+             |    (16 + 8 * (doc_id % 2))::BIGINT AS h,
+             |    (2 + doc_id % 4)::BIGINT AS nf FROM documents),
+             |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM g),
+             |c AS (SELECT doc_id, f, w, h,
+             |    (64 * list_sum(flatten(list_transform(range(0, w // 8),
+             |      cx -> list_transform(range(0, h // 8), cy ->
+             |        CASE WHEN (cx + cy + doc_id + f) % 2 = 0
+             |          THEN 1 ELSE 0 END)))))::BIGINT AS bright_px
+             |  FROM fr WHERE f % 2 = 0)
+             |SELECT doc_id, f::INT AS frame_no, w::INT AS width,
+             |  h::INT AS height, bright_px
+             |FROM c ORDER BY doc_id, frame_no""".stripMargin)),
+
     Q("m3_media_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -401,6 +401,59 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out == Set((1L, "alt", "one"), (1L, "lang", "en")))
   }
 
+  test("syntheticMjpegAvi: real lossy JPEG frames, bright-count witness exact") {
+    import spark.implicits._
+    var anyLossy = false
+    for (id <- 0L until 12L) {
+      val w = (16 + 8 * (id % 3)).toInt
+      val h = (16 + 8 * (id % 2)).toInt
+      val nf = (2 + id % 4).toInt
+      val avi = Multimodal.syntheticMjpegAvi(id, w, h, nf)
+      val frames = Multimodal.Codecs.aviFrames(avi).get
+      assert(frames.size == nf)
+      // frames are REAL JPEG streams (SOI marker), not the PNG path
+      assert(frames.forall(f =>
+        (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8))
+      def lightCells(f: Int): Long =
+        (for (cx <- 0 until w / 8; cy <- 0 until h / 8
+          if (cx + cy + id + f) % 2 == 0) yield 1L).sum
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        val (dw, dh, bright) = Multimodal.Codecs.decodeImageBright(fb).get
+        assert(dw == w && dh == h)
+        assert(bright == 64L * lightCells(f),
+          s"id=$id f=$f: bright=$bright expected=${64L * lightCells(f)}")
+        // lossiness probe PER PIXEL (the luma SUM can cancel: the
+        // ramp's block mean is integral, so AC-zeroing decodes to a
+        // uniform block with the identical sum): any decoded pixel
+        // differing from its pre-encode value proves the quantizer
+        // actually lost the AC content
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fb))
+        var x = 0
+        while (x < w && !anyLossy) {
+          var y = 0
+          while (y < h && !anyLossy) {
+            val ramp = (x % 8) + (y % 8)
+            val light = (x / 8 + y / 8 + id + f) % 2 == 0
+            val v = if (light) 255 - ramp else ramp
+            if ((img.getRGB(x, y) & 0xff) != v) anyLossy = true
+            y += 1
+          }
+          x += 1
+        }
+      }
+    }
+    assert(anyLossy, "every JPEG round-trip was pixel-exact — fixture " +
+      "has no AC content for the quantizer to lose?")
+    // the operator path: witness rows bind to original stream indexes
+    val media = Multimodal.attachMedia(
+      Seq((5L, Multimodal.syntheticMjpegAvi(5L, 16, 16, 4)))
+        .toDF("id", "data"), "data", "video/avi")
+    val rows = Multimodal.extractFrameBrightness(media, everyN = 2, "id")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(0, 2))
+  }
+
   test("videoNearDupPairs finds brightness-bumped re-encodes from real frames") {
     import spark.implicits._
     def avi(id: Long, shift: Int) = Multimodal.syntheticAvi(
