@@ -884,6 +884,52 @@ object Bench {
           tkLm.unpersist()
           ()
         }
+        // preference-leaderboard twin (round-10 stretch 6): a derived
+        // (winner, loser) comparison log streams through
+        // PreferenceStream's partial-pair-count store, then the read-
+        // time fold+fit must be INTEGER-IDENTICAL to the batch
+        // Bradley-Terry over the same log — throughput AND the
+        // stream≡batch contract, receipted from a live checkpointed run
+        val prefJson: String = try {
+          val types = array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error"))
+          val cmp = core.Tables.load(spark, sfDir, "events")
+            .select(col("event_type").as("winner"),
+              element_at(types,
+                (pmod(hash(col("event_id") * 17L), lit(5)) + 1).cast("int"))
+                .as("loser"))
+            .filter(col("winner") =!= col("loser"))
+          val nCmp = cmp.count()
+          val prefSrc = java.nio.file.Files
+            .createTempDirectory("graft_es_pref").toString
+          cmp.repartition(8).write.mode("overwrite").parquet(prefSrc)
+          val prefSchema = spark.read.parquet(prefSrc).schema
+          val t2 = System.nanoTime()
+          val pq = streaming.PreferenceStream.start(
+            spark.readStream.schema(prefSchema)
+              .option("maxFilesPerTrigger", "2").parquet(prefSrc),
+            "winner", "loser", s"$base/pref", s"$base/ckpt_pref",
+            trigger = Trigger.AvailableNow())
+          pq.awaitTermination()
+          val prefSec = (System.nanoTime() - t2) / 1e9
+          val prefBatches = pq.recentProgress.length
+          val streamFit = streaming.PreferenceStream
+            .leaderboard(spark, s"$base/pref").collect().toSet
+          val batchFit = operators.Preference.bradleyTerry(cmp)
+            .collect().toSet
+          val fitEqual = streamFit == batchFit
+          System.err.println(
+            f"[bench] e2e_stream.preference: $nCmp comparisons in " +
+              f"$prefSec%.1f s ($prefBatches batches, " +
+              f"${nCmp / prefSec}%.0f cmp/s; stream fit " +
+              f"${if (fitEqual) "==" else "!="} batch fit, " +
+              f"${streamFit.size} items)")
+          f""","preference":{"comparisons":$nCmp,"sec":$prefSec%.3f,"comparisons_per_sec":${nCmp / prefSec}%.0f,"batches":$prefBatches,"items":${streamFit.size},"fit_equal":$fitEqual}"""
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] e2e_stream.preference FAILED: ${e.getMessage}")
+          ""
+        }
         System.err.println(
           f"[bench] e2e_stream: $nDocs docs curated in $curSec%.1f s " +
             f"($curBatches batches, ${nDocs / curSec}%.0f docs/s; " +
@@ -893,7 +939,7 @@ object Bench {
             f"$driftSec%.1f s, $driftRows metric rows")
         e2eStreamCompact =
           f""","e2e_stream":{"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_lm_docs_per_sec":${nDocs / curLmSec}%.0f,"drift_sec":$driftSec%.3f}"""
-        f""","e2e_stream":{"docs":$nDocs,"curation_sec":$curSec%.3f,"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_batches":$curBatches,"accepted":$accepted,"rejected":$rejected,"curation_lm_sec":$curLmSec%.3f,"curation_lm_docs_per_sec":${nDocs / curLmSec}%.0f,"accepted_lm":$acceptedLm,"drift_sec":$driftSec%.3f,"drift_metric_rows":$driftRows}"""
+        f""","e2e_stream":{"docs":$nDocs,"curation_sec":$curSec%.3f,"curation_docs_per_sec":${nDocs / curSec}%.0f,"curation_batches":$curBatches,"accepted":$accepted,"rejected":$rejected,"curation_lm_sec":$curLmSec%.3f,"curation_lm_docs_per_sec":${nDocs / curLmSec}%.0f,"accepted_lm":$acceptedLm,"drift_sec":$driftSec%.3f,"drift_metric_rows":$driftRows$prefJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] e2e_stream FAILED: ${e.getMessage}")
         ""

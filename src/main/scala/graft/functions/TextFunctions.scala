@@ -32,6 +32,34 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  // ---- readability ---------------------------------------------------
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so a
+    * fragment without punctuation still scores as one sentence. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+
+  /** Syllable heuristic: vowel-group runs in the lowercased text (the
+    * standard cheap estimator — 'readability' → read·a·bil·i·ty counts
+    * its 4 vowel groups), floored at 1. */
+  def syllableCount(text: Column): Column =
+    greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1)).cast("long")
+
+  /** Flesch-Kincaid grade level in exact micro-units:
+    * round(1e6 · (0.39·words/sentences + 11.8·syllables/words − 15.59)).
+    * The three counts are exact integers and every coefficient is an
+    * integral double (390000, 11800000, 15590000), so the grade is ONE
+    * fixed double expression over exact longs — engine-replayable. The
+    * curation gate for "too academic / too fragmentary" text buckets. */
+  def fleschKincaidMicro(text: Column): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast("long")
+    val s = sentenceCount(text)
+    val y = syllableCount(text)
+    round(lit(390000.0) * w.cast("double") / s.cast("double") +
+      lit(11800000.0) * y.cast("double") / w.cast("double") -
+      lit(15590000.0)).cast("long")
+  }
+
   // ---- language ID ---------------------------------------------------
 
   /** Tiny per-language stopword signals (top function words). */

@@ -1160,6 +1160,75 @@ object Stats {
       .withColumn(s"anonymous_at_$k", col("s") >= k)
   }
 
+  /** Per-rater Cohen's kappa against the panel consensus — the
+    * label-quality audit that finds WHICH annotator disagrees (where
+    * [[fleissKappa]] scores the panel as a whole): consensus per item
+    * is the majority label (ties to the smallest label, the
+    * [[ratingDisagreement]] rule); each rater's kappa corrects their
+    * raw agreement with that consensus for the agreement their own
+    * label marginals would produce by chance.
+    *
+    * Exactness: po and pe reduce to exact BIGINT counts —
+    * kappa = (agree·n − Σ_k n_rl(k)·n_rc(k)) / (n² − Σ_k n_rl(k)·n_rc(k))
+    * with n_rl the rater's label marginals and n_rc the consensus
+    * marginals over that rater's items — so the final value is ONE
+    * double division over exact integers, engine-replayable. NULL when
+    * chance agreement is total (pe = 1). Scale: count shuffles keyed on
+    * (item) / (rater, label); the per-item window runs over label CELLS,
+    * not ratings. */
+  def raterConsensusKappa(df: DataFrame, item: Column, rater: Column,
+      label: Column): DataFrame = {
+    val r = df.select(item.as("item"), rater.as("rater"),
+        label.as("label"))
+      .filter(col("rater").isNotNull && col("label").isNotNull)
+    val cons = ratingDisagreement(r, col("item"), col("label"))
+      .select(col("item"), col("majority_label").as("consensus"))
+    val j = r.join(cons, Seq("item"))
+    val base = j.groupBy("rater").agg(count(lit(1)).as("n_ratings"),
+      sum(when(col("label") === col("consensus"), 1L).otherwise(0L))
+        .as("agree"))
+    val ml = j.groupBy(col("rater"), col("label")).agg(count(lit(1)).as("nl"))
+    val mc = j.groupBy(col("rater"), col("consensus"))
+      .agg(count(lit(1)).as("nc"))
+    val pe = ml.join(mc,
+        ml("rater") === mc("rater") && ml("label") === mc("consensus"))
+      .groupBy(ml("rater").as("rater"))
+      .agg(sum(col("nl") * col("nc")).as("pe_num"))
+    base.join(pe, Seq("rater"), "left")
+      .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
+      .withColumn("kappa",
+        when(col("n_ratings") * col("n_ratings") === col("pe_num"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("agree") * col("n_ratings") - col("pe_num")).cast("double") /
+              (col("n_ratings") * col("n_ratings") - col("pe_num"))
+                .cast("double"), 6)))
+      .select("rater", "n_ratings", "agree", "pe_num", "kappa")
+  }
+
+  /** Per-rater score bias — the harshness/leniency audit over a numeric
+    * rating column: each rater's mean score and its offset from the
+    * global mean, in exact micro-units. A reward-model pipeline uses
+    * the offset to recenter raters before fitting. Scores fold as
+    * exact micro-unit longs (one map-side-combined groupBy + one 1-row
+    * global that broadcasts); the mean/offset are fixed double
+    * expressions over those longs — engine-replayable. */
+  def raterBias(df: DataFrame, rater: Column, score: Column): DataFrame = {
+    val u = df.select(rater.as("rater"),
+        round(score.cast("double") * 1e6).cast("long").as("u"))
+      .filter(col("rater").isNotNull && col("u").isNotNull)
+    val per = u.groupBy("rater")
+      .agg(count(lit(1)).as("n_ratings"), sum("u").as("su"))
+    val glob = u.agg(count(lit(1)).as("gn"), sum(col("u")).as("gs"))
+    per.crossJoin(broadcast(glob))
+      .select(col("rater"), col("n_ratings"),
+        round(col("su").cast("double") / col("n_ratings").cast("double"))
+          .cast("long").as("mean_micro"),
+        round(col("su").cast("double") / col("n_ratings").cast("double") -
+          col("gs").cast("double") / col("gn").cast("double"))
+          .cast("long").as("bias_micro"))
+  }
+
   /** Suppression k-anonymization — the actionable half of
     * [[kAnonymity]]'s census: drop every row whose quasi-identifier
     * group holds fewer than k rows, so the released corpus satisfies
@@ -1177,6 +1246,39 @@ object Stats {
     require(k >= 1, "k must be positive")
     df.withColumn("__s", count(lit(1)).over(Window.partitionBy(qids: _*)))
       .filter(col("__s") >= k).drop("__s")
+  }
+
+  /** Generalization-ladder k-anonymization (local recoding): `levels`
+    * is a coarsening ladder of quasi-identifier tuples, finest first
+    * (e.g. (type, day, band) → (type, day) → (type)). Rows whose
+    * level-0 group already holds ≥ k rows release at level 0; the
+    * rest ESCALATE — at each subsequent level, group sizes are counted
+    * over only the still-unassigned rows, those now in ≥ k groups
+    * release at that level, and rows failing the coarsest level are
+    * suppressed. Returns the surviving rows with an `anon_level`
+    * column: the granularity at which each row's quasi-identifiers may
+    * be read. Generalizes strictly less than global recoding (which
+    * coarsens EVERY row to the first fully-anonymous level) while
+    * keeping the per-row decision deterministic and SQL-replayable —
+    * the chained window counts are the oracle.
+    *
+    * Scale: one frameless window count per ladder level, each over the
+    * shrinking escalation set; no joins, no sorts. */
+  def kAnonymizeLadder(df: DataFrame, levels: Seq[Seq[Column]],
+      k: Int = 5): DataFrame = {
+    require(levels.nonEmpty, "need at least one ladder level")
+    require(levels.forall(_.nonEmpty), "every level needs at least one QID")
+    require(k >= 1, "k must be positive")
+    var remaining = df
+    val released = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levels.zipWithIndex.foreach { case (qids, i) =>
+      val sized = remaining.withColumn("__s",
+        count(lit(1)).over(Window.partitionBy(qids: _*)))
+      released += sized.filter(col("__s") >= k).drop("__s")
+        .withColumn("anon_level", lit(i))
+      remaining = sized.filter(col("__s") < k).drop("__s")
+    }
+    released.reduce(_ unionByName _)
   }
 
   /** Embedding-space drift between two corpus slices (the unigram-drift

@@ -2164,6 +2164,133 @@ object Suite {
              |    AS emitted_pair_bound
              |FROM g""".stripMargin)),
 
+    Q("l129_rater_kappa",
+      // per-annotator Cohen's kappa vs the panel consensus — finds
+      // WHICH rater disagrees where l119 scores the panel as a whole.
+      // Consensus = per-item majority (ties to smallest label, the
+      // l120 rule); kappa reduces to ONE double division over exact
+      // BIGINT counts (agree*n - sum_k nl_k*nc_k over n^2 - same),
+      // replayed verbatim by the oracle
+      (s, d) => Stats.raterConsensusKappa(t(s, d, "events"),
+          col("event_id") % 400, col("user_id") % 7, col("event_type"))
+        .orderBy("rater"),
+      Some("""WITH r AS (SELECT event_id % 400 AS item,
+             |    user_id % 7 AS rater, event_type AS label FROM events),
+             |cell AS (SELECT item, label, count(*)::BIGINT AS cnt
+             |  FROM r GROUP BY 1, 2),
+             |cons AS (SELECT item, label AS consensus FROM (
+             |    SELECT item, label, row_number() OVER (PARTITION BY item
+             |      ORDER BY cnt DESC, label ASC) AS rn FROM cell)
+             |  WHERE rn = 1),
+             |j AS (SELECT r.rater, r.label, c.consensus
+             |  FROM r JOIN cons c USING (item)),
+             |b AS (SELECT rater, count(*)::BIGINT AS n_ratings,
+             |    sum(CASE WHEN label = consensus THEN 1 ELSE 0 END)::BIGINT
+             |      AS agree
+             |  FROM j GROUP BY 1),
+             |ml AS (SELECT rater, label, count(*)::BIGINT AS nl
+             |  FROM j GROUP BY 1, 2),
+             |mc AS (SELECT rater, consensus, count(*)::BIGINT AS nc
+             |  FROM j GROUP BY 1, 2),
+             |pe AS (SELECT ml.rater, sum(nl * nc)::BIGINT AS pe_num
+             |  FROM ml JOIN mc ON ml.rater = mc.rater
+             |    AND ml.label = mc.consensus GROUP BY 1)
+             |SELECT b.rater, b.n_ratings, b.agree,
+             |  coalesce(pe.pe_num, 0)::BIGINT AS pe_num,
+             |  CASE WHEN b.n_ratings * b.n_ratings = coalesce(pe.pe_num, 0)
+             |    THEN NULL
+             |    ELSE round((b.agree * b.n_ratings
+             |        - coalesce(pe.pe_num, 0))::DOUBLE
+             |      / (b.n_ratings * b.n_ratings - coalesce(pe.pe_num, 0)), 6)
+             |    END AS kappa
+             |FROM b LEFT JOIN pe ON b.rater = pe.rater
+             |ORDER BY b.rater""".stripMargin)),
+
+    Q("l132_rater_bias",
+      // the harshness/leniency audit: each rater's mean score offset
+      // from the global mean, exact micro-unit longs folded map-side,
+      // one broadcast 1-row global, fixed double expressions
+      (s, d) => Stats.raterBias(t(s, d, "events"),
+          col("user_id") % 7, col("value"))
+        .orderBy("rater"),
+      Some("""WITH u AS (SELECT user_id % 7 AS rater,
+             |    CAST(round(value * 1000000) AS BIGINT) AS u FROM events),
+             |p AS (SELECT rater, count(*)::BIGINT AS n_ratings,
+             |    sum(u)::BIGINT AS su FROM u GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS gn, sum(u)::BIGINT AS gs
+             |  FROM u)
+             |SELECT rater, n_ratings,
+             |  CAST(round(su::DOUBLE / n_ratings) AS BIGINT) AS mean_micro,
+             |  CAST(round(su::DOUBLE / n_ratings - gs::DOUBLE / gn)
+             |    AS BIGINT) AS bias_micro
+             |FROM p, g ORDER BY rater""".stripMargin)),
+
+    Q("l130_k_anon_ladder",
+      // generalization-ladder k-anonymization (local recoding): rows
+      // release at the finest quasi-identifier level whose group (over
+      // the rows still unassigned at that level) holds >= k rows;
+      // failures at the coarsest level are suppressed. anon_level is
+      // the granularity the release may read each row at — strictly
+      // less generalization than global recoding, still exactly
+      // SQL-replayable via the chained window counts
+      (s, d) => Stats.kAnonymizeLadder(
+          t(s, d, "events").select(col("event_id"), col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 10).cast("long").as("vband")),
+          Seq(Seq(col("event_type"), col("day"), col("vband")),
+            Seq(col("event_type"), col("day")),
+            Seq(col("event_type"))), k = 5)
+        .orderBy("event_id"),
+      Some("""WITH q AS (SELECT event_id, event_type,
+             |    CAST(ts AS DATE) AS day,
+             |    CAST(floor(value / 10) AS BIGINT) AS vband FROM events),
+             |s0 AS (SELECT *, count(*) OVER (PARTITION BY event_type, day,
+             |    vband) AS c0 FROM q),
+             |rel0 AS (SELECT event_id, event_type, day, vband,
+             |    0 AS anon_level FROM s0 WHERE c0 >= 5),
+             |rem0 AS (SELECT event_id, event_type, day, vband FROM s0
+             |  WHERE c0 < 5),
+             |s1 AS (SELECT *, count(*) OVER (PARTITION BY event_type, day)
+             |    AS c1 FROM rem0),
+             |rel1 AS (SELECT event_id, event_type, day, vband,
+             |    1 AS anon_level FROM s1 WHERE c1 >= 5),
+             |rem1 AS (SELECT event_id, event_type, day, vband FROM s1
+             |  WHERE c1 < 5),
+             |s2 AS (SELECT *, count(*) OVER (PARTITION BY event_type)
+             |    AS c2 FROM rem1),
+             |rel2 AS (SELECT event_id, event_type, day, vband,
+             |    2 AS anon_level FROM s2 WHERE c2 >= 5)
+             |SELECT * FROM (SELECT * FROM rel0 UNION ALL
+             |  SELECT * FROM rel1 UNION ALL SELECT * FROM rel2)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("l131_readability",
+      // Flesch-Kincaid readability over exact integer counts (words,
+      // sentence-terminator runs, vowel-group syllables) — the grade
+      // is one fixed double expression with integral coefficients, so
+      // both engines land on the identical micro-unit long. The
+      // curation gate for too-academic / too-fragmentary buckets
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("words"),
+          TextFunctions.sentenceCount(col("text")).as("sentences"),
+          TextFunctions.syllableCount(col("text")).as("syllables"),
+          TextFunctions.fleschKincaidMicro(col("text"))
+            .as("fk_grade_micro"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), t -> len(t) > 0))::BIGINT AS words,
+             |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             |      ::BIGINT AS sentences,
+             |    greatest(len(regexp_extract_all(lower(text),
+             |      '[aeiouy]+')), 1)::BIGINT AS syllables
+             |  FROM documents)
+             |SELECT doc_id, words, sentences, syllables,
+             |  CAST(round(390000.0 * greatest(words, 1) / sentences
+             |    + 11800000.0 * syllables / greatest(words, 1)
+             |    - 15590000.0) AS BIGINT) AS fk_grade_micro
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
     Q("l127_k_anonymize",
       // the actionable half of the l123 census: suppression — drop
       // every row whose quasi-identifier group holds fewer than k rows,

@@ -790,6 +790,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(0).getLong(3) != r(2).getLong(3))
   }
 
+  test("readability: hand-counted sentences/syllables, floors, exact grade") {
+    import spark.implicits._
+    // "See the cat. It sat!" → 5 words, 2 sentences, 5 vowel groups
+    // (ee, e, a, i, a); grade = 0.39*5/2 + 11.8*5/5 - 15.59 = -2.815
+    val df = Seq(
+      (1L, "See the cat. It sat!"),
+      (2L, "no terminal punctuation here"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"),
+        TextFunctions.sentenceCount(col("text")).as("s"),
+        TextFunctions.syllableCount(col("text")).as("y"),
+        TextFunctions.fleschKincaidMicro(col("text")).as("g"))
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, 5L, 2L, 5L, -2815000L)))
+    // floors: no [.!?] → 1 sentence; empty text → everything floored,
+    // grade defined (0.39*1/1 + 11.8*1/1 - 15.59 = -3.4)
+    assert(out(1)._3 == 1L)
+    assert(out(2) == ((3L, 0L, 1L, 1L, -3400000L)))
+  }
+
   test("media dedup manifest: identical bytes collapse to the lowest id") {
     import spark.implicits._
     val bin = Seq(

@@ -552,6 +552,60 @@ class StatsSpec extends SparkSpec {
     assert(Stats.kAnonymize(df, Seq(col("a")), k = 1).count() == 9L)
   }
 
+  test("raterConsensusKappa: perfect rater 1.0, hand-computed dissenter, chance NULL") {
+    // items A,B,C; raters 1..3. Consensus: A→x (2 of 3), B→y (2 of 3),
+    // C→x (2 of 3). Rater 1 always matches consensus; rater 3 dissents
+    // on every item.
+    val r = Seq(
+      ("A", 1L, "x"), ("A", 2L, "x"), ("A", 3L, "y"),
+      ("B", 1L, "y"), ("B", 2L, "y"), ("B", 3L, "x"),
+      ("C", 1L, "x"), ("C", 2L, "x"), ("C", 3L, "y"))
+      .toDF("item", "rater", "label")
+    val out = Stats.raterConsensusKappa(r, col("item"), col("rater"),
+        col("label")).orderBy("rater").collect()
+    // rater 1: agree 3/3, labels (x:2, y:1), consensus over their items
+    // (x:2, y:1) → pe_num = 2*2 + 1*1 = 5; kappa = (9-5)/(9-5) = 1.0
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L)
+    assert(out(0).getDouble(4) == 1.0)
+    // rater 3: agree 0, labels (y:2, x:1), consensus (x:2, y:1) →
+    // pe_num = 1*2 + 2*1 = 4; kappa = (0-4)/(9-4) = -0.8
+    assert(out(2).getLong(2) == 0L)
+    assert(out(2).getDouble(4) == -0.8)
+    // chance-total rater: one item, one label → pe = 1 → NULL
+    val solo = Seq(("A", 1L, "x"), ("A", 2L, "x")).toDF("item", "rater", "label")
+    val s = Stats.raterConsensusKappa(solo, col("item"), col("rater"),
+      col("label")).collect()
+    assert(s.forall(_.isNullAt(4)))
+  }
+
+  test("raterBias: exact micro-unit offsets vs the global mean") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 40.0), (2L, 50.0))
+      .toDF("rater", "score")
+    val out = Stats.raterBias(df, col("rater"), col("score"))
+      .orderBy("rater").as[(Long, Long, Long, Long)].collect().toSeq
+    // global mean 30; rater 1 mean 15 (bias −15), rater 2 mean 45 (+15)
+    assert(out == Seq((1L, 2L, 15000000L, -15000000L),
+      (2L, 2L, 45000000L, 15000000L)))
+  }
+
+  test("kAnonymizeLadder: rows release at the finest achievable level") {
+    // QIDs (a, b): level 0 = (a, b), level 1 = (a).
+    // ("x","p") ×3 → level 0; ("x","q") ×2 + ("x","r") ×1 escalate and
+    // together make a=x count 3 ≥ k at level 1; ("z",...) ×2 suppressed
+    val df = Seq(
+      ("x", "p", 1), ("x", "p", 2), ("x", "p", 3),
+      ("x", "q", 4), ("x", "q", 5), ("x", "r", 6),
+      ("z", "s", 7), ("z", "t", 8)).toDF("a", "b", "id")
+    val out = Stats.kAnonymizeLadder(df,
+        Seq(Seq(col("a"), col("b")), Seq(col("a"))), k = 3)
+      .orderBy("id").as[(String, String, Int, Int)].collect().toSeq
+    assert(out.map(r => (r._3, r._4)) ==
+      Seq((1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)))
+    // suppressed rows are gone; released set satisfies k at its level:
+    // level-0 rows in (a,b) groups ≥ 3, level-1 rows in (a) groups ≥ 3
+    assert(!out.exists(_._1 == "z"))
+  }
+
   test("embeddingDrift: identical halves cosine 1, opposite halves -1") {
     val df = Seq(
       ("same", 0L, Seq(1.0f, 2.0f)), ("same", 1L, Seq(1.0f, 2.0f)),
