@@ -1178,18 +1178,29 @@ object Stats {
     * not ratings. */
   def raterConsensusKappa(df: DataFrame, item: Column, rater: Column,
       label: Column): DataFrame = {
-    val r = df.select(item.as("item"), rater.as("rater"),
+    // ONE pass over the ratings corpus: everything downstream runs on
+    // the (item, rater, label) CELL table — bounded by items × raters
+    // × labels, not by ratings
+    val cells3 = df.select(item.as("item"), rater.as("rater"),
         label.as("label"))
       .filter(col("rater").isNotNull && col("label").isNotNull)
-    val cons = ratingDisagreement(r, col("item"), col("label"))
+      .groupBy("item", "rater", "label").agg(count(lit(1)).as("n"))
+    val cons = ratingDisagreementCounts(
+        cells3.select(col("item"), col("label"), col("n")))
       .select(col("item"), col("majority_label").as("consensus"))
-    val j = r.join(cons, Seq("item"))
-    val base = j.groupBy("rater").agg(count(lit(1)).as("n_ratings"),
-      sum(when(col("label") === col("consensus"), 1L).otherwise(0L))
-        .as("agree"))
-    val ml = j.groupBy(col("rater"), col("label")).agg(count(lit(1)).as("nl"))
+    // the joined cell frame feeds THREE aggregations (base, label
+    // marginals, consensus marginals); localCheckpoint materializes it
+    // once so the corpus-sized aggregation above doesn't replay per
+    // branch (plan-identical subtrees don't dedupe across different
+    // downstream groupings)
+    val j = cells3.join(cons, Seq("item")).localCheckpoint()
+    val base = j.groupBy("rater").agg(sum(col("n")).as("n_ratings"),
+      sum(when(col("label") === col("consensus"), col("n"))
+        .otherwise(0L)).as("agree"))
+    val ml = j.groupBy(col("rater"), col("label"))
+      .agg(sum(col("n")).as("nl"))
     val mc = j.groupBy(col("rater"), col("consensus"))
-      .agg(count(lit(1)).as("nc"))
+      .agg(sum(col("n")).as("nc"))
     val pe = ml.join(mc,
         ml("rater") === mc("rater") && ml("label") === mc("consensus"))
       .groupBy(ml("rater").as("rater"))
@@ -1260,25 +1271,64 @@ object Stats {
     * be read. Generalizes strictly less than global recoding (which
     * coarsens EVERY row to the first fully-anonymous level) while
     * keeping the per-row decision deterministic and SQL-replayable —
-    * the chained window counts are the oracle.
+    * chained window counts over the escalation sets compute the same
+    * assignment.
     *
-    * Scale: one frameless window count per ladder level, each over the
-    * shrinking escalation set; no joins, no sorts. */
+    * Scale: every row of one combined-QID tuple shares the same fate
+    * at every level (it agrees with its tuple-mates on each level's
+    * keys), so the whole escalation runs on the TUPLE TABLE — one
+    * map-side-combined groupBy over the corpus, a per-level fold on
+    * the (distinct-tuples)-sized table, then one equi-join of the
+    * assignment back onto the corpus. One scan, two corpus shuffles
+    * (the second collapses to a broadcast when the tuple table is
+    * small), never a per-level re-scan. */
   def kAnonymizeLadder(df: DataFrame, levels: Seq[Seq[Column]],
       k: Int = 5): DataFrame = {
     require(levels.nonEmpty, "need at least one ladder level")
     require(levels.forall(_.nonEmpty), "every level needs at least one QID")
     require(k >= 1, "k must be positive")
-    var remaining = df
-    val released = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    levels.zipWithIndex.foreach { case (qids, i) =>
-      val sized = remaining.withColumn("__s",
-        count(lit(1)).over(Window.partitionBy(qids: _*)))
-      released += sized.filter(col("__s") >= k).drop("__s")
-        .withColumn("anon_level", lit(i))
-      remaining = sized.filter(col("__s") < k).drop("__s")
+    // alias every level's expressions so the tuple table carries each
+    // level's keys as named columns (level expressions may be computed,
+    // not just column refs)
+    val aliased = levels.zipWithIndex.flatMap { case (qids, i) =>
+      qids.zipWithIndex.map { case (q, j) => (s"__q${i}_$j", q) }
     }
-    released.reduce(_ unionByName _)
+    val keyed = df.select(
+      df.columns.map(col).toSeq ++
+        aliased.map { case (nm, q) => q.as(nm) }: _*)
+    val levelKeys: Seq[Seq[String]] = levels.zipWithIndex.map {
+      case (qids, i) => qids.indices.map(j => s"__q${i}_$j")
+    }
+    // localCheckpoint: the per-level branches below each re-read the
+    // tuple table; materializing it once means the corpus-sized
+    // aggregation runs ONE scan, not one per ladder level
+    var tuples = keyed
+      .groupBy(aliased.map(a => col(a._1)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    // per-level fold on the tuple table: sum __n by this level's keys
+    // among still-unassigned tuples; ≥ k releases at this level. A
+    // window, not a groupBy+join, so NULL quasi-identifier values form
+    // a group exactly as SQL PARTITION BY does — and the tuple table
+    // is tiny, so the window costs nothing
+    val assignedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levelKeys.zipWithIndex.foreach { case (keys, i) =>
+      val sized = tuples.withColumn("__lv",
+        sum(col("__n")).over(Window.partitionBy(keys.map(col): _*)))
+      assignedParts += sized.filter(col("__lv") >= k)
+        .select(aliased.map(a => col(a._1)) :+ lit(i).as("anon_level"): _*)
+      tuples = sized.filter(col("__lv") < k).drop("__lv")
+    }
+    val assignment = assignedParts.reduce(_ unionByName _).as("__asg")
+    // null-safe equi-join: a NULL QID row must find its tuple's
+    // assignment (plain = would silently suppress every null-keyed row)
+    val src = keyed.as("__src")
+    val cond = aliased.map { case (nm, _) =>
+      col(s"__src.$nm") <=> col(s"__asg.$nm")
+    }.reduce(_ && _)
+    src.join(assignment, cond)
+      .select(df.columns.map(c => col(s"__src.$c")).toSeq :+
+        col("anon_level"): _*)
   }
 
   /** Embedding-space drift between two corpus slices (the unigram-drift
