@@ -1177,14 +1177,22 @@ object Stats {
     * (item) / (rater, label); the per-item window runs over label CELLS,
     * not ratings. */
   def raterConsensusKappa(df: DataFrame, item: Column, rater: Column,
-      label: Column): DataFrame = {
+      label: Column): DataFrame =
     // ONE pass over the ratings corpus: everything downstream runs on
     // the (item, rater, label) CELL table — bounded by items × raters
     // × labels, not by ratings
-    val cells3 = df.select(item.as("item"), rater.as("rater"),
-        label.as("label"))
+    raterConsensusKappaCounts(df
+      .select(item.as("item"), rater.as("rater"), label.as("label"))
       .filter(col("rater").isNotNull && col("label").isNotNull)
-      .groupBy("item", "rater", "label").agg(count(lit(1)).as("n"))
+      .groupBy("item", "rater", "label").agg(count(lit(1)).as("n")))
+
+  /** [[raterConsensusKappa]] from a pre-aggregated
+    * `(item, rater, label, n)` cell frame — duplicate cells fold by
+    * addition, so a streaming counter table's per-batch partials
+    * ([[graft.streaming.RaterQaStream]]) feed in directly. */
+  def raterConsensusKappaCounts(cellCounts: DataFrame): DataFrame = {
+    val cells3 = cellCounts
+      .groupBy("item", "rater", "label").agg(sum(col("n")).as("n"))
     val cons = ratingDisagreementCounts(
         cells3.select(col("item"), col("label"), col("n")))
       .select(col("item"), col("majority_label").as("consensus"))
@@ -1224,13 +1232,21 @@ object Stats {
     * exact micro-unit longs (one map-side-combined groupBy + one 1-row
     * global that broadcasts); the mean/offset are fixed double
     * expressions over those longs — engine-replayable. */
-  def raterBias(df: DataFrame, rater: Column, score: Column): DataFrame = {
-    val u = df.select(rater.as("rater"),
+  def raterBias(df: DataFrame, rater: Column, score: Column): DataFrame =
+    raterBiasCounts(df.select(rater.as("rater"),
         round(score.cast("double") * 1e6).cast("long").as("u"))
       .filter(col("rater").isNotNull && col("u").isNotNull)
-    val per = u.groupBy("rater")
-      .agg(count(lit(1)).as("n_ratings"), sum("u").as("su"))
-    val glob = u.agg(count(lit(1)).as("gn"), sum(col("u")).as("gs"))
+      .groupBy("rater")
+      .agg(count(lit(1)).as("n_ratings"), sum("u").as("su")))
+
+  /** [[raterBias]] from pre-aggregated `(rater, n_ratings, su)` partial
+    * moment rows — partials fold by addition (the streaming counter
+    * seam), and the global mean derives from the folded sums, so the
+    * result over summed partials equals the batch audit exactly. */
+  def raterBiasCounts(partials: DataFrame): DataFrame = {
+    val per = partials.groupBy("rater")
+      .agg(sum(col("n_ratings")).as("n_ratings"), sum(col("su")).as("su"))
+    val glob = per.agg(sum(col("n_ratings")).as("gn"), sum(col("su")).as("gs"))
     per.crossJoin(broadcast(glob))
       .select(col("rater"), col("n_ratings"),
         round(col("su").cast("double") / col("n_ratings").cast("double"))

@@ -188,4 +188,63 @@ class EdgeCasesSpec extends SparkSpec {
     val png = Multimodal.syntheticPngText(1L, 4, 4, Nil)
     assert(Multimodal.Codecs.pngTextChunks(png) == Nil)
   }
+
+  test("round-11 operators: empty inputs, degenerate caps and ladders") {
+    import graft.functions.TextFunctions
+    // pair cap: refused at 0, single-row groups emit nothing, empty in
+    // → empty out (capped and uncapped)
+    val noObs = Seq.empty[(Long, String, Double, Long)]
+      .toDF("g", "item", "score", "id")
+    intercept[IllegalArgumentException] {
+      Preference.impliedComparisons(noObs, "g", "item", "score", "id",
+        maxPairsPerGroup = 0)
+    }
+    assert(Preference.impliedComparisons(noObs, "g", "item", "score",
+      "id", maxPairsPerGroup = 10).isEmpty)
+    val solo = Seq((1L, "a", 1.0, 1L)).toDF("g", "item", "score", "id")
+    assert(Preference.impliedComparisons(solo, "g", "item", "score",
+      "id", maxPairsPerGroup = 1).isEmpty)
+    // census on empty: one row of zero counts (sum of nothing is null →
+    // guarded downstream by the caller; groups/rows are exact zeros)
+    val census = Preference.pairCensus(noObs, "g", 10).collect().head
+    assert(census.getLong(0) == 0L)
+    // lengthBias: empty → empty; self-comparisons impossible
+    assert(Preference.lengthBias(noObs, "g", "score", "id", "id").isEmpty)
+    // k-anonymity family on empty frames
+    val noEv = Seq.empty[(String, Long)].toDF("a", "id")
+    assert(Stats.kAnonymity(noEv, Seq(col("a"))).isEmpty)
+    assert(Stats.kAnonymize(noEv, Seq(col("a"))).isEmpty)
+    assert(Stats.kAnonymizeLadder(noEv,
+      Seq(Seq(col("a")), Seq(lit(1))), k = 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      Stats.kAnonymizeLadder(noEv, Seq.empty, k = 2)
+    }
+    // ladder with NULL quasi-identifiers: nulls form a group (SQL
+    // PARTITION BY semantics), they are not silently suppressed
+    val nullQid = Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 2L), ("x", 3L)).toDF("a", "id")
+    val ladderOut = Stats.kAnonymizeLadder(nullQid,
+        Seq(Seq(col("a"))), k = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ladderOut == Seq(1L, 2L))
+    // rater audits on empty / single-rating inputs
+    val noR = Seq.empty[(String, Long, String)].toDF("item", "rater", "label")
+    assert(Stats.raterConsensusKappa(noR, col("item"), col("rater"),
+      col("label")).isEmpty)
+    assert(Stats.raterBias(Seq.empty[(Long, Double)].toDF("rater", "s"),
+      col("rater"), col("s")).isEmpty)
+    // readability never divides by zero: empty text floors everywhere
+    val fk = Seq((1L, "")).toDF("id", "text")
+      .select(TextFunctions.fleschKincaidMicro(col("text")))
+      .collect().head.getLong(0)
+    assert(fk == -3400000L)
+    // soft dedup weights: empty corpus → empty; no pairs → all
+    // singletons at full weight
+    assert(Dedup.softDedupWeights(emptyDocs, "text", "doc_id").isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val w = Dedup.softDedupWeightsFromPairs(ids, noPairs, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w == Set((1L, 1L, 1L, 1000000L), (2L, 2L, 1L, 1000000L)))
+  }
 }
