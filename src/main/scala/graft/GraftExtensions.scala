@@ -141,6 +141,12 @@ object GraftExtensions {
       val n = if (args.length > 1)
         intLit(args(1), "rolling_fingerprint", "n") else 3
       expression(TextFunctions.rollingFingerprint(column(args.head), n)) },
+    "sentence_count" ->
+      composed("sentence_count", 1)(c => TextFunctions.sentenceCount(c.head)),
+    "syllable_count" ->
+      composed("syllable_count", 1)(c => TextFunctions.syllableCount(c.head)),
+    "flesch_kincaid_micro" -> composed("flesch_kincaid_micro", 1)(
+      c => TextFunctions.fleschKincaidMicro(c.head)),
     "strip_markup" ->
       composed("strip_markup", 1)(c => TextFunctions.stripMarkup(c.head)),
     "canonicalize_url" ->

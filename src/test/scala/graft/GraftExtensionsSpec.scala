@@ -63,6 +63,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql(2).getAs[String]("red").contains("<EMAIL>"))
   }
 
+  test("readability family callable from SQL, equal to the Scala API") {
+    ready
+    import graft.functions.TextFunctions
+    val sql = spark.sql(
+      """SELECT id, sentence_count(text) AS s, syllable_count(text) AS y,
+        |  flesch_kincaid_micro(text) AS fk
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val api = spark.table("ext_docs")
+      .select(col("id"), TextFunctions.sentenceCount(col("text")).as("s"),
+        TextFunctions.syllableCount(col("text")).as("y"),
+        TextFunctions.fleschKincaidMicro(col("text")).as("fk"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == api.toSeq)
+    assert(sql.forall(_.getAs[Long]("s") >= 1L))
+  }
+
   test("round-5 additions callable from SQL, equal to the Scala API") {
     ready
     import graft.functions.TextFunctions
