@@ -952,6 +952,54 @@ object Curation {
     * over the vocabulary); ranks are then assigned on R rows. Ties
     * on frequency break by term string, so ranks are deterministic.
     */
+  /** Multi-turn conversation assembly from a message/event log — the
+    * SFT-data shape every instruction-tuning pipeline builds before
+    * [[validateChat]] screens it: group by `sessionCol`, order turns
+    * by (tsCol, orderCol) INSIDE each group's collected array (an
+    * array_sort, never a global sort), cap at `maxTurns` (the
+    * long-session guard: a runaway bot session cannot blow up a
+    * group), and emit per-conversation statistics plus an
+    * engine-replayable content fingerprint:
+    * (session, n_turns, n_turns_kept, n_tokens, alternation_ok,
+    * first_role, last_role, convo_md5).
+    *
+    * One shuffle on the session key; every derived value is exact
+    * integers, array folds in fixed order, or md5 — so the whole
+    * assembly replays in SQL (list_sort + list_transform + md5).
+    * `orderCol` must be unique per row (the deterministic tie-break
+    * under equal timestamps). */
+  def assembleConversations(df: DataFrame, sessionCol: String,
+      tsCol: String, orderCol: String, roleCol: String, textCol: String,
+      maxTurns: Int = 512): DataFrame = {
+    require(maxTurns >= 1, "maxTurns must be positive")
+    val grouped = df.groupBy(col(sessionCol).as("session"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(
+          col(tsCol).as("ts"), col(orderCol).as("o"),
+          col(roleCol).as("role"), col(textCol).as("text"))))
+          .as("__turns"))
+      .withColumn("__kept", slice(col("__turns"), 1, maxTurns))
+    val kept = col("__kept")
+    val sameAdjacent = size(filter(
+      transform(sequence(lit(2), size(kept)), i =>
+        element_at(kept, i).getField("role") ===
+          element_at(kept, i - 1).getField("role")),
+      x => x))
+    grouped.select(
+      col("session"), col("n_turns"),
+      size(kept).cast("long").as("n_turns_kept"),
+      aggregate(kept, lit(0L), (acc, t) =>
+        acc + size(graft.functions.TextFunctions.tokens(
+          t.getField("text"))).cast("long")).as("n_tokens"),
+      when(size(kept) < 2, lit(true))
+        .otherwise(sameAdjacent === 0).as("alternation_ok"),
+      element_at(kept, 1).getField("role").as("first_role"),
+      element_at(kept, size(kept)).getField("role").as("last_role"),
+      md5(concat_ws("\u0001", transform(kept, t =>
+        concat(t.getField("role"), lit("|"), t.getField("text")))))
+        .as("convo_md5"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String,
       topRanks: Int = 500): DataFrame = {
     val counts = df

@@ -2164,6 +2164,45 @@ object Suite {
              |    AS emitted_pair_bound
              |FROM g""".stripMargin)),
 
+    Q("l133_dialog_assembly",
+      // SFT conversation assembly from a raw message log: per session
+      // (user), turns sorted by (ts, event_id) INSIDE the collected
+      // array — never a global sort — capped at 6 turns (the runaway-
+      // session guard, biting here since sessions average ~67 events),
+      // with exact turn/token counts, an alternation check over the
+      // kept window and an md5 content fingerprint any engine replays
+      (s, d) => Curation.assembleConversations(
+          t(s, d, "events").select(col("user_id").as("session"),
+            unix_timestamp(col("ts")).as("e"), col("event_id"),
+            when(col("event_type").isin("view", "click"), "user")
+              .otherwise("assistant").as("role"),
+            concat(col("event_type"), lit(" "), col("props")).as("text")),
+          "session", "e", "event_id", "role", "text", maxTurns = 6)
+        .orderBy("session"),
+      Some("""WITH t AS (SELECT user_id AS session,
+             |    epoch(ts)::BIGINT AS e, event_id AS o,
+             |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+             |      ELSE 'assistant' END AS role,
+             |    event_type || ' ' || props AS text FROM events),
+             |g AS (SELECT session, count(*)::BIGINT AS n_turns,
+             |    list_sort(list(struct_pack(ts := e, o := o,
+             |      role := role, text := text))) AS turns
+             |  FROM t GROUP BY 1),
+             |k AS (SELECT session, n_turns,
+             |    turns[1:least(len(turns), 6)] AS kept FROM g)
+             |SELECT session, n_turns, len(kept)::BIGINT AS n_turns_kept,
+             |  list_sum(list_transform(kept, x ->
+             |    len(list_filter(string_split_regex(lower(trim(x.text)),
+             |      '\s+'), y -> len(y) > 0))))::BIGINT AS n_tokens,
+             |  (len(kept) < 2 OR len(list_filter(range(2, len(kept) + 1),
+             |    i -> kept[i].role = kept[i-1].role)) = 0)
+             |    AS alternation_ok,
+             |  kept[1].role AS first_role,
+             |  kept[len(kept)].role AS last_role,
+             |  md5(array_to_string(list_transform(kept,
+             |    x -> x.role || '|' || x.text), chr(1))) AS convo_md5
+             |FROM k ORDER BY session""".stripMargin)),
+
     Q("l129_rater_kappa",
       // per-annotator Cohen's kappa vs the panel consensus — finds
       // WHICH rater disagrees where l119 scores the panel as a whole.

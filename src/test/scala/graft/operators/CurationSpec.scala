@@ -667,4 +667,43 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "copy_no").as[(Long, Long)].collect().sorted
     assert(!a.sameElements(c)) // a new seed picks a different extra slice
   }
+
+  test("assembleConversations: order, cap, alternation, fingerprint") {
+    import spark.implicits._
+    // session 1: out-of-order arrival, ties on ts broken by the unique
+    // order col; alternates user/assistant. session 2: two user turns
+    // in a row. session 3: a single turn.
+    val log = Seq(
+      (1L, 30L, 103L, "user", "fine thanks"),
+      (1L, 10L, 101L, "user", "hello there"),
+      (1L, 20L, 102L, "assistant", "hi"),
+      (1L, 30L, 104L, "assistant", "bye"),
+      (2L, 10L, 201L, "user", "a b"),
+      (2L, 20L, 202L, "user", "c"),
+      (3L, 10L, 301L, "user", "solo"))
+      .toDF("session", "e", "id", "role", "text")
+    val out = Curation.assembleConversations(log, "session", "e", "id",
+        "role", "text", maxTurns = 512)
+      .orderBy("session").collect()
+    val s1 = out(0)
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 4L) // turns kept
+    assert(s1.getLong(3) == 6L) // hello there|hi|fine thanks|bye tokens
+    assert(s1.getBoolean(4), "u/a/u/a alternates (ts ties broken by id)")
+    assert(s1.getString(5) == "user" && s1.getString(6) == "assistant")
+    // fingerprint binds content AND order: recompute by hand
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq("user|hello there", "assistant|hi",
+        "user|fine thanks", "assistant|bye").mkString("\u0001")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(s1.getString(7) == expectMd5)
+    assert(!out(1).getBoolean(4), "double user turn breaks alternation")
+    assert(out(2).getBoolean(4) && out(2).getLong(2) == 1L)
+    // the cap keeps the EARLIEST turns and recounts tokens over them
+    val capped = Curation.assembleConversations(log, "session", "e",
+        "id", "role", "text", maxTurns = 2)
+      .orderBy("session").collect()
+    assert(capped(0).getLong(1) == 4L && capped(0).getLong(2) == 2L)
+    assert(capped(0).getLong(3) == 3L) // hello there + hi
+    assert(capped(0).getString(6) == "assistant")
+  }
 }
