@@ -1000,6 +1000,78 @@ object Curation {
         .as("convo_md5"))
   }
 
+  /** Heaps-law vocabulary-growth fit — the corpus-planning companion to
+    * [[zipfFit]]: how fast does the vocabulary grow as the corpus
+    * grows? Measures distinct token TYPES at `points` nested
+    * deterministic corpus prefixes (portable-md5 cuts at fractions
+    * 2^-(points-1) … 1, the [[hashSamplePortable]] discipline — each
+    * prefix is a subset of the next, so the points are one growth
+    * curve, not independent samples), then fits log V = log k +
+    * β·log N by least squares over the valid points.
+    *
+    * Scale shape: ONE pass over the corpus tokens — per-token MINIMUM
+    * doc-hash (map-side-combined), then every cut's type count is
+    * "tokens whose min-hash clears the cut", a single conditional-sum
+    * aggregation; never `points` corpus scans. The fit folds a
+    * ≤points-element sorted array in fixed order (exact integer
+    * counts, ln/round at the very end), so any engine replays the β.
+    * Returns one row per point: (point, docs_n, types_n, beta,
+    * log_k) — β ≈ 0.4-0.6 on natural language (Heaps 1978). */
+  def heapsFit(df: DataFrame, textCol: String, idCol: String,
+      points: Int = 8, seed: Long = 7L): DataFrame = {
+    require(points >= 2 && points <= 20, "points must be in [2, 20]")
+    val cuts: Seq[Long] = (0 until points)
+      .map(k => portableCut(math.pow(2.0, -(points - 1 - k).toDouble)))
+    val docs = df.select(col(idCol).cast("string").as("__id"),
+        col(textCol).as("__t"))
+      .withColumn("__h", conv(substring(md5(concat(lit(seed.toString),
+        lit(":"), col("__id"))), 1, 15), 16, 10).cast("long"))
+    // per-cut doc counts: one row of `points` conditional sums
+    val docSums = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__h") < c, 1L).otherwise(0L)).as(s"d$i")
+    }
+    val docRow = docs.agg(docSums.head, docSums.tail: _*)
+    // per-token min doc-hash → per-cut type counts, same shape
+    val typeSums = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__mh") < c, 1L).otherwise(0L)).as(s"t$i")
+    }
+    val typeRow = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("__t")))
+        .as("__tok"), col("__h"))
+      .groupBy("__tok").agg(min(col("__h")).as("__mh"))
+      .agg(typeSums.head, typeSums.tail: _*)
+    val pts = docRow.crossJoin(typeRow).select(
+      posexplode(array((0 until points).map(i =>
+        struct(col(s"d$i").as("docs_n"), col(s"t$i").as("types_n"))): _*))
+        .as(Seq("point", "p")))
+      .select(col("point"), col("p.docs_n").as("docs_n"),
+        col("p.types_n").as("types_n"))
+    // least squares over ln pairs, valid points only, fixed fold order
+    val valid = filter(col("__arr"), p =>
+      p.getField("docs_n") > 0 && p.getField("types_n") > 0)
+    def fold(f: Column => Column) = aggregate(col("__v"), lit(0.0),
+      (acc, p) => acc + f(p))
+    val x = (p: Column) => log(p.getField("docs_n").cast("double"))
+    val y = (p: Column) => log(p.getField("types_n").cast("double"))
+    val fit = pts
+      .agg(array_sort(collect_list(struct(col("point"), col("docs_n"),
+        col("types_n")))).as("__arr"))
+      .withColumn("__v", valid)
+      .select(size(col("__v")).cast("double").as("__n"),
+        fold(x).as("__sx"), fold(y).as("__sy"),
+        fold(p => x(p) * x(p)).as("__sxx"),
+        fold(p => x(p) * y(p)).as("__sxy"))
+      .select(
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("beta"),
+        round((col("__sy") - ((col("__n") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("__n"), 6).as("log_k"))
+    pts.crossJoin(broadcast(fit))
+  }
+
   def zipfFit(df: DataFrame, textCol: String,
       topRanks: Int = 500): DataFrame = {
     val counts = df

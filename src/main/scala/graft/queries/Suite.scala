@@ -2164,6 +2164,51 @@ object Suite {
              |    AS emitted_pair_bound
              |FROM g""".stripMargin)),
 
+    Q("l134_heaps_fit",
+      // Heaps-law vocabulary growth — the corpus-planning companion to
+      // l98's Zipf fit: distinct token types at 6 NESTED portable-md5
+      // corpus prefixes (1/32 … 1, each a subset of the next — one
+      // growth curve, not independent samples), then log V = log k +
+      // beta*log N by least squares over a fixed-order ≤6-element
+      // fold. ONE token pass: per-token MIN doc-hash, each cut's type
+      // count = tokens whose min-hash clears the cut
+      (s, d) => Curation.heapsFit(t(s, d, "documents"), "text",
+          "doc_id", points = 6, seed = 7)
+        .orderBy("point"),
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |    ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT
+              |      AS h FROM documents),
+              |dc AS (SELECT
+              |    ${(0 until 6).map(i => s"sum(CASE WHEN h < ${Curation.portableCut(math.pow(2.0, -(5 - i).toDouble))} THEN 1 ELSE 0 END)::BIGINT AS d$i").mkString(", ")}
+              |  FROM d),
+              |tok AS (SELECT unnest(list_filter(string_split_regex(
+              |    lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok, h
+              |  FROM d),
+              |tm AS (SELECT tok, min(h) AS mh FROM tok GROUP BY 1),
+              |tc AS (SELECT
+              |    ${(0 until 6).map(i => s"sum(CASE WHEN mh < ${Curation.portableCut(math.pow(2.0, -(5 - i).toDouble))} THEN 1 ELSE 0 END)::BIGINT AS t$i").mkString(", ")}
+              |  FROM tm),
+              |pr AS (SELECT unnest(range(0, 6))::INT AS point,
+              |    unnest([d0, d1, d2, d3, d4, d5]) AS docs_n,
+              |    unnest([t0, t1, t2, t3, t4, t5]) AS types_n
+              |  FROM dc, tc),
+              |arr AS (SELECT list(struct_pack(x := ln(docs_n::DOUBLE),
+              |      y := ln(types_n::DOUBLE)) ORDER BY point) AS a
+              |  FROM pr WHERE docs_n > 0 AND types_n > 0),
+              |f AS (SELECT len(a)::DOUBLE AS n,
+              |    list_sum(list_transform(a, e -> e.x)) AS sx,
+              |    list_sum(list_transform(a, e -> e.y)) AS sy,
+              |    list_sum(list_transform(a, e -> e.x * e.x)) AS sxx,
+              |    list_sum(list_transform(a, e -> e.x * e.y)) AS sxy
+              |  FROM arr)
+              |SELECT pr.point, pr.docs_n, pr.types_n,
+              |  round((f.n * f.sxy - f.sx * f.sy)
+              |    / (f.n * f.sxx - f.sx * f.sx), 6) AS beta,
+              |  round((f.sy - ((f.n * f.sxy - f.sx * f.sy)
+              |    / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n, 6)
+              |    AS log_k
+              |FROM pr, f ORDER BY pr.point""".stripMargin)),
+
     Q("l133_dialog_assembly",
       // SFT conversation assembly from a raw message log: per session
       // (user), turns sorted by (ts, event_id) INSIDE the collected

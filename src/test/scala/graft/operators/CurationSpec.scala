@@ -668,6 +668,37 @@ class CurationSpec extends SparkSpec {
     assert(!a.sameElements(c)) // a new seed picks a different extra slice
   }
 
+  test("heapsFit: planted exact power laws recovered; curve is nested") {
+    import spark.implicits._
+    // disjoint vocabularies: every doc contributes exactly 3 new
+    // types, so V = 3N — collinear in log-log, beta exactly 1
+    val disjoint = (1L to 400L)
+      .map(i => (i, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val d = Curation.heapsFit(disjoint, "text", "doc_id", points = 5)
+      .orderBy("point").collect()
+    assert(d.forall(_.getDouble(3) == 1.0), "beta = 1 for disjoint vocab")
+    assert(math.abs(d.head.getDouble(4) - math.log(3.0)) < 1e-6)
+    // the prefixes are NESTED: docs_n and types_n monotone, the last
+    // point is the full corpus, and types = 3*docs at every point
+    val docsN = d.map(_.getLong(1)); val typesN = d.map(_.getLong(2))
+    assert(docsN.sameElements(docsN.sorted) &&
+      typesN.sameElements(typesN.sorted))
+    assert(docsN.last == 400L && typesN.last == 1200L)
+    assert(d.forall(r => r.getLong(2) == 3L * r.getLong(1)))
+    // shared vocabulary: every doc repeats the same 4 types — V
+    // constant, beta exactly 0, log k = ln 4
+    val shared = (1L to 400L)
+      .map(i => (i, "pad tok one two")).toDF("doc_id", "text")
+    val s = Curation.heapsFit(shared, "text", "doc_id", points = 5)
+      .orderBy("point").collect()
+    assert(s.forall(_.getDouble(3) == 0.0), "beta = 0 for fixed vocab")
+    assert(math.abs(s.head.getDouble(4) - math.log(4.0)) < 1e-6)
+    // layout independence: exact counts + fixed-order folds
+    val again = Curation.heapsFit(disjoint.repartition(7), "text",
+      "doc_id", points = 5).orderBy("point").collect()
+    assert(d.toSeq == again.toSeq)
+  }
+
   test("assembleConversations: order, cap, alternation, fingerprint") {
     import spark.implicits._
     // session 1: out-of-order arrival, ties on ts broken by the unique
