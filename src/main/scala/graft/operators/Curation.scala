@@ -1000,6 +1000,42 @@ object Curation {
         .as("convo_md5"))
   }
 
+  /** Inter-source vocabulary overlap — the mixture-planning view of
+    * the corpus: for every unordered pair of sources, the exact
+    * token-TYPE Jaccard between their vocabularies (how much would
+    * dropping source B lose that source A doesn't already cover?).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, token)
+    * pairs in one map-side-combined pass; the pair matrix comes from
+    * a self-equi-join ON THE TOKEN (per-token fan-out ≤ sources², a
+    * small constant — never doc×doc), and per-source type counts are
+    * one more aggregation over the same distinct frame. All exact
+    * integers; jaccard is one rounded division. */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val st = df.select(col(sourceCol).as("__src"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__tok"))
+      .filter(col("__src").isNotNull)
+      .distinct()
+    val types = st.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val a = st.as("a"); val b = st.as("b")
+    val common = a.join(b, col("a.__tok") === col("b.__tok") &&
+        col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("common_types"))
+    common
+      .join(types.select(col("__src").as("src_a"),
+        col("__n").as("types_a")), Seq("src_a"))
+      .join(types.select(col("__src").as("src_b"),
+        col("__n").as("types_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("types_a"),
+        col("types_b"), col("common_types"),
+        round(col("common_types").cast("double") /
+          (col("types_a") + col("types_b") - col("common_types"))
+            .cast("double"), 6).as("jaccard"))
+  }
+
   /** Heaps-law vocabulary-growth fit — the corpus-planning companion to
     * [[zipfFit]]: how fast does the vocabulary grow as the corpus
     * grows? Measures distinct token TYPES at `points` nested

@@ -2164,6 +2164,32 @@ object Suite {
              |    AS emitted_pair_bound
              |FROM g""".stripMargin)),
 
+    Q("l135_source_overlap",
+      // mixture planning: exact token-TYPE Jaccard between every pair
+      // of sources — "how much vocabulary would dropping source B lose
+      // that A doesn't cover". Corpus reduces to distinct (source,
+      // token) once; the pair matrix is a token-keyed self-join with
+      // fan-out <= sources^2 per token, never doc x doc
+      (s, d) => Curation.sourceOverlap(t(s, d, "documents"),
+          "source", "text")
+        .orderBy("src_a", "src_b"),
+      Some("""WITH st AS (SELECT DISTINCT source AS src,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), x -> len(x) > 0)) AS tok
+             |  FROM documents WHERE source IS NOT NULL),
+             |ty AS (SELECT src, count(*)::BIGINT AS n FROM st GROUP BY 1),
+             |cm AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    count(*)::BIGINT AS common_types
+             |  FROM st a JOIN st b ON a.tok = b.tok AND a.src < b.src
+             |  GROUP BY 1, 2)
+             |SELECT cm.src_a, cm.src_b, ta.n AS types_a, tb.n AS types_b,
+             |  cm.common_types,
+             |  round(cm.common_types::DOUBLE
+             |    / (ta.n + tb.n - cm.common_types), 6) AS jaccard
+             |FROM cm JOIN ty ta ON ta.src = cm.src_a
+             |  JOIN ty tb ON tb.src = cm.src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

@@ -668,6 +668,26 @@ class CurationSpec extends SparkSpec {
     assert(!a.sameElements(c)) // a new seed picks a different extra slice
   }
 
+  test("sourceOverlap: exact planted Jaccard, duplicate tokens collapse") {
+    import spark.implicits._
+    // A = {x,y,z}, B = {y,z,w} (y repeated — types, not occurrences),
+    // C = {q} disjoint from A
+    val d = Seq(
+      ("A", "x y z"), ("A", "y"),
+      ("B", "y z w w"), ("B", "y"),
+      ("C", "q")).toDF("source", "text")
+    val out = Curation.sourceOverlap(d, "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // pairs with zero common types don't appear (inner join) — A/C, B/C absent
+    assert(out == Seq(("A", "B", 3L, 3L, 2L, 0.5)))
+    // layout-independent exact integers
+    val again = Curation.sourceOverlap(d.repartition(5), "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
+
   test("heapsFit: planted exact power laws recovered; curve is nested") {
     import spark.implicits._
     // disjoint vocabularies: every doc contributes exactly 3 new
