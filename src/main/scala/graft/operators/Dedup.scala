@@ -1300,4 +1300,49 @@ object Dedup {
         round(lit(1.0e6) / col("cluster_size").cast("double"))
           .cast("long").as("weight_ppm"))
   }
+
+  /** Cross-source duplicate-flow matrix — the inter-crawl overlap audit
+    * a web-corpus pipeline runs per snapshot: for every unordered pair
+    * of sources, how many exact-duplicate texts do they share, how many
+    * documents on each side carry one of those shared texts, and what
+    * fraction of each source that is. "How much of crawl B is already
+    * in crawl A" decides whether to dedupe against history or keep the
+    * dump (reference mixes crawl snapshots per
+    * dev-clickhouse/pipelines, which faces exactly this on re-ingest).
+    *
+    * Output per pair (src_a < src_b): (src_a, src_b, shared_texts,
+    * docs_a, docs_b, share_a, share_b) where docs_a counts source-a
+    * documents whose text also occurs in source b, and share_a =
+    * docs_a / total docs of source a, rounded 6dp. Pairs sharing
+    * nothing don't appear.
+    *
+    * Scale shape: the corpus collapses to one row per (text-hash,
+    * source) with a doc count — map-side-combined, the shuffle carries
+    * (hash, source, count), never document bodies. The pair matrix is
+    * a self-equi-join ON THE HASH (per-text fan-out ≤ sources², a
+    * small constant — never doc×doc), and per-source totals are one
+    * tiny aggregate broadcast back. */
+  def crossSourceDupFlow(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val st = df.filter(col(sourceCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"), col(sourceCol).as("__src"))
+      .groupBy("__h", "__src").agg(count(lit(1)).as("__n"))
+    val totals = st.groupBy("__src").agg(sum("__n").as("__tot"))
+    val a = st.as("a"); val b = st.as("b")
+    a.join(b, col("a.__h") === col("b.__h") &&
+        col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("shared_texts"),
+        sum(col("a.__n")).as("docs_a"), sum(col("b.__n")).as("docs_b"))
+      .join(broadcast(totals.select(col("__src").as("src_a"),
+        col("__tot").as("total_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("__src").as("src_b"),
+        col("__tot").as("total_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_texts"),
+        col("docs_a"), col("docs_b"),
+        round(col("docs_a").cast("double") /
+          col("total_a").cast("double"), 6).as("share_a"),
+        round(col("docs_b").cast("double") /
+          col("total_b").cast("double"), 6).as("share_b"))
+  }
 }

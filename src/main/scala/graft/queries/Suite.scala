@@ -2190,6 +2190,89 @@ object Suite {
              |  JOIN ty tb ON tb.src = cm.src_b
              |ORDER BY src_a, src_b""".stripMargin)),
 
+    Q("l136_dup_flow",
+      // inter-crawl overlap audit: synthesize a "recrawl" snapshot that
+      // re-ingests the first 300 docs, then measure the exact-duplicate
+      // flow between every source pair — how many shared texts, how
+      // many docs on each side, what fraction of each source. Corpus
+      // collapses to (text-hash, source, count) map-side; pair matrix
+      // is a hash-keyed self-join (fan-out <= sources^2 per text),
+      // never doc x doc
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withRecrawl = docs.select("doc_id", "text", "source")
+          .unionByName(docs.filter(col("doc_id") < 300)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+              lit("recrawl").as("source")))
+        Dedup.crossSourceDupFlow(withRecrawl, "text", "source")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text, 'recrawl'
+             |  FROM documents WHERE doc_id < 300),
+             |st AS (SELECT text, source AS src, count(*)::BIGINT AS n
+             |  FROM corpus WHERE source IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT src, sum(n)::BIGINT AS total FROM st GROUP BY 1),
+             |pairs AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    count(*)::BIGINT AS shared_texts,
+             |    sum(a.n)::BIGINT AS docs_a, sum(b.n)::BIGINT AS docs_b
+             |  FROM st a JOIN st b ON a.text = b.text AND a.src < b.src
+             |  GROUP BY 1, 2)
+             |SELECT p.src_a, p.src_b, p.shared_texts, p.docs_a, p.docs_b,
+             |  round(p.docs_a::DOUBLE / ta.total, 6) AS share_a,
+             |  round(p.docs_b::DOUBLE / tb.total, 6) AS share_b
+             |FROM pairs p JOIN tot ta ON ta.src = p.src_a
+             |  JOIN tot tb ON tb.src = p.src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    Q("l137_domain_gate",
+      // FineWeb-style group-tier curation: judge whole sources by mean
+      // quality (exact micro-unit integer mean), gate every doc with
+      // its source's keep/review/drop tier, report the per-(source,
+      // tier) census. One map-side-combined agg over the source key +
+      // a broadcast join back — document rows shuffle zero times
+      (s, d) => Curation.groupGate(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("q")),
+          "source", col("q"), minDocs = 3L,
+          dropBelow = 0.75, keepAbove = 0.77)
+        .groupBy("source", "tier", "n_docs", "mean_score_micro")
+        .agg(count(lit(1)).as("n_gated"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "tier"),
+      Some("""WITH x AS (SELECT doc_id, source,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> len(t) > 0))::BIGINT AS n_tok,
+             |  length(text)::BIGINT AS n_char,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> list_contains(['the','a','of','and','to','in','is','that',
+             |      'it','for'], t)))::BIGINT AS stop_hits
+             |  FROM documents),
+             |s AS (SELECT doc_id, source,
+             |  least(n_tok * 1000000 // 64, 1000000) AS len_s,
+             |  1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |    1000000) AS punct_s,
+             |  least(stop_hits * 5000000 // greatest(n_tok, 1), 1000000) AS stop_s,
+             |  1000000 - least(abs(n_char - n_tok + 1 - 5 * greatest(n_tok, 1))
+             |    * 1000000 // (5 * greatest(n_tok, 1)), 1000000) AS word_s
+             |  FROM x),
+             |q AS (SELECT doc_id, source,
+             |  (len_s * 3 + punct_s * 3 + stop_s * 2 + word_s * 2) // 10
+             |    AS q_micro FROM s),
+             |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+             |    sum(q_micro)::BIGINT // count(*)::BIGINT AS mean_score_micro
+             |  FROM q GROUP BY 1),
+             |tiered AS (SELECT source, n_docs, mean_score_micro,
+             |  CASE WHEN mean_score_micro < 750000 THEN 'drop'
+             |       WHEN mean_score_micro >= 770000 AND n_docs >= 3
+             |         THEN 'keep'
+             |       ELSE 'review' END AS tier FROM g)
+             |SELECT q.source AS source, t.tier, t.n_docs, t.mean_score_micro,
+             |  count(*)::BIGINT AS n_gated, min(q.doc_id) AS first_doc
+             |FROM q JOIN tiered t ON t.source = q.source
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

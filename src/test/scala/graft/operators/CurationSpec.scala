@@ -688,6 +688,32 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("groupGate: exact micro-mean tiers; minDocs blocks small keeps") {
+    import spark.implicits._
+    // good: mean 0.8 over 3 docs -> keep; bad: mean 0.2 -> drop;
+    // mid: mean 0.4 -> review; tiny: mean 0.9 but only 2 docs -> review
+    val d = Seq(
+      ("good", 1L, 0.7), ("good", 2L, 0.8), ("good", 3L, 0.9),
+      ("bad", 4L, 0.1), ("bad", 5L, 0.3),
+      ("mid", 6L, 0.4), ("mid", 7L, 0.35), ("mid", 8L, 0.45),
+      ("tiny", 9L, 0.9), ("tiny", 10L, 0.9)).toDF("source", "doc_id", "q")
+    val out = Curation.groupGate(d, "source", col("q"),
+        minDocs = 3L, dropBelow = 0.3, keepAbove = 0.5)
+      .select("source", "doc_id", "tier", "n_docs", "mean_score_micro")
+      .orderBy("doc_id")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("good").forall(r => r._3 == "keep" && r._4 == 3L &&
+      r._5 == 800000L))
+    assert(bySrc("bad").forall(r => r._3 == "drop" && r._5 == 200000L))
+    assert(bySrc("mid").forall(r => r._3 == "review" && r._5 == 400000L))
+    // above keepAbove but under minDocs: review, never keep
+    assert(bySrc("tiny").forall(r => r._3 == "review" && r._4 == 2L &&
+      r._5 == 900000L))
+    // every input doc survives with its tier attached
+    assert(out.map(_._2).sorted == (1L to 10L))
+  }
+
   test("heapsFit: planted exact power laws recovered; curve is nested") {
     import spark.implicits._
     // disjoint vocabularies: every doc contributes exactly 3 new

@@ -1051,4 +1051,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter(r => r._1 > 3L)
       .forall(r => r._2 == r._1 && r._3 == 1L && r._4 == 1000000L))
   }
+
+  test("crossSourceDupFlow: planted inter-source duplicate matrix") {
+    import spark.implicits._
+    // A: {t1, t2, t3}; B: {t1, t1, t4}; C: {t2, t5}; D: {u} disjoint
+    val docs = Seq(
+      ("A", "t1"), ("A", "t2"), ("A", "t3"),
+      ("B", "t1"), ("B", "t1"), ("B", "t4"),
+      ("C", "t2"), ("C", "t5"),
+      ("D", "u")).toDF("source", "text")
+    val out = Dedup.crossSourceDupFlow(docs, "text", "source")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // A∩B share t1: 1 shared text, 1 doc of A, 2 docs of B (dup count!),
+    // shares 1/3 and 2/3; A∩C share t2: 1/3 and 1/2. D never appears.
+    assert(out == Seq(
+      ("A", "B", 1L, 1L, 2L, 0.333333, 0.666667),
+      ("A", "C", 1L, 1L, 1L, 0.333333, 0.5)))
+    // layout-independent exact integers
+    val again = Dedup.crossSourceDupFlow(docs.repartition(7), "text",
+        "source").orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(again == out)
+  }
 }
