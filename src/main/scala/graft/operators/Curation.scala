@@ -1397,4 +1397,77 @@ object Curation {
       .otherwise(lit("review")))
     df.join(broadcast(tiered), Seq(groupCol))
   }
+
+  /** Paragraph-level quality pruning — the trafilatura-style boilerplate
+    * cut that judges each paragraph, not the whole page: split `textCol`
+    * on `sep`, score every non-blank paragraph with
+    * [[graft.functions.TextFunctions.qualityScore]], drop paragraphs
+    * scoring below `minScore`, and reassemble each document from its
+    * survivors in original order. The comparison runs on exact
+    * micro-units (round(score·1e6) ≥ round(minScore·1e6)) so a
+    * cross-engine replay cannot flip at a float boundary.
+    *
+    * Output: (idCol, textCol rebuilt — "" when nothing survives,
+    * n_kept, n_dropped) — one row per input doc, auditable either way.
+    *
+    * Scale shape: posexplode + a map-side score, then ONE aggregate
+    * back to the doc key (collect_list skips the nulls the dropped
+    * paragraphs become; sort_array restores document order without a
+    * window). Text bodies shuffle once, already filtered. */
+  def paragraphQualityPrune(df: DataFrame, textCol: String,
+      idCol: String, sep: String = "\n\n",
+      minScore: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val cut = math.round(minScore * 1e6)
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__p")))
+      .filter(trim(col("__p")) =!= "")
+      .withColumn("__keep",
+        round(TextFunctions.qualityScore(col("__p")) * lit(1e6))
+          .cast("long") >= lit(cut))
+    paras.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__p"))))),
+          s => s.getField("__p")), sep).as(textCol),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Out-of-vocabulary planning curve — the "what vocab size do we
+    * need" companion to [[zipfFit]]/[[heapsFit]]: for each candidate
+    * vocabulary size k in `ks`, the fraction of corpus token
+    * OCCURRENCES that fall outside the top-k most frequent types
+    * (ties broken by token text, so the ranking is a total order any
+    * engine replays). Output per k: (k, oov_tokens, total_tokens,
+    * oov_rate rounded 6dp), ordered by k.
+    *
+    * Scale shape: the corpus collapses to one map-side-combined token
+    * count (vocab-sized, Heaps-bounded — far smaller than the corpus);
+    * the global rank window runs over THAT frame only, and the k-curve
+    * is a small-literal explode + one more aggregate. Token text never
+    * shuffles twice. */
+  def oovCurve(df: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    import graft.functions.TextFunctions
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .withColumn("__rank", row_number().over(Window.orderBy(
+        col("__n").desc, col("__tok").asc)))
+    val ksDf = df.sparkSession.range(1).select(
+      explode(array(ks.sorted.map(k => lit(k)): _*)).as("k"))
+    counts.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(sum(when(col("__rank") > col("k"), col("__n"))
+          .otherwise(0L)).as("oov_tokens"),
+        sum("__n").as("total_tokens"))
+      .select(col("k"), col("oov_tokens"), col("total_tokens"),
+        round(col("oov_tokens").cast("double") /
+          greatest(col("total_tokens"), lit(1L)).cast("double"), 6)
+          .as("oov_rate"))
+  }
 }

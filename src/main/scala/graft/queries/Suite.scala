@@ -2273,6 +2273,82 @@ object Suite {
              |FROM q JOIN tiered t ON t.source = q.source
              |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin)),
 
+    Q("l138_paragraph_prune",
+      // trafilatura-style boilerplate cut: paragraph-ize (l31's
+      // deterministic 10-word breaker), score each paragraph with the
+      // exact micro-unit quality score, drop the low scorers, rebuild
+      // each doc from survivors in order. One posexplode + map-side
+      // score + one agg back to the doc key — text shuffles once,
+      // already filtered
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\w+ ){9}\\w+) ", "$1\n\n"))
+        Curation.paragraphQualityPrune(docs, "text", "doc_id",
+            minScore = 0.56)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("n_kept"), col("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    regexp_replace(text, '((\w+ ){9}\w+) ',
+             |      '\1' || chr(10) || chr(10), 'g') AS text FROM documents),
+             |p0 AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10) || chr(10))) AS p,
+             |    generate_subscripts(string_split(text,
+             |      chr(10) || chr(10)), 1) AS idx FROM d),
+             |p AS (SELECT doc_id, idx, p FROM p0 WHERE trim(p) <> ''),
+             |x AS (SELECT doc_id, idx, p,
+             |  len(list_filter(string_split_regex(lower(trim(p)), '\s+'),
+             |    t -> len(t) > 0))::BIGINT AS n_tok,
+             |  length(p)::BIGINT AS n_char,
+             |  len(regexp_extract_all(p, '[^A-Za-z0-9\s]'))::BIGINT AS punct,
+             |  len(list_filter(string_split_regex(lower(trim(p)), '\s+'),
+             |    t -> list_contains(['the','a','of','and','to','in','is','that',
+             |      'it','for'], t)))::BIGINT AS stop_hits
+             |  FROM p),
+             |s AS (SELECT doc_id, idx, p,
+             |  least(n_tok * 1000000 // 64, 1000000) AS len_s,
+             |  1000000 - least(punct * 4000000 // greatest(n_char, 1),
+             |    1000000) AS punct_s,
+             |  least(stop_hits * 5000000 // greatest(n_tok, 1), 1000000) AS stop_s,
+             |  1000000 - least(abs(n_char - n_tok + 1 - 5 * greatest(n_tok, 1))
+             |    * 1000000 // (5 * greatest(n_tok, 1)), 1000000) AS word_s
+             |  FROM x),
+             |q AS (SELECT doc_id, idx, p,
+             |  ((len_s * 3 + punct_s * 3 + stop_s * 2 + word_s * 2) // 10)
+             |    >= 560000 AS keep FROM s)
+             |SELECT doc_id,
+             |  md5(coalesce(string_agg(p, chr(10) || chr(10) ORDER BY idx)
+             |    FILTER (WHERE keep), '')) AS text_md5,
+             |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+             |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("l139_oov_curve",
+      // vocab-size planning: fraction of token OCCURRENCES outside the
+      // top-k types, for a ladder of candidate k — the OOV companion
+      // to l98 Zipf / l134 Heaps. Corpus collapses to a vocab-sized
+      // count frame; the global rank window runs over THAT, not docs
+      // the synthetic corpus has a ~31-type vocabulary — ladder chosen
+      // to straddle it so every rung is a different non-trivial rate
+      (s, d) => Curation.oovCurve(t(s, d, "documents"), "text",
+          ks = Seq(4, 8, 16, 32))
+        .orderBy("k"),
+      Some("""WITH tok AS (SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS tok FROM documents),
+             |c AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+             |r AS (SELECT tok, n, row_number() OVER (
+             |    ORDER BY n DESC, tok ASC) AS rnk FROM c),
+             |k AS (SELECT unnest([4, 8, 16, 32]) AS k)
+             |SELECT k.k,
+             |  sum(CASE WHEN r.rnk > k.k THEN r.n ELSE 0 END)::BIGINT
+             |    AS oov_tokens,
+             |  sum(r.n)::BIGINT AS total_tokens,
+             |  round(sum(CASE WHEN r.rnk > k.k THEN r.n ELSE 0 END)::DOUBLE
+             |    / greatest(sum(r.n), 1), 6) AS oov_rate
+             |FROM r CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

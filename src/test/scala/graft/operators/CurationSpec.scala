@@ -714,6 +714,52 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._2).sorted == (1L to 10L))
   }
 
+  test("paragraphQualityPrune: survivors keep order, all-drop yields empty text") {
+    import spark.implicits._
+    // "the a of and to in is that it for" maxes the stopword term and
+    // has sane word lengths -> high score; "zzzzzzzzzzzz!!!!????...."
+    // has no stopwords, heavy punctuation -> low score
+    val good = "the a of and to in is that it for"
+    val bad = "zzzzzzzzzzzzzzzz !!!! ???? .... ;;;; %%%%"
+    val d = Seq(
+      (1L, s"$good\n\n$bad\n\n$good"),
+      (2L, s"$bad\n\n$bad"),
+      (3L, good)).toDF("doc_id", "text")
+    val out = Curation.paragraphQualityPrune(d, "text", "doc_id",
+        minScore = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, s"$good\n\n$good", 2L, 1L), // order preserved, middle cut
+      (2L, "", 0L, 2L),                // nothing survives, doc still reported
+      (3L, good, 1L, 0L)))
+    // blank paragraphs are neither kept nor counted as dropped
+    val blanks = Seq((9L, s"$good\n\n   \n\n$good")).toDF("doc_id", "text")
+    val b = Curation.paragraphQualityPrune(blanks, "text", "doc_id",
+        minScore = 0.5).as[(Long, String, Long, Long)].collect().head
+    assert(b == ((9L, s"$good\n\n$good", 2L, 0L)))
+  }
+
+  test("oovCurve: planted frequencies give exact rates; rank ties break on token") {
+    import spark.implicits._
+    // frequencies: aa x4, bb x3, cc x2, dd x2, ee x1 (12 occurrences).
+    // cc/dd tie at 2 -> rank by token text: cc=3, dd=4
+    val d = Seq("aa aa aa aa", "bb bb bb cc", "cc dd dd ee")
+      .toDF("text")
+    val out = Curation.oovCurve(d, "text", ks = Seq(1, 2, 3, 4, 5))
+      .orderBy("k").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, 8L, 12L, 0.666667),  // all but aa
+      (2, 5L, 12L, 0.416667),  // cc+dd+ee
+      (3, 3L, 12L, 0.25),      // dd+ee (cc won the tie at rank 3)
+      (4, 1L, 12L, 0.083333),  // ee
+      (5, 0L, 12L, 0.0)))
+    val again = Curation.oovCurve(d.repartition(5), "text",
+        ks = Seq(1, 2, 3, 4, 5))
+      .orderBy("k").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
+
   test("heapsFit: planted exact power laws recovered; curve is nested") {
     import spark.implicits._
     // disjoint vocabularies: every doc contributes exactly 3 new
