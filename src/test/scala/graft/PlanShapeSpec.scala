@@ -809,4 +809,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("cross-source dup flow: hash-equi pair join, totals broadcast back") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Dedup.crossSourceDupFlow(
+      docs, "text", "source"))
+    // the pair matrix is an equi-join on the text hash — never cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the source-total joins ride broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // text bodies never shuffle: post-hash the plan carries no text col
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.contains("text#"), plan)
+  }
+
+  test("groupGate: doc rows join the tier frame via broadcast, zero doc shuffle") {
+    val docs = core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val plan = planOf(operators.Curation.groupGate(
+      docs, "source", col("q")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("oovCurve: vocab-sized rank window; k-ladder joins as 1-row broadcast") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Curation.oovCurve(
+      docs, "text", ks = Seq(16, 256)))
+    // the only non-equi join is the tiny broadcast k-ladder
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exactly one rank window, running over the counts frame
+    assert("Window".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("paragraph prune is explode + one aggregate back to the doc key") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Curation.paragraphQualityPrune(
+      docs, "text", "doc_id"))
+    assert(!plan.contains("Join"), s"prune must not join:\n$plan")
+    assert(!plan.contains("Window"), s"prune needs no window:\n$plan")
+    assert(plan.contains("Generate"), s"the split explodes:\n$plan")
+  }
 }
