@@ -247,4 +247,37 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(w == Set((1L, 1L, 1L, 1000000L), (2L, 2L, 1L, 1000000L)))
   }
+
+  test("corpus-overlap and gating ops survive empty / null / blank input") {
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    // overlap matrices: empty in, empty out; null sources dropped
+    assert(Curation.sourceOverlap(emptySrc, "source", "text").isEmpty)
+    assert(Dedup.crossSourceDupFlow(emptySrc, "text", "source").isEmpty)
+    val nullSrc = Seq((1L, "a b", null.asInstanceOf[String]),
+      (2L, "a b", "B")).toDF("doc_id", "text", "source")
+    assert(Curation.sourceOverlap(nullSrc, "source", "text").isEmpty)
+    assert(Dedup.crossSourceDupFlow(nullSrc, "text", "source").isEmpty)
+    // one source alone: no pairs, never a crash
+    val oneSrc = Seq((1L, "a b", "A"), (2L, "a b", "A"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.crossSourceDupFlow(oneSrc, "text", "source").isEmpty)
+    // group gate: empty in, empty out; a single-doc group still tiers
+    assert(Curation.groupGate(emptySrc, "source", lit(0.5)).isEmpty)
+    val g = Curation.groupGate(
+        Seq((1L, "x", "A")).toDF("doc_id", "text", "source"),
+        "source", lit(0.9), minDocs = 3L)
+      .select("tier").as[String].collect().toSeq
+    assert(g == Seq("review")) // high score but under minDocs
+    // paragraph prune: empty and all-blank inputs
+    assert(Curation.paragraphQualityPrune(emptyDocs, "text", "doc_id")
+      .isEmpty)
+    assert(Curation.paragraphQualityPrune(blankDocs, "text", "doc_id")
+      .isEmpty) // only blank paragraphs -> no non-blank rows to group
+    // oov curve: empty corpus yields the ladder with zero totals, and
+    // the rate guard never divides by zero
+    val oc = Curation.oovCurve(emptyDocs, "text", ks = Seq(2, 4))
+      .orderBy("k").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(oc.isEmpty || oc.forall(r => r._2 == 0L && r._4 == 0.0))
+  }
 }
