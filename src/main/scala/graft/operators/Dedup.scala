@@ -1345,4 +1345,48 @@ object Dedup {
         round(col("docs_b").cast("double") /
           col("total_b").cast("double"), 6).as("share_b"))
   }
+
+  /** Effective-token census — mixture planning runs on tokens that
+    * SURVIVE dedup, not raw counts: per source, the raw doc/token
+    * totals, the totals over global exact-dedup survivors (winner =
+    * min `idCol` per text, the [[exact]] contract — a text duplicated
+    * across sources attributes its one surviving copy to the winning
+    * source), and the fraction of the source's tokens that dedup
+    * erases. A source that looks like 10% of the corpus raw can be 2%
+    * effective; this is the table an l24-style mixture fit should eat.
+    *
+    * Output per source: (source, docs_raw, tokens_raw, docs_effective,
+    * tokens_effective, dup_token_frac rounded 6dp).
+    *
+    * Scale shape: token counts are computed once, map-side; the
+    * survivor set is the same (hash, id) shuffle as [[exact]] — text
+    * bodies never move — and both censuses are map-side-combined
+    * aggregates to #sources rows. */
+  def effectiveTokenCensus(df: DataFrame, textCol: String,
+      idCol: String, sourceCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = df.filter(col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("__src"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__tok"),
+        xxhash64(col(textCol)).as("__h"))
+    val winners = toks.select(col(idCol), col("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol)).select(idCol)
+    val raw = toks.groupBy("__src")
+      .agg(count(lit(1)).as("docs_raw"), sum("__tok").as("tokens_raw"))
+    val eff = toks.join(winners, Seq(idCol), "left_semi")
+      .groupBy("__src")
+      .agg(count(lit(1)).as("docs_effective"),
+        sum("__tok").as("tokens_effective"))
+    raw.join(eff, Seq("__src"), "left")
+      .select(col("__src").as("source"), col("docs_raw"),
+        col("tokens_raw"),
+        coalesce(col("docs_effective"), lit(0L)).as("docs_effective"),
+        coalesce(col("tokens_effective"), lit(0L))
+          .as("tokens_effective"),
+        when(col("tokens_raw") > 0L,
+          round(lit(1.0) -
+            coalesce(col("tokens_effective"), lit(0L)).cast("double") /
+              col("tokens_raw").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
 }

@@ -1385,4 +1385,71 @@ object Stats {
             sqrt(dot(col("vb"), col("vb")))), 6)
         .as("mean_cosine"))
   }
+
+  /** Classical test-theory item analysis — the ITEM-quality complement
+    * to the rater-agreement audits ([[fleissKappa]],
+    * [[raterConsensusKappa]]): which questions in a labeling/eval task
+    * are broken? Per item: `n_persons`, `difficulty` (proportion
+    * answering 1), and the corrected point-biserial discrimination
+    * `r_pb` — the Pearson correlation, over persons, between the item
+    * response and the person's REST score (total minus this item, the
+    * correction that stops an item correlating with itself). A near-
+    * zero or negative r_pb marks an item the strong performers get
+    * wrong — miskeyed or ambiguous. Every row also carries Cronbach's
+    * alpha, the whole-test reliability `k/(k−1)·(1 − Σᵢvarᵢ/var_total)`
+    * (population variances; meaningful when the person×item grid is
+    * complete — document sparsity upstream).
+    *
+    * Repeated observations of one (person, item) cell collapse by max.
+    * House exactness rule: everything reduces to LONG moment sums
+    * (x ∈ {0,1}, rest scores are small ints) — n, Σx, Σr, Σxr, Σr²,
+    * Σt, Σt² — and each statistic is ONE double expression over those
+    * exact integers, zero-denominator-guarded, rounded 6dp.
+    *
+    * Scale shape: one aggregate to the (person, item) grid, a
+    * frameless window sum per person (no join back), one aggregate to
+    * #items rows, and two 1-row scalar frames broadcast in — nothing
+    * larger than the grid ever shuffles, and the grid is
+    * #persons·#items, not #observations. */
+  def itemAnalysis(df: DataFrame, person: Column, item: Column,
+      correct: Column): DataFrame = {
+    val grid = df.select(person.as("person"), item.as("item"),
+        correct.cast("long").as("x"))
+      .filter(col("person").isNotNull && col("item").isNotNull &&
+        col("x").isNotNull)
+      .groupBy("person", "item").agg(max("x").as("x"))
+    val withRest = grid.withColumn("t",
+        sum("x").over(Window.partitionBy("person")))
+      .withColumn("r", col("t") - col("x"))
+    val perItem = withRest.groupBy("item")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("r").as("sr"), sum(col("x") * col("r")).as("sxr"),
+        sum(col("r") * col("r")).as("srr"))
+    // per-item population variance numerator n·Σx² − (Σx)²; x²=x
+    val itemVarNum = perItem.select(col("n"), col("sx"),
+      (col("n") * col("sx") - col("sx") * col("sx")).as("vn"))
+    val varSum = itemVarNum.agg(count(lit(1)).as("k"),
+      sum(col("vn").cast("double") /
+        (col("n") * col("n")).cast("double")).as("sum_var"))
+    val totals = grid.groupBy("person").agg(sum("x").as("t"))
+      .agg(count(lit(1)).as("np"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"))
+    val d = (c: Column) => c.cast("double")
+    perItem.crossJoin(broadcast(varSum)).crossJoin(broadcast(totals))
+      .select(col("item"), col("n").as("n_persons"),
+        round(d(col("sx")) / d(col("n")), 6).as("difficulty"),
+        when((col("n") * col("sx") - col("sx") * col("sx")) > 0L &&
+            (col("n") * col("srr") - col("sr") * col("sr")) > 0L,
+          round((d(col("n") * col("sxr")) - d(col("sx") * col("sr"))) /
+            (sqrt(d(col("n") * col("sx") - col("sx") * col("sx"))) *
+              sqrt(d(col("n") * col("srr") - col("sr") * col("sr")))), 6))
+          .as("r_pb"),
+        when(col("k") > 1L &&
+            (col("np") * col("stt") - col("st") * col("st")) > 0L,
+          round((d(col("k")) / d(col("k") - 1L)) *
+            (lit(1.0) - col("sum_var") /
+              ((d(col("np") * col("stt")) - d(col("st") * col("st"))) /
+                d(col("np") * col("np")))), 6))
+          .as("alpha"))
+  }
 }

@@ -2349,6 +2349,87 @@ object Suite {
              |    / greatest(sum(r.n), 1), 6) AS oov_rate
              |FROM r CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("l140_item_analysis",
+      // classical test-theory item audit over a rater×item grid carved
+      // from events: per item, difficulty + corrected point-biserial
+      // discrimination + Cronbach's alpha — the ITEM-quality twin of
+      // the l119/l129 rater-agreement audits. Exact long moments, one
+      // double expression per statistic
+      (s, d) => Stats.itemAnalysis(
+          t(s, d, "events").filter(col("value").isNotNull),
+          col("user_id") % 101, col("event_id") % 23,
+          (col("value") > 69.0).cast("long"))
+        .orderBy("item"),
+      Some("""WITH g AS (SELECT user_id % 101 AS person,
+             |    event_id % 23 AS item,
+             |    max(CASE WHEN value > 69.0 THEN 1 ELSE 0 END)::BIGINT AS x
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |w AS (SELECT person, item, x,
+             |    sum(x) OVER (PARTITION BY person) AS t FROM g),
+             |pi AS (SELECT item, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sx, sum(t - x)::BIGINT AS sr,
+             |    sum(x * (t - x))::BIGINT AS sxr,
+             |    sum((t - x) * (t - x))::BIGINT AS srr
+             |  FROM w GROUP BY 1),
+             |vs AS (SELECT count(*)::BIGINT AS k,
+             |    sum((n * sx - sx * sx)::DOUBLE / (n * n)) AS sum_var
+             |  FROM pi),
+             |tt AS (SELECT count(*)::BIGINT AS np, sum(t)::BIGINT AS st,
+             |    sum(t * t)::BIGINT AS stt FROM (
+             |      SELECT person, sum(x)::BIGINT AS t FROM g GROUP BY 1))
+             |SELECT pi.item, pi.n AS n_persons,
+             |  round(sx::DOUBLE / n, 6) AS difficulty,
+             |  CASE WHEN (n * sx - sx * sx) > 0
+             |        AND (n * srr - sr * sr) > 0 THEN
+             |    round((n * sxr - sx * sr)::DOUBLE /
+             |      (sqrt((n * sx - sx * sx)::DOUBLE) *
+             |       sqrt((n * srr - sr * sr)::DOUBLE)), 6) END AS r_pb,
+             |  CASE WHEN k > 1 AND (np * stt - st * st) > 0 THEN
+             |    round((k::DOUBLE / (k - 1)) * (1 - sum_var /
+             |      ((np * stt - st * st)::DOUBLE / (np * np))), 6)
+             |    END AS alpha
+             |FROM pi CROSS JOIN vs CROSS JOIN tt
+             |ORDER BY item""".stripMargin)),
+
+    Q("l141_effective_tokens",
+      // mixture planning on tokens that SURVIVE dedup: per source, raw
+      // vs post-exact-dedup doc/token totals under the same planted
+      // recrawl as l136 — the recrawl's duplicated texts attribute
+      // their one survivor to the original (min-id) source, so its
+      // effective share collapses. Same (hash, id) shuffle as l1;
+      // bodies never move
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withRecrawl = docs.select("doc_id", "text", "source")
+          .unionByName(docs.filter(col("doc_id") < 300)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+              lit("recrawl").as("source")))
+        Dedup.effectiveTokenCensus(withRecrawl, "text", "doc_id",
+            "source")
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text, 'recrawl'
+             |  FROM documents WHERE doc_id < 300),
+             |tc AS (SELECT doc_id, source, text,
+             |    len(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), x -> len(x) > 0))::BIGINT AS tok
+             |  FROM corpus WHERE source IS NOT NULL),
+             |w AS (SELECT min(doc_id) AS doc_id FROM tc GROUP BY text),
+             |raw AS (SELECT source, count(*)::BIGINT AS docs_raw,
+             |    sum(tok)::BIGINT AS tokens_raw FROM tc GROUP BY 1),
+             |eff AS (SELECT source, count(*)::BIGINT AS docs_effective,
+             |    sum(tok)::BIGINT AS tokens_effective FROM tc
+             |  WHERE doc_id IN (SELECT doc_id FROM w) GROUP BY 1)
+             |SELECT r.source, r.docs_raw, r.tokens_raw,
+             |  coalesce(e.docs_effective, 0) AS docs_effective,
+             |  coalesce(e.tokens_effective, 0) AS tokens_effective,
+             |  CASE WHEN r.tokens_raw > 0 THEN
+             |    round(1 - coalesce(e.tokens_effective, 0)::DOUBLE
+             |      / r.tokens_raw, 6) ELSE 0.0 END AS dup_token_frac
+             |FROM raw r LEFT JOIN eff e ON e.source = r.source
+             |ORDER BY r.source""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

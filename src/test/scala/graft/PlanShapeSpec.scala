@@ -845,6 +845,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("itemAnalysis: grid aggregates + frameless person window, scalars broadcast") {
+    val ev = core.Tables.load(spark, sf, "events")
+    val plan = planOf(operators.Stats.itemAnalysis(
+      ev, col("user_id") % 13, col("event_id") % 11,
+      (col("value") > 0.5).cast("long")))
+    // the only joins are the two 1-row scalar broadcasts
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // rest scores come from a window over the person partition — no
+    // join back of a totals table
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("effective-token census joins survivors by id — never cartesian") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val plan = planOf(operators.Dedup.effectiveTokenCensus(
+      docs, "text", "doc_id", "source"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("paragraph prune is explode + one aggregate back to the doc key") {
     val docs = core.Tables.load(spark, sf, "documents")
     val plan = planOf(operators.Curation.paragraphQualityPrune(

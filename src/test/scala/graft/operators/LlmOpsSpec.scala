@@ -1076,4 +1076,29 @@ class LlmOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(again == out)
   }
+
+  test("effectiveTokenCensus: survivors attribute to the min-id source") {
+    import spark.implicits._
+    // "x y" appears in A twice and B once -> one survivor, owned by A
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "x y", "A"), (3L, "z", "A"),
+      (4L, "x y", "B"), (5L, "w w w", "B")).toDF("doc_id", "text", "source")
+    val out = Dedup.effectiveTokenCensus(docs, "text", "doc_id", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 5L, 2L, 3L, 0.4),  // doc 2 erased: 2 of 5 tokens gone
+      ("B", 2L, 5L, 1L, 3L, 0.4))) // doc 4 erased (doc 1 won globally)
+    val again = Dedup.effectiveTokenCensus(docs.repartition(5), "text",
+        "doc_id", "source").orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+    // a source of pure duplicates collapses to zero effective tokens
+    assert(Dedup.effectiveTokenCensus(
+      docs.union(Seq((9L, "x y", "C")).toDF("doc_id", "text", "source")),
+      "text", "doc_id", "source")
+      .filter(col("source") === "C")
+      .as[(String, Long, Long, Long, Long, Double)].collect().head ==
+      (("C", 1L, 2L, 0L, 0L, 1.0)))
+  }
 }

@@ -621,4 +621,38 @@ class StatsSpec extends SparkSpec {
       .orderBy("label").as[(String, Double)].collect().toSeq
     assert(again == out)
   }
+
+  test("itemAnalysis: hand-computed difficulty, rest-score r_pb and alpha") {
+    import spark.implicits._
+    // 3 persons x 2 items; totals t = [2, 1, 0].
+    // Item A: (x,rest) = (1,1),(1,0),(0,0) -> diff 2/3, r_pb 0.5
+    // Item B: (1,1),(0,1),(0,0)            -> diff 1/3, r_pb 0.5
+    // alpha = 2/1 * (1 - (2/9 + 2/9)/(6/9)) = 0.666667
+    val d = Seq(
+      ("p1", "A", 1), ("p1", "B", 1),
+      ("p2", "A", 1), ("p2", "B", 0),
+      ("p3", "A", 0), ("p3", "B", 0),
+      ("p1", "A", 0) // repeated observation collapses by max -> stays 1
+    ).toDF("person", "item", "x")
+    val out = Stats.itemAnalysis(d, col("person"), col("item"), col("x"))
+      .orderBy("item")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 0.666667, Some(0.5), Some(0.666667)),
+      ("B", 3L, 0.333333, Some(0.5), Some(0.666667))))
+    // a constant item (everyone right) nulls its r_pb, not the others'
+    val withConst = d.union(Seq(("p1", "C", 1), ("p2", "C", 1),
+      ("p3", "C", 1)).toDF("person", "item", "x"))
+    val c = Stats.itemAnalysis(withConst, col("person"), col("item"),
+        col("x")).orderBy("item")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(c.find(_._1 == "C").get._4.isEmpty)
+    assert(c.find(_._1 == "A").get._4.isDefined)
+    // null person rows drop; empty input yields an empty frame
+    assert(Stats.itemAnalysis(
+      Seq.empty[(String, String, Int)].toDF("person", "item", "x"),
+      col("person"), col("item"), col("x")).isEmpty)
+  }
 }
