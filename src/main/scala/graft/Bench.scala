@@ -326,7 +326,16 @@ object Bench {
         // join — collision volume is the degradation axis, same as m9)
         // and image-text mining (per-row PNG chunk walk, map-only)
         "l117_epoch_upsample", "m13_video_neardup",
-        "m14_image_text_pairs")
+        "m14_image_text_pairs",
+        // round-11 closers: the corpus-planning family (distinct
+        // (source, token) collapse, text-hash self-joins, group-mean
+        // broadcast gate, paragraph explode+agg, vocab-frame rank,
+        // survivor census, gram-ladder semi-join — in every one the
+        // degradation axis is scan/explode volume, so fixed-parameter
+        // 10× is the right rehearsal)
+        "l135_source_overlap", "l136_dup_flow", "l137_domain_gate",
+        "l138_paragraph_prune", "l139_oov_curve", "l141_effective_tokens",
+        "l142_decontam_curve")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -1383,19 +1383,33 @@ object Curation {
   def groupGate(df: DataFrame, groupCol: String, scoreCol: Column,
       minDocs: Long = 3L, dropBelow: Double = 0.3,
       keepAbove: Double = 0.5): DataFrame = {
-    require(dropBelow <= keepAbove, "dropBelow must be <= keepAbove")
     val micro = round(scoreCol * lit(1e6)).cast("long")
-    val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"), sum(micro).as("__sum"))
+    val partials = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(micro).as("sum_micro"))
+    df.join(broadcast(groupGateTiers(partials, groupCol, minDocs,
+      dropBelow, keepAbove)), Seq(groupCol))
+  }
+
+  /** [[groupGate]]'s tier table from pre-aggregated
+    * `(groupCol, n_docs, sum_micro)` partial moment rows — the seam a
+    * streaming counter store feeds: partials FOLD BY ADDITION, so the
+    * tier computed over summed micro-batch partials equals the batch
+    * gate over the concatenated log exactly (integer mean, integer
+    * thresholds — nothing to drift). */
+  def groupGateTiers(partials: DataFrame, groupCol: String,
+      minDocs: Long = 3L, dropBelow: Double = 0.3,
+      keepAbove: Double = 0.5): DataFrame = {
+    require(dropBelow <= keepAbove, "dropBelow must be <= keepAbove")
+    val stats = partials.groupBy(col(groupCol))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_micro").as("__sum"))
       .select(col(groupCol), col("n_docs"),
         expr("__sum div n_docs").as("mean_score_micro"))
-    val tiered = stats.withColumn("tier",
+    stats.withColumn("tier",
       when(col("mean_score_micro") < lit(math.round(dropBelow * 1e6)),
         lit("drop"))
       .when(col("mean_score_micro") >= lit(math.round(keepAbove * 1e6)) &&
         col("n_docs") >= lit(minDocs), lit("keep"))
       .otherwise(lit("review")))
-    df.join(broadcast(tiered), Seq(groupCol))
   }
 
   /** Paragraph-level quality pruning — the trafilatura-style boilerplate

@@ -1389,4 +1389,65 @@ object Dedup {
               col("tokens_raw").cast("double"), 6))
           .otherwise(lit(0.0)).as("dup_token_frac"))
   }
+
+  /** Distinct hashed n-grams of `textCol` for one n: (`extra` columns,
+    * `__g` 64-bit gram hash). Docs with fewer than n tokens yield no
+    * grams. Map-side explode; gram STRINGS never leave the mapper. */
+  private def hashedGramFrame(df: DataFrame, textCol: String,
+      extra: Seq[Column], n: Int): DataFrame = {
+    val t0 = df.select(extra :+ tokens(col(textCol)).as("__t"): _*)
+    t0.filter(size(col("__t")) >= n)
+      .select(extra :+ explode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => xxhash64(array_join(slice(col("__t"), i + lit(1), lit(n)),
+          " ")))).as("__g"): _*)
+      .distinct()
+  }
+
+  /** Decontamination policy planning — how aggressive must the n-gram
+    * match be? For each n in `ns`, the number (and fraction) of corpus
+    * documents sharing at least one n-gram with ANY benchmark
+    * document. Small n over-blocks (common bigrams hit everything);
+    * large n under-blocks (only verbatim spans hit); this curve is the
+    * evidence for choosing the l22/l39 thresholds instead of
+    * folklore-n=13.
+    *
+    * Output per n: (n, contaminated_docs, total_docs,
+    * contamination_rate rounded 6dp), one row per requested n even
+    * when nothing overlaps.
+    *
+    * Scale shape: each rung is a map-side gram explode off the same
+    * scan (the ladder is a small constant); grams travel as 64-bit
+    * hashes, never strings; the membership test is a semi-join on
+    * (n, hash); the distinct doc set is bounded by the corpus; the
+    * total is a 1-row broadcast. */
+  def contaminationCurve(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(2, 3, 5, 8, 13)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val corpusGrams = ns.map(n =>
+      hashedGramFrame(corpus, textCol, Seq(col(idCol)), n)
+        .withColumn("__n", lit(n))).reduce(_ unionByName _)
+    val benchGrams = ns.map(n =>
+      hashedGramFrame(benchmark, textCol, Seq.empty, n)
+        .withColumn("__n", lit(n))).reduce(_ unionByName _)
+    val contaminated = corpusGrams
+      .join(benchGrams, Seq("__n", "__g"), "left_semi")
+      .select(col("__n"), col(idCol)).distinct()
+      .groupBy("__n").agg(count(lit(1)).as("contaminated_docs"))
+    val totalDf = corpus.agg(count(lit(1)).as("total_docs"))
+    val ladder = corpus.sparkSession.range(1).select(
+      explode(array(ns.sorted.map(n => lit(n)): _*)).as("n"))
+    ladder.join(contaminated.withColumnRenamed("__n", "n"),
+        Seq("n"), "left")
+      .crossJoin(broadcast(totalDf))
+      .select(col("n"),
+        coalesce(col("contaminated_docs"), lit(0L))
+          .as("contaminated_docs"),
+        col("total_docs"),
+        when(col("total_docs") > 0L,
+          round(coalesce(col("contaminated_docs"), lit(0L))
+            .cast("double") / col("total_docs").cast("double"), 6))
+          .otherwise(lit(0.0)).as("contamination_rate"))
+  }
 }

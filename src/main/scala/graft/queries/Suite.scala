@@ -2430,6 +2430,65 @@ object Suite {
              |FROM raw r LEFT JOIN eff e ON e.source = r.source
              |ORDER BY r.source""".stripMargin)),
 
+    Q("l142_decontam_curve",
+      // decontamination policy planning: the fraction of corpus docs
+      // sharing ANY n-gram with the benchmark, for a ladder of n —
+      // the evidence for choosing the l22/l39 match length. Each rung
+      // is a map-side gram explode; grams travel as 64-bit hashes;
+      // membership is a semi-join on (n, hash)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+        Dedup.contaminationCurve(docs, bench, "text", "doc_id",
+            ns = Seq(2, 3, 5)).orderBy("n")
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |btok AS (SELECT list_filter(
+             |    string_split_regex(lower(trim(substr(text, 1, 150))),
+             |    '\s+'), x -> len(x) > 0) AS toks
+             |  FROM documents WHERE doc_id < 20),
+             |cg AS (
+             |  SELECT 2 AS n, doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(toks)), i -> array_to_string(toks[i:i+1],
+             |    ' ')))) AS g FROM tok WHERE len(toks) >= 2
+             |  UNION ALL SELECT 3, doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(toks) - 1),
+             |    i -> array_to_string(toks[i:i+2], ' '))))
+             |  FROM tok WHERE len(toks) >= 3
+             |  UNION ALL SELECT 5, doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(toks) - 3),
+             |    i -> array_to_string(toks[i:i+4], ' '))))
+             |  FROM tok WHERE len(toks) >= 5),
+             |bg AS (SELECT DISTINCT n, g FROM (
+             |  SELECT 2 AS n, unnest(list_distinct(list_transform(
+             |    range(1, len(toks)), i -> array_to_string(toks[i:i+1],
+             |    ' ')))) AS g FROM btok WHERE len(toks) >= 2
+             |  UNION ALL SELECT 3, unnest(list_distinct(list_transform(
+             |    range(1, len(toks) - 1),
+             |    i -> array_to_string(toks[i:i+2], ' '))))
+             |  FROM btok WHERE len(toks) >= 3
+             |  UNION ALL SELECT 5, unnest(list_distinct(list_transform(
+             |    range(1, len(toks) - 3),
+             |    i -> array_to_string(toks[i:i+4], ' '))))
+             |  FROM btok WHERE len(toks) >= 5)),
+             |c AS (SELECT cg.n, count(DISTINCT cg.doc_id)::BIGINT
+             |    AS contaminated_docs FROM cg
+             |  WHERE EXISTS (SELECT 1 FROM bg
+             |    WHERE bg.n = cg.n AND bg.g = cg.g)
+             |  GROUP BY 1),
+             |tt AS (SELECT count(*)::BIGINT AS total_docs FROM documents),
+             |k AS (SELECT unnest([2, 3, 5]) AS n)
+             |SELECT k.n,
+             |  coalesce(c.contaminated_docs, 0) AS contaminated_docs,
+             |  tt.total_docs,
+             |  round(coalesce(c.contaminated_docs, 0)::DOUBLE
+             |    / tt.total_docs, 6) AS contamination_rate
+             |FROM k LEFT JOIN c ON c.n = k.n CROSS JOIN tt
+             |ORDER BY k.n""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

@@ -866,6 +866,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("contamination curve: gram membership is a hash semi-join, grams never shuffle as strings") {
+    val docs = core.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+    val plan = planOf(operators.Dedup.contaminationCurve(
+      docs, bench, "text", "doc_id", ns = Seq(2, 3)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the 1-row total broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    // membership rides LeftSemi on the (n, hash) pair
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("paragraph prune is explode + one aggregate back to the doc key") {
     val docs = core.Tables.load(spark, sf, "documents")
     val plan = planOf(operators.Curation.paragraphQualityPrune(

@@ -1101,4 +1101,24 @@ class LlmOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Double)].collect().head ==
       (("C", 1L, 2L, 0L, 0L, 1.0)))
   }
+
+  test("contaminationCurve: planted overlap thins as n grows; short bench caps out") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "a x y z w"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.contaminationCurve(corpus, bench, "text", "doc_id",
+        ns = Seq(2, 3, 5))
+      .orderBy("n").as[(Int, Long, Long, Double)].collect().toSeq
+    // n=2: doc 1 shares "a b"; n=3: doc 1 shares "a b c"; n=5: the
+    // 3-token benchmark has no 5-grams -> every n still gets its row
+    assert(out == Seq(
+      (2, 1L, 3L, 0.333333),
+      (3, 1L, 3L, 0.333333),
+      (5, 0L, 3L, 0.0)))
+    val again = Dedup.contaminationCurve(corpus.repartition(5), bench,
+        "text", "doc_id", ns = Seq(2, 3, 5))
+      .orderBy("n").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
 }
