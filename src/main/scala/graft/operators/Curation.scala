@@ -1000,6 +1000,76 @@ object Curation {
         .as("convo_md5"))
   }
 
+  /** Context-window truncation audit — the decision
+    * [[assembleConversations]] feeds: under the keep-LATEST-suffix
+    * policy (drop oldest turns first, the standard chat-SFT cut), how
+    * much of each conversation survives a `contextTokens` budget? Per
+    * session: total turns/tokens, the turns and tokens of the longest
+    * suffix of (ts, orderCol)-ordered turns whose token sum fits the
+    * budget, the tokens lost, and a truncated flag. A latest turn that
+    * ALONE overflows the budget keeps zero turns — the audit reports
+    * it honestly instead of silently clipping inside a turn.
+    *
+    * Scale shape: one token count per turn map-side, one window
+    * cumulative sum per session (descending recency — turns
+    * co-locate by the session shuffle, nothing global), one aggregate
+    * back to the session key. */
+  def truncationAudit(df: DataFrame, sessionCol: String, tsCol: String,
+      orderCol: String, textCol: String,
+      contextTokens: Long): DataFrame = {
+    require(contextTokens >= 1L, "contextTokens must be positive")
+    import graft.functions.TextFunctions
+    val turns = df.select(col(sessionCol).as("session"), col(tsCol),
+        col(orderCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .withColumn("__cum", sum("__tok").over(
+        Window.partitionBy(col("session"))
+          .orderBy(col(tsCol).desc, col(orderCol).desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__keep", col("__cum") <= lit(contextTokens))
+    turns.groupBy("session")
+      .agg(count(lit(1)).as("n_turns"), sum("__tok").as("n_tokens"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_turns_kept"),
+        sum(when(col("__keep"), col("__tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("session"), col("n_turns"), col("n_tokens"),
+        col("n_turns_kept"), col("n_tokens_kept"),
+        (col("n_tokens") - col("n_tokens_kept")).as("tokens_lost"),
+        (col("n_turns_kept") < col("n_turns")).as("truncated"))
+  }
+
+  /** Repetition value — the data-constrained-scaling audit of an
+    * UN-deduplicated source (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": repeated tokens decay in value
+    * with effective-repetition constant R* ≈ 15.4; the published
+    * fit). Treats each source's raw corpus as its effective (deduped)
+    * corpus repeated e = tokens_raw / tokens_effective times, and
+    * prices it: value = U·(1 + R*·(1 − exp(−(e−1)/R*))) capped at the
+    * raw count (an epoch fraction below 1 is worth exactly what it
+    * is), efficiency = value / tokens_raw. "Training on this source
+    * without dedup buys you data worth only X of its size."
+    *
+    * Input: the [[graft.operators.Dedup.effectiveTokenCensus]] frame.
+    * Map-only column algebra over the #sources-sized census — the
+    * corpus itself is never touched again. */
+  def repetitionValue(census: DataFrame,
+      rStar: Double = 15.4): DataFrame = {
+    val u = col("tokens_effective").cast("double")
+    val raw = col("tokens_raw").cast("double")
+    val e = raw / u
+    val decayed = u * (lit(1.0) + lit(rStar) *
+      (lit(1.0) - exp((lit(1.0) - e) / lit(rStar))))
+    census.select(col("source"), col("tokens_raw"),
+      col("tokens_effective"),
+      when(col("tokens_effective") === 0L, lit(0.0))
+        .otherwise(round(e, 6)).as("epochs"),
+      when(col("tokens_effective") === 0L, lit(0.0))
+        .otherwise(round(least(decayed, raw), 6)).as("value_tokens"),
+      when(col("tokens_raw") === 0L ||
+          col("tokens_effective") === 0L, lit(0.0))
+        .otherwise(round(least(decayed, raw) / raw, 6)).as("efficiency"))
+  }
+
   /** Inter-source vocabulary overlap — the mixture-planning view of
     * the corpus: for every unordered pair of sources, the exact
     * token-TYPE Jaccard between their vocabularies (how much would

@@ -2489,6 +2489,94 @@ object Suite {
              |FROM k LEFT JOIN c ON c.n = k.n CROSS JOIN tt
              |ORDER BY k.n""".stripMargin)),
 
+    Q("l143_truncation_audit",
+      // the decision l133's assembly feeds: under keep-latest-suffix,
+      // how much of each conversation fits a 150-token context? One
+      // window cumsum per session (descending recency), one aggregate
+      // back — nothing global
+      (s, d) => Curation.truncationAudit(
+          t(s, d, "events").select(col("user_id").as("session"),
+            unix_timestamp(col("ts")).as("e"), col("event_id"),
+            concat(col("event_type"), lit(" "), col("props")).as("text")),
+          "session", "e", "event_id", "text", contextTokens = 150L)
+        .orderBy("session"),
+      Some("""WITH t AS (SELECT user_id AS session,
+             |    epoch(ts)::BIGINT AS e, event_id AS o,
+             |    len(list_filter(string_split_regex(lower(trim(
+             |      event_type || ' ' || props)), '\s+'),
+             |      x -> len(x) > 0))::BIGINT AS tok FROM events),
+             |c AS (SELECT session, tok, sum(tok) OVER (
+             |    PARTITION BY session ORDER BY e DESC, o DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum FROM t)
+             |SELECT session, count(*)::BIGINT AS n_turns,
+             |  sum(tok)::BIGINT AS n_tokens,
+             |  sum(CASE WHEN cum <= 150 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_turns_kept,
+             |  sum(CASE WHEN cum <= 150 THEN tok ELSE 0 END)::BIGINT
+             |    AS n_tokens_kept,
+             |  sum(tok)::BIGINT
+             |    - sum(CASE WHEN cum <= 150 THEN tok ELSE 0 END)::BIGINT
+             |    AS tokens_lost,
+             |  (sum(CASE WHEN cum <= 150 THEN 1 ELSE 0 END) < count(*))
+             |    AS truncated
+             |FROM c GROUP BY session ORDER BY session""".stripMargin)),
+
+    Q("l144_repetition_value",
+      // data-constrained-scaling audit (Muennighoff et al. 2023):
+      // price each source's UN-deduped corpus as its effective corpus
+      // repeated e times under the published R*=15.4 decay. The plant
+      // duplicates source s's docs 3s times, so epochs sweep 1..~58
+      // and efficiency decays visibly across sources. Census pass +
+      // map-only column algebra over #sources rows
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val reps = docs.withColumn("__c", (col("doc_id") % 20) * 3)
+          .filter(col("__c") >= 1L)
+          .select(explode(sequence(lit(1L), col("__c"))).as("__r"),
+            col("doc_id"), col("text"), col("source"))
+          .select((col("doc_id") + lit(10000L) * col("__r")).as("doc_id"),
+            col("text"), col("source"))
+        val corpus = docs.select("doc_id", "text", "source")
+          .unionByName(reps)
+        Curation.repetitionValue(Dedup.effectiveTokenCensus(corpus,
+            "text", "doc_id", "source"))
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT d.doc_id + 10000 * r.rep, d.text, d.source
+             |  FROM documents d CROSS JOIN
+             |    (SELECT unnest(range(1, 58)) AS rep) r
+             |  WHERE r.rep <= (d.doc_id % 20) * 3),
+             |tc AS (SELECT doc_id, source, text,
+             |    len(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), x -> len(x) > 0))::BIGINT AS tok
+             |  FROM corpus WHERE source IS NOT NULL),
+             |w AS (SELECT min(doc_id) AS doc_id FROM tc GROUP BY text),
+             |raw AS (SELECT source, sum(tok)::BIGINT AS tokens_raw
+             |  FROM tc GROUP BY 1),
+             |eff AS (SELECT source, sum(tok)::BIGINT AS u FROM tc
+             |  WHERE doc_id IN (SELECT doc_id FROM w) GROUP BY 1),
+             |j AS (SELECT r.source, r.tokens_raw,
+             |    coalesce(e.u, 0) AS tokens_effective
+             |  FROM raw r LEFT JOIN eff e ON e.source = r.source)
+             |SELECT source, tokens_raw, tokens_effective,
+             |  CASE WHEN tokens_effective = 0 THEN 0.0
+             |    ELSE round(tokens_raw::DOUBLE / tokens_effective, 6)
+             |    END AS epochs,
+             |  CASE WHEN tokens_effective = 0 THEN 0.0
+             |    ELSE round(least(tokens_effective * (1 + 15.4 *
+             |      (1 - exp((1 - tokens_raw::DOUBLE / tokens_effective)
+             |        / 15.4))), tokens_raw::DOUBLE), 6)
+             |    END AS value_tokens,
+             |  CASE WHEN tokens_raw = 0 OR tokens_effective = 0 THEN 0.0
+             |    ELSE round(least(tokens_effective * (1 + 15.4 *
+             |      (1 - exp((1 - tokens_raw::DOUBLE / tokens_effective)
+             |        / 15.4))), tokens_raw::DOUBLE) / tokens_raw, 6)
+             |    END AS efficiency
+             |FROM j ORDER BY source""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

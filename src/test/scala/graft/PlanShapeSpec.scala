@@ -879,6 +879,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("truncation audit is one session window + one aggregate — no join") {
+    val ev = core.Tables.load(spark, sf, "events")
+      .select(col("user_id").as("session"),
+        unix_timestamp(col("ts")).as("e"), col("event_id"),
+        col("event_type").as("text"))
+    val plan = planOf(operators.Curation.truncationAudit(
+      ev, "session", "e", "event_id", "text", contextTokens = 100L))
+    assert(!plan.contains("Join"), s"audit must not join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("paragraph prune is explode + one aggregate back to the doc key") {
     val docs = core.Tables.load(spark, sf, "documents")
     val plan = planOf(operators.Curation.paragraphQualityPrune(

@@ -760,6 +760,53 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("truncationAudit: latest-suffix keep, oversize head turn keeps zero") {
+    import spark.implicits._
+    // s1: latest-first token sums 2, 3, 1 -> cum 2, 5, 6; budget 5
+    // keeps the two latest turns and drops the oldest
+    val d = Seq(
+      ("s1", 3L, 3L, "a b"), ("s1", 2L, 2L, "c d e"), ("s1", 1L, 1L, "f"),
+      ("s2", 1L, 1L, "w w w w w w w"), // 7 tokens alone overflow 5
+      ("s3", 2L, 2L, "x"), ("s3", 1L, 1L, "y"))
+      .toDF("session", "e", "o", "text")
+    val out = Curation.truncationAudit(d, "session", "e", "o", "text",
+        contextTokens = 5L)
+      .orderBy("session")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("s1", 3L, 6L, 2L, 5L, 1L, true),
+      ("s2", 1L, 7L, 0L, 0L, 7L, true), // reported, never silently clipped
+      ("s3", 2L, 2L, 2L, 2L, 0L, false)))
+    // ts ties break on the order column: same ts, higher id is "later"
+    val tie = Seq(("t", 1L, 2L, "a a a"), ("t", 1L, 1L, "b b b"))
+      .toDF("session", "e", "o", "text")
+    val tt = Curation.truncationAudit(tie, "session", "e", "o", "text",
+        contextTokens = 3L)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(tt == (("t", 2L, 6L, 1L, 3L, 3L, true))) // id 2 kept, id 1 cut
+  }
+
+  test("repetitionValue: published decay priced per source; zero-effective guards") {
+    import spark.implicits._
+    val census = Seq(
+      ("A", 100L, 100L), // e=1: no repetition, full value
+      ("B", 200L, 100L), // e=2: decayed value, efficiency < 1
+      ("C", 50L, 0L))    // pure-duplicate source: guarded zeros
+      .toDF("source", "tokens_raw", "tokens_effective")
+    val out = Curation.repetitionValue(census).orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    def round6(x: Double) = math.rint(x * 1e6) / 1e6
+    val decayedB = 100.0 * (1 + 15.4 * (1 - math.exp((1 - 2.0) / 15.4)))
+    assert(out(0) == (("A", 100L, 100L, 1.0, 100.0, 1.0)))
+    assert(out(1) == (("B", 200L, 100L, 2.0, round6(decayedB),
+      round6(decayedB / 200.0))))
+    assert(out(2) == (("C", 50L, 0L, 0.0, 0.0, 0.0)))
+    // repeated data is always worth less than fresh but more than one
+    // epoch: U < value < raw for every e > 1
+    assert(out(1)._5 > 100.0 && out(1)._5 < 200.0)
+  }
+
   test("heapsFit: planted exact power laws recovered; curve is nested") {
     import spark.implicits._
     // disjoint vocabularies: every doc contributes exactly 3 new
