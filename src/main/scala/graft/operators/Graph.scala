@@ -229,4 +229,44 @@ object Graph {
       rank
     } finally { edgesD.unpersist(); nodes.unpersist() }
   }
+
+  /** k-core peeling — the link-farm/spam-cohesion filter a crawl
+    * graph runs (a k-core is a maximal subgraph where every node
+    * keeps ≥ k neighbors; dense farms survive high k, organic
+    * periphery does not): each round SIMULTANEOUSLY removes every
+    * node whose current degree is < k, then restricts edges to
+    * surviving endpoints. Runs EXACTLY `rounds` rounds — deterministic
+    * round semantics, so an engine replay unrolls the same peels and
+    * agrees bit-for-bit whether or not the peel has converged (at
+    * convergence the result IS the k-core; pass rounds ≥ the graph's
+    * degeneracy diameter, typically single digits).
+    *
+    * Input edges are canonicalized undirected (self-loops dropped,
+    * parallel edges deduped). Output: surviving (node, degree) —
+    * degree within the peeled subgraph.
+    *
+    * Scale shape: each round is one map-side-combined degree count
+    * plus two semi-joins of the edge list against the (smaller)
+    * survivor set, localCheckpointed so round r never replays rounds
+    * 1..r−1; edge volume only shrinks. No driver state beyond the
+    * loop counter. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one peel round")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("u")
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

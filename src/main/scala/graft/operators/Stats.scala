@@ -1225,6 +1225,64 @@ object Stats {
       .select("rater", "n_ratings", "agree", "pe_num", "kappa")
   }
 
+  /** Worker-accuracy-weighted consensus — the one-step Dawid-Skene
+    * refinement of majority voting: initialize the consensus with the
+    * per-item majority (ties to smallest label, the shared panel
+    * rule), estimate each rater's accuracy as their exact agreement
+    * rate with that consensus in micro-units, then RE-vote every item
+    * with each rating weighted by its rater's accuracy. Items whose
+    * label flips (`changed`) are where a reliable minority overruled a
+    * noisy crowd — the rows an annotation pipeline re-queues or
+    * auto-corrects first.
+    *
+    * ALL integer: accuracies are `(agree·1e6) div total` BIGINTs,
+    * scores are Σ n·acc longs, and both argmaxes break ties by
+    * (count/score desc, label asc) — nothing for a replaying engine
+    * to round differently.
+    *
+    * Output per item: (item, majority_label, weighted_label, changed,
+    * score_micro of the winning weighted label). Scale shape:
+    * everything past one corpus pass runs on the (item, rater, label)
+    * cell table (bounded by the key space, not rating volume); the
+    * accuracy table is #raters rows joined back by rater; argmax is a
+    * per-item window over the cell frame. */
+  def weightedConsensus(df: DataFrame, item: Column, rater: Column,
+      label: Column): DataFrame =
+    weightedConsensusCounts(df
+      .select(item.as("item"), rater.as("rater"), label.as("label"))
+      .filter(col("rater").isNotNull && col("label").isNotNull)
+      .groupBy("item", "rater", "label").agg(count(lit(1)).as("n")))
+
+  /** [[weightedConsensus]] from a pre-aggregated
+    * `(item, rater, label, n)` cell frame — duplicate cells fold by
+    * addition (the [[graft.streaming.RaterQaStream]] partial shape). */
+  def weightedConsensusCounts(cellCounts: DataFrame): DataFrame = {
+    val cells = cellCounts
+      .groupBy("item", "rater", "label").agg(sum(col("n")).as("n"))
+    val cons = ratingDisagreementCounts(
+        cells.select(col("item"), col("label"), col("n")))
+      .select(col("item"), col("majority_label"))
+    val j = cells.join(cons, Seq("item")).localCheckpoint()
+    val acc = j.groupBy("rater")
+      .agg(sum(col("n")).as("__t"),
+        sum(when(col("label") === col("majority_label"), col("n"))
+          .otherwise(0L)).as("__a"))
+      .select(col("rater"), expr("(__a * 1000000) div __t").as("__acc"))
+    val scores = j.join(acc, Seq("rater"))
+      .groupBy("item", "label")
+      .agg(sum(col("n") * col("__acc")).as("score_micro"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("score_micro").desc, col("label").asc_nulls_last)
+    scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("item"), col("label").as("weighted_label"),
+        col("score_micro"))
+      .join(cons, Seq("item"))
+      .select(col("item"), col("majority_label"), col("weighted_label"),
+        (col("weighted_label") =!= col("majority_label")).as("changed"),
+        col("score_micro"))
+  }
+
   /** Per-rater score bias — the harshness/leniency audit over a numeric
     * rating column: each rater's mean score and its offset from the
     * global mean, in exact micro-units. A reward-model pipeline uses

@@ -2577,6 +2577,106 @@ object Suite {
              |    END AS efficiency
              |FROM j ORDER BY source""".stripMargin)),
 
+    Q("l145_k_core",
+      // link-farm filter: 5-core peel over a sparsified transition
+      // graph with a planted 12-clique — the organic periphery
+      // cascades away over 4 rounds (112 -> 72 -> 49 -> 27 -> 12
+      // nodes), the clique survives. EXACTLY 5 rounds both sides, so
+      // the replay agrees whether or not the peel has converged
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val nat = ev.withColumn("src", lag(col("k"), 1).over(w))
+          .filter(col("src").isNotNull && col("event_id") % 7 === 0)
+          .select(col("src"), col("k").as("dst"))
+        val clique = (for { i <- 0 until 12; j <- i + 1 until 12 }
+          yield (200L + i, 200L + j)).toDF("src", "dst")
+        graft.operators.Graph.kCorePeel(nat.unionByName(clique),
+            k = 5, rounds = 5)
+          .orderBy("node")
+      },
+      Some("""WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |ed AS MATERIALIZED (SELECT lag(k) OVER (PARTITION BY
+             |    user_id ORDER BY ts, event_id) AS src, k AS dst,
+             |    event_id AS eid FROM ev),
+             |nat AS MATERIALIZED (SELECT src, dst FROM ed
+             |  WHERE src IS NOT NULL AND eid % 7 = 0),
+             |cl AS MATERIALIZED (SELECT 200 + i.i AS src, 200 + j.j AS dst
+             |  FROM (SELECT unnest(range(12)) AS i) i,
+             |       (SELECT unnest(range(12)) AS j) j WHERE i.i < j.j),
+             |allE AS MATERIALIZED (SELECT * FROM nat
+             |  UNION ALL SELECT * FROM cl),
+             |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+             |    greatest(src, dst) AS b FROM allE WHERE src <> dst),
+             |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+             |  UNION ALL SELECT b, a FROM und),
+             |k1 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d
+             |  FROM e0 GROUP BY u) WHERE d >= 5),
+             |e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e
+             |  JOIN k1 x ON x.u = e.u JOIN k1 y ON y.u = e.v),
+             |k2 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d
+             |  FROM e1 GROUP BY u) WHERE d >= 5),
+             |e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e
+             |  JOIN k2 x ON x.u = e.u JOIN k2 y ON y.u = e.v),
+             |k3 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d
+             |  FROM e2 GROUP BY u) WHERE d >= 5),
+             |e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e
+             |  JOIN k3 x ON x.u = e.u JOIN k3 y ON y.u = e.v),
+             |k4 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d
+             |  FROM e3 GROUP BY u) WHERE d >= 5),
+             |e4 AS MATERIALIZED (SELECT e.u, e.v FROM e3 e
+             |  JOIN k4 x ON x.u = e.u JOIN k4 y ON y.u = e.v),
+             |k5 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d
+             |  FROM e4 GROUP BY u) WHERE d >= 5),
+             |e5 AS MATERIALIZED (SELECT e.u, e.v FROM e4 e
+             |  JOIN k5 x ON x.u = e.u JOIN k5 y ON y.u = e.v)
+             |SELECT u AS node, count(*)::BIGINT AS degree FROM e5
+             |GROUP BY u ORDER BY node""".stripMargin)),
+
+    Q("l146_weighted_consensus",
+      // one-step Dawid-Skene: majority init, exact micro-unit rater
+      // accuracies, accuracy-weighted re-vote; `changed` rows are
+      // where a reliable minority overrules a noisy crowd. All
+      // integer — both argmaxes tie-break (count/score desc, label
+      // asc), nothing to round
+      (s, d) => Stats.weightedConsensus(t(s, d, "events"),
+          col("event_id") % 400, col("user_id") % 7, col("event_type"))
+        .orderBy("item"),
+      Some("""WITH r AS (SELECT event_id % 400 AS item,
+             |    user_id % 7 AS rater, event_type AS label FROM events),
+             |cells AS (SELECT item, rater, label, count(*)::BIGINT AS n
+             |  FROM r GROUP BY 1, 2, 3),
+             |ic AS (SELECT item, label, sum(n)::BIGINT AS cnt
+             |  FROM cells GROUP BY 1, 2),
+             |mj AS (SELECT item, label AS majority_label FROM (
+             |  SELECT item, label, row_number() OVER (PARTITION BY item
+             |    ORDER BY cnt DESC, label ASC) AS rn FROM ic)
+             |  WHERE rn = 1),
+             |acc AS (SELECT c.rater,
+             |    (sum(CASE WHEN c.label = m.majority_label THEN c.n
+             |      ELSE 0 END) * 1000000) // sum(c.n) AS acc
+             |  FROM cells c JOIN mj m ON m.item = c.item GROUP BY 1),
+             |sc AS (SELECT c.item, c.label,
+             |    sum(c.n * a.acc)::BIGINT AS score_micro
+             |  FROM cells c JOIN acc a ON a.rater = c.rater
+             |  GROUP BY 1, 2),
+             |wl AS (SELECT item, label AS weighted_label, score_micro
+             |  FROM (SELECT item, label, score_micro, row_number()
+             |    OVER (PARTITION BY item ORDER BY score_micro DESC,
+             |      label ASC) AS rn FROM sc) WHERE rn = 1)
+             |SELECT w.item, m.majority_label, w.weighted_label,
+             |  (w.weighted_label <> m.majority_label) AS changed,
+             |  w.score_micro
+             |FROM wl w JOIN mj m ON m.item = w.item
+             |ORDER BY w.item""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

@@ -109,4 +109,27 @@ class GraphSpec extends SparkSpec {
     // global total = sum/3
     assert(got.values.sum / 3 == 4L)
   }
+
+  test("kCorePeel: cascade peels the tail, exact round semantics, dedupe") {
+    import spark.implicits._
+    // triangle {1,2,3} with a path tail 3-4-5; parallel edge and
+    // self-loop must collapse before counting
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 3L)).toDF("src", "dst")
+    // round 1 removes 5 (degree 1); node 4 SURVIVES round 1 and shows
+    // its restricted degree 1 — exactly-`rounds` semantics, not fixpoint
+    val r1 = Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)))
+    // by round 3 the peel has converged to the triangle 2-core
+    val r3 = Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r3 == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // extra rounds past convergence change nothing
+    val r5 = Graph.kCorePeel(edges, k = 2, rounds = 5)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r5 == r3)
+    // k above the max core empties the graph without error
+    assert(Graph.kCorePeel(edges, k = 3, rounds = 3).isEmpty)
+  }
 }

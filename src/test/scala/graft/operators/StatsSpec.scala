@@ -622,6 +622,34 @@ class StatsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("weightedConsensus: reliable raters flip a tie; agreement never flips") {
+    import spark.implicits._
+    // r1 is right 3/5 vs majority, r2/r3 4/5. On i5 the raw vote ties
+    // A/B/C (tie rule -> A); accuracy weighting makes B and C tie at
+    // 800000 and the label-asc break picks B — a CHANGED item
+    val d = Seq(
+      ("i1", "r1", "A"), ("i1", "r2", "B"), ("i1", "r3", "B"),
+      ("i2", "r1", "A"), ("i2", "r2", "B"), ("i2", "r3", "B"),
+      ("i3", "r1", "A"), ("i3", "r2", "A"), ("i3", "r3", "A"),
+      ("i4", "r1", "A"), ("i4", "r2", "A"), ("i4", "r3", "A"),
+      ("i5", "r1", "A"), ("i5", "r2", "B"), ("i5", "r3", "C"))
+      .toDF("item", "rater", "label")
+    val out = Stats.weightedConsensus(d, col("item"), col("rater"),
+        col("label")).orderBy("item")
+      .as[(String, String, String, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      ("i1", "B", "B", false, 1600000L),
+      ("i2", "B", "B", false, 1600000L),
+      ("i3", "A", "A", false, 2200000L),
+      ("i4", "A", "A", false, 2200000L),
+      ("i5", "A", "B", true, 800000L)))
+    // layout independence: exact integers end to end
+    val again = Stats.weightedConsensus(d.repartition(7), col("item"),
+        col("rater"), col("label")).orderBy("item")
+      .as[(String, String, String, Boolean, Long)].collect().toSeq
+    assert(again == out)
+  }
+
   test("itemAnalysis: hand-computed difficulty, rest-score r_pb and alpha") {
     import spark.implicits._
     // 3 persons x 2 items; totals t = [2, 1, 0].
