@@ -335,7 +335,10 @@ object Bench {
         // 10× is the right rehearsal)
         "l135_source_overlap", "l136_dup_flow", "l137_domain_gate",
         "l138_paragraph_prune", "l139_oov_curve", "l141_effective_tokens",
-        "l142_decontam_curve", "l144_repetition_value")
+        "l142_decontam_curve", "l144_repetition_value",
+        // map-only screens/builders (l147 is excluded like l19: its
+        // exact simjoin growth is receipted by the l19c census)
+        "l148_injection_screen", "l149_needle_insert")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

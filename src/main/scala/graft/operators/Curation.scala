@@ -1362,6 +1362,121 @@ object Curation {
         col("license").isInCollection(permissiveLicenses))
   }
 
+  /** License contagion over near-duplicate clusters — the governance
+    * rule a code-corpus release runs AFTER near-dup detection: if ANY
+    * member of a near-dup cluster carries a known copyleft license, a
+    * near-identical copy stripped of its header is almost certainly
+    * the same work, so the WHOLE cluster inherits the flag. `unknown`
+    * licenses never contaminate (absence of evidence is handled by
+    * the per-doc `license_ok` gate, not by contagion).
+    *
+    * Output per doc: (idCol, license, license_ok, component,
+    * cluster_size, copyleft_contagion). Scale shape: the license
+    * screen is map-only, the candidate path is banded LSH (never
+    * all-pairs), components is large-star/small-star O(log n), and
+    * the flag fold is one aggregate over cluster keys joined back by
+    * an equi-join. */
+  def licenseContagion(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, shingleN: Int = 3, k: Int = 64,
+      nBands: Int = 16): DataFrame =
+    licenseContagionFromPairs(
+      licenseScreen(df, textCol)
+        .select(col(idCol), col("license"), col("license_ok")),
+      graft.operators.Dedup.minhashCandidates(df, textCol, idCol,
+        shingleN, k, nBands).filter(col("jaccard") >= minJaccard),
+      idCol)
+
+  /** [[licenseContagion]] from an already-screened flag frame
+    * `(idCol, license, license_ok)` and a verified near-dup pair
+    * frame `(id_a, id_b, …)` — the seam for an exact similarity join
+    * ([[graft.operators.Dedup.prefixJaccardPairs]]) or a pre-built
+    * incremental index's edges. Docs in no pair form singleton
+    * clusters; their flag is their own. */
+  def licenseContagionFromPairs(flags: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val comp = graft.operators.Dedup.components(pairs)
+      .withColumnRenamed("id", idCol)
+    val withComp = flags.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val copyleft = col("license") =!= "unknown" && !col("license_ok")
+    val clusters = withComp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when(copyleft, 1L).otherwise(0L)).as("__bad"))
+    withComp.join(clusters, Seq("component"))
+      .select(col(idCol), col("license"), col("license_ok"),
+        col("component"), col("cluster_size"),
+        (col("__bad") === 1L).as("copyleft_contagion"))
+  }
+
+  /** Prompt-injection screening — the SFT/RAG-data hygiene gate: flag
+    * documents carrying instruction-override phrasing ("ignore all
+    * previous instructions"), system-prompt exfiltration probes,
+    * jailbreak-persona markers, or zero-width-character smuggling
+    * (invisible text that survives a copy-paste but steers a model).
+    * Patterns are plain alternations — no lookarounds — so the SAME
+    * literal regex runs under Java regex here and RE2 in a replaying
+    * engine.
+    *
+    * Output per row: the input columns + `override_instr`, `exfil`,
+    * `persona`, booleans; `zero_width` count; `injection_score`
+    * (families hit, 0-3); `flagged` (any family, or ≥ `zwThreshold`
+    * invisible characters). Pure map-side column algebra — at 100 TB
+    * this fuses into the scan. */
+  def injectionScreen(df: DataFrame, textCol: String,
+      zwThreshold: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val over = t.rlike("(?i)(ignore|disregard|forget) (all |any )?" +
+      "(previous|prior|above|earlier) " +
+      "(instructions|prompts|directions|rules)")
+    val exfil = t.rlike("(?i)(reveal|print|show|repeat|output) " +
+      "(your |the )?(system prompt|hidden instructions|" +
+      "initial instructions)")
+    val persona = t.rlike("(?i)(you are now|pretend to be|jailbreak|" +
+      "dan mode|do anything now)")
+    val zw = regexp_count(t,
+      lit("[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}]"))
+    df.withColumn("override_instr", over)
+      .withColumn("exfil", exfil)
+      .withColumn("persona", persona)
+      .withColumn("zero_width", zw.cast("long"))
+      .withColumn("injection_score",
+        over.cast("long") + exfil.cast("long") + persona.cast("long"))
+      .withColumn("flagged",
+        col("injection_score") >= 1L ||
+          col("zero_width") >= lit(zwThreshold.toLong))
+  }
+
+  /** Needle insertion — the long-context eval-data builder (the
+    * needle-in-a-haystack shape): plant `needle` into each document at
+    * a DETERMINISTIC per-doc depth derived from the portable md5 of
+    * the doc key (depth_ppm = hash-prefix mod 1e6, uniform over the
+    * doc), splicing between tokens at position
+    * floor(depth_ppm · n_tokens / 1e6). The manifest (id, depth_ppm,
+    * position, n_tokens) IS the answer key, and any engine re-derives
+    * the same placements from the same ids — no RNG to disagree on.
+    * The rebuilt text is whitespace-canonical (single spaces), the
+    * tokenizer-equivalent form every text operator here consumes.
+    *
+    * Map-only: one md5, one split, one splice per row. */
+  def insertNeedles(df: DataFrame, idCol: String, textCol: String,
+      needle: String, seed: Long = 0L): DataFrame = {
+    import graft.functions.TextFunctions
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val depth = pmod(h, lit(1000000L))
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    df.select(col(idCol), col(textCol))
+      .withColumn("depth_ppm", depth)
+      .withColumn("n_tokens", n)
+      .withColumn("position", expr("(depth_ppm * n_tokens) div 1000000"))
+      .withColumn(textCol, concat_ws(" ",
+        concat(slice(toks, lit(1), col("position").cast("int")),
+          array(lit(needle)),
+          slice(toks, col("position").cast("int") + lit(1),
+            greatest((n - col("position")).cast("int"), lit(0))))))
+  }
+
   // ---- code-quality filters (StarCoder-style) -------------------------
 
   /** Per-document code-quality statistics + keep verdict — the
