@@ -280,4 +280,58 @@ class EdgeCasesSpec extends SparkSpec {
       .orderBy("k").as[(Int, Long, Long, Double)].collect().toSeq
     assert(oc.isEmpty || oc.forall(r => r._2 == 0L && r._4 == 0.0))
   }
+
+  test("screens, audits and builders survive empty / blank input") {
+    // contamination curve: empty corpus -> ladder rows with 0 totals;
+    // empty benchmark -> nothing contaminated, rates 0
+    val cc = Dedup.contaminationCurve(emptyDocs, emptyDocs,
+        "text", "doc_id", ns = Seq(2, 3))
+      .orderBy("n").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(cc.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((2, 0L, 0L, 0.0), (3, 0L, 0L, 0.0)))
+    val some = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val cb = Dedup.contaminationCurve(some, emptyDocs,
+        "text", "doc_id", ns = Seq(2)).as[(Int, Long, Long, Double)]
+      .collect().head
+    assert(cb == ((2, 0L, 1L, 0.0)))
+    // truncation audit on an empty log is empty
+    val emptyLog = Seq.empty[(String, Long, Long, String)]
+      .toDF("session", "e", "o", "text")
+    assert(Curation.truncationAudit(emptyLog, "session", "e", "o",
+      "text", 10L).isEmpty)
+    // repetition value on an empty census is empty
+    assert(Curation.repetitionValue(Seq.empty[(String, Long, Long)]
+      .toDF("source", "tokens_raw", "tokens_effective")).isEmpty)
+    // k-core of an empty edge list is empty, never a crash
+    assert(Graph.kCorePeel(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2, rounds = 3)
+      .isEmpty)
+    // weighted consensus: empty ratings -> empty; single rating -> its
+    // own label both ways, never a flip
+    assert(Stats.weightedConsensus(
+      Seq.empty[(String, String, String)].toDF("item", "rater", "label"),
+      col("item"), col("rater"), col("label")).isEmpty)
+    val one = Stats.weightedConsensus(
+        Seq(("i", "r", "A")).toDF("item", "rater", "label"),
+        col("item"), col("rater"), col("label"))
+      .as[(String, String, String, Boolean, Long)].collect().head
+    assert(one == (("i", "A", "A", false, 1000000L)))
+    // license contagion: empty flags + empty pairs -> empty
+    assert(Curation.licenseContagionFromPairs(
+      Seq.empty[(Long, String, Boolean)]
+        .toDF("doc_id", "license", "license_ok"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id").isEmpty)
+    // injection screen on blank docs: nothing fires
+    val is = Curation.injectionScreen(blankDocs, "text")
+      .select("injection_score", "zero_width", "flagged")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(is.forall(r => r._1 == 0L && r._2 == 0L && !r._3))
+    // needle insertion on empty input is empty; blank docs still get
+    // their needle at position 0
+    assert(Curation.insertNeedles(emptyDocs, "doc_id", "text", "N")
+      .isEmpty)
+    val bn = Curation.insertNeedles(blankDocs, "doc_id", "text", "N")
+      .select("text", "position").as[(String, Long)].collect().toSeq
+    assert(bn.forall(r => r._1 == "N" && r._2 == 0L))
+  }
 }
