@@ -338,7 +338,8 @@ object Bench {
         "l142_decontam_curve", "l144_repetition_value",
         // map-only screens/builders (l147 is excluded like l19: its
         // exact simjoin growth is receipted by the l19c census)
-        "l148_injection_screen", "l149_needle_insert")
+        "l148_injection_screen", "l149_needle_insert",
+        "l151_fim_transform")
     val synthFactor =
       sys.env.getOrElse("SPARK_GRAFT_SYNTH_FACTOR", "10").toInt
     val synth: String =

@@ -1070,6 +1070,82 @@ object Curation {
         .otherwise(round(least(decayed, raw) / raw, 6)).as("efficiency"))
   }
 
+  /** Loss-mask construction — the collator contract an SFT trainer
+    * actually consumes: per conversation turn, the token SPAN
+    * [tok_start, tok_end) it occupies in the (ts, orderCol)-ordered
+    * concatenation, and whether the span trains (role ∈ `trainRoles`
+    * — typically assistant turns train, user/system turns mask).
+    * Emitting spans instead of per-token rows keeps the output
+    * turn-sized; the trainer expands them against its own tokenizer
+    * offsets.
+    *
+    * Output: (session, turn_idx 1-based, role, tok_start, tok_end,
+    * trainable), whitespace-token units — the same canonical
+    * tokenization every operator here uses.
+    *
+    * Scale shape: one token count per turn map-side, one window pair
+    * (row_number + running sum) over the session partition, no join,
+    * nothing global. */
+  def lossMask(df: DataFrame, sessionCol: String, tsCol: String,
+      orderCol: String, roleCol: String, textCol: String,
+      trainRoles: Seq[String]): DataFrame = {
+    require(trainRoles.nonEmpty, "need at least one trainable role")
+    import graft.functions.TextFunctions
+    val w = Window.partitionBy(col(sessionCol))
+      .orderBy(col(tsCol).asc, col(orderCol).asc)
+    df.select(col(sessionCol).as("session"), col(tsCol), col(orderCol),
+        col(roleCol).as("role"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("tok_end", sum("__tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("session"), col("turn_idx"), col("role"),
+        (col("tok_end") - col("__tok")).as("tok_start"), col("tok_end"),
+        col("role").isInCollection(trainRoles).as("trainable"))
+  }
+
+  /** Fill-in-the-middle transform — the FIM data prep a code-model
+    * pipeline runs (Bavarian et al. 2022): split each document at two
+    * DETERMINISTIC portable-md5 cut points into (prefix, middle,
+    * suffix) and emit the PSM-ordered training text
+    * `<PRE> prefix <SUF> suffix <MID> middle`. Cut positions derive
+    * from the doc key (two independent md5 draws, sorted), so the
+    * manifest (cut_a, cut_b, n_tokens) is the replayable answer key —
+    * no RNG to disagree on — and a different `seed` re-cuts the whole
+    * corpus. Sentinels are plain tokens here; a trainer maps them to
+    * its special ids. Rebuilt text is whitespace-canonical.
+    *
+    * Map-only: two md5s, one split, three slices per row. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      seed: Long = 0L): DataFrame = {
+    import graft.functions.TextFunctions
+    def draw(tag: String) = pmod(
+      conv(substring(md5(concat(lit(seed.toString), lit(tag),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val h1 = draw(":a:"); val h2 = draw(":b:")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", n)
+      .withColumn("__h1", h1).withColumn("__h2", h2)
+      .withColumn("cut_a",
+        expr("(least(__h1, __h2) * n_tokens) div 1000000"))
+      .withColumn("cut_b",
+        expr("(greatest(__h1, __h2) * n_tokens) div 1000000"))
+      .drop("__h1", "__h2")
+      .withColumn(textCol, concat_ws(" ",
+        concat(array(lit("<PRE>")),
+          slice(toks, lit(1), col("cut_a").cast("int")),
+          array(lit("<SUF>")),
+          slice(toks, col("cut_b").cast("int") + lit(1),
+            greatest((n - col("cut_b")).cast("int"), lit(0))),
+          array(lit("<MID>")),
+          slice(toks, col("cut_a").cast("int") + lit(1),
+            greatest((col("cut_b") - col("cut_a")).cast("int"),
+              lit(0))))))
+  }
+
   /** Inter-source vocabulary overlap — the mixture-planning view of
     * the corpus: for every unordered pair of sources, the exact
     * token-TYPE Jaccard between their vocabularies (how much would

@@ -2847,6 +2847,70 @@ object Suite {
              |    toks[position+1:n_tokens]), ' ')) AS text_md5
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    Q("l150_loss_mask",
+      // the SFT collator contract: per turn, the token span it
+      // occupies in the (ts, id)-ordered conversation and whether it
+      // trains (assistant turns train, user turns mask). One window
+      // pair per session, no join, turn-sized output
+      (s, d) => Curation.lossMask(
+          t(s, d, "events").select(col("user_id").as("session"),
+            unix_timestamp(col("ts")).as("e"), col("event_id"),
+            when(col("event_type").isin("view", "click"), "user")
+              .otherwise("assistant").as("role"),
+            concat(col("event_type"), lit(" "), col("props")).as("text")),
+          "session", "e", "event_id", "role", "text",
+          trainRoles = Seq("assistant"))
+        .orderBy("session", "turn_idx"),
+      Some("""WITH t AS (SELECT user_id AS session,
+             |    epoch(ts)::BIGINT AS e, event_id AS o,
+             |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+             |      ELSE 'assistant' END AS role,
+             |    len(list_filter(string_split_regex(lower(trim(
+             |      event_type || ' ' || props)), '\s+'),
+             |      x -> len(x) > 0))::BIGINT AS tok FROM events)
+             |SELECT session,
+             |  row_number() OVER (PARTITION BY session ORDER BY e, o)
+             |    AS turn_idx,
+             |  role,
+             |  sum(tok) OVER (PARTITION BY session ORDER BY e, o
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+             |    AS tok_start,
+             |  sum(tok) OVER (PARTITION BY session ORDER BY e, o
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS tok_end,
+             |  (role = 'assistant') AS trainable
+             |FROM t ORDER BY session, turn_idx""".stripMargin)),
+
+    Q("l151_fim_transform",
+      // FIM data prep (Bavarian et al. 2022): two portable-md5 cut
+      // points per doc, PSM-ordered <PRE> prefix <SUF> suffix <MID>
+      // middle rebuild; the (cut_a, cut_b, n_tokens) manifest is the
+      // replayable answer key. Map-only: two md5s + three slices
+      (s, d) => Curation.fimTransform(t(s, d, "documents"), "doc_id",
+          "text", seed = 7L)
+        .select(col("doc_id"), col("n_tokens"), col("cut_a"),
+          col("cut_b"), md5(col("text")).as("fim_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |h AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+             |    ('0x' || substr(md5('7:a:' || doc_id), 1, 15))::BIGINT
+             |      % 1000000 AS h1,
+             |    ('0x' || substr(md5('7:b:' || doc_id), 1, 15))::BIGINT
+             |      % 1000000 AS h2 FROM t),
+             |c AS (SELECT doc_id, toks, n_tokens,
+             |    (least(h1, h2) * n_tokens) // 1000000 AS cut_a,
+             |    (greatest(h1, h2) * n_tokens) // 1000000 AS cut_b
+             |  FROM h)
+             |SELECT doc_id, n_tokens, cut_a, cut_b,
+             |  md5(array_to_string(list_concat(list_concat(list_concat(
+             |    list_concat(list_concat(
+             |      ['<PRE>'], toks[1:cut_a]), ['<SUF>']),
+             |      toks[cut_b+1:n_tokens]), ['<MID>']),
+             |      toks[cut_a+1:cut_b]), ' ')) AS fim_md5
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

@@ -890,6 +890,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("loss mask is one session window pair — no join, no global sort") {
+    val ev = core.Tables.load(spark, sf, "events")
+      .select(col("user_id").as("session"),
+        unix_timestamp(col("ts")).as("e"), col("event_id"),
+        col("event_type").as("role"), col("props").as("text"))
+    val plan = planOf(operators.Curation.lossMask(
+      ev, "session", "e", "event_id", "role", "text", Seq("purchase")))
+    assert(!plan.contains("Join"), s"mask must not join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("paragraph prune is explode + one aggregate back to the doc key") {
     val docs = core.Tables.load(spark, sf, "documents")
     val plan = planOf(operators.Curation.paragraphQualityPrune(

@@ -897,6 +897,64 @@ class CurationSpec extends SparkSpec {
     assert(moved.map(_._3) != out.map(_._3))
   }
 
+  test("lossMask: contiguous spans in arrival order; only trainRoles train") {
+    import spark.implicits._
+    // arrival out of order on purpose — spans follow (ts, id), not input
+    val d = Seq(
+      ("s", 3L, 3L, "user", "ok"),                    // turn 3: 1 tok
+      ("s", 1L, 1L, "user", "hello there"),           // turn 1: 2 tok
+      ("s", 2L, 2L, "assistant", "hi how are"),       // turn 2: 3 tok
+      ("t", 1L, 1L, "system", "be nice"))             // masked role
+      .toDF("session", "e", "o", "role", "text")
+    val out = Curation.lossMask(d, "session", "e", "o", "role", "text",
+        trainRoles = Seq("assistant"))
+      .orderBy("session", "turn_idx")
+      .as[(String, Int, String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("s", 1, "user", 0L, 2L, false),
+      ("s", 2, "assistant", 2L, 5L, true),
+      ("s", 3, "user", 5L, 6L, false),
+      ("t", 1, "system", 0L, 2L, false)))
+    // spans tile the conversation exactly: end(i) == start(i+1)
+    val spans = out.filter(_._1 == "s")
+    assert(spans.sliding(2).forall {
+      case Seq(a, b) => a._5 == b._4; case _ => true })
+  }
+
+  test("fimTransform: PSM structure, manifest-consistent cuts, deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.fimTransform(d, "doc_id", "text", seed = 7L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    out.foreach { case (_, text, n, a, b) =>
+      assert(0L <= a && a <= b && b <= n)
+      val toks = text.split(" ").toSeq
+      // exactly one of each sentinel, in PSM order
+      assert(Seq("<PRE>", "<SUF>", "<MID>").forall(s =>
+        toks.count(_ == s) == 1))
+      val (pi, si, mi) = (toks.indexOf("<PRE>"), toks.indexOf("<SUF>"),
+        toks.indexOf("<MID>"))
+      assert(pi == 0 && pi < si && si < mi)
+      // segment sizes match the manifest
+      assert(si - pi - 1 == a)            // prefix
+      assert(mi - si - 1 == n - b)        // suffix
+      assert(toks.length - mi - 1 == b - a) // middle
+    }
+    // empty doc degenerates to bare sentinels
+    assert(out.find(_._1 == 3L).get._2 == "<PRE> <SUF> <MID>")
+    // layout-independent; a new seed re-cuts
+    val again = Curation.fimTransform(d.repartition(5), "doc_id",
+        "text", seed = 7L).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(again == out)
+    val recut = Curation.fimTransform(d, "doc_id", "text", seed = 8L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(recut.map(r => (r._4, r._5)) != out.map(r => (r._4, r._5)))
+  }
+
   test("heapsFit: planted exact power laws recovered; curve is nested") {
     import spark.implicits._
     // disjoint vocabularies: every doc contributes exactly 3 new
