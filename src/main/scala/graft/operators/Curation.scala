@@ -1643,12 +1643,20 @@ object Curation {
     * back onto the corpus — no second shuffle of document rows. */
   def groupGate(df: DataFrame, groupCol: String, scoreCol: Column,
       minDocs: Long = 3L, dropBelow: Double = 0.3,
-      keepAbove: Double = 0.5): DataFrame = {
+      keepAbove: Double = 0.5,
+      broadcastTiers: Boolean = true): DataFrame = {
     val micro = round(scoreCol * lit(1e6)).cast("long")
     val partials = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(micro).as("sum_micro"))
-    df.join(broadcast(groupGateTiers(partials, groupCol, minDocs,
-      dropBelow, keepAbove)), Seq(groupCol))
+    val tiers = groupGateTiers(partials, groupCol, minDocs,
+      dropBelow, keepAbove)
+    // broadcastTiers=true is right up to a few million groups (a
+    // #groups-sized frame of one string + three scalars); past that —
+    // e.g. gating on full host names over a web-scale crawl — pass
+    // false and pay one shuffle of the doc side instead of shipping a
+    // multi-GB broadcast to every executor
+    df.join(if (broadcastTiers) broadcast(tiers) else tiers,
+      Seq(groupCol))
   }
 
   /** [[groupGate]]'s tier table from pre-aggregated

@@ -1390,6 +1390,53 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_token_frac"))
   }
 
+  /** Exact-dedup audit trail — "who kept my document": for EVERY doc,
+    * the winner of its exact-text group under the [[exact]] contract
+    * (min `idCol`) and whether the doc itself survived. The answer to
+    * the support ticket hard dedup inevitably generates, and the join
+    * table a lineage system stores. Same (hash, id) shuffle as
+    * [[exact]] — text bodies never move. */
+  def exactDedupTrail(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val h = df.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+    val w = h.groupBy("__h").agg(min(col(idCol)).as("winner_id"))
+    h.join(w, Seq("__h"))
+      .select(col(idCol), col("winner_id"),
+        (col(idCol) === col("winner_id")).as("is_survivor"))
+  }
+
+  /** Contamination attribution by source — "drop the source, not the
+    * doc": which sources carry the benchmark leaks
+    * [[containmentPairs]] finds, and how concentrated are they? Per
+    * source: contaminated doc count, total docs, share. A 40%-leaky
+    * source is a pipeline bug (a crawl that ate the benchmark); a
+    * 0.1% tail is organic overlap.
+    *
+    * Scale shape: the containment join is the prefix-filtered
+    * directional pass of [[containmentPairs]]; attribution adds one
+    * distinct over flagged ids, one semi-join back, and two
+    * source-keyed aggregates. */
+  def contaminationBySource(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, sourceCol: String, n: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    val flagged = containmentPairs(corpus, benchmark, textCol, idCol,
+        n, minContainment)
+      .select(col("doc_id").as(idCol)).distinct()
+    val src = corpus.filter(col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("source"))
+    val hit = src.join(flagged, Seq(idCol), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("contaminated_docs"))
+    src.groupBy("source").agg(count(lit(1)).as("total_docs"))
+      .join(hit, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("contaminated_docs"), lit(0L))
+          .as("contaminated_docs"),
+        col("total_docs"),
+        round(coalesce(col("contaminated_docs"), lit(0L))
+          .cast("double") / col("total_docs").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Distinct hashed n-grams of `textCol` for one n: (`extra` columns,
     * `__g` 64-bit gram hash). Docs with fewer than n tokens yield no
     * grams. Map-side explode; gram STRINGS never leave the mapper. */

@@ -2911,6 +2911,75 @@ object Suite {
              |      toks[cut_a+1:cut_b]), ' ')) AS fim_md5
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("l152_dedup_trail",
+      // "who kept my document": per doc under the l136 recrawl plant,
+      // its exact-group winner (min id) and survival flag — the
+      // lineage table hard dedup owes every support ticket. Same
+      // (hash, id) shuffle as l1
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withRecrawl = docs.select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") < 300)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Dedup.exactDedupTrail(withRecrawl, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id < 300),
+             |w AS (SELECT text, min(doc_id) AS winner_id FROM corpus
+             |  GROUP BY text)
+             |SELECT c.doc_id, w.winner_id,
+             |  (c.doc_id = w.winner_id) AS is_survivor
+             |FROM corpus c JOIN w ON w.text = c.text
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    Q("l153_contamination_by_source",
+      // "drop the source, not the doc": attribute the l22 benchmark
+      // leaks to sources — contaminated docs, totals and share per
+      // source. Containment is the prefix-filtered directional pass;
+      // attribution adds one distinct + semi-join + two aggregates
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+        Dedup.contaminationBySource(docs, bench, "text", "doc_id",
+            "source", n = 3, minContainment = 0.5)
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT doc_id, source, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS toks FROM documents),
+             |cg AS (SELECT doc_id, source, list_distinct(
+             |    CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |    END) AS g FROM tok),
+             |btok AS (SELECT list_filter(
+             |    string_split_regex(lower(trim(substr(text, 1, 150))),
+             |    '\s+'), x -> len(x) > 0) AS toks
+             |  FROM documents WHERE doc_id < 20),
+             |bg AS (SELECT list_distinct(CASE WHEN len(toks) < 3
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |    END) AS g FROM btok),
+             |hit AS (SELECT DISTINCT c.doc_id, c.source
+             |  FROM cg c CROSS JOIN bg b
+             |  WHERE len(list_intersect(b.g, c.g))::DOUBLE / len(b.g)
+             |    >= 0.5),
+             |hs AS (SELECT source, count(*)::BIGINT AS contaminated_docs
+             |  FROM hit GROUP BY 1),
+             |ts AS (SELECT source, count(*)::BIGINT AS total_docs
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1)
+             |SELECT ts.source, coalesce(hs.contaminated_docs, 0)
+             |    AS contaminated_docs, ts.total_docs,
+             |  round(coalesce(hs.contaminated_docs, 0)::DOUBLE
+             |    / ts.total_docs, 6) AS share
+             |FROM ts LEFT JOIN hs ON hs.source = ts.source
+             |ORDER BY ts.source""".stripMargin)),
+
     Q("l134_heaps_fit",
       // Heaps-law vocabulary growth — the corpus-planning companion to
       // l98's Zipf fit: distinct token types at 6 NESTED portable-md5

@@ -712,6 +712,15 @@ class CurationSpec extends SparkSpec {
       r._5 == 900000L))
     // every input doc survives with its tier attached
     assert(out.map(_._2).sorted == (1L to 10L))
+    // the non-broadcast path (web-scale group cardinality) is
+    // result-identical
+    val noBcast = Curation.groupGate(d, "source", col("q"),
+        minDocs = 3L, dropBelow = 0.3, keepAbove = 0.5,
+        broadcastTiers = false)
+      .select("source", "doc_id", "tier", "n_docs", "mean_score_micro")
+      .orderBy("doc_id")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    assert(noBcast == out)
   }
 
   test("paragraphQualityPrune: survivors keep order, all-drop yields empty text") {

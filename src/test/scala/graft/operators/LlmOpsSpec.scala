@@ -1102,6 +1102,40 @@ class LlmOpsSpec extends SparkSpec {
       (("C", 1L, 2L, 0L, 0L, 1.0)))
   }
 
+  test("exactDedupTrail: every doc maps to its min-id winner") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (2L, "x"), (9L, "x"), (7L, "y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedupTrail(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((2L, 2L, true), (5L, 2L, false), (7L, 7L, true),
+      (9L, 2L, false)))
+    // the trail's survivor set IS Dedup.exact's survivor set
+    val survivors = out.filter(_._3).map(_._1).toSet
+    val exact = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == exact)
+  }
+
+  test("contaminationBySource: leaks attribute to the right source") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f", "crawl1"),  // contains the benchmark
+      (2L, "z y x w v u", "crawl1"),
+      (3L, "a b c d q r", "crawl2"),  // also contains it
+      (4L, "m n o p q r", "clean"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.contaminationBySource(corpus, bench, "text",
+        "doc_id", "source", n = 3, minContainment = 0.5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("clean", 0L, 1L, 0.0),
+      ("crawl1", 1L, 2L, 0.5),
+      ("crawl2", 1L, 1L, 1.0)))
+  }
+
   test("contaminationCurve: planted overlap thins as n grows; short bench caps out") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e"), (2L, "a x y z w"),
