@@ -80,4 +80,13 @@ object RaterQaStream {
   def biasView(spark: SparkSession, path: String): DataFrame =
     Stats.raterBiasCounts(spark.read.parquet(s"$path/moments")
       .select("rater", "n_ratings", "su"))
+
+  /** Worker-accuracy-weighted consensus right now — identical to
+    * [[Stats.weightedConsensus]] over the full log (the cell partials
+    * this stream already lands fold by addition, which is exactly the
+    * `…Counts` seam's contract). An annotation campaign watches which
+    * items a reliable minority would flip, live. */
+  def consensusView(spark: SparkSession, path: String): DataFrame =
+    Stats.weightedConsensusCounts(spark.read.parquet(s"$path/cells")
+      .select("item", "rater", "label", "n"))
 }

@@ -64,5 +64,14 @@ class RaterQaStreamSpec extends SparkSpec {
     // partials are bounded by touched keys per batch, not ratings
     assert(spark.read.parquet(s"$base/counts/cells").count() == 4 + 4)
     assert(spark.read.parquet(s"$base/counts/moments").count() == 3 + 3)
+
+    // the weighted-consensus view folds the same cells — identical to
+    // the batch audit over the concatenated log
+    val cons = RaterQaStream.consensusView(spark, s"$base/counts")
+      .orderBy("item").collect().toSeq
+    val expectedC = Stats.weightedConsensus(all, col("item"),
+      col("rater"), col("label")).orderBy("item").collect().toSeq
+    assert(cons == expectedC,
+      "streamed consensus must be integer-identical to the batch audit")
   }
 }
