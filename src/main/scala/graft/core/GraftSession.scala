@@ -44,8 +44,14 @@ object GraftSession {
   }
 
   def local(cpus: Int = 4, timeZone: String = "UTC"): SparkSession = {
+    // dev/bench knob: decouple shuffle width from the core count (the
+    // two are conflated by default) so partitioning experiments don't
+    // need a code edit; production callers size shufflePartitions via
+    // [[builder]] directly.
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.toInt).getOrElse(cpus)
     val s = builder(master = Some(s"local[$cpus]"),
-      shufflePartitions = cpus, timeZone = timeZone)
+      shufflePartitions = shuffle, timeZone = timeZone)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -141,7 +141,7 @@ object ContainmentIndex {
     * tables and the probe's new side share. */
   private def shingled(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         Dedup.hashedShingles(col(textCol), shingleN).as("__sh"))

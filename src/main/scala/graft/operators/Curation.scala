@@ -1300,7 +1300,7 @@ object Curation {
     // explosion below is the CPU-heavy stage (3 orders × maxChars
     // grams × both sides per pair), and an AQE-coalesced upstream join
     // would otherwise hand the checkpoint ONE partition to explode on
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(pairs, factor = 64.0)
     val base = pairs.select(col(idCol),
       stripped(col(candCol)).as("__c"), stripped(col(refCol)).as("__r"))
       .repartition(par, col(idCol))

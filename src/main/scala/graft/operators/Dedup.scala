@@ -181,7 +181,7 @@ object Dedup {
     // repartition by id: parallelizes the CPU-heavy shingle/signature
     // stage even when the source is a single parquet split, and the
     // groupBy(__id) below reuses the partitioning (no extra shuffle)
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     // cache() is load-bearing twice over: (a) the shingle arrays feed
     // three plan branches (signature, and both sides of the verify
     // join) — uncached, Catalyst re-inlines the full shingle expression
@@ -235,7 +235,7 @@ object Dedup {
   def buildIndex(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, nBands: Int = 16): DataFrame = {
     val rows = k / nBands
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     val sh = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         hashedShingles(col(textCol), shingleN).as("__sh"))
@@ -580,7 +580,7 @@ object Dedup {
     * the query's action completed. */
   private def preppedShingles(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     val prepped = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         hashedShingles(col(textCol), shingleN).as("__sh"))
@@ -662,7 +662,7 @@ object Dedup {
   def containmentPairs(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       minContainment: Double = 0.8): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(corpus)
     val corpusGrams = corpus.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(hashedShingles(col(textCol), n)).as("__g"))
@@ -850,7 +850,7 @@ object Dedup {
   private[operators] def blockMembers(sigs: DataFrame, nBlocks: Int,
       blockBits: Int): DataFrame = {
     val mask = (1L << blockBits) - 1
-    val par = sigs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(sigs)
     sigs.select(col("__id"), col("__sig"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftright(col("__sig"), b * blockBits).bitwiseAND(lit(mask))): _*))
@@ -910,7 +910,7 @@ object Dedup {
       dim: Int, threshold: Double, bits: Int = 16, seed: Long = 42L,
       maxBucket: Int = 4096): DataFrame = {
     val sig = Similarity.hyperplaneSignature(dim, bits, seed)
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig", sig(col("__v")))
       .repartition(par, col("__sig"))
@@ -1056,7 +1056,7 @@ object Dedup {
     // membership compares 8-byte values instead of strings (~an order
     // of magnitude on the O(pairs × grams) hot loop); Jaccard over
     // hashed grams equals Jaccard over grams absent 64-bit collisions
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     // cached: both self-join sides read the gram arrays (see
     // minhashCandidates for why uncached branches explode plan cost)
     val prepped = df.repartition(par, col(idCol))
@@ -1109,7 +1109,7 @@ object Dedup {
     val fp =
       if (portable) TextFunctions.winnowFingerprintsPortable(col(textCol), k, w)
       else TextFunctions.winnowFingerprints(col(textCol), k, w)
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     // repartition by id parallelizes the CPU-heavy fingerprint stage
     // from a single-split source; cached because census + both join
     // sides read it (the blockMembers fork-point rationale)
@@ -1191,7 +1191,7 @@ object Dedup {
     * callers own the unpersist. */
   private def containmentDocs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, maxDf: Int, materialize: Boolean): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(df)
     val exploded = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         explode(hashedShingles(col(textCol), shingleN)).as("__g"))

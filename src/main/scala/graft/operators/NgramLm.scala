@@ -49,7 +49,7 @@ object NgramLm {
     // discipline): the LM family's scoring passes are CPU-heavy maps
     // over __tk, and both a single-split source and an AQE-coalesced
     // tiny exchange would otherwise run them on one core
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(docs)
     docs.repartition(par, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
   }

@@ -34,7 +34,7 @@ object Retrieval {
     // discipline): a corpus that arrives as one parquet split would
     // otherwise tokenize on one core, and the (id, dl, term) groupBy
     // reuses the id clustering instead of adding an exchange
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(docs)
     docs.repartition(par, col(idCol))
       .select(col(idCol), termsOf(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("dl"),
@@ -84,7 +84,7 @@ object Retrieval {
     * an aggregate, so the cut must be built in, not bolted on). */
   private def tokenRows(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.core.Par.widthFor(docs)
     docs.repartition(par, col(idCol))
       .select(col(idCol), termsOf(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("dl"),

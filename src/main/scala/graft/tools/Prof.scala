@@ -20,8 +20,10 @@ object Prof {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = si.taskMetrics.executorRunTime
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield (c - s) / 1000.0).getOrElse(-1.0)
         println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%4d " +
-          f"taskTime=${ms / 1000.0}%8.2f s  ${si.name.take(80)}")
+          f"wall=$wall%6.2f s taskTime=${ms / 1000.0}%8.2f s  ${si.name.take(80)}")
       }
     })
 
@@ -190,6 +192,18 @@ object Prof {
         // formatted physical plan of any suite query, e.g. plan:l25_idf_quality
         graft.queries.Suite.queries(p.stripPrefix("plan:"))(spark, sfDir)
           .explain("formatted")
+      case p if p.startsWith("q:") =>
+        // stage-profiled noop run of any suite query (reps via GRAFT_REPS),
+        // e.g. q:l110_lsh_horizon — the bench's timing shape, with the
+        // per-stage listener above attributing the wall time
+        val name = p.stripPrefix("q:")
+        graft.queries.Suite.stagePersistedRoots(spark, sfDir)
+        val reps = sys.env.getOrElse("GRAFT_REPS", "3").toInt
+        for (i <- 1 to reps) {
+          spark.catalog.clearCache()
+          run(s"$name rep$i")(
+            graft.queries.Suite.queries(name)(spark, sfDir))
+        }
       case _ => sys.error(s"unknown: $what")
     }
     spark.stop()
