@@ -203,23 +203,21 @@ object Siem {
     * prefix that contains it, nested prefixes resolved by length.
     *
     * Spark-first at scale: a prefix table has at most 33 distinct
-    * lengths, so LPM needs no trie and no range scan — the event side
-    * emits one (plen, ip >> (32−plen)) candidate key per length
-    * PRESENT in the table (an explode of ≤33 narrow longs, never the
-    * event row itself), and matching is ONE broadcast hash equi-join
-    * on (plen, key) followed by a per-event max over (plen, cidr)
-    * structs (lexicographic max = longest prefix; a plen tie is
-    * impossible after the (plen, key) dedupe below — two DISTINCT
-    * same-length prefixes are disjoint).
-    * Everything stays in whole-stage codegen; the event table never
-    * shuffles on anything but its own id for the argmax, and the
-    * prefix table crosses the wire once, broadcast.
+    * lengths, so LPM needs no trie and no range scan — the match is a
+    * chain of per-length broadcast LEFT equi-joins on
+    * (ip >> (32−plen)) for each length PRESENT in the table, and the
+    * winner is the first non-null hit in descending-plen order
+    * (coalesce; a plen tie is impossible after the (plen, key) dedupe
+    * below — two DISTINCT same-length prefixes are disjoint).
+    * Everything stays in whole-stage codegen and the event table
+    * NEVER shuffles — no candidate explode, no per-event argmax
+    * exchange; the prefix table crosses the wire once, broadcast in
+    * per-length slices.
     *
     * Returns (idCols…, cidr, plen) for events with a match
     * ([[lpmEnrich]] wraps the payload join-back). `idCols` must
-    * uniquely identify events: the per-event argmax groups by exactly
-    * these columns, so two distinct events sharing the same idCols
-    * tuple would silently collapse into one output row. Distinct
+    * uniquely identify events (one output row per input event row —
+    * duplicate idCols tuples would emit duplicate rows). Distinct
     * prefix lengths are collected driver-side — the prefix table is
     * broadcast-sized by premise (a full internet routing table is
     * ~1M rows, ~30 MB).
@@ -254,18 +252,31 @@ object Siem {
     val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     require(lens.nonEmpty, "lpmMatch: prefix table has no valid cidr rows")
-    val cand = events
+    // Zero-shuffle LPM: one broadcast LEFT join per distinct length
+    // present in the table (≤33), then the longest length's hit wins
+    // via coalesce in descending-plen order — equivalent to the
+    // explode + per-event argmax (a plen tie is impossible after the
+    // (plen, key) dedupe above), but the event side never shuffles at
+    // all: no candidate explode (≤33× row inflation through the join)
+    // and no exchange for the argmax groupBy. The whole match fuses
+    // into the event scan's codegen span; each join's build side is a
+    // slice of the already-broadcast-sized prefix table.
+    val base = events
       .select(idCols.map(col) :+ ipv4ToLong(col(ipCol)).as("__ip"): _*)
       .filter(col("__ip").isNotNull)
-      .select(idCols.map(col) :+ explode(array(lens.map(l => struct(
-        lit(l).as("__plen"),
-        shiftright(col("__ip"), 32 - l).as("__key"))): _*)).as("__c"): _*)
-      .select(idCols.map(col) :+ col("__c.__plen") :+ col("__c.__key"): _*)
-    cand.join(broadcast(pfx), Seq("__plen", "__key"))
-      .groupBy(idCols.map(col): _*)
-      .agg(max(struct(col("__plen"), col("cidr"))).as("__best"))
-      .select(idCols.map(col) :+ col("__best.cidr").as("cidr") :+
-        col("__best.__plen").as("plen"): _*)
+    val joined = lens.foldLeft(base) { (acc, l) =>
+      acc.join(
+        broadcast(pfx.filter(col("__plen") === l)
+          .select(col("__key").as(s"__k$l"), col("cidr").as(s"__c$l"))),
+        shiftright(col("__ip"), 32 - l) === col(s"__k$l"), "left")
+    }
+    val desc = lens.sorted.reverse
+    joined
+      .filter(desc.map(l => col(s"__c$l").isNotNull).reduce(_ || _))
+      .select(idCols.map(col) :+
+        coalesce(desc.map(l => col(s"__c$l")): _*).as("cidr") :+
+        coalesce(desc.map(l =>
+          when(col(s"__c$l").isNotNull, lit(l))): _*).as("plen"): _*)
   }
 
   /** Parse an IPv6/IPv4 literal column to its raw (hi, lo) long pair
@@ -313,25 +324,33 @@ object Siem {
     val lens: Seq[Int] = pfx.select(col("__plen")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     require(lens.nonEmpty, "lpm6Match: prefix table has no valid cidr rows")
-    val cand = events
+    // zero-shuffle chain of per-length broadcast LEFT joins + coalesce
+    // in descending-plen order — the [[lpmMatch]] shape (see there for
+    // the equivalence argument); keys are the (hi, lo) pair shifted to
+    // the prefix bits exactly as the candidate explode computed them
+    val base = events
       .select(idCols.map(col) :+ ipv6PairOf(col(ipCol)).as("__p"): _*)
       .filter(col("__p").isNotNull)
-      .select(idCols.map(col) :+ explode(array(lens.map { l =>
-        struct(lit(l).as("__plen"),
-          (if (l == 0) lit(0L)
-           else if (l <= 64) shiftrightunsigned(col("__p.hi"), 64 - l)
-           else col("__p.hi")).as("__kh"),
-          (if (l <= 64) lit(0L)
-           else if (l == 128) col("__p.lo")
-           else shiftrightunsigned(col("__p.lo"), 128 - l)).as("__kl"))
-      }: _*)).as("__c"): _*)
-      .select(idCols.map(col) :+ col("__c.__plen") :+ col("__c.__kh") :+
-        col("__c.__kl"): _*)
-    cand.join(broadcast(pfx), Seq("__plen", "__kh", "__kl"))
-      .groupBy(idCols.map(col): _*)
-      .agg(max(struct(col("__plen"), col("cidr"))).as("__best"))
-      .select(idCols.map(col) :+ col("__best.cidr").as("cidr") :+
-        col("__best.__plen").as("plen"): _*)
+    val joined = lens.foldLeft(base) { (acc, l) =>
+      val kh = if (l == 0) lit(0L)
+        else if (l <= 64) shiftrightunsigned(col("__p.hi"), 64 - l)
+        else col("__p.hi")
+      val kl = if (l <= 64) lit(0L)
+        else if (l == 128) col("__p.lo")
+        else shiftrightunsigned(col("__p.lo"), 128 - l)
+      acc.join(
+        broadcast(pfx.filter(col("__plen") === l)
+          .select(col("__kh").as(s"__kh$l"), col("__kl").as(s"__kl$l"),
+            col("cidr").as(s"__c$l"))),
+        kh === col(s"__kh$l") && kl === col(s"__kl$l"), "left")
+    }
+    val desc = lens.sorted.reverse
+    joined
+      .filter(desc.map(l => col(s"__c$l").isNotNull).reduce(_ || _))
+      .select(idCols.map(col) :+
+        coalesce(desc.map(l => col(s"__c$l")): _*).as("cidr") :+
+        coalesce(desc.map(l =>
+          when(col(s"__c$l").isNotNull, lit(l))): _*).as("plen"): _*)
   }
 
   /** One payload row per distinct cidr literal, deterministically:
