@@ -580,7 +580,12 @@ object Dedup {
     * the query's action completed. */
   private def preppedShingles(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int): DataFrame = {
-    val par = graft.core.Par.widthFor(df)
+    // cluster width, NOT the byte-derived Par.widthFor: the stages
+    // that fan out from this cache (the PPJoin prefix self-join and
+    // the exact verify) cost O(candidate pairs x grams) — quadratic in
+    // bucket occupancy, so a width derived from input BYTES
+    // under-parallelizes them (measured 1.7x on l19 at sf0.1)
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val prepped = df.repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         hashedShingles(col(textCol), shingleN).as("__sh"))
@@ -1056,7 +1061,11 @@ object Dedup {
     // membership compares 8-byte values instead of strings (~an order
     // of magnitude on the O(pairs × grams) hot loop); Jaccard over
     // hashed grams equals Jaccard over grams absent 64-bit collisions
-    val par = graft.core.Par.widthFor(df)
+    // cluster width, NOT the byte-derived Par.widthFor: the in-block
+    // self-join below is O(pairs x grams) — quadratic in block
+    // occupancy — so byte-derived width under-parallelizes it
+    // (measured 5x on l4 at sf0.1)
+    val par = df.sparkSession.sparkContext.defaultParallelism
     // cached: both self-join sides read the gram arrays (see
     // minhashCandidates for why uncached branches explode plan cost)
     val prepped = df.repartition(par, col(idCol))

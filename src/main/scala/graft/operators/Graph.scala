@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Iterative operators pin their per-round state every this many
+    * rounds (and always on the last): often enough that the nested
+    * plan stays small, seldom enough that a short fixed-iteration run
+    * (PageRank's usual 3-8) pays one materialization, not one per
+    * round. */
+  private val CheckpointEvery = 4
+
   /** Triangle count per node plus the global total — the standard
     * graph-cohesion signal (a SIEM reads clustered comms as peer
     * groups; a crawl graph reads triangles as link-farm density).
@@ -152,7 +159,7 @@ object Graph {
       val base = scale * (1000000L - dampMicro) / n / 1000000L
 
       var rank = nodes.withColumn("rank", lit(scale / n))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = edgesD
           .join(rank.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("rank div __deg").as("__c"))
@@ -164,12 +171,16 @@ object Graph {
             (lit(base) + expr(
               s"($dampMicro * coalesce(__inc, 0L)) div 1000000")
               ).as("rank"))
-          // materialize each round (|V| longs — bounded): without
-          // this, round k's plan nests rounds 1..k-1 and every action
-          // recomputes the whole chain; with it, a round costs one
-          // join + one aggregation regardless of k. Also what lets
-          // the caches drop eagerly below instead of leaking.
-          .localCheckpoint(eager = true)
+        // Materialize every CheckpointEvery rounds and at the last
+        // round (|V| longs — bounded): a per-round checkpoint costs a
+        // driver job + a materialization barrier each round, but a
+        // fully lazy chain nests every round into one plan (optimizer
+        // time grows with iters) — the cadence bounds both. The LAST
+        // round must checkpoint: the finally below unpersists the
+        // edge/node caches, so the returned frame has to be pinned
+        // rows, not a plan that would re-derive them uncached.
+        if (i % CheckpointEvery == 0 || i == iters)
+          rank = rank.localCheckpoint(eager = true)
       }
       rank
     } finally { edgesD.unpersist(); nodes.unpersist() }
@@ -212,7 +223,7 @@ object Graph {
       var rank = nodes.select(col("node"),
         when(col("__s") === 1, lit(scale / nS)).otherwise(lit(0L))
           .as("rank"))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val incoming = edgesD
           .join(rank.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("rank div __deg").as("__c"))
@@ -224,7 +235,9 @@ object Graph {
             (when(col("__s") === 1, lit(base)).otherwise(lit(0L)) +
               expr(s"($dampMicro * coalesce(__inc, 0L)) div 1000000"))
               .as("rank"))
-          .localCheckpoint(eager = true)
+        // same checkpoint cadence as [[pageRankInt]] (see there)
+        if (i % CheckpointEvery == 0 || i == iters)
+          rank = rank.localCheckpoint(eager = true)
       }
       rank
     } finally { edgesD.unpersist(); nodes.unpersist() }

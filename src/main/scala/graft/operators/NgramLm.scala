@@ -133,8 +133,14 @@ object NgramLm {
       round(log2((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
         (coalesce(col("__cctx"), lit(0L)) + col("__nv"))) * 1000000)
         .cast("long")
-    ng.join(lm.drop("__nv"), Seq("ctx", "w"), "left")
-      .join(cCtx, Seq("ctx"), "left")
+    // the model and its re-aggregations are vocab-bounded (scaladoc:
+    // the persisted artifact broadcasts after a frequency floor), so
+    // hint them explicitly: Catalyst cannot size a derived aggregate
+    // and would otherwise sort-merge-join the corpus-sized gram stream
+    // against a table that fits in one broadcast (2 exchanges + 2
+    // sorts per join, all carrying the gram stream)
+    ng.join(broadcast(lm.drop("__nv")), Seq("ctx", "w"), "left")
+      .join(broadcast(cCtx), Seq("ctx"), "left")
       .crossJoin(broadcast(nv))
       .groupBy(col(idCol))
       .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
@@ -189,10 +195,13 @@ object NgramLm {
         lit(discount) * col("__n1ctx").cast("double") * pc) /
         col("__cctx").cast("double"))
     val microBits = round(log2(p) * 1000000).cast("long")
+    // every KN statistic is a re-aggregation of the vocab-bounded
+    // model (see scaladoc) — broadcast them all; only the gram stream
+    // is corpus-sized and it now never shuffles for these joins
     val sums = ng
-      .join(lm.drop("__nv"), Seq("ctx", "w"), "left")
-      .join(cCtx, Seq("ctx"), "left")
-      .join(cont, Seq("w"), "left")
+      .join(broadcast(lm.drop("__nv")), Seq("ctx", "w"), "left")
+      .join(broadcast(cCtx), Seq("ctx"), "left")
+      .join(broadcast(cont), Seq("w"), "left")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(sum(microBits).as("__s"), count(lit(1)).as("__n"))
@@ -237,9 +246,13 @@ object NgramLm {
       round(log2((coalesce(col(s"__c$tag"), lit(0L)) + 1).cast("double") /
         (coalesce(col(s"__cctx$tag"), lit(0L)) + col(s"__nv$tag"))) * 1000000)
         .cast("long")
+    // both models and their context totals are vocab-bounded —
+    // broadcast all four so the single gram stream never shuffles
     ngramStream(docs, textCol, idCol, order)
-      .join(tLm, Seq("ctx", "w"), "left").join(tCtx, Seq("ctx"), "left")
-      .join(rLm, Seq("ctx", "w"), "left").join(rCtx, Seq("ctx"), "left")
+      .join(broadcast(tLm), Seq("ctx", "w"), "left")
+      .join(broadcast(tCtx), Seq("ctx"), "left")
+      .join(broadcast(rLm), Seq("ctx", "w"), "left")
+      .join(broadcast(rCtx), Seq("ctx"), "left")
       .crossJoin(broadcast(tNv)).crossJoin(broadcast(rNv))
       .groupBy(col(idCol))
       .agg(sum(microBits("t") - microBits("r")).as("__lam"))
