@@ -279,9 +279,17 @@ object ContainmentIndex {
       val oldDocs = prunedDocs(spark, root, touchedDp, sinceBatch)
         .join(broadcast(bIds), Seq("__id"), "left_semi")
         .select(col("__id"), col("__sh"))
+      // prefer the batch copy of a replayed id via a broadcast
+      // anti-join on the batch-sized id set (its rows are identical by
+      // construction) instead of dropDuplicates, which would shuffle
+      // the wide gram arrays; broadcasting the batch-bounded candidate
+      // pair set keeps both verify joins map-side, so the arrays never
+      // shuffle at all
+      val newIds = newSh.select(col("__id")).distinct()
       val bSide = newSh.select(col("__id"), col("__sh"))
-        .unionByName(oldDocs).dropDuplicates("__id")
-      candidates
+        .unionByName(
+          oldDocs.join(broadcast(newIds), Seq("__id"), "left_anti"))
+      broadcast(candidates)
         .join(newKept.select(col("__id").as("id_a"), col("__sha")), "id_a")
         .join(bSide.select(col("__id").as("id_b"), col("__sh").as("__shb")),
           "id_b")

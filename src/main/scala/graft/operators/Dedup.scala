@@ -340,14 +340,22 @@ object Dedup {
     * (`grams` = one (__id, __sh) row per id) and score. Arrays are
     * distinct: |A ∪ B| = |A| + |B| − |A ∩ B|. */
   private[operators] def verifyJaccard(pairs: DataFrame,
-      grams: DataFrame): DataFrame =
-    pairs
+      grams: DataFrame, broadcastPairs: Boolean = false): DataFrame = {
+    // broadcastPairs: the incremental probe paths pass pair sets that
+    // are O(collisions)-bounded eager checkpoints — broadcasting them
+    // saves the two exchanges (and sorts) that would otherwise move
+    // the WIDE gram arrays by id_a then id_b. The corpus-wide callers
+    // (minhashCandidates) keep the default: their pair sets scale with
+    // the corpus and must stay on the shuffle path.
+    val p = if (broadcastPairs) broadcast(pairs) else pairs
+    p
       .join(grams.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(grams.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("__i", intersectSize(col("__sh_a"), col("__sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jaccard"))
+  }
 
   /** Incremental near-dup candidates: pairs involving at least one NEW
     * document, verified with exact Jaccard — without re-banding or
@@ -368,10 +376,18 @@ object Dedup {
     val allB = bandMembers(oldIndex, isNew = false).unionByName(newB)
     val pairs = incrementalPairs(newB, allB, maxBandBucket, materialize)
     // a re-delivered id would otherwise join twice per side and
-    // multiply verify rows — one gram row per id
-    val grams = newIndex.unionByName(oldIndex).select(col("__id"), col("__sh"))
-      .dropDuplicates("__id")
-    verifyJaccard(pairs, grams)
+    // multiply verify rows — one gram row per id. Prefer the NEW copy
+    // via a broadcast anti-join on the batch-sized id set (a replayed
+    // id's rows are identical — same document, same grams) instead of
+    // dropDuplicates, which would shuffle the WIDE gram arrays of the
+    // whole old index. With the pairs checkpointed (materialize), they
+    // are O(|new| + collisions)-bounded — broadcast them too, so gram
+    // arrays never shuffle in the verify.
+    val newIds = newIndex.select(col("__id")).distinct()
+    val grams = newIndex.select(col("__id"), col("__sh"))
+      .unionByName(oldIndex.select(col("__id"), col("__sh"))
+        .join(broadcast(newIds), Seq("__id"), "left_anti"))
+    verifyJaccard(pairs, grams, broadcastPairs = materialize)
   }
 
   /** Connected components over a similarity pair list (id_a, id_b) via

@@ -222,10 +222,19 @@ object LshIndex {
         .join(broadcast(pairIds), Seq("__id"), "left_semi")
         .select(col("__id"), col("__sh"))
       // a replayed batch sits in BOTH newIndex and the persisted index —
-      // one gram row per id (same collapse incrementalCandidates applies)
+      // keep one gram row per id. The old dropDuplicates shuffled the
+      // WIDE gram arrays; a replayed id's two rows are identical by
+      // construction (same document, same grams), so preferring the
+      // new copy via a broadcast anti-join on the batch-sized id set
+      // is equivalent and map-side. verifyJaccard then broadcasts the
+      // O(collisions)-bounded pair checkpoint, so the gram arrays
+      // never shuffle at all in the probe path.
+      val newIds = newIdx.select(col("__id")).distinct()
       val grams = newIdx.select(col("__id"), col("__sh"))
-        .unionByName(oldGrams).dropDuplicates("__id")
-      Dedup.verifyJaccard(pairs, grams).localCheckpoint(true)
+        .unionByName(
+          oldGrams.join(broadcast(newIds), Seq("__id"), "left_anti"))
+      Dedup.verifyJaccard(pairs, grams, broadcastPairs = true)
+        .localCheckpoint(true)
     } finally { newIdx.unpersist(); () }
   }
 }
